@@ -49,29 +49,35 @@ def money(expr: Column, alias: str | None = None) -> Column:
 
 
 def disc_price() -> Column:
-    """l_extendedprice * (1 - l_discount), exact decimal."""
-    return dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    """l_extendedprice * (1 - l_discount), exact decimal at scale 6.
+
+    The product of a 2-decimal price and 2-decimal discount factor has ≤4
+    fractional digits, so the rescale from the engines' (37,12) product type
+    back to scale 6 is lossless. Keeping the summed scale at 6 matters:
+    DuckDB casts DECIMAL→DOUBLE through its hugeint representation, which
+    loses bits once value×10^scale exceeds 2^53 — at scale 6 the sums stay
+    exactly representable and both engines round identically.
+    """
+    return (dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))).cast(DEC)
 
 
 def charge() -> Column:
-    """l_extendedprice * (1 - l_discount) * (1 + l_tax), exact decimal.
-
-    Factored as price * ((1-d)*(1+t)) so intermediate precision stays within
-    38 digits without scale truncation on either engine.
-    """
+    """l_extendedprice * (1 - l_discount) * (1 + l_tax), exact decimal
+    at scale 6 (≤6 fractional digits: 2 price + 2 disc + 2 tax)."""
     f = (F.lit(1).cast(DEC) - dec("l_discount")) * (F.lit(1).cast(DEC) + dec("l_tax"))
-    return dec("l_extendedprice") * f
+    return (dec("l_extendedprice") * f).cast(DEC)
 
 
 # SQL-side equivalents (DuckDB syntax == ANSI here).
 SQL_DEC = "DECIMAL(18,6)"
 SQL_DISC_PRICE = (
-    f"CAST(l_extendedprice AS {SQL_DEC}) * (CAST(1 AS {SQL_DEC}) - CAST(l_discount AS {SQL_DEC}))"
+    f"CAST(CAST(l_extendedprice AS {SQL_DEC}) * "
+    f"(CAST(1 AS {SQL_DEC}) - CAST(l_discount AS {SQL_DEC})) AS {SQL_DEC})"
 )
 SQL_CHARGE = (
-    f"CAST(l_extendedprice AS {SQL_DEC}) * "
+    f"CAST(CAST(l_extendedprice AS {SQL_DEC}) * "
     f"((CAST(1 AS {SQL_DEC}) - CAST(l_discount AS {SQL_DEC})) * "
-    f"(CAST(1 AS {SQL_DEC}) + CAST(l_tax AS {SQL_DEC})))"
+    f"(CAST(1 AS {SQL_DEC}) + CAST(l_tax AS {SQL_DEC}))) AS {SQL_DEC})"
 )
 
 

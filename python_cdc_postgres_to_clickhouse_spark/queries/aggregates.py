@@ -1,1 +1,268 @@
-"""Placeholder — populated in M1."""
+"""Aggregation surface (SURVEY.md §2.4): group-by aggregates, distinct,
+approx-distinct, conditional agg, rollup/cube/grouping sets, having, pivot,
+moment statistics.
+
+All money sums go through exact DECIMAL accumulation (see _exprs) so the
+oracle hash is bit-stable. Every aggregate here is map-side combinable
+(partial hash agg) — at 100 TB the shuffle carries only per-group partial
+states, never raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_tables
+from ._exprs import davg, dec, dsum, sql_davg, sql_dsum
+
+
+@query(
+    "a_groupby_orders",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')},
+           {sql_davg('o_totalprice', 'avg_price')},
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def a_groupby_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basic group-by with count/sum/avg/min/max."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+            davg("o_totalprice", "avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "a_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting (expand + two-phase agg under the hood)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+    )
+
+
+@query("a_approx_distinct", tags=("agg", "approx"))
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
+    distinct (no expand, constant memory per group). No SQL oracle: HLL
+    estimates are implementation-specific; tests assert relative error
+    against the exact count instead (tests/test_aggregates.py)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        )
+    )
+
+
+@query(
+    "a_conditional",
+    oracle=f"""
+    SELECT l_linestatus,
+           {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END", 'returned_qty')},
+           {sql_dsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice END", 'discounted_price')},
+           COUNT(CASE WHEN l_tax = 0 THEN 1 END) AS n_taxfree
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg",),
+)
+def a_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: sum(CASE WHEN …), count-if."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(
+                dec(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0))
+            )
+            .cast("double")
+            .alias("returned_qty"),
+            F.sum(dec(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))))
+            .cast("double")
+            .alias("discounted_price"),
+            F.count(F.when(F.col("l_tax") == 0, F.lit(1))).alias("n_taxfree"),
+        )
+    )
+
+
+@query(
+    "a_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, flag+status, grand total)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "a_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("a_grouping_sets", oracle=GROUPING_SETS_SQL, tags=("agg",))
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same dialect as the oracle)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+@query(
+    "a_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+    tags=("agg",),
+)
+def a_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "a_stats_moments",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_quantity * l_quantity', 'sum_qty_sq')},
+           {sql_dsum('l_discount', 'sum_disc')},
+           {sql_dsum('l_discount * l_discount', 'sum_disc_sq')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def a_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic moment statistics: exact decimal Σx and Σx² (variance/
+    stddev derive from these driver-side; native stddev_samp is float-order
+    nondeterministic and engine-specific, so the *moments* are the stable
+    oracle surface). Squares of ≤2-decimal inputs have ≤4 fractional digits
+    → scale-6 decimals stay lossless."""
+    t = load_tables(spark, sf_dir)
+    qty_sq = (dec("l_quantity") * dec("l_quantity")).cast("decimal(18,6)")
+    disc_sq = (dec("l_discount") * dec("l_discount")).cast("decimal(18,6)")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity", "sum_qty"),
+            F.sum(qty_sq).cast("double").alias("sum_qty_sq"),
+            dsum("l_discount", "sum_disc"),
+            F.sum(disc_sq).cast("double").alias("sum_disc_sq"),
+        )
+    )
+
+
+@query(
+    "a_groupby_expr",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders GROUP BY order_year, order_month
+    """,
+    tags=("agg",),
+)
+def a_groupby_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group by computed expressions (calendar rollup)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "a_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_F')},
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_O')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (oracle: conditional aggregation)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )

@@ -1,1 +1,232 @@
-"""Placeholder — populated in M1."""
+"""Join surface (SURVEY.md §2.4): equi / broadcast / outer / semi / anti /
+theta / as-of.
+
+Scale notes: the star join broadcasts the fixed-size dims (region, nation)
+unconditionally; sf-scaled dims (customer, supplier) are left to AQE, which
+switches sort-merge → broadcast at runtime when the built side fits. The
+as-of join is the SURVEY §4 composition (range-join + per-key max) because
+Spark SQL has no native as-of.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_tables
+from ._exprs import SQL_DISC_PRICE, disc_price, dsum, sql_dsum
+
+
+@query(
+    "j_inner_equi",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("join",),
+)
+def j_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact inner equi-join (shuffle join on the orderkey)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            F.sum(disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "j_star_broadcast",
+    oracle=f"""
+    SELECT r_name, n_name,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("join", "flagship"),
+)
+def j_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact → dims, fixed-size dims broadcast."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "j_left_outer",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("join",),
+)
+def j_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (NULL-extended side)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+    )
+
+
+@query(
+    "j_full_outer",
+    oracle="""
+    SELECT n_nationkey, cust_nations.ck AS cust_nation, supp_nations.sk AS supp_nation
+    FROM (SELECT DISTINCT c_nationkey AS ck FROM customer) cust_nations
+    FULL OUTER JOIN (SELECT DISTINCT s_nationkey AS sk FROM supplier) supp_nations
+      ON cust_nations.ck = supp_nations.sk
+    FULL OUTER JOIN nation ON COALESCE(cust_nations.ck, supp_nations.sk) = n_nationkey
+    """,
+    tags=("join",),
+)
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations seen by customers vs by suppliers."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select(F.col("c_nationkey").alias("ck")).distinct()
+    supp = t["supplier"].select(F.col("s_nationkey").alias("sk")).distinct()
+    both = cust.join(supp, cust.ck == supp.sk, "full_outer")
+    return both.join(
+        t["nation"],
+        F.coalesce(both.ck, both.sk) == F.col("n_nationkey"),
+        "full_outer",
+    ).select(
+        "n_nationkey",
+        F.col("ck").alias("cust_nation"),
+        F.col("sk").alias("supp_nation"),
+    )
+
+
+@query(
+    "j_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_with_orders
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join",),
+)
+def j_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having ≥1 order."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+    )
+
+
+@query(
+    "j_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def j_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "j_theta_band",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_cheap_large
+    FROM part p JOIN lineitem l
+      ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+    GROUP BY p_brand
+    """,
+    tags=("join",),
+)
+def j_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + non-equi residual predicate."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .join(
+            t["lineitem"],
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("l_quantity") > F.col("p_size")),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_cheap_large"))
+    )
+
+
+@query(
+    "j_asof_latest_event",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           (SELECT max(ts) FROM events e
+             WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS asof_ts
+    FROM orders o
+    WHERE o_orderkey % 10 = 0
+    """,
+    tags=("join", "asof"),
+)
+def j_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest event at-or-before each order's date, per user.
+
+    Spark SQL has no native ASOF JOIN; this is the SURVEY §4 composition —
+    range join on (key, ts ≤ t) then per-left-row max, re-joined left to
+    preserve rows with no match. At 100 TB the range join is keyed on
+    user_id so it shuffles once on the key; the per-key aggregation is
+    map-side combinable.
+    """
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ev = t["events"].select("user_id", "ts")
+    matched = (
+        orders.join(
+            ev,
+            (ev.user_id == orders.o_custkey) & (ev.ts <= orders.o_orderdate),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.max("ts").alias("asof_ts"))
+    )
+    return orders.join(matched, "o_orderkey", "left").select(
+        "o_orderkey", "o_custkey", "asof_ts"
+    )

@@ -52,16 +52,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load all tables and register them as temp views (idempotent).
 
     Called at the head of every declared query, so the driver's session
-    gets the UTC pin no matter how it was built.
+    gets the UTC pin no matter how it was built. DataFrames are cached per
+    (session, sf_dir) — they are immutable plans, so reuse is safe and
+    avoids re-listing parquet footers on every query invocation.
     """
     tune_session(spark)
+    key = (id(spark), sf_dir)
+    cached = _CATALOG_CACHE.get(key)
+    if cached is not None:
+        return cached
     dfs: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         dfs[name] = df
+    _CATALOG_CACHE[key] = dfs
     return dfs
