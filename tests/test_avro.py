@@ -1,0 +1,101 @@
+"""Avro framing tests (SURVEY.md §7 hard part b): Confluent wire format vs
+raw body — the silent-corruption path the reference's static decoder has
+(read_from_kafka.py would feed header bytes to the Avro decoder)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_cdc_postgres_to_clickhouse_spark.sources.avro import (
+    decode_user_record,
+    decode_users,
+    encode_user_record,
+    frame_confluent,
+)
+
+ROWS = [
+    (1, "alice", "alice@example.com", 1_700_000_000_000_000),
+    (2, "bob", "bob@example.com", None),
+    (3, "cenk-ünïcode", "cenk@example.com", 1_650_000_123_456_789),
+    (-4, "negative-id", "neg@example.com", 0),
+]
+
+
+def _df(spark, payloads):
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(str(i), bytearray(p)) for i, p in enumerate(payloads)], schema=schema
+    )
+
+
+def test_codec_roundtrip_python():
+    for id_, user, mail, ts in ROWS:
+        rec = decode_user_record(encode_user_record(id_, user, mail, ts))
+        assert rec == {"id": id_, "username": user, "email": mail, "created_at_us": ts}
+
+
+@pytest.mark.parametrize("framing", ["confluent", "raw"])
+def test_decode_users_both_framings(spark, framing):
+    bodies = [encode_user_record(*r) for r in ROWS]
+    payloads = (
+        [frame_confluent(b, schema_id=7) for b in bodies]
+        if framing == "confluent"
+        else bodies
+    )
+    out = decode_users(_df(spark, payloads), framing=framing)
+    got = {
+        r["id"]: (r["username"], r["email"], r["created_at_us"])
+        for r in out.collect()
+    }
+    assert got == {r[0]: (r[1], r[2], r[3]) for r in ROWS}
+
+
+def test_framing_mismatch_detected(spark):
+    """Registry-framed bytes decoded as raw must NOT silently produce the
+    original rows (EP3's latent bug made explicit)."""
+    framed = [frame_confluent(encode_user_record(*r), schema_id=7) for r in ROWS]
+    out = decode_users(_df(spark, framed), framing="raw").collect()
+    ok = {r[0]: (r[1], r[2], r[3]) for r in ROWS}
+    got_wrong = sum(
+        1
+        for r in out
+        if r["id"] in ok and ok[r["id"]] == (r["username"], r["email"], r["created_at_us"])
+    )
+    assert got_wrong == 0
+
+
+def test_corrupt_records_go_permissive(spark):
+    """F3: corrupt payloads yield null columns (dead-letter branch), good
+    rows decode unaffected."""
+    good = frame_confluent(encode_user_record(*ROWS[0]), schema_id=7)
+    corrupt = b"\x00\x00\x00\x00\x07\xff\xff\xff"  # framed, truncated body
+    out = decode_users(_df(spark, [good, corrupt]), framing="confluent")
+    rows = out.collect()
+    assert len(rows) == 2
+    good_rows = [r for r in rows if r["id"] is not None]
+    dead = [r for r in rows if r["id"] is None]
+    assert len(good_rows) == 1 and len(dead) == 1
+    assert good_rows[0]["username"] == "alice"
+
+
+def test_confluent_header_fields(spark):
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import (
+        confluent_schema_id,
+        is_confluent_framed,
+    )
+
+    framed = [frame_confluent(encode_user_record(*ROWS[0]), schema_id=123456)]
+    df = _df(spark, framed)
+    r = df.select(
+        confluent_schema_id(F.col("value")).alias("sid"),
+        is_confluent_framed(F.col("value")).alias("magic"),
+    ).first()
+    assert r["sid"] == 123456
+    assert r["magic"] is True
