@@ -13,3 +13,4 @@ from . import setops  # noqa: F401
 from . import scalars  # noqa: F401
 from . import subqueries  # noqa: F401
 from . import cdc_queries  # noqa: F401
+from . import timewindows  # noqa: F401

@@ -82,8 +82,13 @@ def unwrap(
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    """Map Debezium MicroTimestamp (µs long) → TimestampType (F5)."""
-    return df.withColumn("created_at", F.timestamp_micros(F.col("created_at_us")))
+    """Map Debezium MicroTimestamp (µs long) → TimestampType (F5), and add
+    a never-null ``event_time`` from the envelope's ``ts_ms`` — delete
+    events carry a null row state, so watermarks/dedup anchor on the
+    envelope timestamp, not the business column."""
+    return df.withColumn(
+        "created_at", F.timestamp_micros(F.col("created_at_us"))
+    ).withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
 
 
 # ---------------------------------------------------------------------------
