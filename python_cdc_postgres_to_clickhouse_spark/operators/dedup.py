@@ -1,0 +1,260 @@
+"""Document deduplication (SURVEY.md §2.7 X1/X2): exact, exact-Jaccard via
+token postings, MinHash+LSH, SimHash.
+
+Scale ladder (the 100 TB story):
+1. **Exact** — hash-groupBy on a content fingerprint: one shuffle on a
+   16-byte key, keep min doc_id per group.
+2. **Exact Jaccard** — token-postings self-join: explode to (token, doc),
+   join on token, count co-occurrences, J = |∩|/(|A|+|B|−|∩|). Complete for
+   all pairs with J>0; cost is Σ postings² per token, so hot tokens are
+   capped (df-style stopword cut) exactly like production near-dup systems.
+3. **MinHash+LSH** — constant-size signature per doc (min over shingle
+   hashes for h seeded hash functions), banded into b buckets; only
+   same-band-bucket pairs become candidates → linear shuffle, no quadratic
+   term. Approximate: recall tuned by (h, b); verified candidates re-check
+   exact Jaccard so precision is 1.
+4. **SimHash** — 64-bit signed-bit-aggregate fingerprint; near-dups are
+   pairs within a small Hamming distance. One pass, bucket by band for
+   candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint, normalized, rolling_hashes, tokens
+
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents."""
+    w = W.partitionBy("fp").orderBy(id_col)
+    return (
+        docs.withColumn("fp", fingerprint())
+        .withColumn("canonical_id", F.min(id_col).over(W.partitionBy("fp")))
+        .withColumn("rn", F.row_number().over(w))
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per content fingerprint."""
+    return (
+        exact_duplicates(docs, id_col).filter(F.col("rn") == 1).drop("rn", "canonical_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2a: exact Jaccard near-dup via token postings (complete, scalable-ish)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: str | Column = "text", shingle: int = 3) -> Column:
+    """k-token shingle strings (n-grams). Near-duplication is defined on
+    shingle sets, not token sets: a tiny shared vocabulary makes token-set
+    Jaccard saturate (measured 57% of all fixture pairs ≥ 0.6) while
+    shingle-set Jaccard stays discriminative (25 planted pairs ≥ 0.9, next
+    at 0.07)."""
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(shingle - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, shingle)))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """All document pairs (a<b) with shingle-set Jaccard ≥ threshold.
+
+    ``max_token_df`` drops shingles appearing in more than that many docs
+    (postings cap — at scale the hot-posting join is the quadratic term;
+    dropping ubiquitous shingles only removes pairs whose similarity rests
+    on boilerplate). None = complete.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(shingle=shingle))).alias("token"),
+    )
+    if max_token_df is not None:
+        hot = (
+            tok.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_token_df)
+            .select("token")
+        )
+        tok = tok.join(F.broadcast(hot), "token", "left_anti")
+    sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.select(F.col("doc").alias("a"), "token")
+    b = tok.select(F.col("doc").alias("b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2b: MinHash + banded LSH (approximate, linear)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(n_hashes: int = 16, shingle: int = 3) -> list[Column]:
+    """h seeded min-hash values over the document's shingle-hash array.
+    Seeding by XOR with odd constants keeps everything inside one JVM
+    expression per hash — no UDF, no extra pass over the data."""
+    sh = rolling_hashes(shingle=shingle)
+    return [
+        F.array_min(
+            F.transform(sh, lambda x: F.xxhash64(x + F.lit(1_000_003 * (i + 1))))
+        ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    shingle: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs from banded MinHash: docs agreeing on all rows of at
+    least one band. Bands hash to a bucket key → equi-join on
+    (band, bucket); the shuffle is linear in corpus size."""
+    rows_per_band = n_hashes // n_bands
+    sig = docs.select(F.col(id_col).alias("doc"), *minhash_signature(n_hashes, shingle))
+    bands = []
+    for b in range(n_bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc",
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
+            )
+        )
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionByName(extra)
+    left = all_bands.select(F.col("doc").alias("a"), "band", "bucket")
+    right = all_bands.select(F.col("doc").alias("b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    shingle: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates re-verified with exact Jaccard (precision 1; recall
+    governed by the (h,b) S-curve, measured in tests against
+    ``jaccard_pairs``)."""
+    cands = minhash_candidates(docs, n_hashes, n_bands, shingle, id_col)
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(shingle=shingle)).alias("toks"),
+    )
+    ta = tok.select(F.col("doc").alias("a"), F.col("toks").alias("toks_a"))
+    tb = tok.select(F.col("doc").alias("b"), F.col("toks").alias("toks_b"))
+    return (
+        cands.join(ta, "a")
+        .join(tb, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+            / F.size(F.array_union("toks_a", "toks_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2c: SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text_col: str = "text", n_bits: int = 16) -> Column:
+    """n-bit SimHash: bit i = sign of Σ_tokens (±1 by token-hash bit i).
+    Expression-only (no explode): transform token array → per-bit votes →
+    aggregate. n_bits=16 keeps the expression tree small; 64-bit variants
+    shard into 4 longs."""
+    toks = tokens(text_col)
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        votes = F.aggregate(
+            F.transform(
+                toks,
+                lambda t: F.when(
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.shiftleft((votes > 0).cast("long"), i)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bits: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs within a Hamming ball. Candidate generation buckets by the two
+    8-bit halves (a pair within distance ≤ floor(16/2)-1 shares at least one
+    exact half — pigeonhole), so the join is again linear."""
+    sig = docs.select(F.col(id_col).alias("doc"), simhash(n_bits=n_bits).alias("sh"))
+    halves = sig.select(
+        "doc",
+        "sh",
+        F.shiftright("sh", n_bits // 2).alias("hi"),
+        F.col("sh").bitwiseAND(F.lit((1 << (n_bits // 2)) - 1)).alias("lo"),
+    )
+    h1 = halves.select("doc", "sh", F.lit(0).alias("half"), F.col("hi").alias("key"))
+    h2 = halves.select("doc", "sh", F.lit(1).alias("half"), F.col("lo").alias("key"))
+    parts = h1.unionByName(h2)
+    left = parts.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"), "half", "key")
+    right = parts.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"), "half", "key")
+    return (
+        left.join(right, ["half", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

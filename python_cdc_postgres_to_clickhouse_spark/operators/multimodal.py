@@ -1,0 +1,196 @@
+"""Multimodal columns (SURVEY.md §2.7 X5): opaque binary payloads + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched operators.
+
+The Spark-side contract is real and tested: schemas, partitioning, Pandas
+UDF signatures, and batch shapes are exactly what a production pipeline
+uses. Only the innermost codec call is stubbed — this container has no
+image/audio libraries, so ``decode_image``'s real path raises
+NotImplementedError and tests exercise the deterministic fake codec (a
+16-byte header: magic 'MMF0' + width + height + channels, payload =
+row-major bytes). Swapping in Pillow/ffmpeg changes one function, not the
+plumbing.
+
+Design for 100 TB of media:
+- payloads live in a ``binary`` column next to typed metadata (width,
+  height, mime) so planning/pruning never touches bytes;
+- all byte-touching ops run in ``mapInPandas`` (Arrow zero-copy batches,
+  one Python worker per core, no per-row serde);
+- metadata-only queries (count by mime, size histograms) never deserialize
+  payloads — column pruning drops the binary column at the scan.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"MMF0"
+# magic, width, height, channels. Kept as a format string (not a pre-built
+# struct.Struct): the mapInPandas closures below capture module globals by
+# value, and struct.Struct objects are not picklable.
+HEADER_FMT = ">4sHHB"
+HEADER_SIZE = struct.calcsize(HEADER_FMT)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta_width", T.IntegerType()),
+        T.StructField("meta_height", T.IntegerType()),
+    ]
+)
+
+
+def encode_fake_image(media_id: int, width: int, height: int, channels: int = 3) -> bytes:
+    """Deterministic fake codec: header + pseudo-random pixel bytes."""
+    rng = np.random.RandomState(media_id % (2**31))
+    pixels = rng.randint(0, 256, size=width * height * channels, dtype=np.uint8)
+    return struct.pack(HEADER_FMT, MAGIC, width, height, channels) + pixels.tobytes()
+
+
+def _decode_header(payload: bytes) -> tuple[int, int, int]:
+    magic, w, h, c = struct.unpack_from(HEADER_FMT, payload)
+    if magic != MAGIC:
+        raise ValueError("not a fake-codec payload")
+    return w, h, c
+
+
+def decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
+    """Decode a payload to an HxWxC uint8 array. Real codecs are not
+    available in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires Pillow/libvips — not present; "
+            "use fake=True (deterministic fake codec) or vendor a codec"
+        )
+    w, h, c = _decode_header(payload)
+    arr = np.frombuffer(payload, dtype=np.uint8, offset=HEADER_SIZE)
+    return arr.reshape(h, w, c)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """Decode + feature-extract over Arrow batches (mapInPandas).
+
+    The 'feature' is a channel-binned intensity histogram — a stand-in with
+    the exact shape of an embedding-model output (array<float> of fixed
+    dim). Batch shape: one pandas DataFrame per Arrow batch (~10k rows),
+    payloads as bytes objects.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload))
+                h, w, c = arr.shape
+                hist, _ = np.histogram(arr, bins=feature_dim, range=(0, 256))
+                feat = (hist / hist.sum()).astype(np.float32)
+                rows.append(
+                    (int(media_id), w, h, c, float(arr.mean()), feat.tolist())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "mean_intensity", "feature",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Downsample payloads whose longest side exceeds ``max_side`` (nearest
+    neighbor on the fake codec); pass-through otherwise. Output schema ==
+    input schema, metadata kept consistent with the new payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            new_payloads, new_w, new_h = [], [], []
+            for payload in pdf["payload"]:
+                arr = decode_image(bytes(payload))
+                h, w, c = arr.shape
+                scale = max(h, w) / max_side
+                if scale > 1:
+                    nh, nw = max(1, int(h / scale)), max(1, int(w / scale))
+                    ys = (np.arange(nh) * (h / nh)).astype(int)
+                    xs = (np.arange(nw) * (w / nw)).astype(int)
+                    arr = arr[ys][:, xs]
+                    h, w = nh, nw
+                new_payloads.append(
+                    struct.pack(HEADER_FMT, MAGIC, w, h, c) + arr.tobytes()
+                )
+                new_w.append(w)
+                new_h.append(h)
+            out["payload"] = new_payloads
+            out["meta_width"] = pd.array(new_w, dtype="Int32")
+            out["meta_height"] = pd.array(new_h, dtype="Int32")
+            yield out
+
+    return media.mapInPandas(run, media.schema)
+
+
+def frame_sample(video_payloads: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling contract for video: treats the payload as a
+    concatenation of fake-codec frames, emits every n-th frame as its own
+    media row (one-to-many mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(payload)
+                off, idx = 0, 0
+                while off + HEADER_SIZE <= len(blob):
+                    _, w, h, c = struct.unpack_from(HEADER_FMT, blob, off)
+                    frame_len = HEADER_SIZE + w * h * c
+                    if idx % every_n == 0:
+                        rows.append(
+                            (int(media_id), idx, blob[off : off + frame_len], w, h)
+                        )
+                    off += frame_len
+                    idx += 1
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "payload", "meta_width", "meta_height"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta_width", T.IntegerType()),
+            T.StructField("meta_height", T.IntegerType()),
+        ]
+    )
+    return video_payloads.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def metadata_only_stats(media: DataFrame) -> DataFrame:
+    """Byte-free metadata query — must never read the payload column
+    (verified via the physical plan's ReadSchema in tests)."""
+    return media.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("meta_width") * F.col("meta_height")).alias("avg_pixels"),
+    )

@@ -1,0 +1,114 @@
+"""Text analysis (SURVEY.md §2.7 X4): tokenization, quality scoring,
+language ID, fingerprinting — all JVM built-ins (split/regexp/md5), no
+Python UDFs. These are the per-document map operators of an LLM-data
+pipeline: narrow transformations, no shuffle, embarrassingly parallel at
+any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token regex: words, numbers, or single non-space symbols — a cheap
+# deterministic proxy for subword token counting.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language marker vocabularies for n-gram/stopword language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "value", "data", "row"],
+    "es": ["el", "la", "de", "que", "y", "los", "por", "una"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "zu"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def normalized(text: str | Column = "text") -> Column:
+    """Canonical text form for hashing/dedup: lowercase, collapsed
+    whitespace, trimmed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(text: str | Column = "text") -> Column:
+    return F.split(normalized(text), " ")
+
+
+def token_count(text: str | Column = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: str | Column = "text") -> Column:
+    """Regex-based subword-style token count (TOKEN_REGEX matches)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token stats, punctuation and
+    stopword ratios, plus a composite [0,1] score. All ratios are double
+    divisions of exact ints — deterministic across engines."""
+    toks = token_count(text_col)
+    n_chars = F.length(text_col)
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), F.lit(0)))
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(tokens(text_col), stop))
+    avg_tok_len = (n_chars.cast("double") - (toks.cast("double") - 1)) / toks.cast("double")
+    return (
+        df.withColumn("n_chars_text", n_chars)
+        .withColumn("n_tokens", toks)
+        .withColumn("avg_token_len", avg_tok_len)
+        .withColumn("punct_ratio", n_punct.cast("double") / n_chars.cast("double"))
+        .withColumn("stopword_hits", n_stop)
+        .withColumn(
+            "quality_score",
+            F.least(
+                F.lit(1.0),
+                (toks.cast("double") / F.lit(50.0)) * F.lit(0.5)
+                + (n_stop.cast("double") / F.lit(4.0)) * F.lit(0.5),
+            ),
+        )
+    )
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Per-language marker-hit counts over the token set."""
+    toks = tokens(text_col)
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text_col: str = "text") -> Column:
+    """Argmax language by marker hits ('und' when nothing matches).
+
+    A stopword/n-gram heuristic — the standard cheap first pass before a
+    model-based classifier; deterministic and shuffle-free.
+    """
+    scores = lang_scores(text_col)
+    pairs = F.array(
+        *[F.struct(c.alias("score"), F.lit(lang).alias("lang")) for lang, c in scores.items()]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: str | Column = "text") -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (Content-hash dedup key; md5 is identical across engines, unlike the
+    engines' internal hash functions.)"""
+    return F.md5(normalized(text))
+
+
+def rolling_hashes(text: str | Column = "text", shingle: int = 3) -> Column:
+    """Per-document array of shingle hashes (xxhash64 of each k-token
+    window) — the input to MinHash (operators/dedup.py). JVM-side:
+    transform over a sliding slice of the token array."""
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(shingle - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, shingle)))
+    )

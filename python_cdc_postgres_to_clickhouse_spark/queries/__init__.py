@@ -14,3 +14,4 @@ from . import scalars  # noqa: F401
 from . import subqueries  # noqa: F401
 from . import cdc_queries  # noqa: F401
 from . import timewindows  # noqa: F401
+from . import extensions  # noqa: F401

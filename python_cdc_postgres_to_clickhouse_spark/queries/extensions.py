@@ -1,0 +1,205 @@
+"""Declared LLM-data-pipeline queries (SURVEY.md §2.7) over documents /
+embeddings — the driver-checkable face of operators/{dedup,similarity,
+textstats}. Approximate operators (MinHash, SimHash, LSH ANN) use Spark's
+xxhash64, which DuckDB cannot reproduce, so they are declared rows-only;
+their accuracy is asserted against exact ground truth in
+tests/test_dedup.py / test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import textstats as TS
+from ..registry import query
+from ..tables import load_tables
+
+SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@query(
+    "x_dedup_exact",
+    oracle=f"""
+    SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, md5({SQL_NORM}) AS fp FROM documents) t
+    GROUP BY fp
+    """,
+    tags=("ext", "dedup"),
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: content-fingerprint groups (md5 of normalized text) — one
+    shuffle on a 16-byte key regardless of document size."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", TS.fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "x_text_stats",
+    oracle=rf"""
+    SELECT doc_id, lang,
+           CAST(length(text) AS INTEGER) AS n_chars_text,
+           CAST(len(string_split({SQL_NORM}, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS INTEGER) AS n_punct
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-document token/char counts (whitespace + BPE-ish regex)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_text"),
+        TS.token_count().alias("n_tokens"),
+        TS.bpe_ish_token_count().alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), F.lit(0))).alias("n_punct"),
+    )
+
+
+_STOP_SQL = "['" + "', '".join(TS.LANG_MARKERS["en"]) + "']"
+
+
+@query(
+    "x_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           stopword_hits,
+           least(1.0, (CAST(n_tokens AS DOUBLE) / 50.0) * 0.5
+                      + (CAST(stopword_hits AS DOUBLE) / 4.0) * 0.5) AS quality_score
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split({SQL_NORM}, ' ')) AS INTEGER) AS n_tokens,
+             CAST(len(list_intersect(string_split({SQL_NORM}, ' '), {_STOP_SQL}))
+                  AS INTEGER) AS stopword_hits
+      FROM documents) t
+    """,
+    tags=("ext", "text"),
+)
+def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: composite quality score from token count + stopword hits."""
+    t = load_tables(spark, sf_dir)
+    return TS.quality_features(t["documents"]).select(
+        "doc_id", "n_tokens", "stopword_hits", "quality_score"
+    )
+
+
+@query("x_lang_id", tags=("ext", "text"))
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: marker-vocabulary language ID (accuracy vs the ground-truth
+    `lang` column asserted in tests/test_textstats.py; rows-only for the
+    driver — the heuristic is not ANSI-SQL-portable)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", "lang", TS.predict_lang().alias("predicted_lang")
+    )
+
+
+@query(
+    "x_jaccard_near_dup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, string_split({SQL_NORM}, ' ') AS t FROM documents
+    ), tok AS (
+      SELECT DISTINCT doc,
+             unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS token
+      FROM toks
+    ), sizes AS (
+      SELECT doc, COUNT(*) AS n_tok FROM tok GROUP BY doc
+    ), inter AS (
+      SELECT ta.doc AS a, tb.doc AS b, COUNT(*) AS n_common
+      FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.doc < tb.doc
+      GROUP BY ta.doc, tb.doc
+    )
+    SELECT a, b, n_common, sa.n_tok AS n_a, sb.n_tok AS n_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE)
+             AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc = a
+      JOIN sizes sb ON sb.doc = b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE) >= 0.6
+    """,
+    tags=("ext", "dedup"),
+)
+def x_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: complete 3-gram-shingle Jaccard near-dup pairs (postings join)
+    — the exact ground truth the MinHash path approximates."""
+    t = load_tables(spark, sf_dir)
+    return D.jaccard_pairs(t["documents"], threshold=0.6)
+
+
+@query("x_minhash_near_dup", tags=("ext", "dedup"))
+def x_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only:
+    depends on Spark xxhash64; recall vs x_jaccard_near_dup asserted in
+    tests/test_dedup.py)."""
+    t = load_tables(spark, sf_dir)
+    return D.minhash_near_duplicates(t["documents"], threshold=0.6)
+
+
+@query("x_simhash_near_dup", tags=("ext", "dedup"))
+def x_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: SimHash Hamming-ball near-dup pairs (rows-only). Radius 1 is the
+    discriminative setting on short same-vocabulary documents (true
+    near-dups measured at 0-1 bits, background pairs at 2+)."""
+    t = load_tables(spark, sf_dir)
+    return D.simhash_near_duplicates(t["documents"], max_hamming=1)
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 25 = 0
+), c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_inner_product(q.v, c.v)
+           / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v)))
+           AS sim
+  FROM q, c WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
+
+
+@query("x_cosine_topk", oracle=COSINE_TOPK_SQL, tags=("ext", "similarity"))
+def x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: exact brute-force cosine top-5 for a query subset. Dot products
+    are bit-identical across engines (sequential double fold over float32
+    casts), so even the ranking oracle-matches."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return S.cosine_topk(
+        emb.filter(F.col("vec_id") % 25 == 0), emb, k=5
+    ).select("query_id", "neighbor_id", "sim", "rank")
+
+
+@query("x_lsh_cosine_topk", tags=("ext", "similarity"))
+def x_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: sign-LSH approximate top-5 (rows-only; recall vs the exact path
+    asserted in tests/test_similarity.py)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return S.lsh_cosine_topk(
+        emb.filter(F.col("vec_id") % 25 == 0), emb, k=5, n_planes=4, n_tables=8
+    ).select("query_id", "neighbor_id", "sim", "rank")

@@ -1,0 +1,65 @@
+"""Multimodal plumbing: schema/batch-shape of decode, feature-extract,
+resize, frame-sample over binary payload columns (deterministic fake codec;
+real codecs stubbed per environment constraints)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_cdc_postgres_to_clickhouse_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (i, "image/fake", bytearray(MM.encode_fake_image(i, 32 + i, 24 + i)), 32 + i, 24 + i)
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, schema=MM.MEDIA_SCHEMA)
+
+
+def test_feature_extract_shapes(spark, media):
+    feats = MM.extract_features(media, feature_dim=16).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-3  # normalized histogram
+        assert 0 <= r["mean_intensity"] <= 255
+        assert r["width"] == 32 + r["media_id"]
+
+
+def test_resize_caps_max_side_and_keeps_schema(spark, media):
+    out = MM.resize(media, max_side=16)
+    assert out.schema == media.schema
+    rows = out.collect()
+    for r in rows:
+        assert max(r["meta_width"], r["meta_height"]) <= 16
+        # payload header must agree with metadata after resize
+        w, h, c = MM._decode_header(bytes(r["payload"]))
+        assert (w, h) == (r["meta_width"], r["meta_height"])
+
+
+def test_frame_sample(spark):
+    frames = b"".join(MM.encode_fake_image(7, 8, 6) for _ in range(25))
+    df = spark.createDataFrame(
+        [(7, "video/fake", bytearray(frames), 8, 6)], schema=MM.MEDIA_SCHEMA
+    )
+    out = MM.frame_sample(df, every_n=10).collect()
+    assert [r["frame_idx"] for r in out] == [0, 10, 20]
+
+
+def test_real_codec_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x00" * 32, fake=False)
+
+
+def test_metadata_query_prunes_payload(spark, media, tmp_path):
+    """Byte-free metadata stats must not read the binary column: check the
+    parquet scan's ReadSchema."""
+    path = str(tmp_path / "media.parquet")
+    media.write.parquet(path)
+    stats = MM.metadata_only_stats(spark.read.parquet(path))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan, "payload column must be pruned from the scan"
+    assert stats.count() == 1

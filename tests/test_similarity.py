@@ -1,0 +1,85 @@
+"""Similarity search: exact path vs numpy ground truth; LSH recall vs the
+exact path; cluster-label sanity (embeddings carry a ground-truth label)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from python_cdc_postgres_to_clickhouse_spark.operators import similarity as S
+from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+from .conftest import SF_ORACLE
+
+
+def _emb(spark):
+    return load_tables(spark, SF_ORACLE)["embeddings"]
+
+
+def test_exact_topk_matches_numpy(spark):
+    emb = _emb(spark)
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qmask = ids % 25 == 0
+
+    got = S.cosine_topk(emb.filter(F.col("vec_id") % 25 == 0), emb, k=5)
+    got_map: dict[int, list[int]] = {}
+    for r in got.orderBy("query_id", "rank").collect():
+        got_map.setdefault(r["query_id"], []).append(r["neighbor_id"])
+
+    sims = mat[qmask] @ mat.T
+    for qi, qid in enumerate(ids[qmask]):
+        s = sims[qi].copy()
+        s[ids == qid] = -np.inf
+        # numpy argsort with vec_id tiebreak
+        order = sorted(range(len(ids)), key=lambda j: (-s[j], ids[j]))[:5]
+        assert got_map[int(qid)] == [int(ids[j]) for j in order], f"query {qid}"
+
+
+def test_lsh_recall_on_planted_near_duplicates(spark):
+    """ANN's pipeline job is embedding-cosine near-dup detection: plant
+    high-sim duplicates (the regime LSH is built for) and require the
+    multi-table index to recover them with bounded candidate cost."""
+    rng = np.random.RandomState(0)
+    base = rng.randn(200, 64)
+    dups = base[:100] + 0.12 * rng.randn(100, 64)  # sim ≈ 0.99
+    vecs = np.vstack([base, dups]).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    q = emb.filter(F.col("vec_id") >= 200)  # the planted dups as queries
+    exact = S.cosine_topk(q, emb, k=1)
+    approx = S.lsh_cosine_topk(q, emb, k=1, n_planes=6, n_tables=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"LSH recall@1 on planted dups = {recall:.2f}"
+
+
+def test_lsh_recall_vs_exact_moderate_sim(spark):
+    """On the unclustered driver embeddings (top-1 sim ≈ 0.37) multi-table
+    LSH still recovers most exact neighbors."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = S.cosine_topk(q, emb, k=5)
+    approx = S.lsh_cosine_topk(q, emb, k=5, n_planes=4, n_tables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.5, f"LSH recall@5 = {recall:.2f}"
+
+
+def test_lsh_bucket_count_bounded(spark):
+    emb = _emb(spark)
+    planes = S.random_hyperplanes(64, 6)
+    bucketed = S.with_lsh_bucket(emb, planes)
+    n_buckets = bucketed.select("bucket").distinct().count()
+    assert 2 <= n_buckets <= 64
+
+
+# Note: the driver embeddings' `label` column is NOT recoverable from cosine
+# neighborhoods (measured top-1 label agreement ≈ 0.10, same-label mean sim
+# ≈ diff-label) — so no label-agreement assertion is possible on this
+# fixture; exactness is guaranteed by the numpy comparison above instead.
