@@ -79,6 +79,70 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via per-partition numpy GEMM (the throughput path).
+
+    The expression-tree path (``cosine_topk``) is plan-transparent but
+    higher-order functions are interpreted; for large corpora the winning
+    layout is: broadcast the normalized query matrix to every executor,
+    stream corpus partitions through ``mapInPandas``, run one
+    (batch × dim) @ (dim × |Q|) GEMM per Arrow batch, and emit only each
+    partition's per-query top-k — the driver-side shuffle then reduces
+    |partitions|·|Q|·k candidate rows, independent of corpus size.
+    Results are identical to ``cosine_topk`` except for float summation
+    order (BLAS vs sequential fold); ranking agrees except at
+    numerically-tied similarities.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def gemm_topk(batches):
+        ids, mat = bq.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ mat.T  # (batch, |Q|)
+            sims[c_ids[:, None] == ids[None, :]] = -np.inf  # self-matches
+            top = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # per-query
+            rows = [
+                (int(ids[qj]), int(c_ids[i]), float(sims[i, qj]))
+                for qj in range(len(ids))
+                for i in idx[:, qj]
+                if np.isfinite(sims[i, qj])  # drop masked self-matches
+            ]
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(gemm_topk, out_schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)

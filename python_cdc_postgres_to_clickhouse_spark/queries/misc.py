@@ -1,0 +1,227 @@
+"""Second-wave relational coverage: explode/TF counts, JSON maps, global
+aggregates, classic TPC-H shapes adapted to the fixture schema, exact
+moment-derived covariance/correlation, lateral subqueries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.textstats import tokens
+from ..registry import query
+from ..tables import load_tables
+from ._exprs import SQL_DISC_PRICE, disc_price, sql_dsum
+
+SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@query(
+    "m_token_tf_topn",
+    oracle=f"""
+    SELECT token, n FROM (
+      SELECT token, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+      FROM (SELECT unnest(string_split({SQL_NORM}, ' ')) AS token FROM documents) t
+      GROUP BY token) ranked
+    WHERE rn <= 20
+    """,
+    tags=("ext", "text", "explode"),
+)
+def m_token_tf_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies via explode + groupBy, top 20 (X4 tf counts).
+    At scale: explode is a narrow op; the count is a two-phase hash agg on
+    the token — classic word-count, shuffle carries (token, partial_count)."""
+    t = load_tables(spark, sf_dir)
+    tf = (
+        t["documents"]
+        .select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tf.orderBy(F.desc("n"), F.asc("token")).limit(20).select("token", "n")
+
+
+@query(
+    "m_json_map",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           (json_extract_string(props, '$.missing') IS NULL) AS missing_is_null
+    FROM events WHERE event_id % 13 = 0
+    """,
+    tags=("scalar", "json", "map"),
+)
+def m_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON → MapType: parse props into a map, list its keys, extract
+    values, handle absent paths (SURVEY §2.4 map/JSON row)."""
+    t = load_tables(spark, sf_dir)
+    m = F.from_json("props", "map<string,string>")
+    return (
+        t["events"]
+        .filter(F.col("event_id") % 13 == 0)
+        .select(
+            "event_id",
+            F.concat_ws(",", F.map_keys(m)).alias("prop_keys"),
+            F.element_at(m, "k").cast("long").alias("k_value"),
+            F.element_at(m, "missing").isNull().alias("missing_is_null"),
+        )
+    )
+
+
+@query(
+    "m_global_agg_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+    tags=("agg",),
+)
+def m_global_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective filters into one global aggregate (no
+    grouping — the entire table reduces to one row; partial aggregation
+    makes the shuffle a single partial-state row per task)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        )
+        .agg(
+            F.sum(disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "m_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+      SELECT l_orderkey,
+             CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+             o_orderdate, o_orderpriority,
+             ROW_NUMBER() OVER (ORDER BY CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) DESC,
+                                l_orderkey) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority) t
+    WHERE rn <= 10
+    """,
+    tags=("join", "topk"),
+)
+def m_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered both sides, revenue per order,
+    global top-10 (exact decimal revenue makes the ranking deterministic)."""
+    t = load_tables(spark, sf_dir)
+    agg = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+    return (
+        agg.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# Decimal scales are sized to the data (2-decimal values): DuckDB multiplies
+# DECIMAL(≤18) pairs in int64 — (8,2)×(12,2) keeps every intermediate far
+# below overflow — and all sums stay under 2^53 at their scale, so the
+# DECIMAL→DOUBLE cast is exact on both engines. price² is excluded: its sum
+# exceeds 2^53 at any lossless scale (see SCALE.md float-determinism notes).
+COVAR_SQL = f"""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         {sql_dsum('l_quantity', 'sx')},
+         {sql_dsum('l_extendedprice', 'sy')},
+         {sql_dsum('l_discount', 'sd')},
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(8,2)))
+              AS DOUBLE) AS sxd,
+         CAST(SUM(CAST(l_discount AS DECIMAL(8,2)) * CAST(l_discount AS DECIMAL(8,2)))
+              AS DOUBLE) AS sdd
+  FROM lineitem
+)
+SELECT n,
+       (sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS covar_samp_qty_price,
+       (sxd - sx * sd / CAST(n AS DOUBLE))
+         / (sqrt(sxx - sx * sx / CAST(n AS DOUBLE)) * sqrt(sdd - sd * sd / CAST(n AS DOUBLE)))
+         AS corr_qty_disc
+FROM s
+"""
+
+
+@query("m_covar_corr", oracle=COVAR_SQL, tags=("agg", "stats"))
+def m_covar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance/correlation derived from exact decimal moments — the
+    deterministic replacement for native covar_samp/corr (whose float
+    accumulation is order- and engine-dependent). One pass, map-side
+    combinable, same formula text on both engines → identical doubles."""
+    t = load_tables(spark, sf_dir)
+    d82 = lambda c: F.col(c).cast("decimal(8,2)")  # noqa: E731
+    d18 = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    s = t["lineitem"].agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d18("l_quantity")).cast("double").alias("sx"),
+        F.sum(d18("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(d18("l_discount")).cast("double").alias("sd"),
+        F.sum(d82("l_quantity") * F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(d82("l_quantity") * d82("l_quantity")).cast("double").alias("sxx"),
+        F.sum(d82("l_quantity") * d82("l_discount")).cast("double").alias("sxd"),
+        F.sum(d82("l_discount") * d82("l_discount")).cast("double").alias("sdd"),
+    )
+    n_d = F.col("n").cast("double")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n_d) / (F.col("n") - 1).cast("double")
+    corr = (F.col("sxd") - F.col("sx") * F.col("sd") / n_d) / (
+        F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / n_d)
+        * F.sqrt(F.col("sdd") - F.col("sd") * F.col("sd") / n_d)
+    )
+    return s.select(
+        "n",
+        cov.alias("covar_samp_qty_price"),
+        corr.alias("corr_qty_disc"),
+    )
+
+
+LATERAL_SQL = """
+SELECT c_custkey, c_name, best.o_orderkey AS best_orderkey,
+       best.o_totalprice AS best_price
+FROM customer,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 1
+) AS best
+WHERE c_custkey % 4 = 0
+"""
+
+
+@query("m_lateral_top_order", oracle=LATERAL_SQL, tags=("subquery", "lateral"))
+def m_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's single best order.
+    Catalyst decorrelates to a window/aggregate join (DecorrelateInnerQuery)
+    — no per-row execution."""
+    load_tables(spark, sf_dir)
+    return spark.sql(LATERAL_SQL)

@@ -102,3 +102,22 @@ class ParquetUpsertSink:
         if state is None:
             return None
         return state.filter(F.col("op") != "d").drop("bucket")
+
+    def compact(self, tombstone_horizon_lsn: int) -> None:
+        """Drop delete tombstones older than the source's replay horizon.
+
+        A tombstone only matters while an older change for its key can
+        still arrive; once the source can no longer replay below
+        ``tombstone_horizon_lsn`` (the reference's bound is 7-day Kafka
+        retention, debezium.json:24), the tombstone is dead weight. Run
+        periodically (e.g. daily); rewrites every bucket once — at scale,
+        schedule per-bucket-range to spread the I/O.
+        """
+        state = self.read_state()
+        if state is None:
+            return
+        compacted = state.filter(
+            ~((F.col("op") == "d") & (F.col("source_lsn") < tombstone_horizon_lsn))
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        compacted.write.mode("overwrite").partitionBy("bucket").parquet(self.state_dir)

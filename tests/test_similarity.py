@@ -71,6 +71,26 @@ def test_lsh_recall_vs_exact_moderate_sim(spark):
     assert recall >= 0.5, f"LSH recall@5 = {recall:.2f}"
 
 
+def test_vectorized_gemm_matches_expression_path(spark):
+    """The numpy-GEMM throughput path must agree with the expression path
+    (same pairs; sims equal to float tolerance — BLAS vs fold order)."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    expr_rows = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in S.cosine_topk(q, emb, k=5).collect()
+    }
+    gemm_rows = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in S.cosine_topk_vectorized(q, emb, k=5).collect()
+    }
+    assert set(expr_rows) == set(gemm_rows)
+    for key, (nid, sim) in expr_rows.items():
+        gnid, gsim = gemm_rows[key]
+        assert gnid == nid, (key, nid, gnid)
+        assert abs(gsim - sim) < 1e-9
+
+
 def test_lsh_bucket_count_bounded(spark):
     emb = _emb(spark)
     planes = S.random_hyperplanes(64, 6)
