@@ -151,6 +151,14 @@ def is_confluent_framed(value: Column) -> Column:
     return F.expr("substring(value, 1, 1) = X'00'")
 
 
+def decode_hex_key(key: Column) -> Column:
+    """Hex-string message key → utf-8 (S6): the reference installs
+    ``binascii.unhexlify(v).decode('utf-8')`` as the consumer's key
+    deserializer (reference main1.py:13). JVM-side equivalent:
+    ``decode(unhex(key), 'UTF-8')``."""
+    return F.decode(F.unhex(key), "UTF-8")
+
+
 # ---------------------------------------------------------------------------
 # DataFrame-level decode
 # ---------------------------------------------------------------------------

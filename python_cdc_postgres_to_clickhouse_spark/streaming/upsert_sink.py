@@ -56,7 +56,9 @@ class ParquetUpsertSink:
             name.startswith("bucket=") for name in os.listdir(self.state_dir)
         ):
             return None
-        return self.spark.read.parquet(self.state_dir)
+        # mergeSchema: schema-evolution tolerance (D5) — buckets written
+        # before a source column was added still read cleanly (nulls).
+        return self.spark.read.option("mergeSchema", "true").parquet(self.state_dir)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Merge one micro-batch of *flat change rows* into the state table."""
