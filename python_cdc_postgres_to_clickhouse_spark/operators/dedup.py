@@ -97,8 +97,20 @@ def jaccard_pairs(
         )
         tok = tok.join(F.broadcast(hot), "token", "left_anti")
     sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
-    a = tok.select(F.col("doc").alias("a"), "token")
-    b = tok.select(F.col("doc").alias("b"), "token")
+    # Postings with document-frequency 1 cannot appear in any intersection —
+    # drop them before the self-join. Sizes are computed from the FULL
+    # posting set above, so results are unchanged; on mostly-unique shingle
+    # corpora this removes the bulk of the join input (the standard
+    # inverted-index prefilter).
+    shared = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("token")
+    )
+    tok2 = tok.join(shared, "token")
+    a = tok2.select(F.col("doc").alias("a"), "token")
+    b = tok2.select(F.col("doc").alias("b"), "token")
     inter = (
         a.join(b, "token")
         .filter(F.col("a") < F.col("b"))

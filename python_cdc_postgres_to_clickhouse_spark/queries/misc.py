@@ -203,6 +203,32 @@ def m_covar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m_unpivot",
+    oracle=f"""
+    SELECT l_returnflag, metric,
+           {sql_dsum('val', 'total')}
+    FROM (
+      SELECT l_returnflag, 'qty' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount' AS metric, l_discount AS val FROM lineitem
+    ) u GROUP BY l_returnflag, metric
+    """,
+    tags=("setop", "unpivot"),
+)
+def m_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via stack(), then aggregate per metric —
+    completes the pivot/unpivot pair (SURVEY §2.4)."""
+    t = load_tables(spark, sf_dir)
+    long = t["lineitem"].selectExpr(
+        "l_returnflag",
+        "stack(2, 'qty', l_quantity, 'discount', l_discount) AS (metric, val)",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.sum(F.col("val").cast("decimal(18,6)")).cast("double").alias("total")
+    )
+
+
 LATERAL_SQL = """
 SELECT c_custkey, c_name, best.o_orderkey AS best_orderkey,
        best.o_totalprice AS best_price
