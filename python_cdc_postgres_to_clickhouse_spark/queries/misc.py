@@ -229,6 +229,61 @@ def m_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "string"),
+)
+def m_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: sort_array(collect_list) + array_join —
+    deterministic regardless of row arrival order (a bare collect_list is
+    partition-order-dependent and would never hash-match)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+MEDIAN_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS median_acctbal,
+       MAX(cnt) AS n_customers
+FROM ranked
+WHERE rn IN (floor((cnt + 1) / 2), floor((cnt + 2) / 2))
+GROUP BY c_mktsegment
+"""
+
+
+@query("m_median_exact", oracle=MEDIAN_SQL, tags=("agg", "stats"))
+def m_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median without interpolation arithmetic: pick the middle
+    element(s) by row_number and average them in decimal — native
+    percentile/median interpolation formulas differ between engines at the
+    ulp level, element selection cannot. floor((n+1)/2) / floor((n+2)/2)
+    are the lower/upper middles for both parities (`/` is float division
+    in both dialects, hence the explicit floor)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(MEDIAN_SQL)
+
+
 LATERAL_SQL = """
 SELECT c_custkey, c_name, best.o_orderkey AS best_orderkey,
        best.o_totalprice AS best_price

@@ -177,16 +177,29 @@ def decode_users(df: DataFrame, framing: str = "confluent") -> DataFrame:
     """Decode a binary `value` column of Avro-encoded users rows.
 
     framing='confluent' strips the 5-byte header (EP1 semantics);
-    framing='raw' decodes the bare body (EP3 semantics). Corrupt records
-    yield null columns (PERMISSIVE, SURVEY §2.2 F3) so callers can split
-    good rows from a dead-letter branch with ``filter(col('id').isNull())``.
+    framing='raw' decodes the bare body (EP3 semantics); framing='auto'
+    strips only rows whose magic byte says they are framed — for topics
+    with mixed producers. 'auto' is heuristic: a raw Avro body CAN begin
+    with 0x00 (any record whose first field zigzag-encodes to 0), so pin
+    the framing explicitly when the producer is known — mis-framed decode
+    yields plausible garbage, not an error (the reference's EP3 bug).
+    Corrupt records yield null columns (PERMISSIVE, SURVEY §2.2 F3) so
+    callers can split good rows from a dead-letter branch with
+    ``filter(col('id').isNull())``.
 
     Returns original columns plus the decoded 4 + ``created_at`` mapped from
     MicroTimestamp µs to TimestampType.
     """
-    if framing not in ("confluent", "raw"):
-        raise ValueError(f"framing must be 'confluent' or 'raw', got {framing!r}")
-    value = strip_confluent_header(F.col("value")) if framing == "confluent" else F.col("value")
+    if framing not in ("confluent", "raw", "auto"):
+        raise ValueError(f"framing must be 'confluent', 'raw' or 'auto', got {framing!r}")
+    if framing == "confluent":
+        value = strip_confluent_header(F.col("value"))
+    elif framing == "raw":
+        value = F.col("value")
+    else:
+        value = F.when(
+            is_confluent_framed(F.col("value")), strip_confluent_header(F.col("value"))
+        ).otherwise(F.col("value"))
     src = df.withColumn("_avro_body", value)
     in_fields = src.schema.fieldNames()
     out_schema = T.StructType(

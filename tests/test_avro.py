@@ -71,6 +71,28 @@ def test_framing_mismatch_detected(spark):
     assert got_wrong == 0
 
 
+def test_auto_framing_mixed_batch(spark):
+    """framing='auto': framed and raw messages in one batch both decode
+    (raw bodies here don't start with 0x00 — ids zigzag to nonzero)."""
+    framed = [
+        frame_confluent(encode_user_record(*r), schema_id=7) for r in ROWS[:2]
+    ]
+    raw = [encode_user_record(*r) for r in ROWS[2:]]
+    out = decode_users(_df(spark, framed + raw), framing="auto")
+    got = {r["id"]: r["username"] for r in out.collect()}
+    assert got == {r[0]: r[1] for r in ROWS}
+
+
+def test_auto_framing_ambiguity_documented(spark):
+    """A raw record whose first varint is 0 starts with 0x00 — 'auto'
+    mis-frames it (documented heuristic limitation, not silent: decoder
+    returns nulls for it)."""
+    ambiguous = encode_user_record(0, "zero-id", "z@x", None)
+    assert ambiguous[0] == 0  # id=0 zigzags to 0x00, looks like magic
+    out = decode_users(_df(spark, [ambiguous]), framing="auto").collect()
+    assert out[0]["id"] is None  # dead-lettered, not silently wrong
+
+
 def test_corrupt_records_go_permissive(spark):
     """F3: corrupt payloads yield null columns (dead-letter branch), good
     rows decode unaffected."""
