@@ -158,6 +158,27 @@ def x_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_duplicates(t["documents"], max_hamming=1)
 
 
+@query("x_dedup_clusters", tags=("ext", "dedup", "iterative"))
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 follow-through: near-dup pairs → connected components → one
+    representative per cluster (iterative min-label propagation; rows-only
+    — iteration to fixpoint is not single-pass-SQL-expressible; ground
+    truth via union-find in tests/test_clusters.py)."""
+    from ..operators.clusters import connected_components
+
+    t = load_tables(spark, sf_dir)
+    pairs = D.jaccard_pairs(t["documents"], threshold=0.6)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("vertex").alias("representative"),
+        )
+        .orderBy("component")
+    )
+
+
 COSINE_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id,

@@ -230,6 +230,40 @@ def m_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def m_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: only 3 group keys means a plain groupBy
+    funnels a third of the table into each final reducer; the salted
+    two-phase spreads each key over n_salts partial reducers first. Oracle
+    is the plain GROUP BY — results must be identical (decimal sums are
+    associative, so the extra merge step is lossless)."""
+    from ..operators.skew import salted_agg
+
+    t = load_tables(spark, sf_dir)
+    return salted_agg(
+        t["lineitem"],
+        keys=["l_returnflag"],
+        partial_aggs=[
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_p_qty"),
+            F.count(F.lit(1)).alias("_p_n"),
+        ],
+        final_aggs=[
+            F.sum("_p_qty").cast("double").alias("sum_qty"),
+            F.sum("_p_n").alias("n"),
+        ],
+        n_salts=16,
+    )
+
+
+@query(
     "m_string_agg",
     oracle="""
     SELECT n_regionkey,
