@@ -57,6 +57,49 @@ def kafka_users_changes(
     return decode_users(raw, framing="confluent")
 
 
+def split_dead_letters(decoded: DataFrame, probe_col: str = "id") -> tuple[DataFrame, DataFrame]:
+    """F2/F3: split PERMISSIVE decode output into (good, dead_letter)
+    branches — corrupt records surface as nulls in the decoded columns, so
+    a null probe column marks the dead letters. Route the second branch to
+    a quarantine sink instead of dropping it silently."""
+    from pyspark.sql import functions as F
+
+    good = decoded.filter(F.col(probe_col).isNotNull())
+    dead = decoded.filter(F.col(probe_col).isNull())
+    return good, dead
+
+
+def postgres_snapshot(
+    spark: SparkSession,
+    jdbc_url: str,
+    table: str = "public.users",
+    partition_column: str | None = "id",
+    num_partitions: int = 16,
+    lower_bound: int = 0,
+    upper_bound: int = 1 << 31,
+) -> DataFrame:
+    """S7: the initial-snapshot head (`snapshot.mode: initial`,
+    reference debezium.json:18) as a partitioned JDBC read — feed the
+    result to ``operators.upsert.apply_changes`` as the D1 base. Untested
+    here (no Postgres in the container); the option plumbing mirrors the
+    Spark JDBC contract and the snapshot⊎changelog semantics are covered
+    by the parquet-snapshot tests."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", jdbc_url)
+        .option("dbtable", table)
+        .option("driver", "org.postgresql.Driver")
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()
+
+
 def console_debug_sink(df: DataFrame, n_rows: int = 20) -> StreamingQuery:
     """S12: the reference's print-loop as a proper console sink."""
     return (
