@@ -37,3 +37,34 @@ def salted_agg(
     salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)))
     partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skewed equi-join: salt the big side, replicate the small side.
+
+    Each big-side row gets a random salt ∈ [0, n_salts); the small side is
+    exploded n_salts× so every (key, salt) pair exists. The hot key's rows
+    then spread over n_salts shuffle partitions instead of one. Use when a
+    key is too hot even for AQE's skew splitting (which splits partitions,
+    not keys) and the small side is too big to broadcast outright.
+
+    Results are identical to ``big.join(small, big_key == small_key)``.
+    """
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)),
+    )
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    joined = salted_big.join(
+        replicated_small,
+        (F.col(big_key) == F.col(small_key)) & (salted_big._salt == replicated_small._salt),
+    )
+    return joined.drop("_salt")
