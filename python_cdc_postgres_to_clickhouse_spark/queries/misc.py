@@ -230,6 +230,37 @@ def m_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("subquery", "join"),
+)
+def m_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line shipped >60 days
+    after the order date, counted per priority (correlated EXISTS with a
+    cross-table predicate → left-semi join after decorrelation)."""
+    t = load_tables(spark, sf_dir)
+    late_lines = t["lineitem"].select("l_orderkey", "l_shipdate")
+    orders = t["orders"]
+    matched = orders.join(
+        late_lines,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+@query(
     "m_salted_agg",
     oracle=f"""
     SELECT l_returnflag,
