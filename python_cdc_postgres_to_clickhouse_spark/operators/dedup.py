@@ -137,7 +137,7 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(n_hashes: int = 16, shingle: int = 3) -> list[Column]:
+def minhash_signature(n_hashes: int = 16) -> list[Column]:
     """h seeded min-hash values over a shared shingle-hash array column
     named ``_sh`` (see ``with_shingle_hashes``). Seeding by addition with
     odd constants keeps everything inside one JVM expression per hash — no
@@ -168,7 +168,7 @@ def minhash_candidates(
     with_sh = docs.select(
         F.col(id_col).alias("doc"), rolling_hashes(shingle=shingle).alias("_sh")
     )
-    sig = with_sh.select("doc", *minhash_signature(n_hashes, shingle))
+    sig = with_sh.select("doc", *minhash_signature(n_hashes))
     # One explode instead of a b-way union: a union would re-run the whole
     # signature pipeline once per band (the signature subtree is duplicated
     # under each union branch — measured 8× recompute at sf0.1).
@@ -266,19 +266,30 @@ def simhash_near_duplicates(
     n_bits: int = 16,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Pairs within a Hamming ball. Candidate generation buckets by the two
-    8-bit halves (a pair within distance ≤ floor(16/2)-1 shares at least one
-    exact half — pigeonhole), so the join is again linear."""
+    """Pairs within a Hamming ball. Candidate generation splits the
+    signature into ``max_hamming + 1`` bit-blocks: a pair with ≤ max_hamming
+    differing bits must agree exactly on at least one block (pigeonhole —
+    with only k blocks, k−1 differing bits can ruin at most k−1 of them).
+    Fewer blocks would silently miss qualifying pairs; more blocks would
+    only inflate candidates.
+    """
+    n_blocks = max_hamming + 1
+    if n_blocks > n_bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more blocks than {n_bits} bits")
+    base = n_bits // n_blocks
     sig = docs.select(F.col(id_col).alias("doc"), simhash(n_bits=n_bits).alias("sh"))
-    halves = sig.select(
-        "doc",
-        "sh",
-        F.shiftright("sh", n_bits // 2).alias("hi"),
-        F.col("sh").bitwiseAND(F.lit((1 << (n_bits // 2)) - 1)).alias("lo"),
+    entries = []
+    offset = 0
+    for blk in range(n_blocks):
+        width = base + (1 if blk < n_bits % n_blocks else 0)
+        key = F.shiftright("sh", offset).bitwiseAND(F.lit((1 << width) - 1))
+        entries.append(F.struct(F.lit(blk).alias("half"), key.alias("key")))
+        offset += width
+    # Explode, not union: union branches would re-evaluate the (expensive)
+    # simhash expression once per block.
+    parts = sig.select("doc", "sh", F.explode(F.array(*entries)).alias("e")).select(
+        "doc", "sh", F.col("e.half").alias("half"), F.col("e.key").alias("key")
     )
-    h1 = halves.select("doc", "sh", F.lit(0).alias("half"), F.col("hi").alias("key"))
-    h2 = halves.select("doc", "sh", F.lit(1).alias("half"), F.col("lo").alias("key"))
-    parts = h1.unionByName(h2)
     left = parts.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"), "half", "key")
     right = parts.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"), "half", "key")
     return (

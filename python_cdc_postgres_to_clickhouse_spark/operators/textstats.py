@@ -72,13 +72,30 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Languages written without word spacing: marker matching must be
+# substring-based — whitespace tokenization would fold a whole sentence
+# into one token and every marker intersection would be empty.
+UNSPACED_LANGS = frozenset({"zh"})
+
+
 def lang_scores(text_col: str = "text") -> dict[str, Column]:
-    """Per-language marker-hit counts over the token set."""
+    """Per-language marker-hit counts: token-set intersection for spaced
+    languages, substring containment for unspaced scripts (zh)."""
     toks = tokens(text_col)
-    return {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_MARKERS.items()
-    }
+    norm = normalized(text_col)
+    scores: dict[str, Column] = {}
+    for lang, words in LANG_MARKERS.items():
+        if lang in UNSPACED_LANGS:
+            hits = [F.contains(norm, F.lit(w)).cast("int") for w in words]
+            score = hits[0]
+            for h in hits[1:]:
+                score = score + h
+            scores[lang] = score
+        else:
+            scores[lang] = F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            )
+    return scores
 
 
 def predict_lang(text_col: str = "text") -> Column:

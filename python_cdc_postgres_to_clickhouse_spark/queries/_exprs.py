@@ -43,11 +43,6 @@ def davg(col: str | Column, alias: str) -> Column:
     return (F.sum(dec(c)).cast("double") / F.count(c).cast("double")).alias(alias)
 
 
-def money(expr: Column, alias: str | None = None) -> Column:
-    """Exact revenue-style product: cast each factor to decimal first."""
-    return expr if alias is None else expr.alias(alias)
-
-
 def disc_price() -> Column:
     """l_extendedprice * (1 - l_discount), exact decimal at scale 6.
 
@@ -70,6 +65,10 @@ def charge() -> Column:
 
 # SQL-side equivalents (DuckDB syntax == ANSI here).
 SQL_DEC = "DECIMAL(18,6)"
+
+# DuckDB equivalent of textstats.normalized() — the two MUST stay in
+# lockstep or every text-query oracle desynchronizes from the Spark side.
+SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 SQL_DISC_PRICE = (
     f"CAST(CAST(l_extendedprice AS {SQL_DEC}) * "
     f"(CAST(1 AS {SQL_DEC}) - CAST(l_discount AS {SQL_DEC})) AS {SQL_DEC})"

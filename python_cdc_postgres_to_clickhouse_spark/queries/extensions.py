@@ -14,10 +14,10 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import textstats as TS
+from ._exprs import SQL_NORM
 from ..registry import query
 from ..tables import load_tables
 
-SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 
 @query(

@@ -11,9 +11,8 @@ from pyspark.sql import functions as F
 from ..operators.textstats import tokens
 from ..registry import query
 from ..tables import load_tables
-from ._exprs import SQL_DISC_PRICE, disc_price, sql_dsum
+from ._exprs import SQL_DISC_PRICE, disc_price, sql_dsum, SQL_NORM
 
-SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 
 @query(

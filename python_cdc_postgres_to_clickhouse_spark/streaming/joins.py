@@ -14,9 +14,14 @@ from pyspark.sql import functions as F
 
 
 def enrich_with_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
-    """Stream-static join: per-micro-batch lookup against a (slowly
-    changing) dimension. The dim is re-read every batch, so updating the
-    underlying parquet updates enrichment without restarting the stream."""
+    """Stream-static join: dimension lookup on every micro-batch.
+
+    Note: for a plain parquet dim the file listing is resolved when the
+    DataFrame is created — overwriting the directory mid-stream breaks or
+    serves a stale snapshot. To pick up dimension updates without a stream
+    restart, re-resolve the dim inside ``foreachBatch`` (or use a
+    table format with snapshot isolation like Delta/Iceberg).
+    """
     return stream.join(F.broadcast(dim), on, "left")
 
 

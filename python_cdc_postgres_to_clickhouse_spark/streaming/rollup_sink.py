@@ -54,7 +54,19 @@ class HourlyRollupSink:
             )
         )
 
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.rollup_dir, "_applied", f"batch-{batch_id}")
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # Additive merges are NOT idempotent (unlike the latest-by-key
+        # upsert), so a replayed batch after a crash would double-count.
+        # A per-batch marker written after the merge makes the common
+        # replay path (merge committed, stream checkpoint not) a no-op.
+        # The residual window — crash between the state write and the
+        # marker write — remains at-least-once; closing it fully needs a
+        # transactional table format (Delta/Iceberg txn with batchId).
+        if os.path.exists(self._marker(batch_id)):
+            return
         incoming = self._partials(batch_df)
         days = [r["day"] for r in incoming.select("day").distinct().collect()]
         if not days:
@@ -74,8 +86,17 @@ class HourlyRollupSink:
                     F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
                 )
             )
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy("day").parquet(self.rollup_dir)
+        # Per-write dynamic overwrite (NOT the session conf — mutating the
+        # session would silently change overwrite semantics for unrelated
+        # writes elsewhere in the application).
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(self.rollup_dir)
+        )
+        os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
+        open(self._marker(batch_id), "w").close()
 
     def attach(self, events: DataFrame, checkpoint_dir: str, **trigger_kwargs) -> StreamingQuery:
         if not trigger_kwargs:

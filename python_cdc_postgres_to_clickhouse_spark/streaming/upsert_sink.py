@@ -82,8 +82,14 @@ class ParquetUpsertSink:
             merged, keys=self.keys, order_by=self.order_by, drop_deletes=False
         )
         # Dynamic partition overwrite: only the touched buckets are replaced.
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        new_state.write.mode("overwrite").partitionBy("bucket").parquet(self.state_dir)
+        # Per-write option, not the session conf — mutating the session would
+        # change overwrite semantics for unrelated writes in the application.
+        (
+            new_state.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.state_dir)
+        )
 
     def attach(
         self, changes: DataFrame, checkpoint_dir: str, **trigger_kwargs
@@ -120,6 +126,9 @@ class ParquetUpsertSink:
             return
         compacted = state.filter(
             ~((F.col("op") == "d") & (F.col("source_lsn") < tombstone_horizon_lsn))
-        )
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ).localCheckpoint(eager=True)  # materialize before overwriting the source
+        # STATIC whole-table overwrite: compaction rewrites everything anyway,
+        # and dynamic mode would leave a bucket directory untouched when every
+        # one of its rows is an expired tombstone (nothing written for that
+        # partition → nothing replaced → the tombstones would survive forever).
         compacted.write.mode("overwrite").partitionBy("bucket").parquet(self.state_dir)
