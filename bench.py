@@ -36,6 +36,10 @@ HEADLINE = [
     "x_jaccard_near_dup",      # shingle-postings near-dup (exact)
     "x_minhash_near_dup",      # MinHash LSH near-dup (approx)
     "x_cosine_topk",           # brute-force vector top-k
+    "m_shipping_priority",     # 3-way join + global top-10 (Q3 shape)
+    "m_nation_volume",         # double-role dim join (Q7 shape)
+    "t_tumbling_window",       # event-time windowing
+    "x_lsh_cosine_topk",       # multi-table LSH ANN
 ]
 
 

@@ -20,6 +20,7 @@ tiebreaker.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -77,6 +78,55 @@ def cosine_topk(
         sim.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+_DOT_PANDAS = None
+
+
+def _dot_pandas(a, b):
+    """Arrow-vectorized dot product for candidate scoring: the expression
+    fold (``dot``) is interpreted per element and dominates when scoring
+    10⁵+ LSH candidates; one numpy einsum per Arrow batch is ~10× faster.
+    Used only on approximate (rows-only) paths — the oracle-checked exact
+    queries keep the JVM fold for cross-engine bit-exactness. (Built
+    lazily: pandas_udf registration needs an active SparkSession.)"""
+    global _DOT_PANDAS
+    if _DOT_PANDAS is None:
+
+        @F.pandas_udf("double")
+        def dot_pd(x: pd.Series, y: pd.Series) -> pd.Series:
+            xm = np.array(list(x), dtype=np.float64)
+            ym = np.array(list(y), dtype=np.float64)
+            return pd.Series(np.einsum("ij,ij->i", xm, ym))
+
+        _DOT_PANDAS = dot_pd
+    return _DOT_PANDAS(F.col(a) if isinstance(a, str) else a,
+                       F.col(b) if isinstance(b, str) else b)
+
+
+def _bucket_udf(planes_matrix: "np.ndarray", n_tables: int, n_planes: int):
+    """Vectorized sign-LSH bucketing: one (batch × dim) @ (dim × L·r) GEMM
+    per Arrow batch produces every table's bucket id at once — the
+    expression-tree variant evaluates L·r interpreted dot folds per row
+    and dominated the whole ANN query (measured at sf0.1)."""
+    P = planes_matrix  # (L*r, dim)
+
+    @F.pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        V = np.array(list(v), dtype=np.float64)
+        bits = (V @ P.T) > 0  # (batch, L*r)
+        out = []
+        for row in bits:
+            ids = []
+            for t in range(n_tables):
+                b = 0
+                for i in range(n_planes):
+                    b |= int(row[t * n_planes + i]) << i
+                ids.append(b)
+            out.append(ids)
+        return pd.Series(out)
+
+    return buckets
 
 
 def cosine_topk_vectorized(
@@ -197,21 +247,41 @@ def lsh_cosine_topk(
         F.col(vec_col).alias("c_vec"),
         norm(vec_col).alias("c_norm"),
     )
-    cand = None
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
-        qb = with_lsh_bucket(q, planes, "q_vec").select("query_id", "bucket")
-        cb = with_lsh_bucket(c, planes, "c_vec").select("neighbor_id", "bucket")
-        pairs = qb.join(cb, "bucket").select("query_id", "neighbor_id")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+
+    # All L tables' buckets in ONE vectorized pass per side (GEMM against
+    # the stacked plane matrix), then posexplode to (table, bucket) rows
+    # and join once — a per-table join loop would rescan and re-hash both
+    # sides L times, and per-plane expression folds are interpreted.
+    planes_matrix = np.vstack(
+        [
+            np.array(random_hyperplanes(dim, n_planes, seed + 1000 * t))
+            for t in range(n_tables)
+        ]
+    )
+    buckets = _bucket_udf(planes_matrix, n_tables, n_planes)
+
+    def all_buckets(df: DataFrame, vec: str, keep: str) -> DataFrame:
+        return df.select(
+            keep, F.posexplode(buckets(F.col(vec))).alias("tbl", "bucket")
+        )
+
+    qb = all_buckets(q, "q_vec", "query_id")
+    cb = all_buckets(c, "c_vec", "neighbor_id")
+    cand = (
+        qb.join(cb, ["tbl", "bucket"])
+        .select("query_id", "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
     sim = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            (dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("sim"),
+            (_dot_pandas("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "sim"
+            ),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

@@ -348,6 +348,96 @@ def m_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(MEDIAN_SQL)
 
 
+@query(
+    "m_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS volume
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5
+        AND n1.n_nationkey <> n2.n_nationkey
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join",),
+)
+def m_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume — the same dimension
+    (nation) joined twice under different roles, grouped by the pair.
+    Both nation sides broadcast (fixed-size dim at any scale)."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (F.col("n1_key") < 5) & (F.col("n2_key") < 5)
+            & (F.col("n1_key") != F.col("n2_key"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("volume"))
+    )
+
+
+@query(
+    "m_disjunctive_bands",
+    oracle=f"""
+    SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue, COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type LIKE 'PROMO%' AND l_discount >= 0.08)
+    """,
+    tags=("join", "predicate"),
+)
+def m_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive band predicates across
+    both join sides — exercises CNF conversion / partial pushdown (each
+    disjunct's single-table conjuncts can still prune its own scan)."""
+    t = load_tables(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    joined = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (F.col("p_type").like("PROMO%") & (F.col("l_discount") >= 0.08))
+    )
+    return joined.filter(cond).agg(
+        F.sum(disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 LATERAL_SQL = """
 SELECT c_custkey, c_name, best.o_orderkey AS best_orderkey,
        best.o_totalprice AS best_price
