@@ -193,6 +193,53 @@ def cosine_topk_vectorized(
     )
 
 
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """X2 (embedding flavor): pairs (a<b) with cosine ≥ threshold.
+
+    ``exact=True`` scores every pair — O(N²), the oracle/ground-truth path.
+    Default uses the multi-table LSH index for candidates and scores only
+    those (linear shuffle; recall follows the LSH S-curve, tested against
+    the exact path). Dedup-by-embedding is the semantic near-dup filter of
+    an LLM data pipeline: near-identical *meaning*, not near-identical
+    bytes.
+    """
+    ids = vectors.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        norm(vec_col).alias("na"),
+    )
+    other = vectors.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        norm(vec_col).alias("nb"),
+    )
+    if exact:
+        pairs = ids.crossJoin(other).filter(F.col("a") < F.col("b"))
+        sim = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    else:
+        topk = lsh_cosine_topk(
+            vectors, vectors, k=50, n_planes=n_planes, n_tables=n_tables,
+            id_col=id_col, vec_col=vec_col,
+        ).filter(F.col("query_id") < F.col("neighbor_id"))
+        cand = topk.select(
+            F.col("query_id").alias("a"), F.col("neighbor_id").alias("b")
+        ).distinct()
+        pairs = cand.join(ids, "a").join(other, "b")
+        sim = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("a", "b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)

@@ -215,6 +215,37 @@ def x_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "sim", "rank")
 
 
+EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+         / (sqrt(list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                    list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+            * sqrt(list_inner_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                      list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+         AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                         list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+      / (sqrt(list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                 list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+         * sqrt(list_inner_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+      >= 0.4
+"""
+
+
+@query("x_embedding_near_dup", oracle=EMB_NEAR_DUP_SQL, tags=("ext", "dedup", "similarity"))
+def x_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (embedding-cosine flavor): exact semantic near-dup pairs at
+    cosine ≥ 0.4 — bit-exact oracle (sequential double folds). The
+    LSH-accelerated variant is tested for recall against this in
+    tests/test_similarity.py."""
+    t = load_tables(spark, sf_dir)
+    return S.embedding_near_duplicates(t["embeddings"], threshold=0.4, exact=True)
+
+
 @query("x_lsh_cosine_topk", tags=("ext", "similarity"))
 def x_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: sign-LSH approximate top-5 (rows-only; recall vs the exact path

@@ -91,6 +91,22 @@ def test_vectorized_gemm_matches_expression_path(spark):
         assert abs(gsim - sim) < 1e-9
 
 
+def test_embedding_near_dup_lsh_recall(spark):
+    emb = _emb(spark)
+    exact = {
+        (r["a"], r["b"])
+        for r in S.embedding_near_duplicates(emb, threshold=0.4, exact=True).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in S.embedding_near_duplicates(emb, threshold=0.4).collect()
+    }
+    assert len(exact) > 0
+    assert approx <= exact  # precision 1 (candidates exactly re-scored)
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"embedding near-dup LSH recall {recall:.2f}"
+
+
 def test_lsh_bucket_count_bounded(spark):
     emb = _emb(spark)
     planes = S.random_hyperplanes(64, 6)
