@@ -85,6 +85,24 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a_approx_quantiles", tags=("agg", "approx"))
+def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch) — the 100 TB
+    substitute for exact percentiles (mergeable sketch, no full sort). No
+    SQL oracle: sketch boundaries are implementation-specific; relative
+    error vs the exact median is asserted in tests/test_aggregates.py."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+            F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95"),
+            F.percentile_approx("o_totalprice", 0.99, 10000).alias("p99"),
+        )
+    )
+
+
 @query(
     "a_conditional",
     oracle=f"""

@@ -349,6 +349,33 @@ def m_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def m_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor division (deterministic: floor of an
+    IEEE double division is engine-identical), capped top bucket."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return (
+        t["orders"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@query(
     "m_nation_volume",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,

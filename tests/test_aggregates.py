@@ -10,6 +10,21 @@ from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
 from .conftest import SF_ORACLE
 
 
+def test_approx_quantiles_near_exact(spark):
+    spec = all_queries()["a_approx_quantiles"]
+    approx = {r["o_orderstatus"]: r["p50"] for r in spec.fn(spark, SF_ORACLE).collect()}
+    t = load_tables(spark, SF_ORACLE)
+    exact = {
+        r["o_orderstatus"]: r["m"]
+        for r in t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+        .collect()
+    }
+    for status, p50 in approx.items():
+        assert abs(p50 - exact[status]) / exact[status] < 0.02, (status, p50, exact[status])
+
+
 def test_approx_distinct_within_rsd(spark):
     spec = all_queries()["a_approx_distinct"]
     approx = {
