@@ -197,36 +197,42 @@ def j_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j_asof_latest_event",
     oracle="""
-    SELECT o_orderkey, o_custkey,
-           (SELECT max(ts) FROM events e
-             WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS asof_ts
-    FROM orders o
-    WHERE o_orderkey % 10 = 0
+    SELECT event_id, user_id,
+           (SELECT max(o_orderdate) FROM orders o
+             WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_ts
+    FROM events e
+    WHERE event_id % 7 = 0
     """,
     tags=("join", "asof"),
 )
 def j_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: latest event at-or-before each order's date, per user.
+    """As-of join: each event enriched with the user's latest order
+    at-or-before the event time (the fixture's time ranges put orders
+    before events, so matches genuinely exist — the reverse direction only
+    exercises the no-match path).
 
     Spark SQL has no native ASOF JOIN; this is the SURVEY §4 composition —
     range join on (key, ts ≤ t) then per-left-row max, re-joined left to
     preserve rows with no match. At 100 TB the range join is keyed on
     user_id so it shuffles once on the key; the per-key aggregation is
-    map-side combinable.
+    map-side combinable. The cogrouped merge_asof variant lives in
+    operators/asof.py (equivalence tested in tests/test_asof.py).
     """
     t = load_tables(spark, sf_dir)
-    orders = t["orders"].filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+    ev = t["events"].filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "user_id", "ts"
     )
-    ev = t["events"].select("user_id", "ts")
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("_ok"), F.col("o_orderdate").alias("_od")
+    )
     matched = (
-        orders.join(
-            ev,
-            (ev.user_id == orders.o_custkey) & (ev.ts <= orders.o_orderdate),
+        ev.join(
+            orders,
+            (F.col("_ok") == F.col("user_id")) & (F.col("_od") <= F.col("ts")),
         )
-        .groupBy("o_orderkey")
-        .agg(F.max("ts").alias("asof_ts"))
+        .groupBy("event_id")
+        .agg(F.max("_od").alias("asof_ts"))
     )
-    return orders.join(matched, "o_orderkey", "left").select(
-        "o_orderkey", "o_custkey", "asof_ts"
+    return ev.join(matched, "event_id", "left").select(
+        "event_id", "user_id", "asof_ts"
     )
