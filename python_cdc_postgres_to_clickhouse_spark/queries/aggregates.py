@@ -172,6 +172,24 @@ def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLUP_GROUPING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("a_rollup_grouping", oracle=ROLLUP_GROUPING_SQL, tags=("agg",))
+def a_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers — the standard way to tell a
+    subtotal row's NULL apart from a genuine NULL grouping value."""
+    load_tables(spark, sf_dir)
+    return spark.sql(ROLLUP_GROUPING_SQL)
+
+
 GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n
 FROM lineitem

@@ -190,6 +190,31 @@ def w_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w_percent_rank_cume",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window",),
+)
+def w_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank analytics: percent_rank = (rank−1)/(n−1) and
+    cume_dist = rank_of_last_peer/n are double divisions of exact ints —
+    engine-identical, unlike value-interpolating percentile functions."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_mktsegment",
+        "c_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
     "w_range_frame",
     oracle="""
     SELECT o_orderstatus, o_orderkey, o_totalprice,

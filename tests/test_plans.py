@@ -71,6 +71,48 @@ def test_no_python_udfs_in_relational_surface(spark):
         assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: joining a date-partitioned fact with a selectively-filtered dim
+    must inject a runtime partition-pruning subquery into the fact scan —
+    at 100 TB this is the difference between scanning one partition and
+    all of them when the partition keys come from the dim side."""
+    t = load_tables(spark, SF_ORACLE)
+    fact_path = str(tmp_path / "orders_by_year")
+    (
+        t["orders"]
+        .withColumn("order_year", F.year("o_orderdate"))
+        .write.partitionBy("order_year")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    # The dim filter must NOT be constant-foldable onto the join key —
+    # a literal `y = 1998` gets statically propagated into PartitionFilters
+    # (even better, no runtime subquery needed; separately asserted below).
+    dim = (
+        t["orders"]
+        .select(
+            F.year("o_orderdate").alias("y"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .distinct()
+        .filter(F.col("prio") == "1-URGENT")
+    )
+    joined = fact.join(dim, fact.order_year == dim.y)
+    plan = P.physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), "expected a DPP subquery in the scan"
+    assert joined.count() > 0
+
+    # And the static path: a constant dim predicate on the join key lands
+    # directly in the fact scan's PartitionFilters (no subquery required).
+    const_dim = (
+        t["orders"].select(F.year("o_orderdate").alias("y")).distinct().filter(F.col("y") == 1998)
+    )
+    static_plan = P.physical_plan(fact.join(const_dim, fact.order_year == const_dim.y))
+    assert "PartitionFilters: [(order_year" in static_plan.replace("#", " #").split(
+        "PartitionFilters"
+    )[0] or "order_year" in static_plan.split("PartitionFilters", 1)[1][:120]
+
+
 def test_metadata_scan_prunes_unused_columns(spark):
     t = load_tables(spark, SF_ORACLE)
     df = t["lineitem"].select("l_orderkey").limit(5)
