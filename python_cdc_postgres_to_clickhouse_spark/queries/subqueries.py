@@ -76,6 +76,50 @@ def sub_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SUB_NOT_EXISTS)
 
 
+MIN_PRICE_SUPPLIER = """
+SELECT p.p_partkey, p.p_name, s.s_name, l.l_extendedprice AS min_price
+FROM part p, supplier s, lineitem l
+WHERE l.l_partkey = p.p_partkey
+  AND l.l_suppkey = s.s_suppkey
+  AND p.p_partkey % 20 = 0
+  AND l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@query("sub_min_price_supplier", oracle=MIN_PRICE_SUPPLIER, tags=("subquery",))
+def sub_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern: correlated scalar subquery in a join predicate —
+    'the supplier of each part's cheapest line'. Catalyst decorrelates the
+    min-subquery into an aggregate join; ties (several lines at the min
+    price) yield multiple rows identically on both engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(MIN_PRICE_SUPPLIER)
+
+
+SMALL_QTY_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#11'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("sub_small_qty_revenue", oracle=SMALL_QTY_REVENUE, tags=("subquery",))
+def sub_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern: per-part average threshold from a correlated
+    subquery gating the outer aggregate. The inner avg(double) is safe
+    here because quantities are integral — integer-valued doubles sum
+    exactly in FP, so both engines compute the identical threshold."""
+    load_tables(spark, sf_dir)
+    return spark.sql(SMALL_QTY_REVENUE)
+
+
 SUB_CORR_SCALAR = """
 SELECT c_custkey,
        (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
