@@ -104,6 +104,35 @@ def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice * 10000000000 + o_orderkey) AS top_orderkey,
+           arg_min(o_orderkey, o_totalprice * 10000000000 + o_orderkey) AS bottom_orderkey,
+           MAX(o_totalprice) AS top_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def a_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates): which order, not just which
+    value. Plain max_by is nondeterministic under value ties, so the
+    ordering key folds in the unique orderkey (price×10^10 + key stays
+    exactly representable: < 2^53)."""
+    t = load_tables(spark, sf_dir)
+    okey = F.col("o_totalprice") * F.lit(10_000_000_000) + F.col("o_orderkey")
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", okey).alias("top_orderkey"),
+            F.min_by("o_orderkey", okey).alias("bottom_orderkey"),
+            F.max("o_totalprice").alias("top_price"),
+        )
+    )
+
+
+@query(
     "a_conditional",
     oracle=f"""
     SELECT l_linestatus,

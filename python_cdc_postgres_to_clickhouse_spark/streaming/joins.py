@@ -47,3 +47,30 @@ def correlate_streams(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
     )
     return l.join(r, cond)
+
+
+def correlate_streams_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-outer time-bounded stream-stream join: unmatched left rows are
+    emitted with nulls once the watermark passes their join window — i.e.
+    "signups that did NOT purchase within the window" as a stream. The
+    null-side emission is watermark-driven: with availableNow processing,
+    rows inside the final watermark stay buffered (Spark cannot yet rule
+    out a future match), so tests append a far-future sentinel event to
+    flush the watermark past all real data.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "left_outer")

@@ -43,6 +43,59 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert s == b
 
 
+def test_stream_stream_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer: signups without a purchase in-window surface with null
+    right side once the watermark passes (flushed by a sentinel event)."""
+    from pyspark.sql import types as T
+
+    from python_cdc_postgres_to_clickhouse_spark.streaming.joins import correlate_streams_outer
+
+    import datetime as dt
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    s_schema = "signup_id long, user_id long, ts timestamp"
+    p_schema = "purchase_id long, user_id long, p_ts timestamp"
+    signups = spark.createDataFrame(
+        [(1, 10, ts(0)), (2, 20, ts(0)), (99, 999, ts(23))],  # 99 = sentinel
+        s_schema,
+    )
+    purchases = spark.createDataFrame(
+        [(100, 10, ts(0, 30)), (900, 998, ts(23))],  # sentinel on right too
+        p_schema,
+    )
+    sdir, pdir = str(tmp_path / "s"), str(tmp_path / "p")
+    signups.coalesce(1).write.parquet(sdir)
+    purchases.coalesce(1).write.parquet(pdir)
+    joined = correlate_streams_outer(
+        spark.readStream.schema(s_schema).parquet(sdir),
+        spark.readStream.schema(p_schema).parquet(pdir),
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        max_delay="1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        joined.select("signup_id", "purchase_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("outer_corr")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["signup_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM outer_corr").collect()
+    }
+    # signup 1 matched purchase 100; signup 2 emitted with NULL right side.
+    assert (1, 100) in got
+    assert (2, None) in got
+
+
 def test_stream_stream_correlation_matches_batch(spark, tmp_path):
     """signup → purchase-within-24h correlation, streamed == batch."""
     t = load_tables(spark, SF_ORACLE)
