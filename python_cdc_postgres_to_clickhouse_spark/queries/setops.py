@@ -77,6 +77,23 @@ def s_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def s_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: bag intersection (min multiplicity per value)."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].select(F.col("c_nationkey").alias("nationkey")).intersectAll(
+        t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
     "s_except",
     oracle="""
     SELECT c_custkey FROM customer
