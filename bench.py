@@ -43,9 +43,15 @@ HEADLINE = [
 ]
 
 
-def force(df) -> int:
-    """Force full plan execution; return row count cheaply."""
-    return df.count()
+def force(df) -> None:
+    """Force full plan execution via a noop-format write.
+
+    Unlike ``df.count()`` (which lets Catalyst prune unreferenced
+    projection/aggregate expressions), the noop sink evaluates every
+    output column — honest full-compute timing. Method changed in r2;
+    r1 numbers were count()-forced and may under-measure.
+    """
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:

@@ -236,14 +236,16 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-@query("x_embedding_near_dup", oracle=EMB_NEAR_DUP_SQL, tags=("ext", "dedup", "similarity"))
+@query("x_embedding_near_dup", tags=("ext", "dedup", "similarity"))
 def x_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 (embedding-cosine flavor): exact semantic near-dup pairs at
-    cosine ≥ 0.4 — bit-exact oracle (sequential double folds). The
-    LSH-accelerated variant is tested for recall against this in
+    """X2 (embedding-cosine flavor): semantic near-dup pairs at cosine
+    ≥ 0.4 via the scale-safe sign-LSH candidate path (linear shuffle on
+    (table,bucket) — no all-pairs crossJoin; plan-asserted in
+    tests/test_plans.py). Rows-only for the driver; recall and the exact
+    O(N²) ground truth (EMB_NEAR_DUP_SQL) live in
     tests/test_similarity.py."""
     t = load_tables(spark, sf_dir)
-    return S.embedding_near_duplicates(t["embeddings"], threshold=0.4, exact=True)
+    return S.embedding_near_duplicates(t["embeddings"], threshold=0.4, exact=False)
 
 
 @query("x_lsh_cosine_topk", tags=("ext", "similarity"))

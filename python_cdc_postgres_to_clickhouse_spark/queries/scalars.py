@@ -169,7 +169,7 @@ def c_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderkey % 97 AS BIGINT) AS key_mod,
            sign(o_totalprice - 100000) AS over_100k,
            sqrt(o_totalprice) AS price_sqrt,
-           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_sq
+           CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE) AS price_sq
     FROM orders WHERE o_orderkey % 11 = 0
     """,
     tags=("scalar", "math"),
@@ -190,12 +190,14 @@ def c_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") % 97).cast("long").alias("key_mod"),
             F.signum(F.col("o_totalprice") - 100000).alias("over_100k"),
             F.sqrt("o_totalprice").alias("price_sqrt"),
+            # Square in IEEE-double space: double*double is correctly
+            # rounded on both engines, unlike the DECIMAL(25,4) product
+            # which routes through DuckDB's lossy hugeint→double path
+            # (the round-1 hash mismatch).
             (
-                F.col("o_totalprice").cast("decimal(12,2)")
-                * F.col("o_totalprice").cast("decimal(12,2)")
-            )
-            .cast("double")
-            .alias("price_sq"),
+                F.col("o_totalprice").cast("double")
+                * F.col("o_totalprice").cast("double")
+            ).alias("price_sq"),
         )
     )
 

@@ -113,6 +113,16 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     )[0] or "order_year" in static_plan.split("PartitionFilters", 1)[1][:120]
 
 
+def test_embedding_near_dup_declared_path_has_no_cross_join(spark):
+    """The declared x_embedding_near_dup must use the LSH candidate path:
+    an all-pairs CartesianProduct / nested-loop join is O(N²) and would be
+    a scale-killer at 100 TB. (The exact path remains test-side ground
+    truth in tests/test_similarity.py.)"""
+    plan = P.physical_plan(_q(spark, "x_embedding_near_dup"))
+    assert "CartesianProduct" not in plan, "declared path compiles to all-pairs"
+    assert "BroadcastNestedLoopJoin" not in plan, "declared path compiles to all-pairs"
+
+
 def test_metadata_scan_prunes_unused_columns(spark):
     t = load_tables(spark, SF_ORACLE)
     df = t["lineitem"].select("l_orderkey").limit(5)

@@ -107,6 +107,25 @@ def test_embedding_near_dup_lsh_recall(spark):
     assert recall >= 0.5, f"embedding near-dup LSH recall {recall:.2f}"
 
 
+def test_embedding_near_dup_exact_matches_duckdb_oracle(spark):
+    """Bit-exact ground truth for the exact O(N²) path vs DuckDB
+    list_inner_product (sequential double folds agree across engines).
+    The *declared* query now runs the LSH path rows-only, so this keeps
+    the exact semantics oracle-verified locally."""
+    from python_cdc_postgres_to_clickhouse_spark.queries.extensions import EMB_NEAR_DUP_SQL
+
+    from .oracle_harness import canon_rows, run_oracle
+
+    sdf = (
+        S.embedding_near_duplicates(_emb(spark), threshold=0.4, exact=True)
+        .toPandas()
+    )
+    odf = run_oracle(EMB_NEAR_DUP_SQL, SF_ORACLE)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf) > 0
+    assert canon_rows(sdf) == canon_rows(odf)
+
+
 def test_lsh_bucket_count_bounded(spark):
     emb = _emb(spark)
     planes = S.random_hyperplanes(64, 6)
