@@ -100,6 +100,74 @@ def postgres_snapshot(
     return reader.load()
 
 
+def clickhouse_jdbc_options(
+    host: str = "localhost",
+    port: int = 8123,
+    database: str = "default",
+    table: str = "users",
+    user: str = "default",
+    password: str = "",
+) -> dict[str, str]:
+    """S13 escape hatch: JDBC writer options for a *real* ClickHouse
+    destination (the server the reference provisions,
+    docker-compose.yml:155-174, HTTP port 8123). The bucketed Parquet
+    upsert sink remains the engine-native MergeTree equivalent; this path
+    exists so a migrating user can keep their ClickHouse serving layer.
+
+    Requires the ClickHouse JDBC driver JAR on the cluster classpath
+    (`com.clickhouse:clickhouse-jdbc`), absent in this container — option
+    plumbing is tested, the live write is not.
+    """
+    return {
+        "url": f"jdbc:clickhouse://{host}:{port}/{database}",
+        "dbtable": table,
+        "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+        "user": user,
+        "password": password,
+        # Idempotent-ish replay: batched inserts into a ReplacingMergeTree
+        # keyed on (id) with a version column let ClickHouse collapse the
+        # re-sent rows a checkpoint replay produces.
+        "batchsize": "100000",
+        "isolationLevel": "NONE",
+    }
+
+
+def clickhouse_append_batch(options: dict[str, str]):
+    """foreachBatch function appending each micro-batch via JDBC.
+
+    Append-only inserts + a ReplacingMergeTree(version) target reproduce
+    the upsert semantics server-side (latest version per key wins at merge
+    time) — the same division of labor the reference intends: Kafka
+    consumer writes, ClickHouse collapses (docker-compose.yml:155-174).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.format("jdbc")
+            .options(**options)
+            .mode("append")
+            .save()
+        )
+
+    return write_batch
+
+
+def clickhouse_jdbc_sink(
+    changes: DataFrame,
+    checkpoint_dir: str,
+    options: dict[str, str] | None = None,
+) -> StreamingQuery:
+    """Attach a flattened change stream to a ClickHouse JDBC destination
+    (micro-batch appends; exactly-once up to ClickHouse's replacing-merge
+    semantics, at-least-once at the insert level)."""
+    opts = options or clickhouse_jdbc_options()
+    return (
+        changes.writeStream.foreachBatch(clickhouse_append_batch(opts))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def console_debug_sink(df: DataFrame, n_rows: int = 20) -> StreamingQuery:
     """S12: the reference's print-loop as a proper console sink."""
     return (

@@ -125,30 +125,40 @@ def frame_confluent(payload: bytes, schema_id: int) -> bytes:
     return struct.pack(">bI", CONFLUENT_MAGIC, schema_id) + payload
 
 
-def strip_confluent_header(value: Column) -> Column:
+def _as_col(value: Column | str) -> Column:
+    return F.col(value) if isinstance(value, str) else value
+
+
+def strip_confluent_header(value: Column | str = "value") -> Column:
     """Drop the 5-byte Confluent header, keeping the Avro body.
 
-    Column-level (JVM substring) — this is the piece the reference's static
-    path forgets (read_from_kafka.py:12-17 would feed the header bytes to
-    the Avro decoder and mis-decode).
+    Column-level (JVM substring) over the *passed* column (a name or any
+    Column expression) — this is the piece the reference's static path
+    forgets (read_from_kafka.py:12-17 would feed the header bytes to the
+    Avro decoder and mis-decode).
     """
-    return F.expr(
-        f"substring(value, {CONFLUENT_HEADER_LEN + 1}, "
-        f"length(value) - {CONFLUENT_HEADER_LEN})"
+    v = _as_col(value)
+    return F.substring(
+        v, F.lit(CONFLUENT_HEADER_LEN + 1), F.length(v) - F.lit(CONFLUENT_HEADER_LEN)
     )
 
 
-def confluent_schema_id(value: Column) -> Column:
+def confluent_schema_id(value: Column | str = "value") -> Column:
     """Extract the big-endian schema id from bytes 2-5 of the framed value."""
-    b = lambda i: F.expr(f"cast(conv(hex(substring(value, {i}, 1)), 16, 10) as int)")  # noqa: E731
+    v = _as_col(value)
     return (
-        (b(2) * F.lit(16777216)) + (b(3) * F.lit(65536)) + (b(4) * F.lit(256)) + b(5)
-    ).alias("schema_id")
+        F.conv(F.hex(F.substring(v, F.lit(2), F.lit(4))), 16, 10)
+        .cast("long")
+        .cast("int")
+        .alias("schema_id")
+    )
 
 
-def is_confluent_framed(value: Column) -> Column:
+def is_confluent_framed(value: Column | str = "value") -> Column:
     """Magic-byte check: first byte == 0x00."""
-    return F.expr("substring(value, 1, 1) = X'00'")
+    return F.substring(_as_col(value), F.lit(1), F.lit(1)) == F.lit(
+        bytes([CONFLUENT_MAGIC])
+    )
 
 
 def decode_hex_key(key: Column) -> Column:
@@ -160,8 +170,174 @@ def decode_hex_key(key: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# DataFrame-level decode
+# Schema-driven decode (D5): the decoder is *built from* an Avro JSON schema,
+# so a registry-fetched evolved schema changes the output columns without
+# code changes (reference resolves writer schemas per message, main.py:22;
+# Spark resolves once per (re)start, SURVEY.md §4).
 # ---------------------------------------------------------------------------
+
+import json as _json
+
+_PRIMITIVE_SPARK = {
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "string": T.StringType(),
+    "boolean": T.BooleanType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+}
+_PRIMITIVE_PANDAS = {
+    "int": "Int32",
+    "long": "Int64",
+    "string": "object",
+    "boolean": "boolean",
+    "float": "Float32",
+    "double": "Float64",
+    "bytes": "object",
+}
+
+
+def _field_type(avro_type) -> tuple[str, bool]:
+    """(primitive_name, nullable) for a field type that is a primitive, a
+    {'type': prim} dict (possibly carrying a logicalType / Debezium
+    connect.name annotation), or a union of one primitive with 'null'."""
+    if isinstance(avro_type, dict):
+        return _field_type(avro_type["type"])
+    if isinstance(avro_type, list):
+        branches = [b for b in avro_type if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"unsupported union {avro_type!r}")
+        prim, _ = _field_type(branches[0])
+        return prim, True
+    if avro_type not in _PRIMITIVE_SPARK:
+        raise ValueError(f"unsupported Avro type {avro_type!r}")
+    return avro_type, False
+
+
+def _read_primitive(buf: io.BytesIO, prim: str):
+    if prim in ("int", "long"):
+        return _read_varint(buf)
+    if prim == "string":
+        return _read_string(buf)
+    if prim == "boolean":
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError("truncated boolean")
+        return byte[0] == 1
+    if prim == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if prim == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if prim == "bytes":
+        n = _read_varint(buf)
+        return buf.read(n)
+    raise ValueError(prim)
+
+
+def _write_primitive(buf: io.BytesIO, prim: str, v) -> None:
+    if prim in ("int", "long"):
+        _write_varint(buf, v)
+    elif prim == "string":
+        _write_string(buf, v)
+    elif prim == "boolean":
+        buf.write(bytes([1 if v else 0]))
+    elif prim == "float":
+        buf.write(struct.pack("<f", v))
+    elif prim == "double":
+        buf.write(struct.pack("<d", v))
+    elif prim == "bytes":
+        _write_varint(buf, len(v))
+        buf.write(v)
+    else:
+        raise ValueError(prim)
+
+
+def encode_record(schema_json: str, rec: dict) -> bytes:
+    """Avro-binary encode one record per ``schema_json`` (test/fixture side
+    of :func:`build_decoder`; None picks the union's null branch)."""
+    schema = _json.loads(schema_json)
+    buf = io.BytesIO()
+    for f in schema["fields"]:
+        ftype, v = f["type"], rec[f["name"]]
+        if isinstance(ftype, list):
+            if v is None:
+                _write_varint(buf, ftype.index("null"))
+            else:
+                idx, branch = next(
+                    (i, b) for i, b in enumerate(ftype) if b != "null"
+                )
+                _write_varint(buf, idx)
+                _write_primitive(buf, _field_type(branch)[0], v)
+        elif v is None:
+            raise ValueError(f"field {f['name']} is non-nullable")
+        else:
+            _write_primitive(buf, _field_type(ftype)[0], v)
+    return buf.getvalue()
+
+
+def build_decoder(schema_json: str):
+    """Compile an Avro record schema to ``(decode_fn, spark_schema)``.
+
+    ``decode_fn(payload: bytes) -> dict`` reads the binary body in field
+    order. Union branch order follows the writer schema (a union's branch
+    index is written as a zigzag varint before the value). Supports the
+    primitive subset a Debezium flat value schema uses; nested records
+    would take the JVM ``from_avro`` path on a real cluster.
+    """
+    schema = _json.loads(schema_json)
+    if schema.get("type") != "record":
+        raise ValueError("build_decoder expects a record schema")
+    fields: list[tuple[str, object]] = [
+        (f["name"], f["type"]) for f in schema["fields"]
+    ]
+    spark_fields = []
+    for name, ftype in fields:
+        prim, _nullable = _field_type(ftype)
+        spark_fields.append(T.StructField(name, _PRIMITIVE_SPARK[prim], True))
+
+    def decode(payload: bytes) -> dict:
+        buf = io.BytesIO(payload)
+        rec: dict = {}
+        for name, ftype in fields:
+            if isinstance(ftype, list):  # union: branch index first
+                branch = ftype[_read_varint(buf)]
+                if branch == "null":
+                    rec[name] = None
+                    continue
+                prim, _ = _field_type(branch)
+                rec[name] = _read_primitive(buf, prim)
+            else:
+                prim, _ = _field_type(ftype)
+                rec[name] = _read_primitive(buf, prim)
+        return rec
+
+    return decode, T.StructType(spark_fields)
+
+
+# The reference `users` value schema (reference schema.avsc): int id,
+# string username, string email, union[long MicroTimestamp, null]
+# created_at. Field named created_at_us here because the raw long is
+# µs-since-epoch; the TimestampType view is derived below.
+USERS_AVRO_SCHEMA_JSON = _json.dumps(
+    {
+        "type": "record",
+        "name": "users",
+        "namespace": "cdc.public",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "username", "type": "string"},
+            {"name": "email", "type": "string"},
+            {
+                "name": "created_at_us",
+                "type": [
+                    {"type": "long", "connect.name": "io.debezium.time.MicroTimestamp"},
+                    "null",
+                ],
+            },
+        ],
+    }
+)
 
 USERS_DECODED_SCHEMA = T.StructType(
     [
@@ -173,8 +349,49 @@ USERS_DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_users(df: DataFrame, framing: str = "confluent") -> DataFrame:
-    """Decode a binary `value` column of Avro-encoded users rows.
+def jvm_avro_available(spark=None) -> bool:
+    """True when the spark-avro module is loaded in the active session.
+
+    Spark 4 registers ``from_avro`` unconditionally and raises
+    AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE at *analysis* time when the
+    external module is absent — so the probe analyzes (but never runs) a
+    one-row plan.
+    """
+    try:
+        from pyspark.sql import SparkSession
+        from pyspark.sql.avro.functions import from_avro
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        probe = spark.range(1).select(
+            from_avro(F.lit(b"").cast("binary"), '"bytes"').alias("_probe")
+        )
+        probe.schema  # forces analysis
+        return True
+    except Exception:
+        return False
+
+
+def _framed_body(framing: str) -> Column:
+    if framing == "confluent":
+        return strip_confluent_header("value")
+    if framing == "raw":
+        return F.col("value")
+    if framing == "auto":
+        return F.when(
+            is_confluent_framed("value"), strip_confluent_header("value")
+        ).otherwise(F.col("value"))
+    raise ValueError(f"framing must be 'confluent', 'raw' or 'auto', got {framing!r}")
+
+
+def decode_avro(
+    df: DataFrame,
+    schema_json: str,
+    framing: str = "confluent",
+    engine: str = "auto",
+) -> DataFrame:
+    """Decode a binary ``value`` column of Avro rows per ``schema_json``.
 
     framing='confluent' strips the 5-byte header (EP1 semantics);
     framing='raw' decodes the bare body (EP3 semantics); framing='auto'
@@ -187,49 +404,98 @@ def decode_users(df: DataFrame, framing: str = "confluent") -> DataFrame:
     callers can split good rows from a dead-letter branch with
     ``filter(col('id').isNull())``.
 
-    Returns original columns plus the decoded 4 + ``created_at`` mapped from
-    MicroTimestamp µs to TimestampType.
+    engine='jvm' decodes fully JVM-side via spark-avro's ``from_avro``
+    (PERMISSIVE mode) — the production path, zero Python in the stream;
+    raises RuntimeError when the JAR is absent. engine='python' uses the
+    Arrow-batched pure-Python codec (always available). engine='auto'
+    prefers the JVM path and falls back.
     """
-    if framing not in ("confluent", "raw", "auto"):
-        raise ValueError(f"framing must be 'confluent', 'raw' or 'auto', got {framing!r}")
-    if framing == "confluent":
-        value = strip_confluent_header(F.col("value"))
-    elif framing == "raw":
-        value = F.col("value")
-    else:
-        value = F.when(
-            is_confluent_framed(F.col("value")), strip_confluent_header(F.col("value"))
-        ).otherwise(F.col("value"))
-    src = df.withColumn("_avro_body", value)
-    in_fields = src.schema.fieldNames()
+    if engine not in ("auto", "jvm", "python"):
+        raise ValueError(f"engine must be 'auto', 'jvm' or 'python', got {engine!r}")
+    src = df.withColumn("_avro_body", _framed_body(framing))
+    in_fields = [c for c in src.schema.fieldNames() if c != "_avro_body"]
+
+    if engine in ("auto", "jvm"):
+        if jvm_avro_available(df.sparkSession):
+            from pyspark.sql.avro.functions import from_avro
+
+            rec = from_avro(F.col("_avro_body"), schema_json, {"mode": "PERMISSIVE"})
+            return src.withColumn("_rec", rec).select(*in_fields, "_rec.*")
+        if engine == "jvm":
+            raise RuntimeError(
+                "engine='jvm' requires the spark-avro package on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+                "use engine='auto' to fall back to the Python codec"
+            )
+
+    decode, decoded_schema = build_decoder(schema_json)
+    out_names = [f.name for f in decoded_schema.fields]
+    out_dtypes = {
+        f.name: _PRIMITIVE_PANDAS[_field_type(ft)[0]]
+        for f, ft in zip(
+            decoded_schema.fields,
+            [fld["type"] for fld in _json.loads(schema_json)["fields"]],
+        )
+    }
     out_schema = T.StructType(
         [f for f in src.schema.fields if f.name != "_avro_body"]
-        + list(USERS_DECODED_SCHEMA.fields)
+        + list(decoded_schema.fields)
     )
 
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            out = {c: pdf[c] for c in in_fields if c != "_avro_body"}
-            ids, users, mails, ts = [], [], [], []
+            out = {c: pdf[c] for c in in_fields}
+            cols: dict[str, list] = {n: [] for n in out_names}
             for raw in pdf["_avro_body"]:
                 try:
-                    rec = decode_user_record(bytes(raw))
-                    ids.append(rec["id"])
-                    users.append(rec["username"])
-                    mails.append(rec["email"])
-                    ts.append(rec["created_at_us"])
+                    rec = decode(bytes(raw))
                 except Exception:
-                    ids.append(None)
-                    users.append(None)
-                    mails.append(None)
-                    ts.append(None)
-            out["id"] = pd.array(ids, dtype="Int32")
-            out["username"] = pd.Series(users, dtype="object")
-            out["email"] = pd.Series(mails, dtype="object")
-            out["created_at_us"] = pd.array(ts, dtype="Int64")
+                    rec = {n: None for n in out_names}
+                for n in out_names:
+                    cols[n].append(rec[n])
+            for n in out_names:
+                dt = out_dtypes[n]
+                out[n] = (
+                    pd.Series(cols[n], dtype="object")
+                    if dt == "object"
+                    else pd.array(cols[n], dtype=dt)
+                )
             yield pd.DataFrame(out)
 
-    decoded = src.mapInPandas(decode_batches, schema=out_schema)
+    return src.mapInPandas(decode_batches, schema=out_schema)
+
+
+def decode_users(
+    df: DataFrame, framing: str = "confluent", engine: str = "auto"
+) -> DataFrame:
+    """Decode Avro-encoded `users` CDC values (see :func:`decode_avro`).
+
+    Returns original columns plus the decoded 4 + ``created_at`` mapped from
+    Debezium MicroTimestamp µs to TimestampType.
+    """
+    decoded = decode_avro(df, USERS_AVRO_SCHEMA_JSON, framing=framing, engine=engine)
     return decoded.withColumn("created_at", F.timestamp_micros(F.col("created_at_us")))
+
+
+def decode_from_registry(
+    df: DataFrame,
+    registry,
+    subject: str = "pg.public.users-value",
+    framing: str = "confluent",
+    engine: str = "auto",
+) -> tuple[DataFrame, int]:
+    """D5 end-to-end: fetch the subject's latest schema from the registry,
+    build the decoder from it, decode. Returns ``(decoded_df, schema_id)``.
+
+    Evolution contract (SURVEY.md §4): when the registry publishes a new
+    version (e.g. a new nullable column), restart the stream — this call
+    then compiles the new decoder and the output gains the column; the
+    upsert sink null-extends old state via mergeSchema
+    (streaming/upsert_sink.py). The reference instead resolves writer
+    schemas per message (main.py:22) — per-plan resolution is the Spark
+    idiom because the decode expression is fixed at plan time.
+    """
+    schema_id, schema_json = registry.latest_schema(subject)
+    return decode_avro(df, schema_json, framing=framing, engine=engine), schema_id

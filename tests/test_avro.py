@@ -121,3 +121,99 @@ def test_confluent_header_fields(spark):
     ).first()
     assert r["sid"] == 123456
     assert r["magic"] is True
+
+
+def test_header_helpers_honor_renamed_column(spark):
+    """The helpers must operate on the *passed* column, not a hardcoded
+    'value' (round-1 review finding: an aliased payload column silently
+    read the wrong data)."""
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import (
+        confluent_schema_id,
+        is_confluent_framed,
+        strip_confluent_header,
+    )
+
+    body = encode_user_record(*ROWS[0])
+    framed = frame_confluent(body, schema_id=99)
+    df = _df(spark, [framed]).withColumnRenamed("value", "payload")
+    r = df.select(
+        confluent_schema_id(F.col("payload")).alias("sid"),
+        is_confluent_framed("payload").alias("magic"),
+        strip_confluent_header(F.col("payload")).alias("body"),
+    ).first()
+    assert r["sid"] == 99
+    assert r["magic"] is True
+    assert bytes(r["body"]) == body
+
+
+def test_engine_python_matches_auto(spark):
+    """engine='auto' must produce rows identical to the explicit Python
+    codec (in this container it falls back; with the spark-avro JAR it
+    takes the JVM path — either way the rows must match)."""
+    payloads = [frame_confluent(encode_user_record(*r), schema_id=7) for r in ROWS]
+    py = decode_users(_df(spark, payloads), framing="confluent", engine="python")
+    auto = decode_users(_df(spark, payloads), framing="confluent", engine="auto")
+    key = lambda r: (r["id"], r["username"], r["email"], r["created_at_us"])  # noqa: E731
+    assert sorted(map(key, py.collect())) == sorted(map(key, auto.collect()))
+
+
+def test_engine_jvm_explicit(spark):
+    """engine='jvm' either takes the JVM from_avro path (JAR present:
+    identical rows, zero EvalPython in the plan) or raises an actionable
+    error (JAR absent — this container)."""
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import jvm_avro_available
+
+    payloads = [frame_confluent(encode_user_record(*r), schema_id=7) for r in ROWS]
+    if jvm_avro_available():
+        out = decode_users(_df(spark, payloads), framing="confluent", engine="jvm")
+        got = {r["id"]: r["username"] for r in out.collect()}
+        assert got == {r[0]: r[1] for r in ROWS}
+        assert "EvalPython" not in out._jdf.queryExecution().executedPlan().toString()
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            decode_users(_df(spark, payloads), framing="confluent", engine="jvm")
+
+
+def test_schema_driven_decoder_roundtrip_and_evolution(spark):
+    """D5: the decoder is compiled from the Avro JSON schema, so an evolved
+    schema (new nullable double field) changes the output columns without
+    code changes — and the un-evolved decoder still reads v1 bytes."""
+    import json
+
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import decode_avro, encode_record
+
+    v1 = json.dumps(
+        {
+            "type": "record",
+            "name": "users",
+            "fields": [
+                {"name": "id", "type": "int"},
+                {"name": "email", "type": "string"},
+            ],
+        }
+    )
+    v2 = json.dumps(
+        {
+            "type": "record",
+            "name": "users",
+            "fields": [
+                {"name": "id", "type": "int"},
+                {"name": "email", "type": "string"},
+                {"name": "score", "type": ["null", "double"]},
+            ],
+        }
+    )
+    v2_rows = [
+        {"id": 1, "email": "a@x", "score": 0.5},
+        {"id": 2, "email": "b@x", "score": None},
+    ]
+    payloads = [encode_record(v2, r) for r in v2_rows]
+    out = decode_avro(_df(spark, payloads), v2, framing="raw").collect()
+    got = {r["id"]: (r["email"], r["score"]) for r in out}
+    assert got == {1: ("a@x", 0.5), 2: ("b@x", None)}
+
+    # v1 bytes (pre-evolution) decode under the v1 schema: fewer columns.
+    v1_payloads = [encode_record(v1, {"id": 9, "email": "old@x"})]
+    v1_out = decode_avro(_df(spark, v1_payloads), v1, framing="raw")
+    assert "score" not in v1_out.columns
+    assert v1_out.first()["email"] == "old@x"

@@ -79,3 +79,47 @@ def test_partition_pruned_scan(spark, tmp_path):
     assert "order_year" in plan.split("PartitionFilters", 1)[1][:200]
     years = {r["order_year"] for r in df.select("order_year").distinct().collect()}
     assert years == {1998}
+
+
+def test_clickhouse_jdbc_option_plumbing(spark, tmp_path, monkeypatch):
+    """S13 escape hatch: the foreachBatch writer must hand every micro-batch
+    to a jdbc-format append with the ClickHouse connection options (no
+    driver JAR in the container, so the terminal .save() is stubbed)."""
+    from python_cdc_postgres_to_clickhouse_spark.pipelines import (
+        clickhouse_append_batch,
+        clickhouse_jdbc_options,
+    )
+
+    opts = clickhouse_jdbc_options(host="ch.example", database="analytics",
+                                   table="users_current")
+    assert opts["url"] == "jdbc:clickhouse://ch.example:8123/analytics"
+    assert opts["dbtable"] == "users_current"
+    assert opts["driver"] == "com.clickhouse.jdbc.ClickHouseDriver"
+
+    recorded: list[dict] = []
+
+    class _FakeWriter:
+        def __init__(self):
+            self.state = {}
+
+        def format(self, fmt):
+            self.state["format"] = fmt
+            return self
+
+        def options(self, **kw):
+            self.state.setdefault("options", {}).update(kw)
+            return self
+
+        def mode(self, m):
+            self.state["mode"] = m
+            return self
+
+        def save(self):
+            recorded.append(self.state)
+
+    batch = spark.createDataFrame([(1, "alice")], ["id", "username"])
+    monkeypatch.setattr(type(batch), "write", property(lambda self: _FakeWriter()))
+    clickhouse_append_batch(opts)(batch, batch_id=0)
+    assert recorded == [
+        {"format": "jdbc", "options": opts, "mode": "append"}
+    ]

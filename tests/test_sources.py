@@ -8,6 +8,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 import pytest
+from pyspark.sql import functions as F
 
 from python_cdc_postgres_to_clickhouse_spark.sources.kafka import (
     batch_options,
@@ -21,11 +22,17 @@ USERS_SCHEMA = {"type": "record", "name": "users", "fields": [{"name": "id", "ty
 
 class _StubRegistry(BaseHTTPRequestHandler):
     hits: list[str] = []
+    current_id: int = 7
+    current_schema: dict = USERS_SCHEMA
 
     def do_GET(self):
         _StubRegistry.hits.append(self.path)
         if self.path == "/subjects/pg.public.users-value/versions/latest":
-            body = {"id": 7, "version": 3, "schema": json.dumps(USERS_SCHEMA)}
+            body = {
+                "id": _StubRegistry.current_id,
+                "version": 3,
+                "schema": json.dumps(_StubRegistry.current_schema),
+            }
         elif self.path.startswith("/schemas/ids/"):
             body = {"schema": json.dumps(USERS_SCHEMA)}
         else:
@@ -93,3 +100,56 @@ def test_stream_options_subscribe_and_pattern():
         stream_options("localhost:9092")
     with pytest.raises(ValueError):
         stream_options("localhost:9092", topics="t", subscribe_pattern="p")
+
+
+def test_registry_driven_decode_end_to_end(spark, registry_url):
+    """D5 in one flow: fetch latest schema by subject -> compile decoder ->
+    decode framed bytes -> registry publishes an evolved schema -> a stream
+    restart re-fetches and the output gains the new nullable column, with
+    old rows null-extended (reference resolves per message, main.py:22;
+    Spark resolves per (re)start)."""
+    from pyspark.sql import types as T
+
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import (
+        decode_from_registry,
+        encode_record,
+        frame_confluent,
+    )
+
+    client = SchemaRegistryClient(registry_url)
+
+    def _df(payloads):
+        schema = T.StructType([T.StructField("value", T.BinaryType())])
+        return spark.createDataFrame([(bytearray(p),) for p in payloads], schema)
+
+    v1 = json.dumps(USERS_SCHEMA)
+    v1_batch = _df([frame_confluent(encode_record(v1, {"id": i}), 7) for i in (1, 2)])
+    out1, sid1 = decode_from_registry(v1_batch, client, "pg.public.users-value")
+    assert sid1 == 7
+    assert sorted(r["id"] for r in out1.collect()) == [1, 2]
+
+    v2_schema = {
+        "type": "record",
+        "name": "users",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "email", "type": ["null", "string"]},
+        ],
+    }
+    try:
+        _StubRegistry.current_id, _StubRegistry.current_schema = 8, v2_schema
+        v2 = json.dumps(v2_schema)
+        v2_batch = _df(
+            [frame_confluent(encode_record(v2, {"id": 3, "email": "c@x"}), 8)]
+        )
+        out2, sid2 = decode_from_registry(v2_batch, client, "pg.public.users-value")
+        assert sid2 == 8
+        assert "email" in out2.columns
+        assert out2.first()["email"] == "c@x"
+        # Old-state null-extension: the v1 output unioned into the evolved
+        # shape (what the upsert sink's mergeSchema does to old files).
+        merged = out1.withColumn("email", F.lit(None).cast("string")).unionByName(out2)
+        rows = {r["id"]: r["email"] for r in merged.collect()}
+        assert rows == {1: None, 2: None, 3: "c@x"}
+    finally:
+        _StubRegistry.current_id, _StubRegistry.current_schema = 7, USERS_SCHEMA

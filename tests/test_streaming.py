@@ -155,3 +155,100 @@ def test_window_queries_oracle(spark, name):
     from .oracle_harness import assert_parity
 
     assert_parity(spark, all_queries()[name], SF_ORACLE)
+
+
+def test_session_window_late_data_interaction(spark, tmp_path):
+    """T4xT5 (SURVEY §7e): a late event *inside* the watermark must extend
+    its session; a late event *behind* the watermark must be dropped and
+    must not resurrect a closed session.
+
+    Spark filters late events with the *previous* batch's watermark
+    (watermarkForLateEvents lags watermarkForEviction by one batch,
+    SPARK-24634 semantics — measured here: a too-late event arriving in
+    the very next batch after the clock advance is still admitted), so the
+    clock advance and the late events are separated by a spacer batch.
+
+    Timeline (gap=30m, watermark delay=3h):
+      batch 0: A@10:00, A@10:05, B@10:00, clock@12:00
+      batch 1: clock@12:05 (spacer; late-filter wm for batch 2 -> 09:05)
+      batch 2: A@10:10 (>= 09:05: accepted, extends A's session)
+               B@08:00 (< 09:05: dropped by the watermark)
+      batch 3: clock@next-day -> eviction wm passes every session end,
+               flushing the closed sessions in append mode.
+    """
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def _rows(*evts):
+        return [(u, base + dt.timedelta(minutes=m), float(v)) for u, m, v in evts]
+
+    src = str(tmp_path / "sessions_src")
+    os.makedirs(src)
+    batches = [
+        _rows(("A", 0, 1), ("A", 5, 2), ("B", 0, 10), ("clock", 120, 0)),
+        _rows(("clock", 125, 0)),
+        _rows(("A", 10, 4), ("B", -120, 100)),
+        _rows(("clock", 840, 0)),  # next day 00:00
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+        batch_dir = os.path.join(src, f"batch_{i:05d}.parquet")
+        df.coalesce(1).write.parquet(batch_dir)
+        # The file source picks files oldest-mtime-first; fast consecutive
+        # writes can tie, so pin strictly increasing mtimes per batch.
+        for root, _, files in os.walk(batch_dir):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_000_000 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*.parquet"))
+    )
+    agg = SW.session(
+        SW.with_watermark(stream, "ts", "3 hours"), gap="30 minutes",
+        group_cols=["user_id"],
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["window_start"], r["window_end"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_out WHERE user_id IN ('A','B')").collect()
+    }
+    m = dt.timedelta(minutes=1)
+    # A: one session extended by the in-watermark late event (else it would
+    # end 10:35 with n=2, sum=3).
+    assert got == {
+        ("A", base, base + 40 * m): (3, 7.0),
+        ("B", base, base + 30 * m): (1, 10.0),
+    }, got
+    # The too-late event must show up in the drop metric, not the output.
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1, f"expected exactly the B@08:00 row dropped, got {dropped}"
+
+    # Batch semantics see *all* rows (no watermark): same A session, but B
+    # gains the 08:00 session the stream correctly refused to resurrect.
+    batch_df = spark.read.parquet(os.path.join(src, "*.parquet"))
+    batch = {
+        (r["user_id"], r["window_start"], r["window_end"]): (r["n_events"], r["sum_value"])
+        for r in SW.session(batch_df, gap="30 minutes", group_cols=["user_id"])
+        .filter(F.col("user_id").isin("A", "B"))
+        .collect()
+    }
+    assert batch[("A", base, base + 40 * m)] == (3, 7.0)
+    assert ("B", base - 120 * m, base - 90 * m) in batch
+    assert ("B", base - 120 * m, base - 90 * m) not in got
