@@ -257,3 +257,17 @@ def x_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_cosine_topk(
         emb.filter(F.col("vec_id") % 25 == 0), emb, k=5, n_planes=4, n_tables=8
     ).select("query_id", "neighbor_id", "sim", "rank")
+
+
+@query("x_ivf_cosine_topk", tags=("ext", "similarity"))
+def x_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: IVF (inverted-file) approximate top-5 — the data-adaptive ANN
+    path next to sign-LSH (rows-only; recall vs the exact path asserted in
+    tests/test_similarity.py). Corpus: one GEMM pass to its cell; queries
+    probe nprobe cells; candidates via cell equi-join."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return S.ivf_cosine_topk(
+        emb.filter(F.col("vec_id") % 25 == 0), emb,
+        k=5, n_centroids=16, nprobe=6,
+    ).select("query_id", "neighbor_id", "sim", "rank")

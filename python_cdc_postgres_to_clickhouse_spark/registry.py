@@ -79,6 +79,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_cosine_topk",
     "x_embedding_near_dup",
     "x_lsh_cosine_topk",
+    "x_ivf_cosine_topk",
     # Misc / TPC-H-shaped coverage with no round-1 row.
     "m_token_tf_topn",
     "m_json_map",
@@ -105,7 +106,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j_inner_equi",
     "j_star_broadcast",
     "j_asof_latest_event",
-    "j_full_outer",
     "a_groupby_orders",
     "a_rollup",
     "a_pivot",

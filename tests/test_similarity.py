@@ -138,3 +138,41 @@ def test_lsh_bucket_count_bounded(spark):
 # neighborhoods (measured top-1 label agreement ≈ 0.10, same-label mean sim
 # ≈ diff-label) — so no label-agreement assertion is possible on this
 # fixture; exactness is guaranteed by the numpy comparison above instead.
+
+
+def test_ivf_recall_on_planted_near_duplicates(spark):
+    """IVF's pipeline job mirrors LSH's: planted high-sim duplicates must
+    land in the same (or a probed) cell and be recovered."""
+    rng = np.random.RandomState(0)
+    base = rng.randn(200, 64)
+    dups = base[:100] + 0.12 * rng.randn(100, 64)  # sim ~ 0.99
+    vecs = np.vstack([base, dups]).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))], ["vec_id", "embedding"]
+    )
+    q = emb.filter(F.col("vec_id") >= 200)
+    exact = S.cosine_topk(q, emb, k=1)
+    approx = S.ivf_cosine_topk(q, emb, k=1, n_centroids=16, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"IVF recall@1 on planted dups = {recall:.2f}"
+
+
+def test_ivf_recall_vs_exact_moderate_sim(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = S.cosine_topk(q, emb, k=5)
+    approx = S.ivf_cosine_topk(q, emb, k=5, n_centroids=16, nprobe=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.5, f"IVF recall@5 = {recall:.2f}"
+
+
+def test_ivf_centroids_deterministic_and_unit_norm(spark):
+    emb = _emb(spark)
+    c1 = S.train_ivf_centroids(emb, n_centroids=8, seed=7)
+    c2 = S.train_ivf_centroids(emb, n_centroids=8, seed=7)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
