@@ -360,9 +360,22 @@ def train_ivf_centroids(
     ≤ ``sample_limit`` rows and broadcast the (n_centroids × dim) matrix.
 
     Lloyd's iterations on unit vectors with cosine assignment; empty cells
-    keep their previous centroid. Deterministic given (seed, sample).
+    keep their previous centroid. Deterministic given (seed, data layout).
+
+    The sample is a seeded random draw across the whole corpus, NOT a
+    partition prefix: ``limit(n)`` would train on whatever the first files
+    contain, and ingested embeddings are typically written clustered by
+    source/topic/time — a prefix-trained quantizer models one region and
+    collapses the rest of the corpus into few cells.
     """
-    rows = vectors.select(vec_col).limit(sample_limit).collect()
+    n_rows = vectors.count()
+    if n_rows > sample_limit:
+        # Oversample 2x so the post-sample limit() almost never undershoots.
+        frac = min(1.0, 2.0 * sample_limit / n_rows)
+        sample = vectors.select(vec_col).sample(False, frac, seed).limit(sample_limit)
+    else:
+        sample = vectors.select(vec_col)
+    rows = sample.collect()
     X = np.array([r[vec_col] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     if len(X) < n_centroids:

@@ -82,6 +82,8 @@ def _write_string(buf: io.BytesIO, s: str) -> None:
 
 def _read_string(buf: io.BytesIO) -> str:
     n = _read_varint(buf)
+    if n < 0:
+        raise ValueError(f"negative string length: {n}")
     return buf.read(n).decode("utf-8")
 
 
@@ -198,26 +200,61 @@ _PRIMITIVE_PANDAS = {
 }
 
 
+def _resolve_type(avro_type):
+    """Unwrap ``{'type': X, ...}`` annotation layers (Debezium's
+    ``connect.name`` etc. ride on these). A ``logicalType`` annotation is
+    rejected: honoring it (decimal/date/timestamp mapping) is what the JVM
+    ``from_avro`` path does, and silently returning the raw primitive here
+    would make engine='auto' output depend on JAR presence."""
+    while isinstance(avro_type, dict):
+        if "logicalType" in avro_type:
+            raise ValueError(
+                f"Avro logicalType {avro_type['logicalType']!r} requires the "
+                "JVM from_avro path (ship the spark-avro JAR and use "
+                "engine='jvm'); the Python codec decodes raw primitives only"
+            )
+        avro_type = avro_type["type"]
+    return avro_type
+
+
+def _union_branches(avro_type) -> list | None:
+    """The union branch list for a field type (through any dict wrapping),
+    or None if the type is not a union."""
+    t = _resolve_type(avro_type)
+    return t if isinstance(t, list) else None
+
+
 def _field_type(avro_type) -> tuple[str, bool]:
     """(primitive_name, nullable) for a field type that is a primitive, a
-    {'type': prim} dict (possibly carrying a logicalType / Debezium
-    connect.name annotation), or a union of one primitive with 'null'."""
-    if isinstance(avro_type, dict):
-        return _field_type(avro_type["type"])
-    if isinstance(avro_type, list):
-        branches = [b for b in avro_type if b != "null"]
+    {'type': prim} annotation dict, or a union of one primitive with
+    'null' — in any dict-wrapped spelling."""
+    t = _resolve_type(avro_type)
+    if isinstance(t, list):
+        branches = [b for b in t if _resolve_type(b) != "null"]
         if len(branches) != 1:
             raise ValueError(f"unsupported union {avro_type!r}")
         prim, _ = _field_type(branches[0])
         return prim, True
-    if avro_type not in _PRIMITIVE_SPARK:
+    if t not in _PRIMITIVE_SPARK:
         raise ValueError(f"unsupported Avro type {avro_type!r}")
-    return avro_type, False
+    return t, False
 
 
 def _read_primitive(buf: io.BytesIO, prim: str):
-    if prim in ("int", "long"):
-        return _read_varint(buf)
+    # Range checks matter for the dead-letter contract: a corrupt body can
+    # decode "successfully" into e.g. a 2^40 'int', which would then blow up
+    # the *columnar* Int32 conversion outside the per-row try/except and
+    # kill the whole task instead of null-routing one row.
+    if prim == "int":
+        v = _read_varint(buf)
+        if not -(2**31) <= v < 2**31:
+            raise ValueError(f"int out of range: {v}")
+        return v
+    if prim == "long":
+        v = _read_varint(buf)
+        if not -(2**63) <= v < 2**63:
+            raise ValueError(f"long out of range: {v}")
+        return v
     if prim == "string":
         return _read_string(buf)
     if prim == "boolean":
@@ -231,6 +268,8 @@ def _read_primitive(buf: io.BytesIO, prim: str):
         return struct.unpack("<d", buf.read(8))[0]
     if prim == "bytes":
         n = _read_varint(buf)
+        if n < 0:
+            raise ValueError(f"negative bytes length: {n}")
         return buf.read(n)
     raise ValueError(prim)
 
@@ -260,12 +299,16 @@ def encode_record(schema_json: str, rec: dict) -> bytes:
     buf = io.BytesIO()
     for f in schema["fields"]:
         ftype, v = f["type"], rec[f["name"]]
-        if isinstance(ftype, list):
+        branches = _union_branches(ftype)
+        if branches is not None:
             if v is None:
-                _write_varint(buf, ftype.index("null"))
+                _write_varint(
+                    buf,
+                    next(i for i, b in enumerate(branches) if _resolve_type(b) == "null"),
+                )
             else:
                 idx, branch = next(
-                    (i, b) for i, b in enumerate(ftype) if b != "null"
+                    (i, b) for i, b in enumerate(branches) if _resolve_type(b) != "null"
                 )
                 _write_varint(buf, idx)
                 _write_primitive(buf, _field_type(branch)[0], v)
@@ -277,13 +320,15 @@ def encode_record(schema_json: str, rec: dict) -> bytes:
 
 
 def build_decoder(schema_json: str):
-    """Compile an Avro record schema to ``(decode_fn, spark_schema)``.
+    """Compile an Avro record schema to ``(decode_fn, spark_schema, prims)``.
 
     ``decode_fn(payload: bytes) -> dict`` reads the binary body in field
-    order. Union branch order follows the writer schema (a union's branch
-    index is written as a zigzag varint before the value). Supports the
-    primitive subset a Debezium flat value schema uses; nested records
-    would take the JVM ``from_avro`` path on a real cluster.
+    order; ``prims`` is the per-field primitive name (same order as the
+    schema fields — the single source for dtype mapping downstream). Union
+    branch order follows the writer schema (a union's branch index is
+    written as a zigzag varint before the value). Supports the primitive
+    subset a Debezium flat value schema uses; nested records and
+    logicalTypes take the JVM ``from_avro`` path on a real cluster.
     """
     schema = _json.loads(schema_json)
     if schema.get("type") != "record":
@@ -292,17 +337,23 @@ def build_decoder(schema_json: str):
         (f["name"], f["type"]) for f in schema["fields"]
     ]
     spark_fields = []
+    prims: list[str] = []
     for name, ftype in fields:
         prim, _nullable = _field_type(ftype)
+        prims.append(prim)
         spark_fields.append(T.StructField(name, _PRIMITIVE_SPARK[prim], True))
 
     def decode(payload: bytes) -> dict:
         buf = io.BytesIO(payload)
         rec: dict = {}
         for name, ftype in fields:
-            if isinstance(ftype, list):  # union: branch index first
-                branch = ftype[_read_varint(buf)]
-                if branch == "null":
+            branches = _union_branches(ftype)
+            if branches is not None:  # union: branch index first
+                idx = _read_varint(buf)
+                if not 0 <= idx < len(branches):
+                    raise ValueError(f"union branch index {idx} out of range")
+                branch = branches[idx]
+                if _resolve_type(branch) == "null":
                     rec[name] = None
                     continue
                 prim, _ = _field_type(branch)
@@ -312,7 +363,7 @@ def build_decoder(schema_json: str):
                 rec[name] = _read_primitive(buf, prim)
         return rec
 
-    return decode, T.StructType(spark_fields)
+    return decode, T.StructType(spark_fields), prims
 
 
 # The reference `users` value schema (reference schema.avsc): int id,
@@ -349,27 +400,40 @@ USERS_DECODED_SCHEMA = T.StructType(
 )
 
 
+_JVM_AVRO_AVAILABLE: dict[str, bool] = {}
+
+
 def jvm_avro_available(spark=None) -> bool:
     """True when the spark-avro module is loaded in the active session.
 
     Spark 4 registers ``from_avro`` unconditionally and raises
     AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE at *analysis* time when the
     external module is absent — so the probe analyzes (but never runs) a
-    one-row plan.
+    one-row plan. The answer is immutable for a running session (the JAR
+    cannot appear or vanish mid-session), so it is cached per application.
     """
     try:
         from pyspark.sql import SparkSession
-        from pyspark.sql.avro.functions import from_avro
 
         spark = spark or SparkSession.getActiveSession()
         if spark is None:
             return False
+        app_id = spark.sparkContext.applicationId
+        if app_id in _JVM_AVRO_AVAILABLE:
+            return _JVM_AVRO_AVAILABLE[app_id]
+        from pyspark.sql.avro.functions import from_avro
+
         probe = spark.range(1).select(
             from_avro(F.lit(b"").cast("binary"), '"bytes"').alias("_probe")
         )
         probe.schema  # forces analysis
+        _JVM_AVRO_AVAILABLE[app_id] = True
         return True
     except Exception:
+        try:
+            _JVM_AVRO_AVAILABLE[spark.sparkContext.applicationId] = False
+        except Exception:
+            pass
         return False
 
 
@@ -428,14 +492,11 @@ def decode_avro(
                 "use engine='auto' to fall back to the Python codec"
             )
 
-    decode, decoded_schema = build_decoder(schema_json)
+    decode, decoded_schema, prims = build_decoder(schema_json)
     out_names = [f.name for f in decoded_schema.fields]
     out_dtypes = {
-        f.name: _PRIMITIVE_PANDAS[_field_type(ft)[0]]
-        for f, ft in zip(
-            decoded_schema.fields,
-            [fld["type"] for fld in _json.loads(schema_json)["fields"]],
-        )
+        f.name: _PRIMITIVE_PANDAS[prim]
+        for f, prim in zip(decoded_schema.fields, prims)
     }
     out_schema = T.StructType(
         [f for f in src.schema.fields if f.name != "_avro_body"]

@@ -217,3 +217,74 @@ def test_schema_driven_decoder_roundtrip_and_evolution(spark):
     v1_out = decode_avro(_df(spark, v1_payloads), v1, framing="raw")
     assert "score" not in v1_out.columns
     assert v1_out.first()["email"] == "old@x"
+
+
+def test_dict_wrapped_union_decodes(spark):
+    """{'type': ['null','string']} (valid Avro, dict-wrapped union) must
+    decode identically to the bare-list spelling — the branch-index varint
+    must be consumed either way."""
+    import json
+
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import decode_avro, encode_record
+
+    wrapped = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "int"},
+                {"name": "email", "type": {"type": ["null", "string"]}},
+            ],
+        }
+    )
+    payloads = [
+        encode_record(wrapped, {"id": 1, "email": "a@x"}),
+        encode_record(wrapped, {"id": 2, "email": None}),
+    ]
+    out = {r["id"]: r["email"] for r in decode_avro(_df(spark, payloads), wrapped, framing="raw").collect()}
+    assert out == {1: "a@x", 2: None}
+
+
+def test_logical_type_rejected_by_python_codec():
+    """logicalType fields must raise (the JVM from_avro path honors them;
+    silently returning the raw primitive would make engine='auto' output
+    depend on JAR presence)."""
+    import json
+
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import build_decoder
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                            "precision": 10, "scale": 2}},
+            ],
+        }
+    )
+    with pytest.raises(ValueError, match="logicalType"):
+        build_decoder(schema)
+
+
+def test_out_of_range_int_dead_letters_not_task_failure(spark):
+    """A corrupt body whose 'id' varint decodes beyond int32 must null-route
+    that one row (dead letter), not abort the Arrow batch at the columnar
+    Int32 conversion."""
+    import io as _io
+
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import (
+        _write_string,
+        _write_varint,
+    )
+
+    buf = _io.BytesIO()
+    _write_varint(buf, 2**40)        # 'int' field out of int32 range
+    _write_string(buf, "user")
+    _write_string(buf, "mail@x")
+    _write_varint(buf, 1)            # created_at null branch
+    corrupt = buf.getvalue()
+    good = encode_user_record(*ROWS[0])
+    rows = decode_users(_df(spark, [good, corrupt]), framing="raw").collect()
+    assert len(rows) == 2
+    assert {r["id"] for r in rows} == {ROWS[0][0], None}
