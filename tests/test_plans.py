@@ -123,6 +123,14 @@ def test_embedding_near_dup_declared_path_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, "declared path compiles to all-pairs"
 
 
+def test_ivf_topk_has_no_cross_join(spark):
+    """IVF candidates must come from the cell-id equi-join, never an
+    all-pairs product."""
+    plan = P.physical_plan(_q(spark, "x_ivf_cosine_topk"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_metadata_scan_prunes_unused_columns(spark):
     t = load_tables(spark, SF_ORACLE)
     df = t["lineitem"].select("l_orderkey").limit(5)
