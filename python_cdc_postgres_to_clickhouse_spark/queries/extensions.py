@@ -271,3 +271,54 @@ def x_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 25 == 0), emb,
         k=5, n_centroids=16, nprobe=6,
     ).select("query_id", "neighbor_id", "sim", "rank")
+
+
+CORPUS_PREP_SQL = f"""
+WITH canon AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5({SQL_NORM}) ORDER BY doc_id) AS rn
+    FROM documents) t
+  WHERE rn = 1
+), q AS (
+  SELECT doc_id,
+         md5({SQL_NORM}) AS fp,
+         CAST(len(string_split({SQL_NORM}, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_intersect(string_split({SQL_NORM}, ' '), {_STOP_SQL}))
+              AS INTEGER) AS stopword_hits
+  FROM canon
+)
+SELECT doc_id, fp, n_tokens, stopword_hits,
+       least(1.0, (CAST(n_tokens AS DOUBLE) / 50.0) * 0.5
+                  + (CAST(stopword_hits AS DOUBLE) / 4.0) * 0.5) AS quality_score
+FROM q
+WHERE least(1.0, (CAST(n_tokens AS DOUBLE) / 50.0) * 0.5
+                 + (CAST(stopword_hits AS DOUBLE) / 4.0) * 0.5) >= 0.5
+"""
+
+
+@query("x_corpus_prep", oracle=CORPUS_PREP_SQL, tags=("ext", "pipeline"))
+def x_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep as ONE declarative plan (X1+X4
+    composed): normalize → exact-dedup keeping the canonical (min doc_id)
+    copy per content fingerprint → quality-score → filter. The point of a
+    Spark-first design: the whole pipeline is a single Catalyst plan
+    (window dedup + narrow maps + one filter), so pushdown/pruning/AQE see
+    through every stage — no materialization between 'operators'."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    canon = (
+        t["documents"]
+        .select("doc_id", "text", TS.fingerprint().alias("fp"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        TS.quality_features(canon)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "fp", "n_tokens", "stopword_hits", "quality_score")
+    )

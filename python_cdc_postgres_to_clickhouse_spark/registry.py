@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_embedding_near_dup",
     "x_lsh_cosine_topk",
     "x_ivf_cosine_topk",
+    "x_corpus_prep",
     # Misc / TPC-H-shaped coverage with no round-1 row.
     "m_token_tf_topn",
     "m_json_map",
@@ -108,7 +109,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j_star_broadcast",
     "j_asof_latest_event",
     "a_groupby_orders",
-    "a_rollup",
     "a_pivot",
     "w_topk_per_group",
     "w_running_sum",
