@@ -288,3 +288,72 @@ def test_out_of_range_int_dead_letters_not_task_failure(spark):
     rows = decode_users(_df(spark, [good, corrupt]), framing="raw").collect()
     assert len(rows) == 2
     assert {r["id"] for r in rows} == {ROWS[0][0], None}
+
+
+# ---------------------------------------------------------------------------
+# Property-based codec round-trip: random flat schemas x random values.
+# (The dict-wrapped-union bug class would have been caught by exactly this.)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_PRIMS = ["int", "long", "string", "boolean", "float", "double", "bytes"]
+
+
+def _value_for(prim):
+    return {
+        "int": st.integers(-(2**31), 2**31 - 1),
+        "long": st.integers(-(2**63), 2**63 - 1),
+        "string": st.text(max_size=40),
+        "boolean": st.booleans(),
+        "float": st.floats(width=32, allow_nan=False),
+        "double": st.floats(allow_nan=False),
+        "bytes": st.binary(max_size=40),
+    }[prim]
+
+
+@st.composite
+def _schema_and_rows(draw):
+    n_fields = draw(st.integers(1, 6))
+    fields, row_strats = [], {}
+    for i in range(n_fields):
+        prim = draw(st.sampled_from(_PRIMS))
+        nullable = draw(st.booleans())
+        wrapped = draw(st.booleans())  # dict-wrapped spelling of the same type
+        name = f"f{i}"
+        if nullable:
+            order = draw(st.booleans())
+            ftype = ["null", prim] if order else [prim, "null"]
+            if wrapped:
+                ftype = {"type": ftype}
+            row_strats[name] = st.one_of(st.none(), _value_for(prim))
+        else:
+            ftype = {"type": prim} if wrapped else prim
+            row_strats[name] = _value_for(prim)
+        fields.append({"name": name, "type": ftype})
+    schema = {"type": "record", "name": "r", "fields": fields}
+    rows = draw(st.lists(st.fixed_dictionaries(row_strats), min_size=1, max_size=5))
+    return schema, rows
+
+
+@given(_schema_and_rows())
+@settings(max_examples=150, deadline=None)
+def test_codec_roundtrip_property(schema_and_rows):
+    """encode_record ∘ build_decoder == identity for every flat schema the
+    Python codec claims to support, in every type spelling."""
+    import json
+    import math
+
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import build_decoder, encode_record
+
+    schema, rows = schema_and_rows
+    sj = json.dumps(schema)
+    decode, _spark_schema, _prims = build_decoder(sj)
+    for row in rows:
+        got = decode(encode_record(sj, row))
+        for k, want in row.items():
+            v = got[k]
+            if isinstance(want, float) and not isinstance(want, bool):
+                assert v == want or (math.isinf(want) and v == want), (k, want, v)
+            else:
+                assert v == want, (k, want, v)
