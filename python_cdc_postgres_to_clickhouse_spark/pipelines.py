@@ -156,16 +156,20 @@ def clickhouse_jdbc_sink(
     changes: DataFrame,
     checkpoint_dir: str,
     options: dict[str, str] | None = None,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Attach a flattened change stream to a ClickHouse JDBC destination
     (micro-batch appends; exactly-once up to ClickHouse's replacing-merge
-    semantics, at-least-once at the insert level)."""
+    semantics, at-least-once at the insert level). ``available_now=True``
+    drains what exists and stops — backfill/catch-up mode."""
     opts = options or clickhouse_jdbc_options()
-    return (
+    writer = (
         changes.writeStream.foreachBatch(clickhouse_append_batch(opts))
         .option("checkpointLocation", checkpoint_dir)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def console_debug_sink(df: DataFrame, n_rows: int = 20) -> StreamingQuery:

@@ -123,3 +123,61 @@ def test_clickhouse_jdbc_option_plumbing(spark, tmp_path, monkeypatch):
     assert recorded == [
         {"format": "jdbc", "options": opts, "mode": "append"}
     ]
+
+
+def test_clickhouse_sink_streaming_wiring(spark, tmp_path, monkeypatch):
+    """clickhouse_jdbc_sink end-to-end on a real micro-batch stream: every
+    batch must reach the (stubbed) jdbc writer with the configured options
+    and append mode; checkpointing wired."""
+    from python_cdc_postgres_to_clickhouse_spark.pipelines import (
+        clickhouse_jdbc_options,
+        clickhouse_jdbc_sink,
+    )
+
+    # Patch the *concrete* DataFrame class (pyspark.sql.classic...): the
+    # abstract base's attribute is shadowed by the subclass property, so
+    # patching pyspark.sql.DataFrame would miss the foreachBatch df.
+    _DF = type(spark.range(1))
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "username"]).coalesce(
+        1
+    ).write.parquet(src)
+
+    recorded: list[dict] = []
+
+    class _FakeWriter:
+        def __init__(self):
+            self.state = {}
+
+        def format(self, fmt):
+            self.state["format"] = fmt
+            return self
+
+        def options(self, **kw):
+            self.state.setdefault("options", {}).update(kw)
+            return self
+
+        def mode(self, m):
+            self.state["mode"] = m
+            return self
+
+        def save(self):
+            recorded.append(self.state)
+
+    # foreachBatch runs driver-side, so a process-wide property patch on
+    # DataFrame.write intercepts the terminal jdbc save.
+    monkeypatch.setattr(_DF, "write", property(lambda self: _FakeWriter()))
+
+    opts = clickhouse_jdbc_options(host="ch.example", table="users_current")
+    stream = spark.readStream.schema("id long, username string").parquet(src)
+    q = clickhouse_jdbc_sink(
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        options=opts,
+        available_now=True,
+    )
+    q.awaitTermination(60)
+    assert len(recorded) >= 1
+    for call in recorded:
+        assert call == {"format": "jdbc", "options": opts, "mode": "append"}
