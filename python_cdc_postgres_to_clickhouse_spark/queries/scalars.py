@@ -164,10 +164,10 @@ def c_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            abs(o_totalprice - 100000) AS dist_from_100k,
-           ceil(o_totalprice) AS price_ceil,
-           floor(o_totalprice) AS price_floor,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
            CAST(o_orderkey % 97 AS BIGINT) AS key_mod,
-           sign(o_totalprice - 100000) AS over_100k,
+           CAST(sign(o_totalprice - 100000) AS DOUBLE) AS over_100k,
            sqrt(o_totalprice) AS price_sqrt,
            CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE) AS price_sq
     FROM orders WHERE o_orderkey % 11 = 0

@@ -1,0 +1,62 @@
+"""Self-tests for the oracle harness — the harness must be at least as
+strict as the driver's type-sensitive hash, or local green lies.
+
+Round-2 lesson: canon via pandas ``iterrows()`` upcast all-numeric rows to
+float64, so a Spark-BIGINT vs DuckDB-DOUBLE column (bit-identical values)
+passed locally while the driver hashed `123457` != `123457.0` and failed
+``c_math_funcs`` two rounds running.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from .oracle_harness import assert_dtype_parity, canon_rows
+
+
+def test_int_vs_float_column_is_caught():
+    sdf = pd.DataFrame({"k": [1, 2], "v": np.array([10, 20], dtype=np.int64)})
+    odf = pd.DataFrame({"k": [1, 2], "v": np.array([10.0, 20.0], dtype=np.float64)})
+    with pytest.raises(AssertionError, match="type-class mismatch"):
+        assert_dtype_parity(sdf, odf, "fixture")
+
+
+def test_canon_preserves_int_repr_in_mixed_numeric_frame():
+    # The iterrows() bug: an all-numeric (int, float) row became a float64
+    # Series, canonizing the int as '10.0'. Column-wise canon keeps '10'.
+    df = pd.DataFrame(
+        {"i": np.array([10], dtype=np.int64), "f": np.array([1.5], dtype=np.float64)}
+    )
+    assert canon_rows(df) == ["1.5|10"]
+
+
+def test_int_width_is_immaterial():
+    sdf = pd.DataFrame({"v": np.array([7], dtype=np.int64)})
+    odf = pd.DataFrame({"v": np.array([7], dtype=np.int32)})
+    assert_dtype_parity(sdf, odf, "fixture")
+    assert canon_rows(sdf) == canon_rows(odf)
+
+
+def test_object_decimal_counts_as_float():
+    from decimal import Decimal
+
+    sdf = pd.DataFrame({"v": np.array([1.25], dtype=np.float64)})
+    odf = pd.DataFrame({"v": [Decimal("1.25")]})  # object dtype
+    assert_dtype_parity(sdf, odf, "fixture")
+    assert canon_rows(sdf) == canon_rows(odf)
+
+
+def test_all_null_column_is_wildcard():
+    sdf = pd.DataFrame({"v": pd.array([None, None], dtype=object)})
+    odf = pd.DataFrame({"v": np.array([np.nan, np.nan], dtype=np.float64)})
+    assert_dtype_parity(sdf, odf, "fixture")
+
+
+def test_nullable_int_upcast_matches_on_both_sides():
+    # Nulls in an int column upcast to float64 in pandas on BOTH engines'
+    # conversion paths — that agreement must not be flagged.
+    sdf = pd.DataFrame({"v": np.array([1.0, np.nan], dtype=np.float64)})
+    odf = pd.DataFrame({"v": np.array([1.0, np.nan], dtype=np.float64)})
+    assert_dtype_parity(sdf, odf, "fixture")
