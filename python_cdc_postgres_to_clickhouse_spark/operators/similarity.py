@@ -352,30 +352,35 @@ def train_ivf_centroids(
     n_iters: int = 8,
     seed: int = 42,
     sample_limit: int = 20_000,
+    sample_fraction: float | None = None,
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, trained driver-side on a bounded
     sample — model *fitting* (like drawing LSH hyperplanes, but
     data-adaptive), not a corpus pass: at 100 TB you still train on
     ≤ ``sample_limit`` rows and broadcast the (n_centroids × dim) matrix.
+    Build once, query many: persist the returned matrix and pass it to
+    ``ivf_cosine_topk(centroids=...)`` for every subsequent query batch.
 
     Lloyd's iterations on unit vectors with cosine assignment; empty cells
     keep their previous centroid. Deterministic given (seed, data layout).
 
-    The sample is a seeded random draw across the whole corpus, NOT a
-    partition prefix: ``limit(n)`` would train on whatever the first files
-    contain, and ingested embeddings are typically written clustered by
+    The sample is an exact uniform ``sample_limit``-subset drawn in ONE
+    narrow pass with no prior ``count()``: the ``sample_limit`` smallest
+    ``rand(seed)`` values are a uniform without-replacement draw, and
+    Spark executes ``orderBy(rand).limit(n)`` as TakeOrdered — a bounded
+    per-partition heap, never a global sort. A bare ``limit(n)`` (or a
+    ``sample().limit()``) would instead train on a partition *prefix*,
+    and ingested embeddings are typically written clustered by
     source/topic/time — a prefix-trained quantizer models one region and
-    collapses the rest of the corpus into few cells.
+    collapses the rest of the corpus into few cells. For corpora with very
+    many partitions, pass ``sample_fraction`` to pre-thin rows before the
+    heaps (caps the per-partition candidate volume the merge touches).
     """
-    n_rows = vectors.count()
-    if n_rows > sample_limit:
-        # Oversample 2x so the post-sample limit() almost never undershoots.
-        frac = min(1.0, 2.0 * sample_limit / n_rows)
-        sample = vectors.select(vec_col).sample(False, frac, seed).limit(sample_limit)
-    else:
-        sample = vectors.select(vec_col)
-    rows = sample.collect()
+    sample = vectors.select(vec_col)
+    if sample_fraction is not None:
+        sample = sample.sample(False, sample_fraction, seed)
+    rows = sample.orderBy(F.rand(seed)).limit(sample_limit).collect()
     X = np.array([r[vec_col] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     if len(X) < n_centroids:
@@ -423,6 +428,12 @@ def ivf_cosine_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k with an IVF index (rows-only; recall-tested).
+
+    Build once, query many: the production shape is to train the coarse
+    quantizer once (``train_ivf_centroids``), persist the small matrix, and
+    pass it via ``centroids=`` for every query batch. ``centroids=None``
+    trains inline on a bounded one-pass sample — convenient for ad-hoc use,
+    but it repeats quantizer fitting on every call.
 
     Plan shape at scale: centroids broadcast inside the Arrow UDF closure;
     the corpus takes ONE narrow GEMM pass to its argmax cell (no shuffle);

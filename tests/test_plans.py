@@ -131,6 +131,24 @@ def test_ivf_topk_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_declared_query_trains_once_per_corpus(spark, monkeypatch):
+    """Build-once/query-many: after the first call has populated the
+    per-corpus centroid cache, re-declaring and re-executing the query
+    must not re-enter quantizer training (an extra bounded corpus pass
+    per run at scale)."""
+    from python_cdc_postgres_to_clickhouse_spark.operators import similarity as S
+    from python_cdc_postgres_to_clickhouse_spark.queries import extensions as X
+
+    assert _q(spark, "x_ivf_cosine_topk").count() > 0  # populates the cache
+    assert SF_ORACLE in X._IVF_CENTROIDS
+
+    def boom(*a, **kw):
+        raise AssertionError("train_ivf_centroids re-entered on warm cache")
+
+    monkeypatch.setattr(S, "train_ivf_centroids", boom)
+    assert _q(spark, "x_ivf_cosine_topk").count() > 0
+
+
 def test_metadata_scan_prunes_unused_columns(spark):
     t = load_tables(spark, SF_ORACLE)
     df = t["lineitem"].select("l_orderkey").limit(5)
