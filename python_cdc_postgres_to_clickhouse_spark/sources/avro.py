@@ -479,6 +479,18 @@ def decode_avro(
     src = df.withColumn("_avro_body", _framed_body(framing))
     in_fields = [c for c in src.schema.fieldNames() if c != "_avro_body"]
 
+    # A decoded field that shadows an input column would silently clobber it
+    # in the Python path (and leave an ambiguous duplicate name in the JVM
+    # path) — the Arrow schema/column-count mismatch that results is
+    # incomprehensible at the point it surfaces, so fail at the API edge.
+    decoded_names = [f["name"] for f in _json.loads(schema_json).get("fields", [])]
+    clash = sorted(set(in_fields) & set(decoded_names))
+    if clash:
+        raise ValueError(
+            f"decoded Avro field(s) {clash} collide with existing column(s); "
+            "drop or rename the input columns before decode_avro"
+        )
+
     if engine in ("auto", "jvm"):
         if jvm_avro_available(df.sparkSession):
             from pyspark.sql.avro.functions import from_avro

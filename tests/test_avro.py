@@ -147,9 +147,14 @@ def test_header_helpers_honor_renamed_column(spark):
 
 
 def test_engine_python_matches_auto(spark):
-    """engine='auto' must produce rows identical to the explicit Python
-    codec (in this container it falls back; with the spark-avro JAR it
-    takes the JVM path — either way the rows must match)."""
+    """JVM-vs-Python engine parity. Only meaningful when spark-avro is on
+    the classpath: without it 'auto' falls back to the same Python codec
+    and the test would compare the Python path to itself — skip so a pass
+    always means two engines actually agreed."""
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import jvm_avro_available
+
+    if not jvm_avro_available(spark):
+        pytest.skip("spark-avro JAR absent: 'auto' falls back to the Python codec")
     payloads = [frame_confluent(encode_user_record(*r), schema_id=7) for r in ROWS]
     py = decode_users(_df(spark, payloads), framing="confluent", engine="python")
     auto = decode_users(_df(spark, payloads), framing="confluent", engine="auto")
@@ -172,6 +177,16 @@ def test_engine_jvm_explicit(spark):
     else:
         with pytest.raises(RuntimeError, match="spark-avro"):
             decode_users(_df(spark, payloads), framing="confluent", engine="jvm")
+
+
+def test_decoded_field_colliding_with_input_column_raises(spark):
+    """A decoded field shadowing an existing column must fail loudly at the
+    API edge, not as an Arrow schema/column-count mismatch deep in a task
+    (the Python path used to silently clobber the input column)."""
+    payloads = [frame_confluent(encode_user_record(*ROWS[0]), schema_id=7)]
+    df = _df(spark, payloads).withColumn("id", F.lit(99))
+    with pytest.raises(ValueError, match="collide"):
+        decode_users(df, framing="confluent", engine="python")
 
 
 def test_schema_driven_decoder_roundtrip_and_evolution(spark):
