@@ -4,12 +4,13 @@ Arrow-batched operators.
 
 The Spark-side contract is real and tested: schemas, partitioning, Pandas
 UDF signatures, and batch shapes are exactly what a production pipeline
-uses. Only the innermost codec call is stubbed — this container has no
-image/audio libraries, so ``decode_image``'s real path raises
-NotImplementedError and tests exercise the deterministic fake codec (a
-16-byte header: magic 'MMF0' + width + height + channels, payload =
-row-major bytes). Swapping in Pillow/ffmpeg changes one function, not the
-plumbing.
+uses. The innermost codec is content-routed: fake-codec payloads (a
+header: magic 'MMF0' + width + height + channels, payload = row-major
+bytes) decode deterministically with no dependencies; any other payload
+goes to the real codec, which self-activates when Pillow is importable
+(skip-marked tests cover it) and raises NotImplementedError otherwise —
+this container ships no image/audio libraries, so CI here exercises the
+fake path end-to-end.
 
 Design for 100 TB of media:
 - payloads live in a ``binary`` column next to typed metadata (width,
@@ -63,14 +64,47 @@ def _decode_header(payload: bytes) -> tuple[int, int, int]:
     return w, h, c
 
 
-def decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
-    """Decode a payload to an HxWxC uint8 array. Real codecs are not
-    available in this container."""
-    if not fake:
+def pil_available() -> bool:
+    """True when Pillow is importable — the real codec self-activates."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_real(payload: bytes) -> np.ndarray:
+    try:
+        from PIL import Image
+    except ImportError as exc:
         raise NotImplementedError(
-            "real image decode requires Pillow/libvips — not present; "
-            "use fake=True (deterministic fake codec) or vendor a codec"
-        )
+            "real image decode requires Pillow — not present in this "
+            "container; fake-codec payloads (MMF0 magic) still decode, or "
+            "install Pillow and the same call path activates it"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        arr = np.asarray(img.convert("RGB") if img.mode not in ("L", "RGB") else img)
+    if arr.ndim == 2:  # grayscale → HxWx1 so downstream shape contract holds
+        arr = arr[:, :, np.newaxis]
+    return arr.astype(np.uint8, copy=False)
+
+
+def decode_image(payload: bytes, fake: bool | None = None) -> np.ndarray:
+    """Decode a payload to an HxWxC uint8 array.
+
+    ``fake=None`` (default) routes by content: payloads carrying the fake
+    codec's MMF0 magic decode via the deterministic fake codec; anything
+    else goes to the real codec (Pillow), which self-activates when the
+    library is importable and raises NotImplementedError otherwise. Pass
+    ``fake=True``/``False`` to force a path.
+    """
+    if fake is None:
+        fake = payload[: len(MAGIC)] == MAGIC
+    if not fake:
+        return _decode_real(payload)
     w, h, c = _decode_header(payload)
     arr = np.frombuffer(payload, dtype=np.uint8, offset=HEADER_SIZE)
     return arr.reshape(h, w, c)

@@ -158,12 +158,51 @@ def x_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_duplicates(t["documents"], max_hamming=1)
 
 
-@query("x_dedup_clusters", tags=("ext", "dedup", "iterative"))
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS doc, string_split({SQL_NORM}, ' ') AS t FROM documents
+), tok AS (
+  SELECT DISTINCT doc,
+         unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                               i -> array_to_string(t[i:i+2], ' '))) AS token
+  FROM toks
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_tok FROM tok GROUP BY doc
+), inter AS (
+  SELECT ta.doc AS a, tb.doc AS b, COUNT(*) AS n_common
+  FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.doc < tb.doc
+  GROUP BY ta.doc, tb.doc
+), pairs AS (
+  SELECT a, b
+  FROM inter
+    JOIN sizes sa ON sa.doc = a
+    JOIN sizes sb ON sb.doc = b
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE)
+        >= 0.6
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT u AS vertex, u AS lbl FROM edges
+  UNION
+  SELECT e.v AS vertex, r.lbl FROM reach r JOIN edges e ON e.u = r.vertex
+), comp AS (
+  SELECT vertex, MIN(lbl) AS component FROM reach GROUP BY vertex
+)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       MIN(vertex) AS representative
+FROM comp GROUP BY component
+"""
+
+
+@query("x_dedup_clusters", oracle=DEDUP_CLUSTERS_SQL, tags=("ext", "dedup", "iterative"))
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 follow-through: near-dup pairs → connected components → one
-    representative per cluster (iterative min-label propagation; rows-only
-    — iteration to fixpoint is not single-pass-SQL-expressible; ground
-    truth via union-find in tests/test_clusters.py)."""
+    representative per cluster. Spark side iterates min-label propagation
+    to fixpoint (not single-pass-SQL); the *result* is deterministic given
+    the edge set (component id = min vertex id), so the oracle recomputes
+    it in DuckDB with a recursive-CTE transitive closure over the same
+    Jaccard-pair edges. Union-find ground truth in tests/test_clusters.py."""
     from ..operators.clusters import connected_components
 
     t = load_tables(spark, sf_dir)

@@ -49,9 +49,35 @@ def test_frame_sample(spark):
     assert [r["frame_idx"] for r in out] == [0, 10, 20]
 
 
-def test_real_codec_is_explicitly_stubbed():
+def test_real_codec_raises_without_pillow():
+    if MM.pil_available():
+        pytest.skip("Pillow present: real codec active, stub path untestable")
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x00" * 32, fake=False)
+
+
+def test_content_routing_picks_fake_codec_by_magic():
+    payload = MM.encode_fake_image(3, 8, 6)
+    arr = MM.decode_image(payload)  # default: route by MMF0 magic
+    assert arr.shape == (6, 8, 3)
+
+
+@pytest.mark.skipif(not MM.pil_available(), reason="Pillow not installed")
+def test_real_codec_roundtrip_with_pillow():
+    """Self-activating real path: a PNG encoded by Pillow decodes through
+    the same decode_image entry point, HxWxC uint8."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    src = rng.randint(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(src).save(buf, format="PNG")
+    arr = MM.decode_image(buf.getvalue())  # no MMF0 magic → real codec
+    assert arr.shape == (24, 32, 3)
+    assert np.array_equal(arr, src)  # PNG is lossless
 
 
 def test_metadata_query_prunes_payload(spark, media, tmp_path):
