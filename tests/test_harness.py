@@ -60,3 +60,43 @@ def test_nullable_int_upcast_matches_on_both_sides():
     sdf = pd.DataFrame({"v": np.array([1.0, np.nan], dtype=np.float64)})
     odf = pd.DataFrame({"v": np.array([1.0, np.nan], dtype=np.float64)})
     assert_dtype_parity(sdf, odf, "fixture")
+
+
+# ---------------------------------------------------------------------------
+# Driver-window bookkeeping: the union of per-round driver rows plus the
+# current 50-query priority window must cover the whole registry, or some
+# query silently never gets a driver CORRECTNESS row (the round-2 advice
+# found exactly this off-by-one in a hand-counted comment).
+# ---------------------------------------------------------------------------
+
+
+def test_driver_priority_window_shape():
+    from python_cdc_postgres_to_clickhouse_spark.registry import (
+        DRIVER_PRIORITY,
+        all_queries,
+    )
+
+    assert len(DRIVER_PRIORITY) == 50, len(DRIVER_PRIORITY)
+    assert len(set(DRIVER_PRIORITY)) == 50, "duplicate names in DRIVER_PRIORITY"
+    assert set(DRIVER_PRIORITY) <= set(all_queries())
+
+
+def test_every_query_has_or_will_have_a_driver_row():
+    """(∪ CORRECTNESS_r*.json keys) ∪ DRIVER_PRIORITY ⊇ registry — i.e. every
+    registered query either already has a driver row from a past round or is
+    inside the window the driver will check next."""
+    import glob
+    import json
+    from pathlib import Path
+
+    from python_cdc_postgres_to_clickhouse_spark.registry import (
+        DRIVER_PRIORITY,
+        all_queries,
+    )
+
+    repo = Path(__file__).resolve().parent.parent
+    covered: set[str] = set(DRIVER_PRIORITY)
+    for p in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        covered |= set(json.load(open(p)))
+    missing = sorted(set(all_queries()) - covered)
+    assert not missing, f"queries with no past or upcoming driver row: {missing}"
