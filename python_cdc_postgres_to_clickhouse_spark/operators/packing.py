@@ -1,0 +1,99 @@
+"""Sequence packing: global token offsets + context-window bins (EXT).
+
+LLM pretraining concatenates documents into one token stream and slices it
+into fixed-size context windows. The per-document facts a packing stage
+needs are: the document's *global token start offset* in corpus order, the
+window (bin) its first/last token lands in, and whether it straddles a
+window boundary. All of that derives from one primitive — an exclusive
+prefix sum of token counts over a total order — which is the textbook
+"hard at scale" operator: a naive ``Window.orderBy(id)`` with no
+partitionBy moves the entire corpus into ONE task (Spark even warns).
+
+This implementation is the scalable two-phase prefix sum:
+
+1. range-repartition by id — partition *i* holds strictly smaller ids than
+   partition *i+1*, so partition order is corpus order;
+2. per-partition running sums in parallel (window partitioned by the
+   materialized physical partition id);
+3. one tiny per-partition total (≤ one row per partition) to the driver,
+   converted to exclusive per-partition base offsets and broadcast back.
+
+Cost at 100 TB: two shuffles of a 2-column projection (range + window
+hash) plus an O(#partitions) driver exchange — vs. the single-task
+collapse of the naive window. Determinism: range boundaries come from
+Spark's seeded reservoir sketch, so the same input yields the same
+partitioning; results are boundary-independent anyway (any contiguous
+ordered split yields the same global prefix sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_token_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exclusive prefix sum of ``len_col`` in ``id_col`` order.
+
+    Requires unique ids (the total order) and non-negative lengths. Output:
+    ``id_col, len_col, start_offset`` — one row per input row.
+    """
+    d = (
+        df.select(id_col, F.col(len_col).cast("bigint").alias(len_col))
+        .repartitionByRange(n_parts, F.col(id_col))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # Phase 1: per-partition totals — bounded at one row per partition, so
+    # the driver exchange is O(n_parts) regardless of corpus size.
+    totals = d.groupBy("pid").agg(F.sum(len_col).alias("tot")).collect()
+    acc = 0
+    bases = []
+    for r in sorted(totals, key=lambda r: r["pid"]):
+        bases.append((r["pid"], acc))
+        acc += r["tot"]
+    base_df = d.sparkSession.createDataFrame(bases, "pid int, base bigint")
+    # Phase 2: parallel within-partition running sums + broadcast base add.
+    win = (
+        Window.partitionBy("pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("run", F.sum(len_col).over(win))
+        .join(F.broadcast(base_df), "pid")
+        .select(
+            id_col,
+            len_col,
+            (F.col("base") + F.col("run") - F.col(len_col)).alias("start_offset"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Assign each document its context-window bins for window size
+    ``budget``: ``bin_first``/``bin_last`` (integer division of the global
+    offsets) and ``spans_boundary`` (document straddles a window edge —
+    the rows a no-cross-document-attention loader must mask or re-pack).
+    """
+    budget = int(budget)
+    off = global_token_offsets(df, id_col=id_col, len_col=len_col, n_parts=n_parts)
+    return off.select(
+        id_col,
+        len_col,
+        "start_offset",
+        F.expr(f"start_offset div {budget}").alias("bin_first"),
+        F.expr(
+            f"(start_offset + greatest({len_col} - 1, 0)) div {budget}"
+        ).alias("bin_last"),
+    ).withColumn("spans_boundary", F.col("bin_first") != F.col("bin_last"))

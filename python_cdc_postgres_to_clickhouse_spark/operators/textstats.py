@@ -129,3 +129,108 @@ def rolling_hashes(text: str | Column = "text", shingle: int = 3) -> Column:
     return F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, shingle)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality heuristics): repetitious
+# documents — boilerplate, keyword stuffing, generation loops — show a low
+# type/token ratio and one token dominating the stream. Both are computed
+# from the token array with higher-order functions: a narrow projection,
+# zero shuffles (the naive explode→groupBy(doc,token)→groupBy(doc) shape
+# would shuffle the whole tokenized corpus twice at 100 TB).
+# ---------------------------------------------------------------------------
+
+
+def top_token_run_count(text: str | Column = "text") -> Column:
+    """Count of the most frequent token: longest equal-run in the sorted
+    token array, via a single left fold (aggregate) with (prev, run, best)
+    state."""
+    s = F.array_sort(tokens(text))
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(s, init, step, lambda acc: acc["best"])
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition stats: token totals, distinct-token count,
+    top-token count, and the two ratios filters threshold on
+    (``top_token_fraction`` high / ``type_token_ratio`` low ⇒ repetitious).
+    Ratios are exact-int divisions — bit-identical across engines."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    top = top_token_run_count(text_col)
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        top.alias("top_token_count"),
+        (top.cast("double") / n.cast("double")).alias("top_token_fraction"),
+        (n_distinct.cast("double") / n.cast("double")).alias("type_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling polynomial fingerprint (Rabin-Karp over tokens): an
+# order-SENSITIVE content hash — md5-of-normalized-text detects exact
+# duplicates, while a polynomial fold distinguishes permuted token streams
+# and extends to streaming/chunked computation (the fold state is the
+# resume point). Cross-engine reproducible: per-token values come from md5
+# (not engine-internal hashes), folded left with fixed modulus.
+# ---------------------------------------------------------------------------
+
+_FP_BASE = 31
+_FP_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne); acc*31 + 2^32 stays < 2^63
+
+
+def token_hash_values(text: str | Column = "text") -> Column:
+    """Array of per-token integers: first 8 md5 hex chars as a bigint —
+    the engine-portable token value the polynomial fold consumes."""
+    return F.transform(
+        tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+
+
+def rolling_fingerprint(text: str | Column = "text") -> Column:
+    """Rabin-Karp fold: h = (h*31 + md5_int(token)) mod (2^31-1)."""
+    return F.aggregate(
+        token_hash_values(text),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * F.lit(_FP_BASE) + x) % F.lit(_FP_MOD),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction: training corpora scrub emails / long digit runs
+# before the text reaches a model. Pure regexp_replace chain — narrow,
+# pushdown-transparent, no Python. Patterns are deliberately RE2-safe
+# (no backreferences/lookaround) so the same regex runs on Spark (Java
+# regex) and the DuckDB oracle (RE2) identically.
+# ---------------------------------------------------------------------------
+
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+NUMBER_REGEX = r"[0-9]+"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails → <EMAIL>, digit runs → <NUM>; counts are measured on
+    the original text (emails first — they contain digits)."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_REGEX), F.lit(0)))
+    no_email = F.regexp_replace(c, EMAIL_REGEX, "<EMAIL>")
+    n_numbers = F.size(F.regexp_extract_all(no_email, F.lit(NUMBER_REGEX), F.lit(0)))
+    return df.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_numbers.alias("n_numbers"),
+        F.regexp_replace(no_email, NUMBER_REGEX, "<NUM>").alias("scrubbed"),
+    )

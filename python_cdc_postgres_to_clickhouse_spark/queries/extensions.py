@@ -380,3 +380,196 @@ def x_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= 0.5)
         .select("doc_id", "fp", "n_tokens", "stopword_hits", "quality_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 EXT additions: deterministic sampling/splits, repetition signals,
+# rolling fingerprints, PII scrubbing, sequence packing — the remaining
+# pipeline stages between "raw corpus" and "training batches". All six are
+# fully oracle-checked (no approximation anywhere in them).
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = f"string_split({SQL_NORM}, ' ')"
+# Engine-portable hash bucket: int(md5(salt||key)[:8]) — mirrors
+# operators/sampling.md5_bucket exactly.
+_SQL_MD5_INT = "CAST(concat('0x', substr(md5({v}), 1, 8)) AS BIGINT)"
+
+
+HASH_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT CAST({_SQL_MD5_INT.format(v="concat('split', CAST(doc_id AS VARCHAR))")} % 100
+              AS INTEGER) AS bucket,
+         len({_SQL_TOKENS}) AS n
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens
+FROM b GROUP BY 1
+"""
+
+
+@query("x_hash_split", oracle=HASH_SPLIT_SQL, tags=("ext", "sampling"))
+def x_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from a salted content
+    hash of the key — reproducible under any partitioning/ordering and
+    stable as the corpus grows (documents never switch splits). A narrow
+    projection: the only shuffle is the 3-group summary below; the split
+    column itself costs zero shuffles at 100 TB."""
+    from ..operators.sampling import assign_split
+
+    t = load_tables(spark, sf_dir)
+    docs = assign_split(t["documents"], "doc_id")
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TS.token_count().cast("bigint")).alias("sum_tokens"),
+    )
+
+
+DET_SAMPLE_SQL = f"""
+SELECT doc_id, CAST(len({_SQL_TOKENS}) AS INTEGER) AS n_tokens
+FROM documents
+WHERE {_SQL_MD5_INT.format(v="concat('sample', CAST(doc_id AS VARCHAR))")} % 10000 < 1000
+"""
+
+
+@query("x_det_sample", oracle=DET_SAMPLE_SQL, tags=("ext", "sampling"))
+def x_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus cut: same rows every run, every engine,
+    any layout — unlike seeded DataFrame.sample, which is partition-layout
+    dependent. One pushdown-friendly filter; no shuffle."""
+    from ..operators.sampling import deterministic_sample
+
+    t = load_tables(spark, sf_dir)
+    return deterministic_sample(t["documents"], "doc_id", 0.10).select(
+        "doc_id", TS.token_count().alias("n_tokens")
+    )
+
+
+REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+), cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS INTEGER) AS n_tokens,
+         CAST(COUNT(*) AS INTEGER) AS n_distinct_tokens,
+         CAST(MAX(c) AS INTEGER) AS top_token_count
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct_tokens, top_token_count,
+       CAST(top_token_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS top_token_fraction,
+       CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS type_token_ratio
+FROM agg
+"""
+
+
+@query("x_repetition_stats", oracle=REPETITION_SQL, tags=("ext", "text"))
+def x_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top-token fraction, type/token
+    ratio). Spark side is a zero-shuffle narrow projection — the top-token
+    count is a fold over the sorted token array (higher-order functions),
+    not the explode→groupBy→groupBy shape that would shuffle the whole
+    tokenized corpus twice at 100 TB. The oracle recomputes it relationally
+    in DuckDB, so the fold's correctness is hash-checked per document."""
+    t = load_tables(spark, sf_dir)
+    return TS.repetition_features(t["documents"])
+
+
+ROLLING_FP_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(
+           CAST(0 AS BIGINT),
+           list_transform({_SQL_TOKENS},
+                          t -> {_SQL_MD5_INT.format(v="t")})),
+         (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+FROM documents
+"""
+
+
+@query("x_rolling_fingerprint", oracle=ROLLING_FP_SQL, tags=("ext", "text"))
+def x_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp document fingerprint: left fold
+    h = (h*31 + md5_int(token)) mod 2^31-1 over the token stream. Catches
+    permuted-token near-misses that a bag-of-words hash can't; the fold
+    state is resumable for streaming/chunked corpora. Engine-portable
+    because token values come from md5, not engine-internal hashes."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", TS.rolling_fingerprint().alias("fingerprint")
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+           AS n_emails,
+         regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+           AS no_email
+  FROM documents
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(no_email, '[0-9]+')) AS INTEGER) AS n_numbers,
+       regexp_replace(no_email, '[0-9]+', '<NUM>', 'g') AS scrubbed
+FROM e
+"""
+
+
+@query("x_pii_scrub", oracle=PII_SCRUB_SQL, tags=("ext", "text"))
+def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (emails → <EMAIL>, digit runs → <NUM>) with
+    per-document redaction counts. A regexp_replace chain — narrow, no
+    Python, RE2-safe patterns so Spark (Java regex) and the oracle (RE2)
+    agree byte-for-byte on the scrubbed text."""
+    t = load_tables(spark, sf_dir)
+    return TS.scrub_pii(t["documents"])
+
+
+PACKING_BUDGET = 256
+
+PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {PACKING_BUDGET} AS bin_first,
+       (start_offset + greatest(n_tokens - 1, 0)) // {PACKING_BUDGET} AS bin_last,
+       start_offset // {PACKING_BUDGET}
+         <> (start_offset + greatest(n_tokens - 1, 0)) // {PACKING_BUDGET}
+         AS spans_boundary
+FROM o
+"""
+
+
+@query("x_token_packing", oracle=PACKING_SQL, tags=("ext", "pipeline"))
+def x_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: each document's global token start
+    offset in corpus order and the context-window bins it occupies (budget
+    {PACKING_BUDGET} tokens). Spark side is the scalable two-phase prefix
+    sum (operators/packing.py): range-repartition → parallel per-partition
+    running sums → O(#partitions) base-offset broadcast — never the naive
+    single-task Window.orderBy the oracle uses (fine in DuckDB at sf0.01;
+    fatal on a cluster at 100 TB)."""
+    from ..operators.packing import pack_sequences
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", TS.token_count().cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=PACKING_BUDGET)

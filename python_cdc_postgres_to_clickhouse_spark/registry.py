@@ -109,18 +109,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sub_in",
     "sub_not_exists",
     "sub_min_price_supplier",
+    # (b') new this round — first driver rows for the round-3 EXT queries.
+    "x_hash_split",
+    "x_det_sample",
+    "x_repetition_stats",
+    "x_rolling_fingerprint",
+    "x_pii_scrub",
+    "x_token_packing",
     # (c) representatives of round-2-green families.
     "q1_pricing_summary",
     "cdc_latest_by_key",
     "t_tumbling_window",
     "x_dedup_exact",
     "x_cosine_topk",
-    "x_corpus_prep",
-    "j_asof_latest_event",
-    "j_star_broadcast",
-    "m_salted_agg",
-    "m_lateral_top_order",
-    "c_datetime_funcs",
 )
 
 
