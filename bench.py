@@ -40,6 +40,10 @@ HEADLINE = [
     "m_nation_volume",         # double-role dim join (Q7 shape)
     "t_tumbling_window",       # event-time windowing
     "x_lsh_cosine_topk",       # multi-table LSH ANN
+    # Added round 3 (new pipeline-stage family; earlier entries unchanged,
+    # so per-query r2→r3 comparison stays like-for-like).
+    "x_repetition_stats",      # shuffle-free token-fold quality signals
+    "x_token_packing",         # two-phase distributed prefix sum
 ]
 
 
