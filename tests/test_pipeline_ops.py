@@ -260,3 +260,83 @@ def test_pii_scrub_emails_and_numbers(spark):
     assert (got[1]["n_emails"], got[1]["n_numbers"]) == (0, 0)
     assert got[1]["scrubbed"] == "no pii here"
     assert got[2]["scrubbed"] == "ids <NUM> <NUM> <NUM>"
+
+
+# ---------------------------------------------------------------------------
+# Property-based contracts (hypothesis): the operators must agree with
+# straight-line Python on arbitrary inputs, not just the fixtures.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    n_parts=st.integers(1, 12),
+)
+def test_prefix_sum_property(spark, lens, n_parts):
+    """Two-phase offsets == sequential cumulative sum, for any lengths
+    (zeros included) and any partition count."""
+    rows = [(i, n) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r["start_offset"]
+        for r in PK.global_token_offsets(df, n_parts=n_parts).collect()
+    }
+    acc = 0
+    for i, n in enumerate(lens):
+        assert got[i] == acc, (i, got[i], acc)
+        acc += n
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab xyz0189$é\t\n"), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_rolling_fingerprint_property(spark, texts):
+    """Spark's md5/conv/aggregate fold == the plain-Python Rabin-Karp on
+    arbitrary text (unicode, digits, messy whitespace, empty)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", TS.rolling_fingerprint().alias("fp")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_fingerprint(t), (i, t)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=80, unique=True))
+def test_split_partitions_any_key_set(spark, keys):
+    """Splits are a total, disjoint cover of any key set, and agree with a
+    plain-Python recomputation of the salted-md5 bucket."""
+    import hashlib
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {r["doc_id"]: r["split"] for r in SA.assign_split(df, "doc_id").collect()}
+    assert set(got) == set(keys)
+    for k in keys:
+        b = int(hashlib.md5(f"split{k}".encode()).hexdigest()[:8], 16) % 100
+        want = "train" if b < 90 else ("val" if b < 95 else "test")
+        assert got[k] == want, (k, b)
