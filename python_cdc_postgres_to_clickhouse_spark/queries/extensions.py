@@ -1,7 +1,8 @@
 """Declared LLM-data-pipeline queries (SURVEY.md §2.7) over documents /
 embeddings — the driver-checkable face of operators/{dedup,similarity,
-textstats}. Approximate operators (MinHash, SimHash, LSH ANN) use Spark's
-xxhash64, which DuckDB cannot reproduce, so they are declared rows-only;
+textstats}. Approximate operators (MinHash, SimHash, LSH/IVF ANN) use
+Spark's xxhash64, which DuckDB cannot reproduce, so they are declared
+rows-only;
 their accuracy is asserted against exact ground truth in
 tests/test_dedup.py / test_similarity.py.
 """
@@ -17,6 +18,11 @@ from ..operators import textstats as TS
 from ._exprs import SQL_NORM
 from ..registry import query
 from ..tables import load_tables
+
+_SQL_TOKENS = f"string_split({SQL_NORM}, ' ')"
+# Engine-portable hash bucket: int(md5(salt||key)[:8]) — mirrors
+# operators/sampling.md5_bucket exactly.
+_SQL_MD5_INT = "CAST(concat('0x', substr(md5({v}), 1, 8)) AS BIGINT)"
 
 
 
@@ -95,11 +101,47 @@ def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_lang_id", tags=("ext", "text"))
+def _lang_id_sql() -> str:
+    """DuckDB oracle generated from the SAME marker vocabularies the Spark
+    heuristic uses (no drift possible). Tie-break mirrors Spark's
+    ``array_max`` over (score, lang) structs: max score, then
+    lexicographically greatest language code."""
+    scores: dict[str, str] = {}
+    for lang, words in TS.LANG_MARKERS.items():
+        if lang in TS.UNSPACED_LANGS:
+            parts = " + ".join(
+                f"CAST(contains({SQL_NORM}, '{w}') AS INTEGER)" for w in words
+            )
+            scores[lang] = f"({parts})"
+        else:
+            arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+            scores[lang] = f"len(list_intersect({_SQL_TOKENS}, {arr}))"
+    cols = ",\n         ".join(f"{e} AS s_{lang}" for lang, e in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    arms = "\n            ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'"
+        for lang in sorted(scores, reverse=True)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {cols}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN {best} = 0 THEN 'und'
+            {arms}
+       END AS predicted_lang
+FROM s
+"""
+
+
+@query("x_lang_id", oracle=_lang_id_sql(), tags=("ext", "text"))
 def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: marker-vocabulary language ID (accuracy vs the ground-truth
-    `lang` column asserted in tests/test_textstats.py; rows-only for the
-    driver — the heuristic is not ANSI-SQL-portable)."""
+    """X4: marker-vocabulary language ID (accuracy vs ground truth on real
+    multilingual text asserted in tests/test_textstats.py). Fully
+    oracle-checked: the argmax-with-tie-break heuristic is replayed in
+    DuckDB from the same marker vocabularies."""
     t = load_tables(spark, sf_dir)
     return t["documents"].select(
         "doc_id", "lang", TS.predict_lang().alias("predicted_lang")
@@ -389,10 +431,7 @@ def x_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fully oracle-checked (no approximation anywhere in them).
 # ---------------------------------------------------------------------------
 
-_SQL_TOKENS = f"string_split({SQL_NORM}, ' ')"
-# Engine-portable hash bucket: int(md5(salt||key)[:8]) — mirrors
-# operators/sampling.md5_bucket exactly.
-_SQL_MD5_INT = "CAST(concat('0x', substr(md5({v}), 1, 8)) AS BIGINT)"
+
 
 
 HASH_SPLIT_SQL = f"""

@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "c_math_funcs",
     "x_dedup_clusters",
     "x_ivf_cosine_topk",
+    "x_lang_id",
     # (a) stale round-1-only rows: joins.
     "j_left_outer",
     "j_full_outer",
@@ -120,7 +121,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "cdc_latest_by_key",
     "t_tumbling_window",
-    "x_dedup_exact",
     "x_cosine_topk",
 )
 
