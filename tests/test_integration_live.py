@@ -95,3 +95,24 @@ def test_live_clickhouse_jdbc_roundtrip(spark, tmp_path):
         .collect()
     )
     assert any(r["username"] == "it-user" for r in back)
+
+
+POSTGRES_URL = os.environ.get("SPARK_GRAFT_POSTGRES_URL")
+POSTGRES_TABLE = os.environ.get("SPARK_GRAFT_POSTGRES_TABLE", "public.users")
+
+needs_postgres = pytest.mark.skipif(
+    not POSTGRES_URL,
+    reason="SPARK_GRAFT_POSTGRES_URL not set (no live Postgres in this env)",
+)
+
+
+@needs_postgres
+def test_live_postgres_snapshot_partitioned_read(spark):
+    """S7 live leg: the initial-snapshot head as a partitioned JDBC read —
+    the D1 base a migrating user feeds to apply_changes. Requires the
+    Postgres JDBC driver JAR on the classpath."""
+    from python_cdc_postgres_to_clickhouse_spark.pipelines import postgres_snapshot
+
+    df = postgres_snapshot(spark, POSTGRES_URL, table=POSTGRES_TABLE)
+    assert df.count() >= 0
+    assert "id" in [c.lower() for c in df.columns]
