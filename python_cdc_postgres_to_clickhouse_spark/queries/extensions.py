@@ -612,3 +612,57 @@ def x_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", TS.token_count().cast("bigint").alias("n_tokens")
     )
     return pack_sequences(docs, budget=PACKING_BUDGET)
+
+
+EMBEDDING_STATS_SQL = """
+WITH n AS (
+  SELECT label, vec_id,
+         sqrt(list_inner_product(
+                list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), agg AS (
+  SELECT label, COUNT(*) AS n_vecs,
+         MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+  FROM n GROUP BY label
+), am AS (
+  SELECT label, vec_id AS max_norm_vec_id FROM (
+    SELECT label, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY label ORDER BY nrm DESC, vec_id) AS rn
+    FROM n) t
+  WHERE rn = 1
+)
+SELECT agg.label, n_vecs, min_norm, max_norm, max_norm_vec_id
+FROM agg JOIN am ON agg.label = am.label
+"""
+
+
+@query("x_embedding_stats", oracle=EMBEDDING_STATS_SQL, tags=("ext", "similarity"))
+def x_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 health check: per-label vector counts, norm range, and the
+    extreme (max-norm) vector id — the drift/outlier stats an embedding
+    pipeline monitors before indexing. Every output is bit-exact across
+    engines: norms are sequential double folds (identical to DuckDB's
+    list_inner_product), min/max/count are order-insensitive, and the
+    argmax tie-breaks on vec_id. One narrow pass + a two-phase agg on
+    label + a WindowGroupLimit argmax — no float summation anywhere."""
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import norm
+
+    t = load_tables(spark, sf_dir)
+    n = t["embeddings"].select("label", "vec_id", norm("embedding").alias("nrm"))
+    agg = n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+    am = (
+        n.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("label").orderBy(F.desc("nrm"), "vec_id")),
+        )
+        .where(F.col("rn") == 1)
+        .select("label", F.col("vec_id").alias("max_norm_vec_id"))
+    )
+    return agg.join(am, "label")

@@ -117,10 +117,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_rolling_fingerprint",
     "x_pii_scrub",
     "x_token_packing",
+    "x_embedding_stats",
     # (c) representatives of round-2-green families.
     "q1_pricing_summary",
     "cdc_latest_by_key",
-    "t_tumbling_window",
     "x_cosine_topk",
 )
 
