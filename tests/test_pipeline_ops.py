@@ -340,3 +340,24 @@ def test_split_partitions_any_key_set(spark, keys):
         b = int(hashlib.md5(f"split{k}".encode()).hexdigest()[:8], 16) % 100
         want = "train" if b < 90 else ("val" if b < 95 else "test")
         assert got[k] == want, (k, b)
+
+
+def test_split_partitioned_write_prunes_at_read(docs, tmp_path):
+    """The downstream payoff of a materialized split column: writing
+    partitionBy(split) lets a training job's read of split='train' touch
+    only that partition's files (partition pruning, not a filter over
+    everything)."""
+    out = str(tmp_path / "splits")
+    SA.assign_split(docs, "doc_id").write.partitionBy("split").parquet(out)
+    spark = docs.sparkSession
+    train = spark.read.parquet(out).where(F.col("split") == "train")
+    from python_cdc_postgres_to_clickhouse_spark import plans as P
+
+    plan = P.physical_plan(train)
+    assert "PartitionFilters: [" in plan and "split" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], plan
+    # and the files actually read exclude val/test directories
+    n_train = train.count()
+    n_all = spark.read.parquet(out).count()
+    assert 0 < n_train < n_all
