@@ -666,3 +666,79 @@ def x_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("vec_id").alias("max_norm_vec_id"))
     )
     return agg.join(am, "label")
+
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS doc, string_split({SQL_NORM}, ' ') AS t FROM documents
+), tok AS (
+  SELECT DISTINCT doc,
+         unnest(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                               i -> array_to_string(t[i:i+2], ' '))) AS token
+  FROM toks
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_tok FROM tok GROUP BY doc
+), inter AS (
+  SELECT ta.doc AS a, tb.doc AS b, COUNT(*) AS n_common
+  FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.doc < tb.doc
+  GROUP BY ta.doc, tb.doc
+), pairs AS (
+  SELECT a, b
+  FROM inter
+    JOIN sizes sa ON sa.doc = a
+    JOIN sizes sb ON sb.doc = b
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - n_common AS DOUBLE)
+        >= 0.6
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT u AS vertex, u AS lbl FROM edges
+  UNION
+  SELECT e.v AS vertex, r.lbl FROM reach r JOIN edges e ON e.u = r.vertex
+), comp AS (
+  SELECT vertex, MIN(lbl) AS component FROM reach GROUP BY vertex
+), keyed AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN comp c ON c.vertex = d.doc_id
+)
+SELECT doc_id, split_key,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, split_key,
+         CAST({_SQL_MD5_INT.format(v="concat('split', CAST(split_key AS VARCHAR))")}
+              % 100 AS INTEGER) AS bucket
+  FROM keyed) b
+"""
+
+
+@query(
+    "x_leakage_safe_split",
+    oracle=LEAKAGE_SAFE_SPLIT_SQL,
+    tags=("ext", "sampling", "dedup", "iterative"),
+)
+def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/val/test assignment: near-duplicate
+    documents must never straddle splits (a test document with a training
+    near-copy leaks). Split key = the doc's dup-cluster representative
+    (connected components over shingle-Jaccard pairs; min doc_id), own id
+    for singletons — every cluster member therefore inherits ONE hash
+    bucket. At 100 TB the pair edges come from MinHash candidates; the
+    exact Jaccard path here is the ground-truth instance of the same
+    composition. Oracle: recursive-CTE transitive closure + the same
+    salted-md5 bucket, replayed in DuckDB."""
+    from ..operators.clusters import connected_components
+    from ..operators.sampling import split_column
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    comp = connected_components(D.jaccard_pairs(docs, threshold=0.6))
+    return (
+        docs.join(comp, docs["doc_id"] == comp["vertex"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("split_key"),
+        )
+        .select("doc_id", "split_key", split_column("split_key").alias("split"))
+    )

@@ -118,10 +118,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_pii_scrub",
     "x_token_packing",
     "x_embedding_stats",
+    "x_leakage_safe_split",
     # (c) representatives of round-2-green families.
     "q1_pricing_summary",
     "cdc_latest_by_key",
-    "x_cosine_topk",
 )
 
 

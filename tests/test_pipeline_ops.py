@@ -361,3 +361,29 @@ def test_split_partitioned_write_prunes_at_read(docs, tmp_path):
     n_train = train.count()
     n_all = spark.read.parquet(out).count()
     assert 0 < n_train < n_all
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """No near-dup cluster may straddle splits — the contamination property
+    itself, checked against the declared query's own cluster structure."""
+    from python_cdc_postgres_to_clickhouse_spark.operators import dedup as D
+    from python_cdc_postgres_to_clickhouse_spark.operators.clusters import (
+        connected_components,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.queries.extensions import (
+        x_leakage_safe_split,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in x_leakage_safe_split(spark, SF_ORACLE).collect()
+    }
+    docs = load_tables(spark, SF_ORACLE)["documents"]
+    comp = connected_components(D.jaccard_pairs(docs, threshold=0.6)).collect()
+    clusters: dict[int, set[str]] = {}
+    for r in comp:
+        clusters.setdefault(r["component"], set()).add(split_of[r["vertex"]])
+    assert clusters, "fixture must contain near-dup clusters"
+    for c, splits in clusters.items():
+        assert len(splits) == 1, f"cluster {c} straddles splits {splits}"
