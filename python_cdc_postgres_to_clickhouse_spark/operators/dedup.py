@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .textstats import fingerprint, normalized, rolling_hashes, tokens
+from .textstats import fingerprint, normalized, portable_hash32, rolling_hashes, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -137,16 +137,29 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Largest 32-bit prime: the permutation modulus. Base shingle hashes are
+# md5-ints < 2^32 and multipliers stay < 2^24, so a*h + b < 2^57 — no
+# overflow in either engine's BIGINT arithmetic.
+MH_PRIME = 4_294_967_291
+_MH_A = 1_000_003
+_MH_B = 7_654_321
+
+
+def minhash_permutation(i: int, h: Column) -> Column:
+    """i-th universal-family permutation (a_i·h + b_i) mod p over a portable
+    md5-int shingle hash — pure arithmetic, so the whole MinHash signature
+    is replayable in the DuckDB oracle (no engine-internal hash anywhere)."""
+    return (F.lit(_MH_A * (i + 1)) * h + F.lit(_MH_B * (i + 1))) % F.lit(MH_PRIME)
+
+
 def minhash_signature(n_hashes: int = 16) -> list[Column]:
-    """h seeded min-hash values over a shared shingle-hash array column
-    named ``_sh`` (see ``with_shingle_hashes``). Seeding by addition with
-    odd constants keeps everything inside one JVM expression per hash — no
-    UDF, no extra pass over the data."""
+    """h permuted min-hash values over a shared shingle-hash array column
+    named ``_sh`` (portable md5-ints, see ``rolling_hashes``). Arithmetic
+    permutations keep everything inside one JVM expression per hash — no
+    UDF, no extra pass over the data, and bit-identical replay in SQL."""
     sh = F.col("_sh")
     return [
-        F.array_min(
-            F.transform(sh, lambda x: F.xxhash64(x + F.lit(1_000_003 * (i + 1))))
-        ).alias(f"mh_{i}")
+        F.array_min(F.transform(sh, lambda x: minhash_permutation(i, x))).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
 
@@ -172,12 +185,15 @@ def minhash_candidates(
     # One explode instead of a b-way union: a union would re-run the whole
     # signature pipeline once per band (the signature subtree is duplicated
     # under each union branch — measured 8× recompute at sf0.1).
+    # Bucket key = the band's minhash values joined as a string — an exact
+    # (collision-free) key that both engines render identically; hashing it
+    # again would only save key bytes at the cost of oracle replayability.
     band_entries = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                F.concat_ws(
+                    ",", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
                 ).alias("bucket"),
             )
             for b in range(n_bands)
@@ -246,7 +262,7 @@ def simhash(text_col: str = "text", n_bits: int = 16) -> Column:
             F.transform(
                 toks,
                 lambda t: F.when(
-                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
+                    F.shiftright(portable_hash32(t), i).bitwiseAND(F.lit(1)) == 1, 1
                 ).otherwise(-1),
             ),
             F.lit(0),

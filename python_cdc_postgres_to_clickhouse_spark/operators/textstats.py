@@ -119,15 +119,25 @@ def fingerprint(text: str | Column = "text") -> Column:
     return F.md5(normalized(text))
 
 
+def portable_hash32(c: Column) -> Column:
+    """First 8 md5 hex chars as a bigint in [0, 2^32) — the engine-portable
+    hash primitive. DuckDB computes the identical value as
+    ``CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)``, which is what lets
+    MinHash/SimHash be *oracle-checked* rather than rows-only: engine
+    internal hashes (xxhash64) have no cross-engine replay."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
 def rolling_hashes(text: str | Column = "text", shingle: int = 3) -> Column:
-    """Per-document array of shingle hashes (xxhash64 of each k-token
-    window) — the input to MinHash (operators/dedup.py). JVM-side:
-    transform over a sliding slice of the token array."""
+    """Per-document array of shingle hashes (portable md5-int of each
+    k-token window) — the input to MinHash (operators/dedup.py). JVM-side:
+    transform over a sliding slice of the token array; one md5 per shingle,
+    permutations are pure arithmetic downstream."""
     t = tokens(text)
     n = F.size(t)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(shingle - 1), F.lit(1)))
     return F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, shingle)))
+        idx, lambda i: portable_hash32(F.concat_ws(" ", F.slice(t, i, shingle)))
     )
 
 
@@ -194,10 +204,7 @@ _FP_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne); acc*31 + 2^32 stays < 2^63
 def token_hash_values(text: str | Column = "text") -> Column:
     """Array of per-token integers: first 8 md5 hex chars as a bigint —
     the engine-portable token value the polynomial fold consumes."""
-    return F.transform(
-        tokens(text),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
-    )
+    return F.transform(tokens(text), portable_hash32)
 
 
 def rolling_fingerprint(text: str | Column = "text") -> Column:

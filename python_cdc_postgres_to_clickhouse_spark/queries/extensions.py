@@ -1,10 +1,16 @@
 """Declared LLM-data-pipeline queries (SURVEY.md §2.7) over documents /
 embeddings — the driver-checkable face of operators/{dedup,similarity,
-textstats}. Approximate operators (MinHash, SimHash, LSH/IVF ANN) use
-Spark's xxhash64, which DuckDB cannot reproduce, so they are declared
-rows-only;
-their accuracy is asserted against exact ground truth in
-tests/test_dedup.py / test_similarity.py.
+textstats}.
+
+MinHash and SimHash are built entirely from the portable md5-int hash
+plus arithmetic (permutations / bit votes), so despite being
+*approximate dedup algorithms* their outputs are deterministic and
+fully oracle-checked — the DuckDB SQL below replays signature
+construction, banding/blocking, the candidate join, and verification
+bit-for-bit. Only the ANN paths whose randomness lives outside SQL
+(numpy-seeded LSH hyperplanes, IVF centroids) remain rows-only; their
+accuracy is asserted against exact ground truth in
+tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -182,20 +188,109 @@ def x_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(t["documents"], threshold=0.6)
 
 
-@query("x_minhash_near_dup", tags=("ext", "dedup"))
+_SQL_SHINGLE_HASHES = f"""
+toks AS (
+  SELECT doc_id AS doc, string_split({SQL_NORM}, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc, list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                             i -> array_to_string(t[i:i+2], ' ')) AS shs
+  FROM toks
+)"""
+
+
+def _minhash_sql(n_hashes: int = 16, n_bands: int = 8, threshold: float = 0.6) -> str:
+    """Full DuckDB replay of the MinHash+LSH pipeline: md5-int shingle
+    hashes → arithmetic permutations → per-band bucket keys → candidate
+    self-join → exact-Jaccard verification. Constants imported from
+    operators/dedup.py so oracle and engine cannot drift."""
+    rpb = n_hashes // n_bands
+    a, b, p = D._MH_A, D._MH_B, D.MH_PRIME
+    jac = """CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+         / CAST(len(ta.toks) + len(tb.toks)
+                - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)"""
+    return f"""
+    WITH {_SQL_SHINGLE_HASHES}, hv AS (
+      SELECT doc, list_transform(shs,
+               s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS h
+      FROM sh
+    ), sig AS (
+      SELECT doc, list_transform(generate_series(1, {n_hashes}),
+               i -> list_min(list_transform(h,
+                      x -> ({a}*i*x + {b}*i) % {p}))) AS mh
+      FROM hv
+    ), bands AS (
+      SELECT doc, g.band,
+             array_to_string(mh[{rpb}*g.band+1:{rpb}*g.band+{rpb}], ',') AS bucket
+      FROM sig CROSS JOIN generate_series(0, {n_bands - 1}) g(band)
+    ), cand AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+    ), st AS (
+      SELECT doc, list_distinct(shs) AS toks FROM sh
+    )
+    SELECT a, b, {jac} AS jaccard
+    FROM cand JOIN st ta ON ta.doc = a JOIN st tb ON tb.doc = b
+    WHERE {jac} >= {threshold}
+    """
+
+
+@query("x_minhash_near_dup", oracle=_minhash_sql(), tags=("ext", "dedup"))
 def x_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: MinHash+LSH near-dup pairs, exact-Jaccard verified (rows-only:
-    depends on Spark xxhash64; recall vs x_jaccard_near_dup asserted in
-    tests/test_dedup.py)."""
+    """X2: MinHash+LSH near-dup pairs, exact-Jaccard verified. Fully
+    oracle-checked: signatures are arithmetic permutations of portable
+    md5-int shingle hashes, so DuckDB replays the entire approximate
+    pipeline (banding, candidate join, verification) bit-for-bit. Recall
+    vs x_jaccard_near_dup additionally asserted in tests/test_dedup.py."""
     t = load_tables(spark, sf_dir)
     return D.minhash_near_duplicates(t["documents"], threshold=0.6)
 
 
-@query("x_simhash_near_dup", tags=("ext", "dedup"))
+def _simhash_sql(n_bits: int = 16, max_hamming: int = 1) -> str:
+    """Full DuckDB replay of SimHash: md5-int token hashes → per-bit ±1
+    votes → sign bits → pigeonhole block keys → candidate self-join →
+    Hamming filter. Mirrors operators/dedup.simhash_near_duplicates."""
+    h = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+    bits = "\n           + ".join(
+        f"(CASE WHEN list_sum(list_transform(t, tok -> CASE WHEN ({h} >> {i}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+        for i in range(n_bits)
+    )
+    n_blocks = max_hamming + 1
+    base = n_bits // n_blocks
+    parts, offset = [], 0
+    for blk in range(n_blocks):
+        width = base + (1 if blk < n_bits % n_blocks else 0)
+        parts.append(
+            f"SELECT doc, sh, {blk} AS half,"
+            f" (sh >> {offset}) & {(1 << width) - 1} AS key FROM sig"
+        )
+        offset += width
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, string_split({SQL_NORM}, ' ') AS t FROM documents
+    ), sig AS (
+      SELECT doc,
+             {bits} AS sh
+      FROM toks
+    ), parts AS (
+      {" UNION ALL ".join(parts)}
+    )
+    SELECT DISTINCT l.doc AS a, r.doc AS b,
+           CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS hamming
+    FROM parts l JOIN parts r
+      ON l.half = r.half AND l.key = r.key AND l.doc < r.doc
+    WHERE bit_count(xor(l.sh, r.sh)) <= {max_hamming}
+    """
+
+
+@query("x_simhash_near_dup", oracle=_simhash_sql(), tags=("ext", "dedup"))
 def x_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: SimHash Hamming-ball near-dup pairs (rows-only). Radius 1 is the
+    """X2: SimHash Hamming-ball near-dup pairs. Radius 1 is the
     discriminative setting on short same-vocabulary documents (true
-    near-dups measured at 0-1 bits, background pairs at 2+)."""
+    near-dups measured at 0-1 bits, background pairs at 2+). Fully
+    oracle-checked: token hashes are portable md5-ints, so DuckDB replays
+    votes, sign bits, pigeonhole blocking, and the Hamming filter."""
     t = load_tables(spark, sf_dir)
     return D.simhash_near_duplicates(t["documents"], max_hamming=1)
 

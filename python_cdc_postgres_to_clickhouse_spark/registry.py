@@ -56,18 +56,19 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (a) every query whose only driver row is from round 1 — all 36 of them,
 # (b) queries changed or first-oracled since the round-2 driver run
 #     (c_math_funcs output-type fix, x_dedup_clusters recursive-CTE oracle,
-#     x_ivf_cosine_topk one-pass sampling), then
-# (c) one representative per round-2-green family so every SURVEY §2
-#     family keeps a fresh row. Everything not listed follows in
-#     registration order; rounds 1+2 cover those, so the union of rounds
-#     verifies the full registry (asserted in tests/test_harness.py —
-#     never hand-count the total here).
+#     x_ivf_cosine_topk one-pass sampling, and the MinHash/SimHash
+#     portable-hash promotions from rows-only to full oracle). Everything
+#     not listed follows in registration order; rounds 1+2 cover those, so
+#     the union of rounds verifies the full registry (asserted in
+#     tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (b) changed / newly-oracled since the round-2 driver run.
     "c_math_funcs",
     "x_dedup_clusters",
     "x_ivf_cosine_topk",
     "x_lang_id",
+    "x_minhash_near_dup",
+    "x_simhash_near_dup",
     # (a) stale round-1-only rows: joins.
     "j_left_outer",
     "j_full_outer",
@@ -119,9 +120,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_token_packing",
     "x_embedding_stats",
     "x_leakage_safe_split",
-    # (c) representatives of round-2-green families.
-    "q1_pricing_summary",
-    "cdc_latest_by_key",
+    # (Displaced for the two MinHash/SimHash promotions above: the (c)
+    # family representatives q1_pricing_summary / cdc_latest_by_key — both
+    # have fresh round-2 rows, so they are only one round stale and rotate
+    # back in round 4.)
 )
 
 
