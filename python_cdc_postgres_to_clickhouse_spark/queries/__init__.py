@@ -15,4 +15,5 @@ from . import subqueries  # noqa: F401
 from . import cdc_queries  # noqa: F401
 from . import timewindows  # noqa: F401
 from . import extensions  # noqa: F401
+from . import corpusops  # noqa: F401
 from . import misc  # noqa: F401

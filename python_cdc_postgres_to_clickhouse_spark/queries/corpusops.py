@@ -1,0 +1,285 @@
+"""Corpus-analytics queries (SURVEY.md §2.7, round-3 X13-X17): the
+statistics / indexing / hygiene stages of an LLM training-data pipeline
+that sit next to dedup and splitting — benchmark decontamination, n-gram
+counting, TF-IDF term ranking, vocabulary construction, and stratified
+sampling. All five are fully oracle-checked (exact integer counts and
+IEEE-double ratios only — no transcendentals, no engine-internal hashes),
+and every plan shape is the one that survives 100 TB: benchmark sides
+broadcast, top-k via TakeOrdered (never a global sort), vocabulary-sized
+join sides broadcast, per-group limits through WindowGroupLimit.
+
+Reference parity: the reference (a CDC ingest pipeline) delegates all
+analytics to a provisioned ClickHouse server (reference
+docker-compose.yml:155-174); this whole family is part of the EXT
+training-data surface built on the same engine-native tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import textstats as TS
+from ..registry import query
+from ..tables import load_tables
+from ._exprs import SQL_NORM
+
+_SQL_TOKENS = f"string_split({SQL_NORM}, ' ')"
+
+# 3-gram shingle list of a token array `t` (mirrors operators/dedup.shingles).
+_SQL_SHINGLES3 = (
+    "list_transform(generate_series(1, greatest(len(t)-2, 1)),"
+    " i -> array_to_string(t[i:i+2], ' '))"
+)
+# Salted-md5 split bucket (mirrors operators/sampling.md5_bucket verbatim).
+_SQL_SPLIT_BUCKET = (
+    "CAST(CAST(concat('0x', substr(md5(concat('split', CAST(doc_id AS VARCHAR))),"
+    " 1, 8)) AS BIGINT) % 100 AS INTEGER)"
+)
+
+CONTAMINATION_MIN_SHINGLES = 5
+
+DECONTAMINATE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN {_SQL_SPLIT_BUCKET} < 90 THEN 'train'
+              WHEN {_SQL_SPLIT_BUCKET} < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), sh AS (
+  SELECT doc_id, split, list_distinct({_SQL_SHINGLES3}) AS shs
+  FROM (SELECT doc_id, split, string_split({SQL_NORM}, ' ') AS t FROM d)
+), test_sh AS (
+  SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE split = 'test'
+), train_sh AS (
+  SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE split = 'train'
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_shingles,
+       COUNT(*) >= {CONTAMINATION_MIN_SHINGLES} AS contaminated
+FROM train_sh JOIN test_sh USING (shingle)
+GROUP BY doc_id
+"""
+
+
+@query("x_decontaminate", oracle=DECONTAMINATE_SQL, tags=("ext", "pipeline", "dedup"))
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: benchmark decontamination scan — for every *train*-split
+    document, how many of its 3-gram shingles also appear anywhere in the
+    *test* split (the held-out set standing in for an eval benchmark).
+    Documents at or above {CONTAMINATION_MIN_SHINGLES} shared shingles are
+    flagged for removal: an n-gram-overlap decontamination pass, the
+    standard defense against eval leakage into pretraining data.
+
+    Scale shape: the benchmark/test side is always tiny relative to the
+    corpus, so its distinct shingle set is *broadcast* and the train side
+    streams through one narrow explode + broadcast-hash semi-join + one
+    aggregation on doc_id — linear, no shuffle of the corpus text, no
+    pairwise term (plan-asserted in tests/test_corpusops.py)."""
+    from ..operators.sampling import assign_split
+
+    t = load_tables(spark, sf_dir)
+    docs = assign_split(t["documents"], "doc_id")
+    test_sh = (
+        docs.filter(F.col("split") == "test")
+        .select(F.explode(F.array_distinct(D.shingles())).alias("shingle"))
+        .distinct()
+    )
+    train_sh = docs.filter(F.col("split") == "train").select(
+        "doc_id", F.explode(F.array_distinct(D.shingles())).alias("shingle")
+    )
+    return (
+        train_sh.join(F.broadcast(test_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .withColumn(
+            "contaminated",
+            F.col("n_shared_shingles") >= CONTAMINATION_MIN_SHINGLES,
+        )
+    )
+
+
+NGRAM_TOPK = 20
+
+NGRAM_COUNTS_SQL = f"""
+WITH g AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(t)-1, 1)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS ngram
+  FROM (SELECT string_split({SQL_NORM}, ' ') AS t FROM documents)
+), c AS (
+  SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY ngram
+)
+SELECT ngram, cnt, rank FROM (
+  SELECT ngram, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram) AS rank
+  FROM c) t
+WHERE rank <= {NGRAM_TOPK}
+"""
+
+
+@query("x_ngram_counts", oracle=NGRAM_COUNTS_SQL, tags=("ext", "text"))
+def x_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14: corpus-level n-gram statistics — the top-{NGRAM_TOPK} bigrams
+    with occurrence counts (the Google-n-grams / LM-smoothing-table shape).
+    Ties break on the ngram string so the ranking is deterministic.
+
+    Scale shape: explode → hash-aggregate benefits from map-side partial
+    aggregation (heavy hitters collapse before the shuffle), and the
+    top-k is TakeOrderedAndProject — a per-partition bounded heap, never a
+    global sort of the n-gram table (plan-asserted)."""
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["documents"]
+        .select(F.explode(D.shingles(shingle=2)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), "ngram").limit(NGRAM_TOPK)
+    # Ranking the 20 surviving rows: the unpartitioned window is fine
+    # because it runs on a LIMIT-ed constant-size input, not the corpus.
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("cnt"), "ngram"))
+    )
+
+
+TFIDF_TOPK = 3
+
+# The score expression must be textually identical on both sides so the
+# IEEE-double operation order matches: (tf * N) / df, left to right.
+_SQL_TFIDF_SCORE = (
+    "CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)"
+)
+
+TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, tok AS token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, score, rank FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         {_SQL_TFIDF_SCORE} AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY {_SQL_TFIDF_SCORE} DESC, tf.token) AS rank
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n) s
+WHERE rank <= {TFIDF_TOPK}
+"""
+
+
+@query("x_tfidf_topterms", oracle=TFIDF_SQL, tags=("ext", "text"))
+def x_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: per-document top-{TFIDF_TOPK} distinctive terms by a
+    TF-IDF-style score tf·(N/df). The inverse-document-frequency factor is
+    the exact rational N/df (not log-scaled) so the score is bit-identical
+    across engines — transcendental functions are libm-specific and banned
+    from oracles; the *ranking* is identical either way because x ↦ log x
+    is monotone.
+
+    Scale shape: term frequencies are one explode + hash-aggregate; the
+    document-frequency table is vocabulary-sized, so it is *broadcast*
+    back onto the tf table (no corpus-sized shuffle for the join), the
+    corpus row count joins as a broadcast single row, and the per-document
+    top-k runs as WindowGroupLimit (rank-filter pushed to a bounded
+    per-partition heap before the window shuffle)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(TS.tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (
+        F.col("tf").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("df").cast("double")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )
+
+
+VOCAB_SIZE = 100
+
+VOCAB_SQL = f"""
+WITH c AS (
+  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+  GROUP BY tok
+)
+SELECT token, cnt, vocab_id FROM (
+  SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS vocab_id
+  FROM c) t
+WHERE vocab_id <= {VOCAB_SIZE}
+"""
+
+
+@query("x_vocab_build", oracle=VOCAB_SQL, tags=("ext", "text"))
+def x_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: frequency-ranked vocabulary construction — the top-{VOCAB_SIZE}
+    tokens by corpus count, assigned dense ids in (count desc, token)
+    order: the id table a tokenizer build starts from. Deterministic: ties
+    break on the token string.
+
+    Scale shape: token counting is explode + partial-agg; the top-
+    {VOCAB_SIZE} cut is TakeOrderedAndProject (bounded heaps, no global
+    sort), and only the surviving constant-size set is ranked by the
+    unpartitioned window — the full vocabulary never passes through a
+    single task."""
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["documents"]
+        .select(F.explode(TS.tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), "token").limit(VOCAB_SIZE)
+    return top.withColumn(
+        "vocab_id", F.row_number().over(W.orderBy(F.desc("cnt"), "token"))
+    )
+
+
+STRATUM_K = 25
+
+STRATIFIED_SQL = f"""
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(concat('strat', CAST(doc_id AS VARCHAR))), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= {STRATUM_K}
+"""
+
+
+@query("x_stratified_sample", oracle=STRATIFIED_SQL, tags=("ext", "sampling"))
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: stratified deterministic sampling — exactly {STRATUM_K}
+    documents per language, chosen by salted-md5 order (layout-independent
+    like operators/sampling, so the draw is reproducible on any engine,
+    any partitioning, and stable under corpus growth within a stratum's
+    hash order). The per-class-balanced debug/eval cut of a training
+    pipeline.
+
+    Scale shape: one narrow projection for the hash key, then a per-lang
+    rank ≤ k executed as WindowGroupLimit — each input partition keeps at
+    most k rows per stratum *before* the shuffle, so skewed strata cost
+    O(k·partitions), not a full sort of the stratum (plan-asserted)."""
+    t = load_tables(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("strat"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        t["documents"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_K)
+        .select("lang", "doc_id", "rn")
+    )

@@ -75,10 +75,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j_semi",
     "j_anti",
     "j_theta_band",
-    # (a) aggregates.
+    # (a) aggregates. (a_approx_distinct / a_approx_quantiles are displaced
+    # for round-3 additions: they carry no oracle, so their driver rows are
+    # rows-only — near-zero re-check signal; they rotate back in round 4.)
     "a_count_distinct",
-    "a_approx_distinct",
-    "a_approx_quantiles",
     "a_argmax",
     "a_conditional",
     "a_rollup",
@@ -95,10 +95,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "w_ntile_first_last",
     "w_percent_rank_cume",
     "w_range_frame",
-    # (a) set operations.
-    "s_union_all",
-    "s_union_distinct",
-    "s_intersect",
+    # (a) set operations. (s_union_all / s_union_distinct / s_intersect are
+    # displaced for round-3 additions — one-expression built-ins untouched
+    # since round 1, twice-green locally; s_except/s_except_all keep the
+    # family's driver presence. They rotate back in round 4.)
     "s_except",
     "s_except_all",
     # (a) scalar expressions.
@@ -120,6 +120,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_token_packing",
     "x_embedding_stats",
     "x_leakage_safe_split",
+    # (b'') new this round — corpus-analytics family (queries/corpusops.py).
+    "x_decontaminate",
+    "x_ngram_counts",
+    "x_tfidf_topterms",
+    "x_vocab_build",
+    "x_stratified_sample",
     # (Displaced for the two MinHash/SimHash promotions above: the (c)
     # family representatives q1_pricing_summary / cdc_latest_by_key — both
     # have fresh round-2 rows, so they are only one round stale and rotate

@@ -1,0 +1,119 @@
+"""Corpus-analytics family (queries/corpusops.py): plan-shape assertions
+(the properties that survive 100 TB) plus semantic checks the oracle can't
+express — contamination must actually catch cross-split near-duplicates,
+and the stratified draw must be partition-layout independent.
+
+Value parity vs DuckDB is covered per-query by test_queries_oracle.py
+(all five queries carry full oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_cdc_postgres_to_clickhouse_spark import plans as P
+from python_cdc_postgres_to_clickhouse_spark.operators import dedup as D
+from python_cdc_postgres_to_clickhouse_spark.operators.sampling import assign_split
+from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
+from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+from .conftest import SF_ORACLE
+
+
+def _q(spark, name):
+    return all_queries()[name].fn(spark, SF_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    df = _q(spark, "x_decontaminate")
+    assert P.has_broadcast_join(df), "test-split shingle set must broadcast"
+    assert "CartesianProduct" not in P.physical_plan(df)
+
+
+def test_ngram_and_vocab_topk_never_globally_sort(spark):
+    for name in ("x_ngram_counts", "x_vocab_build"):
+        plan = P.physical_plan(_q(spark, name))
+        assert "TakeOrderedAndProject" in plan, f"{name}: top-k must be TakeOrdered"
+
+
+def test_tfidf_broadcasts_df_table_and_group_limits(spark):
+    df = _q(spark, "x_tfidf_topterms")
+    assert P.has_broadcast_join(df), "document-frequency table must broadcast"
+    assert P.has_window_group_limit(df), "per-doc top-k must be WindowGroupLimit"
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    assert P.has_window_group_limit(_q(spark, "x_stratified_sample"))
+
+
+# ---------------------------------------------------------------------------
+# Semantics
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_catches_cross_split_near_dups(spark):
+    """Any train document whose ≥0.9-Jaccard near-duplicate landed in the
+    test split MUST be flagged contaminated — that pair is exactly the
+    eval-leakage case the operator exists to catch."""
+    docs = load_tables(spark, SF_ORACLE)["documents"]
+    split = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    pairs = [
+        (r["a"], r["b"])
+        for r in D.jaccard_pairs(docs, threshold=0.9).select("a", "b").collect()
+    ]
+    leaky_train = {
+        a for a, b in pairs if split[a] == "train" and split[b] == "test"
+    } | {b for a, b in pairs if split[b] == "train" and split[a] == "test"}
+    if not leaky_train:
+        import pytest
+
+        pytest.skip("no near-dup pair straddles train/test at this sf")
+    flagged = {
+        r["doc_id"]
+        for r in _q(spark, "x_decontaminate")
+        .filter(F.col("contaminated"))
+        .collect()
+    }
+    missed = leaky_train - flagged
+    assert not missed, f"cross-split near-dups not flagged: {sorted(missed)}"
+
+
+def test_stratified_sample_is_layout_independent(spark):
+    """The same documents must be drawn regardless of partitioning — the
+    property seeded DataFrame.sample lacks and the salted-md5 order has."""
+    base = {(r["lang"], r["doc_id"]) for r in _q(spark, "x_stratified_sample").collect()}
+
+    docs = load_tables(spark, SF_ORACLE)["documents"].repartition(7)
+    from python_cdc_postgres_to_clickhouse_spark.queries.corpusops import STRATUM_K
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.lit("strat"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    relaid = {
+        (r["lang"], r["doc_id"])
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_K)
+        .select("lang", "doc_id")
+        .collect()
+    }
+    assert base == relaid
+    counts: dict[str, int] = {}
+    for lang, _ in base:
+        counts[lang] = counts.get(lang, 0) + 1
+    assert all(v <= STRATUM_K for v in counts.values())
+
+
+def test_vocab_ids_are_dense_and_rank_consistent(spark):
+    rows = _q(spark, "x_vocab_build").orderBy("vocab_id").collect()
+    ids = [r["vocab_id"] for r in rows]
+    assert ids == list(range(1, len(ids) + 1)), "vocab ids must be dense from 1"
+    cnts = [(r["cnt"], r["token"]) for r in rows]
+    assert cnts == sorted(cnts, key=lambda t: (-t[0], t[1])), "id order = (cnt desc, token)"
