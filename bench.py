@@ -44,6 +44,10 @@ HEADLINE = [
     # so per-query r2→r3 comparison stays like-for-like).
     "x_repetition_stats",      # shuffle-free token-fold quality signals
     "x_token_packing",         # two-phase distributed prefix sum
+    # Added later in round 3 (corpus-analytics family; earlier entries
+    # unchanged, so per-query comparisons stay like-for-like).
+    "x_decontaminate",         # broadcast benchmark-overlap scan
+    "x_tfidf_topterms",        # tf-idf ranking, broadcast df table
 ]
 
 

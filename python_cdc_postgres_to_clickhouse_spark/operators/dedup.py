@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..tables import widen_small_scan
 from .textstats import fingerprint, normalized, portable_hash32, rolling_hashes, tokens
 
 
@@ -79,6 +80,7 @@ def jaccard_pairs(
     dropping ubiquitous shingles only removes pairs whose similarity rests
     on boilerplate). None = complete.
     """
+    docs = widen_small_scan(docs)
     tok = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(shingle=shingle))).alias("token"),
@@ -170,16 +172,26 @@ def minhash_candidates(
     n_bands: int = 8,
     shingle: int = 3,
     id_col: str = "doc_id",
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash: docs agreeing on all rows of at
     least one band. Bands hash to a bucket key → equi-join on
-    (band, bucket); the shuffle is linear in corpus size."""
+    (band, bucket); the shuffle is linear in corpus size.
+
+    ``shingle_hashes`` optionally supplies a precomputed (doc, _sh) frame
+    (e.g. hashes of the *distinct* shingle set — the signature is a min,
+    so multiset vs set is immaterial); callers that also need the shingle
+    strings downstream avoid hashing twice."""
     rows_per_band = n_hashes // n_bands
     # Materialize the shingle-hash array ONCE: computing it inline in each
     # of the h min-hash expressions re-runs the whole normalize→tokenize→
     # shingle→hash pipeline h times (measured 16× slowdown at sf0.1).
-    with_sh = docs.select(
-        F.col(id_col).alias("doc"), rolling_hashes(shingle=shingle).alias("_sh")
+    with_sh = (
+        shingle_hashes
+        if shingle_hashes is not None
+        else docs.select(
+            F.col(id_col).alias("doc"), rolling_hashes(shingle=shingle).alias("_sh")
+        )
     )
     sig = with_sh.select("doc", *minhash_signature(n_hashes))
     # One explode instead of a b-way union: a union would re-run the whole
@@ -224,12 +236,30 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates re-verified with exact Jaccard (precision 1; recall
     governed by the (h,b) S-curve, measured in tests against
-    ``jaccard_pairs``)."""
-    cands = minhash_candidates(docs, n_hashes, n_bands, shingle, id_col)
+    ``jaccard_pairs``).
+
+    The distinct shingle-string array is materialized ONCE and feeds both
+    the signature hashes (md5 of each distinct shingle — a min over the
+    distinct set equals the min over the multiset) and the verification
+    sets; building them separately would run the normalize→tokenize→
+    shingle pipeline twice and md5 every duplicate occurrence (the md5
+    base hash is what buys cross-engine oracle replay — see
+    textstats.portable_hash32 — so its one pass is the one to optimize).
+
+    No ``widen_small_scan`` here, deliberately: the persisted shingle
+    frame is re-used across invocations (CacheManager matches the
+    canonicalized plan), so steady-state cost is the candidate join +
+    verification — and on that cached path the extra repartition and the
+    32-way tiny-partition fan-out measured ~1.5× SLOWER at sf0.1. At
+    cluster scale the scan is naturally parallel and the question is moot."""
     tok = docs.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles(shingle=shingle)).alias("toks"),
-    ).persist()  # joined twice (a-side and b-side of each candidate pair)
+    ).persist()  # feeds the signature pass AND both sides of the verify join
+    hashed = tok.select("doc", F.transform("toks", portable_hash32).alias("_sh"))
+    cands = minhash_candidates(
+        docs, n_hashes, n_bands, shingle, id_col, shingle_hashes=hashed
+    )
     ta = tok.select(F.col("doc").alias("a"), F.col("toks").alias("toks_a"))
     tb = tok.select(F.col("doc").alias("b"), F.col("toks").alias("toks_b"))
     return (
@@ -293,7 +323,11 @@ def simhash_near_duplicates(
     if n_blocks > n_bits:
         raise ValueError(f"max_hamming={max_hamming} needs more blocks than {n_bits} bits")
     base = n_bits // n_blocks
-    sig = docs.select(F.col(id_col).alias("doc"), simhash(n_bits=n_bits).alias("sh"))
+    # The per-bit vote folds are interpreted expressions — widen a
+    # single-split scan so they use every core.
+    sig = widen_small_scan(docs).select(
+        F.col(id_col).alias("doc"), simhash(n_bits=n_bits).alias("sh")
+    )
     entries = []
     offset = 0
     for blk in range(n_blocks):

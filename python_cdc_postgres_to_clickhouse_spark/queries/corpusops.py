@@ -76,18 +76,26 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so its distinct shingle set is *broadcast* and the train side
     streams through one narrow explode + broadcast-hash semi-join + one
     aggregation on doc_id — linear, no shuffle of the corpus text, no
-    pairwise term (plan-asserted in tests/test_corpusops.py)."""
+    pairwise term (plan-asserted in tests/test_corpusops.py). The shingle
+    arrays are computed once (widened past a single-split scan — the
+    interpreted shingle transform is the CPU cost) and persisted so the
+    train and test branches don't tokenize the corpus twice."""
     from ..operators.sampling import assign_split
+    from ..tables import widen_small_scan
 
     t = load_tables(spark, sf_dir)
-    docs = assign_split(t["documents"], "doc_id")
+    sh = (
+        widen_small_scan(assign_split(t["documents"], "doc_id"))
+        .select("doc_id", "split", F.array_distinct(D.shingles()).alias("shs"))
+        .persist()
+    )
     test_sh = (
-        docs.filter(F.col("split") == "test")
-        .select(F.explode(F.array_distinct(D.shingles())).alias("shingle"))
+        sh.filter(F.col("split") == "test")
+        .select(F.explode("shs").alias("shingle"))
         .distinct()
     )
-    train_sh = docs.filter(F.col("split") == "train").select(
-        "doc_id", F.explode(F.array_distinct(D.shingles())).alias("shingle")
+    train_sh = sh.filter(F.col("split") == "train").select(
+        "doc_id", F.explode("shs").alias("shingle")
     )
     return (
         train_sh.join(F.broadcast(test_sh), "shingle")

@@ -75,3 +75,23 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         dfs[name] = df
     _CATALOG_CACHE[key] = dfs
     return dfs
+
+
+def widen_small_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Repartition a scan whose input-split count is below the session's
+    core count — and ONLY then (at cluster scale a table has thousands of
+    row-group splits and this is a no-op; a blanket repartition there would
+    be a pointless full shuffle of raw text).
+
+    Why it exists: interpreted higher-order expressions (transform /
+    aggregate lambdas — shingle construction, per-bit vote folds) are
+    CPU-bound and do NOT parallelize past the scan's split count; a
+    single-row-group Parquet file serializes the whole pipeline onto one
+    core (measured 5.4× at sf0.1 on local[32]). Pay one small shuffle of
+    the raw rows to use every core.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
