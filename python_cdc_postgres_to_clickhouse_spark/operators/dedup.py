@@ -166,6 +166,32 @@ def minhash_signature(n_hashes: int = 16) -> list[Column]:
     ]
 
 
+def minhash_bands(sig: DataFrame, n_hashes: int = 16, n_bands: int = 8) -> DataFrame:
+    """(doc, band, bucket) rows from a signature frame with mh_i columns.
+
+    One explode instead of a b-way union: a union would re-run the whole
+    signature pipeline once per band (the signature subtree is duplicated
+    under each union branch — measured 8× recompute at sf0.1). Bucket key =
+    the band's minhash values joined as a string — an exact
+    (collision-free) key that both engines render identically; hashing it
+    again would only save key bytes at the cost of oracle replayability."""
+    rows_per_band = n_hashes // n_bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc", F.explode(band_entries).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_candidates(
     docs: DataFrame,
     n_hashes: int = 16,
@@ -194,28 +220,8 @@ def minhash_candidates(
         )
     )
     sig = with_sh.select("doc", *minhash_signature(n_hashes))
-    # One explode instead of a b-way union: a union would re-run the whole
-    # signature pipeline once per band (the signature subtree is duplicated
-    # under each union branch — measured 8× recompute at sf0.1).
-    # Bucket key = the band's minhash values joined as a string — an exact
-    # (collision-free) key that both engines render identically; hashing it
-    # again would only save key bytes at the cost of oracle replayability.
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    all_bands = (
-        sig.select("doc", F.explode(band_entries).alias("bb"))
-        .select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist()  # feeds both sides of the self-join below
-    )
+    all_bands = minhash_bands(sig, n_hashes, n_bands).persist()
+    # ^ persisted: feeds both sides of the self-join below.
     left = all_bands.select(F.col("doc").alias("a"), "band", "bucket")
     right = all_bands.select(F.col("doc").alias("b"), "band", "bucket")
     return (
