@@ -17,3 +17,4 @@ from . import timewindows  # noqa: F401
 from . import extensions  # noqa: F401
 from . import corpusops  # noqa: F401
 from . import misc  # noqa: F401
+from . import tpch_gaps  # noqa: F401
