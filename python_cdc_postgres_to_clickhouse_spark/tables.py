@@ -47,8 +47,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # round-trip that would lose precision on 1.7e18-magnitude nanos.
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs-parquet with isAdjustedToUTC=false reads as TIMESTAMP_NTZ.
+            # Batch queries don't care (the session is UTC-pinned, so NTZ and
+            # LTZ agree on every wall-clock value), but event-time watermarks
+            # reject NTZ — normalize to TimestampType at the source so the
+            # same catalog serves batch and streaming identically.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
