@@ -291,3 +291,178 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= STRATUM_K)
         .select("lang", "doc_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# X18: passage-level dedup. Document-level near-dup misses boilerplate that
+# repeats *inside* otherwise-distinct pages (headers, license blocks, nav
+# text); pipelines therefore dedup fixed-size token windows across the whole
+# corpus, keep each passage's first occurrence, and stitch documents back
+# together. Fully oracle-checked: chunking, keep-first, and reassembly are
+# all exact.
+# ---------------------------------------------------------------------------
+
+PASSAGE_TOKENS = 16
+
+PASSAGE_DEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(list_slice(t, i*{PASSAGE_TOKENS}+1,
+                                       i*{PASSAGE_TOKENS}+{PASSAGE_TOKENS}), ' ') AS chunk
+  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/{PASSAGE_TOKENS}.0) AS BIGINT))) AS u(i)
+),
+flagged AS (
+  SELECT doc_id, chunk_idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CASE WHEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+            THEN md5(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                                ' ' ORDER BY chunk_idx))
+            END AS cleaned_md5
+FROM flagged GROUP BY doc_id
+"""
+
+
+@query("x_passage_dedup", oracle=PASSAGE_DEDUP_SQL, tags=("ext", "dedup", "pipeline"))
+def x_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: corpus-wide passage dedup — split every document into
+    {PASSAGE_TOKENS}-token windows, keep only each window's first occurrence
+    (global (doc_id, chunk_idx) order), reassemble surviving text per doc
+    (reported as an md5 so the output stays hashable and narrow).
+
+    Scale shape: chunking is a narrow explode (no shuffle); keep-first is ONE
+    shuffle on the chunk hash — the window over md5(chunk) ranks each
+    passage's occurrences without materializing pairs; reassembly is ONE
+    shuffle back on doc_id with an order-struct array agg. O(corpus tokens)
+    end to end, the same two-exchange profile as exact document dedup, just
+    at passage granularity."""
+    t = load_tables(spark, sf_dir)
+    k = PASSAGE_TOKENS
+    toks = t["documents"].select("doc_id", TS.tokens().alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(float(k))).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice("t", i * k + 1, k)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = W.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    flagged = chunks.withColumn("rn", F.row_number().over(w))
+    kept_chunk = F.when(F.col("rn") == 1, F.col("chunk"))
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk"))
+            )
+        ).alias("_kept"),
+    )
+    cleaned = F.concat_ws(" ", F.transform("_kept", lambda s: s["chunk"]))
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.when(F.col("n_kept") > 0, F.md5(cleaned)).alias("cleaned_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X19: co-occurrence lift (PMI without the log). Collocation mining over the
+# corpus: how much more often do two tokens appear within a w-token window
+# than independence predicts? lift = P(pair) / (P(a)·P(b)); PMI = log(lift),
+# but the log is left to the caller — libm log implementations differ in the
+# last ulp across engines, while the rational lift is IEEE-exact and
+# oracle-checkable. Every count is exact; the divisions run in a fixed
+# left-associated order on both engines.
+# ---------------------------------------------------------------------------
+
+PMI_WINDOW = 4
+PMI_TOP = 20
+
+PMI_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, i AS pos, t[i+1] AS tok
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+       UNNEST(range(0, len(t))) AS u(i)
+),
+pairs AS (
+  SELECT p1.tok AS tok_a, p2.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM pos p1 JOIN pos p2
+    ON p1.doc_id = p2.doc_id AND p2.pos - p1.pos BETWEEN 1 AND {PMI_WINDOW}
+  GROUP BY p1.tok, p2.tok),
+uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM pos GROUP BY tok),
+tot AS (SELECT CAST((SELECT COUNT(*) FROM pos) AS DOUBLE) AS n_total,
+               CAST((SELECT CAST(SUM(n_pair) AS BIGINT) FROM pairs) AS DOUBLE) AS n_pairs)
+SELECT tok_a, tok_b, n_pair,
+       CAST(n_pair AS DOUBLE) * n_total * n_total
+         / n_pairs / CAST(ua.n_tok AS DOUBLE) / CAST(ub.n_tok AS DOUBLE) AS lift
+FROM pairs JOIN uni ua ON tok_a = ua.tok
+           JOIN uni ub ON tok_b = ub.tok
+           CROSS JOIN tot
+ORDER BY n_pair DESC, tok_a, tok_b LIMIT {PMI_TOP}
+"""
+
+
+@query("x_pmi_pairs", oracle=PMI_SQL, tags=("ext", "text"))
+def x_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19: top-{PMI_TOP} co-occurring token pairs within a
+    {PMI_WINDOW}-token forward window, with independence lift (exp(PMI)).
+
+    Scale shape: positions are a narrow posexplode; the windowed pairing is
+    a self-equi-join on doc_id with the position band as residual — within a
+    document it touches ≤ w·len pairs, so the join output is linear in
+    corpus tokens (w is a constant), hash-partitioned by doc. Pair counting
+    shuffles on (tok_a, tok_b) with map-side partials; the unigram table is
+    vocabulary-sized and broadcast onto the pair counts; the corpus totals
+    are 1-row aggregates broadcast the same way. Top-k via per-partition
+    heaps. No transcendentals: lift divisions are fixed-order IEEE doubles,
+    bit-identical across engines."""
+    t = load_tables(spark, sf_dir)
+    pos = t["documents"].select(
+        "doc_id", F.posexplode(TS.tokens()).alias("pos", "tok")
+    )
+    p2 = pos.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("pos").alias("pos_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    pairs = (
+        pos.join(
+            p2,
+            (F.col("doc_id") == F.col("doc2"))
+            & (F.col("pos_b") - F.col("pos")).between(1, PMI_WINDOW),
+        )
+        .groupBy(F.col("tok").alias("tok_a"), "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    uni = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    n_total = pos.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    n_pairs = pairs.agg(F.sum("n_pair").cast("double").alias("n_pairs"))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n_total")
+        * F.col("n_total")
+        / F.col("n_pairs")
+        / F.col("n_a").cast("double")
+        / F.col("n_b").cast("double")
+    )
+    return (
+        pairs.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .join(F.broadcast(n_total))
+        .join(F.broadcast(n_pairs))
+        .select("tok_a", "tok_b", "n_pair", lift.alias("lift"))
+        .orderBy(F.desc("n_pair"), "tok_a", "tok_b")
+        .limit(PMI_TOP)
+    )
