@@ -18,3 +18,4 @@ from . import extensions  # noqa: F401
 from . import corpusops  # noqa: F401
 from . import misc  # noqa: F401
 from . import tpch_gaps  # noqa: F401
+from . import embeddings  # noqa: F401

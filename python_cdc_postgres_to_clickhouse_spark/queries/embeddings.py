@@ -1,0 +1,127 @@
+"""Embedding-column operators beyond similarity search (SURVEY.md §2.7):
+dimensionality reduction and clustering — the transform stages that sit
+between raw embeddings and ANN indexing in a training-data pipeline.
+
+- x_random_projection: Achlioptas ±1 random projection (the JL-lemma
+  construction with a sign matrix instead of Gaussians). The sign matrix is
+  derived from md5 parity — the engine-portable hash primitive
+  (operators/textstats.portable_hash32) — so the projection is *fully
+  oracle-checked*: DuckDB regenerates the identical matrix from the same
+  md5 calls, and both engines fold the dot products left-to-right in
+  double precision, giving bit-identical outputs.
+- x_kmeans_embed: spherical k-means clustering (reusing the IVF coarse
+  quantizer trainer, operators/similarity.train_ivf_centroids) with a
+  distributed assignment pass. Iterative/driver-trained → no SQL oracle
+  (rows-only driver row); determinism + assignment optimality are asserted
+  in tests/test_embeddings.py against a pure-numpy replay.
+
+Reference parity: the reference delegates all analytics to ClickHouse
+(docker-compose provisioning); embeddings are part of the EXT
+training-data surface (SURVEY.md §2.7) with no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import _ivf_cells_udf, norm, train_ivf_centroids
+from ..registry import query
+from ..tables import load_tables
+
+EMB_DIM = 64
+PROJ_DIM = 8
+# repr() of the exact double both engines multiply by — embedding the
+# decimal literal (not recomputing 1/sqrt(8) per engine) guarantees the
+# same scale factor bit-for-bit.
+_PROJ_SCALE = 1.0 / math.sqrt(float(PROJ_DIM))
+
+
+def projection_sign(j: int, i: int) -> float:
+    """±1 from md5 parity of "j_i" — engine-portable (md5 is md5
+    everywhere), deterministic, and data-independent."""
+    h = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:8], 16)
+    return 1.0 - 2.0 * (h % 2)
+
+
+def _sql_component(j: int) -> str:
+    sign = (
+        "CAST(1 - 2*(CAST(concat('0x', substr(md5(concat("
+        f"'{j}_', CAST(i-1 AS VARCHAR))),1,8)) AS BIGINT) % 2) AS DOUBLE)"
+    )
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {sign})), "
+        f"(acc, x) -> acc + x) * {_PROJ_SCALE!r} AS p{j}"
+    )
+
+
+RANDOM_PROJECTION_SQL = (
+    "SELECT vec_id, "
+    + ", ".join(_sql_component(j) for j in range(PROJ_DIM))
+    + " FROM embeddings"
+)
+
+
+@query("x_random_projection", oracle=RANDOM_PROJECTION_SQL, tags=("ext", "embedding"))
+def x_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20: Johnson-Lindenstrauss ±1 projection of the 64-dim embedding
+    column down to {PROJ_DIM} dims. The sign matrix is a compile-time
+    constant (md5 parity of the (out,in) index pair), so the whole operator
+    is a narrow per-row JVM expression: one zip_with multiply + ordered
+    fold per output dim — no shuffle, no Python, no data-dependent state.
+    At 100 TB this is a pure map stage that pushes down past nothing and
+    blocks nothing; distance preservation (JL) is asserted in tests."""
+    t = load_tables(spark, sf_dir)
+    emb = F.col("embedding").cast("array<double>")
+    cols = []
+    for j in range(PROJ_DIM):
+        signs = F.array(*[F.lit(projection_sign(j, i)) for i in range(EMB_DIM)])
+        comp = F.aggregate(
+            F.zip_with(emb, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append((comp * F.lit(_PROJ_SCALE)).alias(f"p{j}"))
+    return t["embeddings"].select("vec_id", *cols)
+
+
+KMEANS_K = 8
+KMEANS_SEED = 7
+
+
+@query("x_kmeans_embed", tags=("ext", "embedding", "iterative"))
+def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: spherical k-means over the embedding column — cluster cardinality
+    and mean cosine-to-centroid per cluster, the corpus-curation view
+    (cluster-balanced sampling, outlier-cluster pruning) of the same coarse
+    quantizer the IVF index uses.
+
+    Build once, assign many: training reads a bounded uniform sample
+    (≤20k rows, one narrow TakeOrdered pass — never a full corpus scan,
+    see train_ivf_centroids); the assignment pass broadcasts the (k × dim)
+    centroid matrix inside an Arrow-batched GEMM UDF — one narrow pass, no
+    shuffle; the per-cluster rollup is a k-group hash aggregate with
+    map-side partials. Iterative fitting ⇒ no SQL oracle; rows-only driver
+    row, with determinism and numpy-replay parity in tests."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    C = train_ivf_centroids(emb, n_centroids=KMEANS_K, seed=KMEANS_SEED)
+    cell1 = _ivf_cells_udf(C, 1)
+    assigned = emb.select(
+        "vec_id",
+        F.element_at(cell1(F.col("embedding")), 1).alias("cluster_id"),
+        norm("embedding").alias("_norm"),
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.avg("_norm").alias("mean_norm"),
+        )
+        .orderBy("cluster_id")
+    )

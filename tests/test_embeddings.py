@@ -1,0 +1,127 @@
+"""Embedding transform operators: JL projection quality + k-means replay.
+
+The projection's value parity vs DuckDB is covered by the oracle harness
+(test_queries_oracle). Here: the *geometry* claims — distance preservation
+for the projection, and for k-means that the distributed assignment pass
+reproduces exactly what numpy computes from the same trained centroids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from python_cdc_postgres_to_clickhouse_spark.operators.similarity import (
+    train_ivf_centroids,
+)
+from python_cdc_postgres_to_clickhouse_spark.queries.embeddings import (
+    EMB_DIM,
+    KMEANS_K,
+    KMEANS_SEED,
+    PROJ_DIM,
+    projection_sign,
+    x_kmeans_embed,
+    x_random_projection,
+)
+from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+from .conftest import SF_SMOKE
+
+
+def _sign_matrix() -> np.ndarray:
+    return np.array(
+        [[projection_sign(j, i) for i in range(EMB_DIM)] for j in range(PROJ_DIM)]
+    )
+
+
+def test_projection_matches_numpy(spark):
+    rows = x_random_projection(spark, SF_SMOKE).orderBy("vec_id").collect()
+    emb = (
+        load_tables(spark, SF_SMOKE)["embeddings"]
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    S = _sign_matrix() / np.sqrt(PROJ_DIM)
+    for got, src in zip(rows[:50], emb[:50]):
+        assert got["vec_id"] == src["vec_id"]
+        want = S @ np.array(src["embedding"], dtype=np.float64)
+        have = np.array([got[f"p{j}"] for j in range(PROJ_DIM)])
+        np.testing.assert_allclose(have, want, rtol=1e-12)
+
+
+def test_projection_preserves_distances_on_average(spark):
+    """JL in expectation: E[||Px - Py||^2] = ||x - y||^2 for the ±1/sqrt(d')
+    sign construction. With d'=8 individual pairs fluctuate, so assert the
+    mean ratio over many pairs is near 1 — the actual lemma-level claim."""
+    rows = x_random_projection(spark, SF_SMOKE).orderBy("vec_id").limit(80).collect()
+    emb = (
+        load_tables(spark, SF_SMOKE)["embeddings"]
+        .orderBy("vec_id")
+        .limit(80)
+        .collect()
+    )
+    P = np.array([[r[f"p{j}"] for j in range(PROJ_DIM)] for r in rows])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    rng = np.random.RandomState(0)
+    ratios = []
+    for _ in range(300):
+        a, b = rng.choice(len(X), 2, replace=False)
+        orig = np.sum((X[a] - X[b]) ** 2)
+        if orig < 1e-9:
+            continue
+        ratios.append(np.sum((P[a] - P[b]) ** 2) / orig)
+    assert 0.75 < float(np.mean(ratios)) < 1.25
+
+
+def test_kmeans_matches_numpy_replay(spark):
+    """The distributed pass must equal a driver-side numpy replay: same
+    centroids (training is deterministic), same argmax assignment, same
+    cluster sizes."""
+    t = load_tables(spark, SF_SMOKE)
+    emb = t["embeddings"]
+    C = train_ivf_centroids(emb, n_centroids=KMEANS_K, seed=KMEANS_SEED)
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    want_sizes = np.bincount(np.argmax(Xn @ C.T, axis=1), minlength=KMEANS_K)
+
+    got = {r["cluster_id"]: r["n_vectors"] for r in x_kmeans_embed(spark, SF_SMOKE).collect()}
+    for j in range(KMEANS_K):
+        assert got.get(j, 0) == want_sizes[j], j
+    assert sum(got.values()) == len(X)
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    a = sorted(map(tuple, x_kmeans_embed(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, x_kmeans_embed(spark, SF_SMOKE).collect()))
+    assert a == b
+
+
+def test_kmeans_clusters_tighter_than_random(spark):
+    """Fitted centroids must beat a random-split baseline on within-cluster
+    cosine (i.e. training actually moved the centroids)."""
+    t = load_tables(spark, SF_SMOKE)
+    X = np.array(
+        [r["embedding"] for r in t["embeddings"].collect()], dtype=np.float64
+    )
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = train_ivf_centroids(t["embeddings"], n_centroids=KMEANS_K, seed=KMEANS_SEED)
+    fitted = float(np.mean(np.max(Xn @ C.T, axis=1)))
+
+    rng = np.random.RandomState(0)
+    rand_assign = rng.randint(0, KMEANS_K, len(Xn))
+    R = np.array(
+        [
+            Xn[rand_assign == j].mean(axis=0)
+            if np.any(rand_assign == j)
+            else Xn[0]
+            for j in range(KMEANS_K)
+        ]
+    )
+    R /= np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-12)
+    random_baseline = float(
+        np.mean([Xn[i] @ R[rand_assign[i]] for i in range(len(Xn))])
+    )
+    assert fitted > random_baseline + 0.05
