@@ -48,6 +48,12 @@ HEADLINE = [
     # unchanged, so per-query comparisons stay like-for-like).
     "x_decontaminate",         # broadcast benchmark-overlap scan
     "x_tfidf_topterms",        # tf-idf ranking, broadcast df table
+    # Added round 4 (earlier entries unchanged — like-for-like holds).
+    "tpch_q10_returned_items", # 4-way join + global top-k (Q10)
+    "tpch_q21_waiting_supplier",  # semi+anti self-join (Q21)
+    "x_passage_dedup",         # sub-document window dedup, two exchanges
+    "x_pmi_pairs",             # windowed co-occurrence self-join
+    "x_random_projection",     # JL sign projection, pure map stage
 ]
 
 

@@ -52,84 +52,80 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's CORRECTNESS gate checks the first 50 queries in dict order
 # (observed in round 1: CORRECTNESS_r01.json stopped at exactly 50 entries
 # in registration order, leaving all cdc_*/t_*/x_*/m_* unverified).
-# Round-3 rotation policy (no query's driver row goes >2 rounds stale):
-# (a) every query whose only driver row is from round 1 — all 36 of them,
-# (b) queries changed or first-oracled since the round-2 driver run
-#     (c_math_funcs output-type fix, x_dedup_clusters recursive-CTE oracle,
-#     x_ivf_cosine_topk one-pass sampling, and the MinHash/SimHash
-#     portable-hash promotions from rows-only to full oracle). Everything
-#     not listed follows in registration order; rounds 1+2 cover those, so
-#     the union of rounds verifies the full registry (asserted in
-#     tests/test_harness.py — never hand-count the total here).
+# Round-4 rotation policy (no query's driver row goes >2 rounds stale):
+# (a) every query NEW this round — first driver rows for the TPC-H gap
+#     suite, passage dedup, PMI lift, and the embedding transforms;
+# (b) the five queries whose last driver row is round 1 (displaced from
+#     the r3 window, promised back this round);
+# (c) 32 of the 44 round-2-rows queries, prioritizing everything that
+#     touches the events catalog (the NTZ→LTZ ts normalization in
+#     tables.py changed that code path) and every EXT/bench family
+#     representative. The 12 deferred to round 5 are untouched
+#     single-shape relational queries (m_covar_corr, m_median_exact,
+#     m_histogram, m_string_agg, m_unpivot, m_salted_agg, a_pivot,
+#     s_intersect_all, w_running_sum, sub_correlated_scalar,
+#     sub_exists_correlated, sub_small_qty_revenue) — at round-4 end they
+#     are exactly 2 rounds stale and MUST lead the round-5 window.
+# The union of rounds verifies the full registry (asserted in
+# tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (b) changed / newly-oracled since the round-2 driver run.
-    "c_math_funcs",
-    "x_dedup_clusters",
-    "x_ivf_cosine_topk",
-    "x_lang_id",
-    "x_minhash_near_dup",
-    "x_simhash_near_dup",
-    # (a) stale round-1-only rows: joins.
-    "j_left_outer",
-    "j_full_outer",
-    "j_semi",
-    "j_anti",
-    "j_theta_band",
-    # (a) aggregates. (a_approx_distinct / a_approx_quantiles are displaced
-    # for round-3 additions: they carry no oracle, so their driver rows are
-    # rows-only — near-zero re-check signal; they rotate back in round 4.)
-    "a_count_distinct",
-    "a_argmax",
-    "a_conditional",
-    "a_rollup",
-    "a_cube",
-    "a_rollup_grouping",
-    "a_grouping_sets",
-    "a_having",
-    "a_stats_moments",
-    "a_groupby_expr",
-    # (a) windows.
-    "w_rank_dense",
-    "w_lag_lead",
-    "w_moving_avg",
-    "w_ntile_first_last",
-    "w_percent_rank_cume",
-    "w_range_frame",
-    # (a) set operations. (s_union_all / s_union_distinct / s_intersect are
-    # displaced for round-3 additions — one-expression built-ins untouched
-    # since round 1, twice-green locally; s_except/s_except_all keep the
-    # family's driver presence. They rotate back in round 4.)
-    "s_except",
-    "s_except_all",
-    # (a) scalar expressions.
-    "c_like_split",
-    "c_case_in_between",
-    "c_array_funcs",
-    "c_null_handling",
-    # (a) subqueries.
-    "sub_scalar_avg",
-    "sub_in",
-    "sub_not_exists",
-    "sub_min_price_supplier",
-    # (b') new this round — first driver rows for the round-3 EXT queries.
-    "x_hash_split",
-    "x_det_sample",
-    "x_repetition_stats",
-    "x_rolling_fingerprint",
-    "x_pii_scrub",
-    "x_token_packing",
-    "x_embedding_stats",
-    "x_leakage_safe_split",
-    # (b'') new this round — corpus-analytics family (queries/corpusops.py).
-    "x_decontaminate",
-    "x_ngram_counts",
-    "x_tfidf_topterms",
-    "x_vocab_build",
-    "x_stratified_sample",
-    # (Displaced for the two MinHash/SimHash promotions above: the (c)
-    # family representatives q1_pricing_summary / cdc_latest_by_key — both
-    # have fresh round-2 rows, so they are only one round stale and rotate
-    # back in round 4.)
+    # (a) new this round: TPC-H gap suite.
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_lines",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_lapsed_customers",
+    # (a) new this round: corpus + embedding operators.
+    "x_passage_dedup",
+    "x_pmi_pairs",
+    "x_random_projection",
+    "x_kmeans_embed",
+    # (b) round-1-only rows, displaced from the r3 window.
+    "a_approx_distinct",
+    "a_approx_quantiles",
+    "s_intersect",
+    "s_union_all",
+    "s_union_distinct",
+    # (c) events-catalog queries — the ts normalization changed their source
+    # path this round.
+    "t_tumbling_window",
+    "t_sliding_window",
+    "t_session_window",
+    "m_json_map",
+    "c_datetime_funcs",
+    "j_asof_latest_event",
+    "cdc_latest_by_key",
+    "cdc_op_routing",
+    "cdc_snapshot_union_changelog",
+    "cdc_changes_per_key_topn",
+    # (c) flagship + bench representatives with round-2 rows.
+    "q1_pricing_summary",
+    "j_inner_equi",
+    "j_star_broadcast",
+    "m_shipping_priority",
+    "m_nation_volume",
+    "m_global_agg_revenue",
+    "m_order_priority_check",
+    "m_disjunctive_bands",
+    "m_lateral_top_order",
+    "m_token_tf_topn",
+    "a_groupby_orders",
+    "w_topk_per_group",
+    "c_string_funcs",
+    "c_json_funcs",
+    # (c) EXT family representatives with round-2 rows.
+    "x_dedup_exact",
+    "x_jaccard_near_dup",
+    "x_cosine_topk",
+    "x_lsh_cosine_topk",
+    "x_embedding_near_dup",
+    "x_corpus_prep",
+    "x_quality_score",
+    "x_text_stats",
 )
 
 
