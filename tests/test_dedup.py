@@ -72,3 +72,20 @@ def test_simhash_flags_near_identical_docs(spark):
     # And simhash shouldn't fire on everything.
     n = docs.count()
     assert len(sim) < n * n / 25
+
+
+def test_jaccard_strategies_agree(spark):
+    """Prefix filtering (PPJoin candidates + exact verify) must produce the
+    identical pair set, counts, and similarities as the postings join —
+    the strategy is a physical-plan choice, not a semantic one."""
+    docs = _docs(spark)
+    post = {
+        (r["a"], r["b"]): (r["n_common"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in D.jaccard_pairs(docs, threshold=0.6, strategy="postings").collect()
+    }
+    pref = {
+        (r["a"], r["b"]): (r["n_common"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in D.jaccard_pairs(docs, threshold=0.6, strategy="prefix").collect()
+    }
+    assert post == pref
+    assert len(post) > 0
