@@ -294,7 +294,7 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X18: passage-level dedup. Document-level near-dup misses boilerplate that
+# X19: passage-level dedup. Document-level near-dup misses boilerplate that
 # repeats *inside* otherwise-distinct pages (headers, license blocks, nav
 # text); pipelines therefore dedup fixed-size token windows across the whole
 # corpus, keep each passage's first occurrence, and stitch documents back
@@ -330,7 +330,7 @@ FROM flagged GROUP BY doc_id
 
 @query("x_passage_dedup", oracle=PASSAGE_DEDUP_SQL, tags=("ext", "dedup", "pipeline"))
 def x_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X18: corpus-wide passage dedup — split every document into
+    """X19: corpus-wide passage dedup — split every document into
     {PASSAGE_TOKENS}-token windows, keep only each window's first occurrence
     (global (doc_id, chunk_idx) order), reassemble surviving text per doc
     (reported as an md5 so the output stays hashable and narrow).
@@ -376,7 +376,7 @@ def x_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X19: co-occurrence lift (PMI without the log). Collocation mining over the
+# X20: co-occurrence lift (PMI without the log). Collocation mining over the
 # corpus: how much more often do two tokens appear within a w-token window
 # than independence predicts? lift = P(pair) / (P(a)·P(b)); PMI = log(lift),
 # but the log is left to the caller — libm log implementations differ in the
@@ -414,7 +414,7 @@ ORDER BY n_pair DESC, tok_a, tok_b LIMIT {PMI_TOP}
 
 @query("x_pmi_pairs", oracle=PMI_SQL, tags=("ext", "text"))
 def x_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X19: top-{PMI_TOP} co-occurring token pairs within a
+    """X20: top-{PMI_TOP} co-occurring token pairs within a
     {PMI_WINDOW}-token forward window, with independence lift (exp(PMI)).
 
     Scale shape: positions are a narrow posexplode; the windowed pairing is

@@ -69,7 +69,7 @@ RANDOM_PROJECTION_SQL = (
 
 @query("x_random_projection", oracle=RANDOM_PROJECTION_SQL, tags=("ext", "embedding"))
 def x_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X20: Johnson-Lindenstrauss ±1 projection of the 64-dim embedding
+    """X21: Johnson-Lindenstrauss ±1 projection of the 64-dim embedding
     column down to {PROJ_DIM} dims. The sign matrix is a compile-time
     constant (md5 parity of the (out,in) index pair), so the whole operator
     is a narrow per-row JVM expression: one zip_with multiply + ordered
@@ -96,7 +96,7 @@ KMEANS_SEED = 7
 
 @query("x_kmeans_embed", tags=("ext", "embedding", "iterative"))
 def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X21: spherical k-means over the embedding column — cluster cardinality
+    """X22: spherical k-means over the embedding column — cluster cardinality
     and mean cosine-to-centroid per cluster, the corpus-curation view
     (cluster-balanced sampling, outlier-cluster pruning) of the same coarse
     quantizer the IVF index uses.
