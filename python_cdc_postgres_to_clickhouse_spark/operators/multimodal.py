@@ -228,3 +228,181 @@ def metadata_only_stats(media: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.avg(F.col("meta_width") * F.col("meta_height")).alias("avg_pixels"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio modality. Same contract as images: opaque binary payload + typed
+# metadata, byte-touching ops in mapInPandas. Two codecs, content-routed:
+# the deterministic fake codec (MMA0 header + int16 PCM) and a REAL WAV
+# codec built on the stdlib `wave` module — no external dependency, so
+# unlike images the real audio path runs everywhere, including this
+# container.
+# ---------------------------------------------------------------------------
+
+AUDIO_MAGIC = b"MMA0"
+# magic, sample_rate (Hz), n_samples, channels
+AUDIO_HEADER_FMT = ">4sIIB"
+AUDIO_HEADER_SIZE = struct.calcsize(AUDIO_HEADER_FMT)
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta_sample_rate", T.IntegerType()),
+        T.StructField("meta_n_samples", T.LongType()),
+    ]
+)
+
+
+def encode_fake_audio(
+    media_id: int, sample_rate: int = 16_000, n_samples: int = 1600, channels: int = 1
+) -> bytes:
+    """Deterministic fake audio: header + seeded int16 PCM (interleaved)."""
+    rng = np.random.RandomState(media_id % (2**31))
+    pcm = rng.randint(-(2**15), 2**15, size=n_samples * channels, dtype=np.int16)
+    return (
+        struct.pack(AUDIO_HEADER_FMT, AUDIO_MAGIC, sample_rate, n_samples, channels)
+        + pcm.astype(">i2").tobytes()
+    )
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16_000, channels: int = 1
+) -> bytes:
+    """Real WAV encode (stdlib wave): int16 PCM container."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes, fake: bool | None = None) -> tuple[np.ndarray, int]:
+    """Decode to (samples[n, channels] int16, sample_rate).
+
+    Content-routed like decode_image: MMA0 payloads take the fake codec;
+    anything else is parsed as WAV via the stdlib `wave` module — a real
+    codec with no external dependency, active in every environment.
+    """
+    if fake is None:
+        fake = payload[: len(AUDIO_MAGIC)] == AUDIO_MAGIC
+    if fake:
+        magic, rate, n, c = struct.unpack_from(AUDIO_HEADER_FMT, payload)
+        if magic != AUDIO_MAGIC:
+            raise ValueError("not a fake-codec audio payload")
+        pcm = np.frombuffer(payload, dtype=">i2", offset=AUDIO_HEADER_SIZE)
+        return pcm.astype(np.int16).reshape(n, c), rate
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        c = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV is supported")
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    return pcm.astype(np.int16).reshape(-1, c), rate
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + per-clip signal features over Arrow batches: duration, RMS
+    energy, zero-crossing rate, absolute peak — the quality/filter signals
+    an audio-corpus pipeline gates on (silence, clipping, truncation)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm, rate = decode_audio(bytes(payload))
+                n, c = pcm.shape
+                x = pcm.astype(np.float64)
+                mono = x.mean(axis=1)
+                zc = (
+                    float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    / max(len(mono) - 1, 1)
+                )
+                rows.append(
+                    (
+                        int(media_id),
+                        int(rate),
+                        int(n),
+                        int(c),
+                        n / rate,
+                        float(np.sqrt(np.mean(x * x))),
+                        zc,
+                        int(np.abs(pcm).max()) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "channels",
+                    "duration_sec", "rms", "zero_crossing_rate", "peak",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def resample_audio(media: DataFrame, target_rate: int = 8_000) -> DataFrame:
+    """Nearest-neighbor resample to ``target_rate`` (index decimation /
+    repetition — the plumbing contract; swap a polyphase filter into the
+    same closure for production audio). Output schema == input schema with
+    payload re-encoded by the fake codec and metadata kept consistent."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            payloads, rates, lens = [], [], []
+            for payload in pdf["payload"]:
+                pcm, rate = decode_audio(bytes(payload))
+                n, c = pcm.shape
+                m = max(1, int(round(n * target_rate / rate)))
+                idx = np.minimum((np.arange(m) * (n / m)).astype(int), n - 1)
+                res = pcm[idx]
+                payloads.append(
+                    struct.pack(
+                        AUDIO_HEADER_FMT, AUDIO_MAGIC, target_rate, m, c
+                    )
+                    + res.astype(">i2").tobytes()
+                )
+                rates.append(target_rate)
+                lens.append(m)
+            out["payload"] = payloads
+            out["meta_sample_rate"] = pd.array(rates, dtype="Int32")
+            out["meta_n_samples"] = pd.array(lens, dtype="Int64")
+            yield out
+
+    return media.mapInPandas(run, media.schema)
+
+
+def audio_metadata_stats(media: DataFrame) -> DataFrame:
+    """Byte-free audio metadata rollup — like metadata_only_stats, must
+    never read the payload column (ReadSchema plan-asserted in tests)."""
+    return media.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(
+            F.col("meta_n_samples").cast("double")
+            / F.col("meta_sample_rate").cast("double")
+        ).alias("avg_duration_sec"),
+    )

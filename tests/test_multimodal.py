@@ -89,3 +89,94 @@ def test_metadata_query_prunes_payload(spark, media, tmp_path):
     plan = stats._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan, "payload column must be pruned from the scan"
     assert stats.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Audio modality
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+@pytest.fixture(scope="module")
+def audio(spark):
+    rows = [
+        (
+            i,
+            "audio/fake",
+            bytearray(MM.encode_fake_audio(i, 16_000, 1600 + 10 * i)),
+            16_000,
+            1600 + 10 * i,
+        )
+        for i in range(12)
+    ]
+    return spark.createDataFrame(rows, schema=MM.AUDIO_SCHEMA)
+
+
+def test_fake_audio_roundtrip():
+    payload = MM.encode_fake_audio(7, 22_050, 500, channels=2)
+    pcm, rate = MM.decode_audio(payload)
+    assert rate == 22_050
+    assert pcm.shape == (500, 2)
+    assert pcm.dtype == np.int16
+    # Deterministic: same id → same bytes.
+    assert MM.encode_fake_audio(7, 22_050, 500, channels=2) == payload
+
+
+def test_real_wav_codec_roundtrip():
+    """The WAV codec is stdlib-only — the REAL audio path runs here, unlike
+    images (no Pillow in the container)."""
+    t = np.arange(800)
+    samples = (10_000 * np.sin(2 * np.pi * 440 * t / 16_000)).astype(np.int16)
+    payload = MM.encode_wav(samples, sample_rate=16_000, channels=1)
+    pcm, rate = MM.decode_audio(payload)  # content-routed: no MMA0 magic → WAV
+    assert rate == 16_000
+    assert pcm.shape == (800, 1)
+    np.testing.assert_array_equal(pcm[:, 0], samples)
+
+
+def test_audio_features(spark, audio):
+    feats = {r["media_id"]: r for r in MM.audio_features(audio).collect()}
+    assert len(feats) == 12
+    for i, r in feats.items():
+        assert r["sample_rate"] == 16_000
+        assert r["n_samples"] == 1600 + 10 * i
+        assert r["duration_sec"] == pytest.approx((1600 + 10 * i) / 16_000)
+        assert 0.0 <= r["zero_crossing_rate"] <= 1.0
+        assert r["rms"] > 0 and r["peak"] > 0
+
+
+def test_audio_features_on_real_wav(spark):
+    silent = MM.encode_wav(np.zeros(1000, dtype=np.int16))
+    loud = MM.encode_wav(np.full(1000, 20_000, dtype=np.int16))
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(silent), 16_000, 1000),
+         (2, "audio/wav", bytearray(loud), 16_000, 1000)],
+        schema=MM.AUDIO_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in MM.audio_features(df).collect()}
+    assert feats[1]["rms"] == 0.0 and feats[1]["peak"] == 0
+    assert feats[2]["rms"] == pytest.approx(20_000.0) and feats[2]["peak"] == 20_000
+
+
+def test_resample_audio_halves_rate(spark, audio):
+    out = {r["media_id"]: r for r in MM.resample_audio(audio, 8_000).collect()}
+    assert len(out) == 12
+    for i, r in out.items():
+        assert r["meta_sample_rate"] == 8_000
+        want = int(round((1600 + 10 * i) * 8_000 / 16_000))
+        assert r["meta_n_samples"] == want
+        pcm, rate = MM.decode_audio(bytes(r["payload"]))
+        assert rate == 8_000 and pcm.shape[0] == want
+    # Schema is unchanged — resample composes with any downstream op.
+    assert MM.resample_audio(audio, 8_000).schema == audio.schema
+
+
+def test_audio_metadata_prunes_payload(spark, audio, tmp_path):
+    path = str(tmp_path / "audio.parquet")
+    audio.write.parquet(path)
+    stats = MM.audio_metadata_stats(spark.read.parquet(path))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan, "payload column must be pruned from the scan"
+    row = stats.collect()[0]
+    assert row["n"] == 12 and row["avg_duration_sec"] > 0
