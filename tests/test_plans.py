@@ -154,3 +154,74 @@ def test_metadata_scan_prunes_unused_columns(spark):
     df = t["lineitem"].select("l_orderkey").limit(5)
     cols = P.read_schema_columns(df)
     assert cols == ["l_orderkey"], cols
+
+
+# ---------------------------------------------------------------------------
+# Round-4 TPC-H gap suite: the plan properties each shape exists to test.
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_q10_pushes_both_selective_filters(spark):
+    df = _q(spark, "tpch_q10_returned_items")
+    assert P.has_pushed_filters(df), "date + returnflag filters must reach the scans"
+    plan = P.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, "global top-20 must be heap-based, not a sort"
+
+
+def test_tpch_q8_broadcasts_fixed_dims(spark):
+    assert P.has_broadcast_join(_q(spark, "tpch_q8_market_share"))
+
+
+def test_tpch_q14_scan_is_date_pruned(spark):
+    df = _q(spark, "tpch_q14_promo_share")
+    assert P.has_pushed_filters(df)
+    assert P.has_partial_aggregate(df)
+
+
+def test_tpch_q15_has_no_unpartitioned_window(spark):
+    """The scalar max must come from a broadcast 1-row aggregate, never a
+    Window over an unpartitioned frame (single-task funnel at scale)."""
+    plan = P.physical_plan(_q(spark, "tpch_q15_top_supplier"))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tpch_q18_aggregates_quantity_once(spark):
+    """The HAVING subquery is reused as the carried aggregate: exactly one
+    aggregation over lineitem quantity, not the SQL's two."""
+    plan = P.physical_plan(_q(spark, "tpch_q18_large_orders"))
+    assert plan.count("l_quantity") <= 4, (
+        "quantity should appear in one partial+final aggregate pair only"
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q21_semi_and_anti_joins(spark):
+    plan = P.physical_plan(_q(spark, "tpch_q21_waiting_supplier"))
+    assert "LeftSemi" in plan, "EXISTS must plan as a semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS must plan as an anti join"
+
+
+def test_tpch_q22_anti_join_and_broadcast_scalar(spark):
+    plan = P.physical_plan(_q(spark, "tpch_q22_lapsed_customers"))
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan, "the 1-row average must broadcast"
+
+
+def test_passage_dedup_two_exchanges(spark):
+    """Keep-first + reassembly = exactly two shuffles (chunk-hash window,
+    doc-key agg) — the property that makes passage dedup linear."""
+    plan = P.physical_plan(_q(spark, "x_passage_dedup"))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, f"expected ≤3 hash exchanges (got {n_exchanges}):\n{plan}"
+
+
+def test_pmi_broadcasts_vocab_and_totals(spark):
+    plan = P.physical_plan(_q(spark, "x_pmi_pairs"))
+    assert "BroadcastHashJoin" in plan, "unigram table must broadcast"
+
+
+def test_random_projection_is_narrow(spark):
+    """Pure map stage: no exchange anywhere in the plan."""
+    plan = P.physical_plan(_q(spark, "x_random_projection"))
+    assert "Exchange" not in plan, plan
