@@ -238,3 +238,43 @@ def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.count(F.lit(1)).over(w).alias("n_in_band"),
     )
+
+
+@query(
+    "w_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, v,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+          FROM events) e
+    """,
+    tags=("window", "nulls"),
+)
+def w_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill / last-observation-carried-forward: IGNORE NULLS window
+    semantics (gap-filling sensor/CDC streams — carry each user's last
+    non-null reading forward). Nulls are injected deterministically
+    (event_id % 7) so the fill actually exercises skipping. One shuffle on
+    user_id; the running frame is incremental state per partition, and
+    (ts, event_id) gives a total order so results are engine-identical —
+    values pass through unaggregated, so doubles stay bit-exact."""
+    t = load_tables(spark, sf_dir)
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t["events"]
+        .select("event_id", "user_id", "ts", v.alias("v"))
+        .select(
+            "event_id",
+            "user_id",
+            "v",
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )

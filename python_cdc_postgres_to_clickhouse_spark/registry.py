@@ -64,8 +64,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     single-shape relational queries (m_covar_corr, m_median_exact,
 #     m_histogram, m_string_agg, m_unpivot, m_salted_agg, a_pivot,
 #     s_intersect_all, w_running_sum, sub_correlated_scalar,
-#     sub_exists_correlated, sub_small_qty_revenue) — at round-4 end they
-#     are exactly 2 rounds stale and MUST lead the round-5 window.
+#     sub_exists_correlated, sub_small_qty_revenue, and c_json_funcs,
+#     displaced late for w_forward_fill) — at round-4 end they are exactly
+#     2 rounds stale and MUST lead the round-5 window.
 # The union of rounds verifies the full registry (asserted in
 # tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -84,6 +85,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_pmi_pairs",
     "x_random_projection",
     "x_kmeans_embed",
+    "w_forward_fill",
     # (b) round-1-only rows, displaced from the r3 window.
     "a_approx_distinct",
     "a_approx_quantiles",
@@ -116,7 +118,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "a_groupby_orders",
     "w_topk_per_group",
     "c_string_funcs",
-    "c_json_funcs",
     # (c) EXT family representatives with round-2 rows.
     "x_dedup_exact",
     "x_jaccard_near_dup",
