@@ -10,7 +10,7 @@ states, never raw rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -330,4 +330,50 @@ def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("l_quantity")).cast("double"))
         .withColumnRenamed("F", "qty_F")
         .withColumnRenamed("O", "qty_O")
+    )
+
+
+@query(
+    "a_percentile_disc",
+    oracle="""
+    SELECT o_orderstatus,
+           MAX(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT) THEN o_totalprice END) AS p90
+    FROM (SELECT o_orderstatus, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) rn,
+                 COUNT(*) OVER (PARTITION BY o_orderstatus) n
+          FROM orders) t
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("agg", "stats", "window"),
+)
+def a_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles per group (p50/p90 of order value): the
+    value at rank ⌈p·n⌉ in sort order — an actual data point, engine-exact,
+    unlike interpolating percentile_cont (whose arithmetic differs across
+    engines) or approx sketches. One shuffle on the group key; rank + count
+    share a single window partition pass; ties in price collapse to the
+    same value so the row_number tiebreak cannot change the answer."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    wp = W.partitionBy("o_orderstatus")
+    ranked = t["orders"].select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def at(p: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("o_totalprice"),
+            )
+        )
+
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(at(0.5).alias("p50"), at(0.9).alias("p90"))
+        .orderBy("o_orderstatus")
     )

@@ -14,9 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import textstats as TS
 from ..registry import query
 from ..tables import load_tables
-from ._exprs import dec
+from ._exprs import SQL_NORM, dec
+
+# DuckDB token-array expression (mirrors operators/textstats.tokens).
+_SQL_TOKENS_SC = f"string_split({SQL_NORM}, ' ')"
 
 
 @query(
@@ -287,4 +291,64 @@ def c_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").eqNullSafe(F.lit(0.0)).alias("bal_is_zero"),
         bal_nonneg.alias("bal_nonneg"),
         F.coalesce(bal_nonneg, F.lit(-1.0)).alias("bal_filled"),
+    )
+
+
+@query(
+    "c_explode_outer",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter({_SQL_TOKENS_SC}, x -> len(x) > 5) AS arr
+               FROM documents)
+    SELECT doc_id, unnest(arr) AS tok FROM t WHERE len(arr) > 0
+    UNION ALL SELECT doc_id, NULL AS tok FROM t WHERE len(arr) = 0
+    """,
+    tags=("scalar", "explode", "nulls"),
+)
+def c_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer null semantics: documents whose filtered token array
+    is empty must survive as a (doc_id, NULL) row — plain explode silently
+    drops them, which in a pipeline means silently losing documents. The
+    oracle emulates outer-explode as unnest ∪ null-rows; both sides stay
+    narrow (no shuffle)."""
+    t = load_tables(spark, sf_dir)
+    arr = F.filter(TS.tokens(), lambda x: F.length(x) > 5)
+    return t["documents"].select(
+        "doc_id", F.explode_outer(arr).alias("tok")
+    )
+
+
+@query(
+    "c_struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           {'st': o_orderstatus, 'pr': o_orderpriority}.st AS st_field,
+           ({'a': o_orderstatus} = {'a': 'F'}) AS is_f,
+           {'k': o_orderkey, 'p': o_totalprice}.p AS price_field
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+    tags=("scalar", "struct"),
+)
+def c_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct surface: construction (named fields), field access,
+    and whole-struct equality — the building blocks of typed nested
+    columns. All narrow row-local expressions inside one codegen stage."""
+    t = load_tables(spark, sf_dir)
+    s1 = F.struct(
+        F.col("o_orderstatus").alias("st"), F.col("o_orderpriority").alias("pr")
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select(
+            "o_orderkey",
+            s1.getField("st").alias("st_field"),
+            (
+                F.struct(F.col("o_orderstatus").alias("a"))
+                == F.struct(F.lit("F").alias("a"))
+            ).alias("is_f"),
+            F.struct(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+            .getField("p")
+            .alias("price_field"),
+        )
     )

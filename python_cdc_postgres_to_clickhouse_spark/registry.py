@@ -64,8 +64,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     single-shape relational queries (m_covar_corr, m_median_exact,
 #     m_histogram, m_string_agg, m_unpivot, m_salted_agg, a_pivot,
 #     s_intersect_all, w_running_sum, sub_correlated_scalar,
-#     sub_exists_correlated, sub_small_qty_revenue, and c_json_funcs,
-#     displaced late for w_forward_fill) — at round-4 end they are exactly
+#     sub_exists_correlated, sub_small_qty_revenue, plus c_json_funcs,
+#     m_order_priority_check, m_disjunctive_bands, m_lateral_top_order —
+#     displaced late for w_forward_fill / a_percentile_disc /
+#     c_explode_outer / c_struct_funcs) — at round-4 end they are exactly
 #     2 rounds stale and MUST lead the round-5 window.
 # The union of rounds verifies the full registry (asserted in
 # tests/test_harness.py — never hand-count the total here).
@@ -86,6 +88,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_random_projection",
     "x_kmeans_embed",
     "w_forward_fill",
+    "a_percentile_disc",
+    "c_explode_outer",
+    "c_struct_funcs",
     # (b) round-1-only rows, displaced from the r3 window.
     "a_approx_distinct",
     "a_approx_quantiles",
@@ -111,9 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "m_shipping_priority",
     "m_nation_volume",
     "m_global_agg_revenue",
-    "m_order_priority_check",
-    "m_disjunctive_bands",
-    "m_lateral_top_order",
     "m_token_tf_topn",
     "a_groupby_orders",
     "w_topk_per_group",
