@@ -61,6 +61,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _CATALOG_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# Which sf_dir's views are CURRENTLY registered in each session. Views are
+# session-global mutable state, so a cache hit must still re-point them
+# whenever a different sf_dir was loaded in between — otherwise any
+# spark.sql()-based query silently reads the previous scale's tables
+# (caught by the test suite: nine SQL-string queries went red whenever a
+# smoke-scale test ran between two oracle-scale ones).
+_ACTIVE_VIEWS: dict[int, str] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
@@ -69,12 +76,18 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     Called at the head of every declared query, so the driver's session
     gets the UTC pin no matter how it was built. DataFrames are cached per
     (session, sf_dir) — they are immutable plans, so reuse is safe and
-    avoids re-listing parquet footers on every query invocation.
+    avoids re-listing parquet footers on every query invocation. View
+    registration is NOT skippable on cache hits: the catalog's view names
+    must always point at this call's sf_dir.
     """
     tune_session(spark)
     key = (id(spark), sf_dir)
     cached = _CATALOG_CACHE.get(key)
     if cached is not None:
+        if _ACTIVE_VIEWS.get(id(spark)) != sf_dir:
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+            _ACTIVE_VIEWS[id(spark)] = sf_dir
         return cached
     dfs: dict[str, DataFrame] = {}
     for name in TABLE_NAMES:
@@ -82,6 +95,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         df.createOrReplaceTempView(name)
         dfs[name] = df
     _CATALOG_CACHE[key] = dfs
+    _ACTIVE_VIEWS[id(spark)] = sf_dir
     return dfs
 
 

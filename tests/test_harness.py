@@ -100,3 +100,21 @@ def test_every_query_has_or_will_have_a_driver_row():
         covered |= set(json.load(open(p)))
     missing = sorted(set(all_queries()) - covered)
     assert not missing, f"queries with no past or upcoming driver row: {missing}"
+
+
+def test_load_tables_repoints_views_across_sf_dirs(spark):
+    """Temp views are session-global state: after loading a different
+    sf_dir, the NEXT load of the original must re-point the views even on
+    a DataFrame-cache hit — spark.sql() queries read views by name, and a
+    stale registration silently serves the wrong scale (the bug behind
+    nine order-dependent suite failures in round 4)."""
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+    from .conftest import SF_ORACLE, SF_SMOKE
+
+    n_oracle = load_tables(spark, SF_ORACLE)["lineitem"].count()
+    n_smoke = load_tables(spark, SF_SMOKE)["lineitem"].count()
+    assert n_smoke < n_oracle
+    assert spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"] == n_smoke
+    load_tables(spark, SF_ORACLE)  # cache hit — must still re-register
+    assert spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"] == n_oracle
