@@ -19,3 +19,4 @@ from . import corpusops  # noqa: F401
 from . import misc  # noqa: F401
 from . import tpch_gaps  # noqa: F401
 from . import embeddings  # noqa: F401
+from . import sketches  # noqa: F401

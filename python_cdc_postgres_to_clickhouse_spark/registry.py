@@ -65,10 +65,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     m_histogram, m_string_agg, m_unpivot, m_salted_agg, a_pivot,
 #     s_intersect_all, w_running_sum, sub_correlated_scalar,
 #     sub_exists_correlated, sub_small_qty_revenue, plus c_json_funcs,
-#     m_order_priority_check, m_disjunctive_bands, m_lateral_top_order —
-#     displaced late for w_forward_fill / a_percentile_disc /
-#     c_explode_outer / c_struct_funcs) — at round-4 end they are exactly
-#     2 rounds stale and MUST lead the round-5 window.
+#     m_order_priority_check, m_disjunctive_bands, m_lateral_top_order,
+#     m_global_agg_revenue, m_token_tf_topn, a_groupby_orders,
+#     c_string_funcs — displaced late for w_forward_fill,
+#     a_percentile_disc/c_explode_outer/c_struct_funcs, and the sketch
+#     family) — at round-4 end they are exactly 2 rounds stale and MUST
+#     lead the round-5 window.
 # The union of rounds verifies the full registry (asserted in
 # tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -91,6 +93,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "a_percentile_disc",
     "c_explode_outer",
     "c_struct_funcs",
+    "x_sketch_distinct_rollup",
+    "x_sketch_quantiles",
+    "x_sketch_theta_setops",
+    "x_heavy_hitters",
     # (b) round-1-only rows, displaced from the r3 window.
     "a_approx_distinct",
     "a_approx_quantiles",
@@ -115,11 +121,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j_star_broadcast",
     "m_shipping_priority",
     "m_nation_volume",
-    "m_global_agg_revenue",
-    "m_token_tf_topn",
-    "a_groupby_orders",
     "w_topk_per_group",
-    "c_string_funcs",
     # (c) EXT family representatives with round-2 rows.
     "x_dedup_exact",
     "x_jaccard_near_dup",
