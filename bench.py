@@ -54,6 +54,8 @@ HEADLINE = [
     "x_passage_dedup",         # sub-document window dedup, two exchanges
     "x_pmi_pairs",             # windowed co-occurrence self-join
     "x_random_projection",     # JL sign projection, pure map stage
+    "x_sketch_distinct_rollup",  # HLL sketch agg + union rollup
+    "x_heavy_hitters",         # freqItems candidates + exact trim
 ]
 
 
