@@ -468,3 +468,189 @@ def tpch_q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# Second wave: Q9/Q11/Q16/Q20 — the four shapes whose canonical form needs
+# the partsupp table the fixtures don't carry. Each keeps its defining
+# structure (multi-way profit rollup; value-share HAVING against a global
+# scalar; NOT-IN + count-distinct; nested-IN chain) with partsupp-derived
+# quantities re-expressed over lineitem/part/supplier. With these, all 22
+# canonical TPC-H shapes are declared and oracle-checked.
+# ---------------------------------------------------------------------------
+
+_SYNTH_COST = (
+    "CAST(CAST(p_retailprice AS DECIMAL(9,2)) * CAST(0.6 AS DECIMAL(3,2))"
+    " * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(18,6))"
+)
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+             {SQL_DISC_PRICE} - {_SYNTH_COST} AS amount
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN orders ON l_orderkey = o_orderkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%a%'
+    ) profit GROUP BY n_name, o_year ORDER BY nation, o_year DESC
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit by supplier nation × order year. No partsupp, so
+    supply cost is synthesized as 60% of retail price × quantity — exact
+    decimal arithmetic end to end, preserving the defining shape: a 5-way
+    join fanning lineitem out to part/supplier/orders/nation with a LIKE
+    filter on part, rolled up on two dimensions. nation broadcasts; the
+    other joins shuffle on their keys; the (25 nations × ~7 years) group-by
+    is map-side partial."""
+    t = load_tables(spark, sf_dir)
+    cost = (
+        F.col("p_retailprice").cast("decimal(9,2)")
+        * F.lit(0.6).cast("decimal(3,2)")
+        * F.col("l_quantity").cast("decimal(9,2)")
+    ).cast(DEC)
+    return (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_name").like("%a%")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (disc_price() - cost).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q11_FRACTION = 0.0007
+
+
+@query(
+    "tpch_q11_value_share",
+    oracle=f"""
+    WITH pv AS (SELECT l_partkey, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS value
+                FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, value FROM pv
+    WHERE value > (SELECT CAST(SUM(CAST(value AS {SQL_DEC})) AS DOUBLE) * {Q11_FRACTION}
+                   FROM pv)
+    ORDER BY value DESC, l_partkey
+    """,
+    tags=("agg", "subquery", "tpch"),
+)
+def tpch_q11_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts carrying an outsized share of total value — a
+    per-key aggregate filtered against a SCALAR of the same aggregate
+    (HAVING value > fraction × Σvalue), re-based from partsupp stock value
+    to lineitem revenue. The per-part table aggregates once; the global
+    scalar re-aggregates its (part-cardinality) output and broadcasts —
+    two aggregations, not two corpus scans; the value subtree is computed
+    twice exactly as the SQL's CTE is referenced twice."""
+    t = load_tables(spark, sf_dir)
+    pv = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.sum(disc_price()).cast("double").alias("value"))
+    )
+    threshold = pv.agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") * F.lit(Q11_FRACTION)).alias("_thr")
+    )
+    return (
+        pv.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("_thr"))
+        .orderBy(F.desc("value"), "l_partkey")
+        .select("l_partkey", "value")
+    )
+
+
+@query(
+    "tpch_q16_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type,
+           CASE WHEN p_size < 15 THEN 'small' ELSE 'large' END AS size_band,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND p_brand <> 'Brand#5'
+    GROUP BY p_brand, p_type, CASE WHEN p_size < 15 THEN 'small' ELSE 'large' END
+    ORDER BY supplier_cnt DESC, p_brand, p_type, size_band
+    """,
+    tags=("join", "agg", "anti", "tpch"),
+)
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct-supplier counts per part segment, excluding a
+    NOT-IN supplier set (negative balances standing in for the complaint
+    filter). NOT IN becomes a left-anti join (s_suppkey is non-null, so
+    the two are equivalent); the distinct count shuffles on the group key
+    with the supplier id as the distinct dimension."""
+    t = load_tables(spark, sf_dir)
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    band = F.when(F.col("p_size") < 15, "small").otherwise("large")
+    return (
+        t["lineitem"]
+        .join(
+            t["part"].filter(
+                F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+                & (F.col("p_brand") != "Brand#5")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", band.alias("size_band"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "size_band")
+    )
+
+
+@query(
+    "tpch_q20_promo_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+    ORDER BY s_name
+    """,
+    tags=("join", "semi", "subquery", "tpch"),
+)
+def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: the nested-IN chain — suppliers IN (high-volume shippers
+    of parts IN (PROMO parts)) over one shipping year. Each IN becomes a
+    left-semi join: parts filter → semi into lineitem, the HAVING
+    aggregate's survivors → semi into supplier. Date range pushes to the
+    lineitem scan; every join is equi-keyed."""
+    t = load_tables(spark, sf_dir)
+    promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    big = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(big, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .orderBy("s_name")
+        .select("s_name", "s_acctbal")
+    )

@@ -67,10 +67,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     sub_exists_correlated, sub_small_qty_revenue, plus c_json_funcs,
 #     m_order_priority_check, m_disjunctive_bands, m_lateral_top_order,
 #     m_global_agg_revenue, m_token_tf_topn, a_groupby_orders,
-#     c_string_funcs — displaced late for w_forward_fill,
-#     a_percentile_disc/c_explode_outer/c_struct_funcs, and the sketch
-#     family) — at round-4 end they are exactly 2 rounds stale and MUST
-#     lead the round-5 window.
+#     c_string_funcs, j_inner_equi, x_corpus_prep, x_quality_score,
+#     x_text_stats — displaced late for w_forward_fill,
+#     a_percentile_disc/c_explode_outer/c_struct_funcs, the sketch
+#     family, and the Q9/Q11/Q16/Q20 second wave) — at round-4 end they
+#     are exactly 2 rounds stale and MUST lead the round-5 window.
 # The union of rounds verifies the full registry (asserted in
 # tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -84,6 +85,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_orders",
     "tpch_q21_waiting_supplier",
     "tpch_q22_lapsed_customers",
+    "tpch_q9_product_profit",
+    "tpch_q11_value_share",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_promo_suppliers",
     # (a) new this round: corpus + embedding operators.
     "x_passage_dedup",
     "x_pmi_pairs",
@@ -117,7 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cdc_changes_per_key_topn",
     # (c) flagship + bench representatives with round-2 rows.
     "q1_pricing_summary",
-    "j_inner_equi",
     "j_star_broadcast",
     "m_shipping_priority",
     "m_nation_volume",
@@ -128,9 +132,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_cosine_topk",
     "x_lsh_cosine_topk",
     "x_embedding_near_dup",
-    "x_corpus_prep",
-    "x_quality_score",
-    "x_text_stats",
 )
 
 
