@@ -225,3 +225,37 @@ def test_random_projection_is_narrow(spark):
     """Pure map stage: no exchange anywhere in the plan."""
     plan = P.physical_plan(_q(spark, "x_random_projection"))
     assert "Exchange" not in plan, plan
+
+
+def test_tpch_q11_broadcasts_scalar_threshold(spark):
+    plan = P.physical_plan(_q(spark, "tpch_q11_value_share"))
+    assert "Broadcast" in plan, "the scalar threshold must broadcast"
+    assert "Window" not in plan
+
+
+def test_tpch_q16_not_in_plans_as_anti_join(spark):
+    plan = P.physical_plan(_q(spark, "tpch_q16_supplier_counts"))
+    assert "LeftAnti" in plan
+
+
+def test_tpch_q20_nested_in_plans_as_semi_joins(spark):
+    plan = P.physical_plan(_q(spark, "tpch_q20_promo_suppliers"))
+    assert plan.count("LeftSemi") >= 2, "both IN levels must be semi joins"
+    assert P.has_pushed_filters(_q(spark, "tpch_q20_promo_suppliers"))
+
+
+def test_tpch_q9_broadcasts_nation_only(spark):
+    df = _q(spark, "tpch_q9_product_profit")
+    assert P.has_broadcast_join(df)
+    assert P.has_partial_aggregate(df)
+
+
+def test_sketch_rollup_is_partial_aggregated(spark):
+    """Sketch aggregation must use map-side partials — the mergeability
+    that makes the family scale."""
+    assert P.has_partial_aggregate(_q(spark, "x_sketch_distinct_rollup"))
+
+
+def test_heavy_hitters_candidate_join_broadcasts(spark):
+    plan = P.physical_plan(_q(spark, "x_heavy_hitters"))
+    assert "Broadcast" in plan
