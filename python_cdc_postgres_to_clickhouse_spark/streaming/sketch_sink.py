@@ -70,8 +70,14 @@ class DistinctSketchSink:
                 .groupBy("day", "bucket", "event_type")
                 .agg(F.hll_union_agg("sk").alias("sk"))
             )
+        # State is a handful of KB-sized sketch rows per day (24 buckets ×
+        # |event types|) — without the coalesce, every dynamic-overwrite
+        # rewrite emits shuffle-partition-count near-empty files per day
+        # and the state directory degrades into a small-file swamp at
+        # streaming cadence.
         (
-            merged.write.mode("overwrite")
+            merged.coalesce(1)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("day")
             .parquet(self.state_dir)

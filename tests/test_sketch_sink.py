@@ -102,3 +102,20 @@ def test_rollup_from_sketches_matches_direct_and_bounds(spark, tmp_path):
     }
     for k, n in exact.items():
         assert abs(daily[k] - n) / max(n, 1) < 0.1, (k, daily[k], n)
+
+
+def test_state_stays_one_file_per_day(spark, tmp_path):
+    """Each day partition must hold exactly one parquet file after any
+    number of merges — per-day state is KB-sized and the dynamic overwrite
+    would otherwise emit shuffle-partition-count near-empty files per
+    batch."""
+    import glob
+    import os
+
+    events = _events(spark)
+    sink = DistinctSketchSink(spark, str(tmp_path / "state"))
+    sink.process_batch(events.filter(F.col("user_id") % 2 == 0), batch_id=0)
+    sink.process_batch(events.filter(F.col("user_id") % 2 == 1), batch_id=1)
+    for day_dir in glob.glob(os.path.join(str(tmp_path / "state"), "day=*")):
+        files = [f for f in os.listdir(day_dir) if f.endswith(".parquet")]
+        assert len(files) == 1, (day_dir, files)
