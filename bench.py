@@ -56,6 +56,8 @@ HEADLINE = [
     "x_random_projection",     # JL sign projection, pure map stage
     "x_sketch_distinct_rollup",  # HLL sketch agg + union rollup
     "x_heavy_hitters",         # freqItems candidates + exact trim
+    "tpch_q8_market_share",    # 8-way join, conditional share (Q8)
+    "tpch_q9_product_profit",  # 5-way profit rollup (Q9)
 ]
 
 
