@@ -417,33 +417,38 @@ def x_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X20: top-{PMI_TOP} co-occurring token pairs within a
     {PMI_WINDOW}-token forward window, with independence lift (exp(PMI)).
 
-    Scale shape: positions are a narrow posexplode; the windowed pairing is
-    a self-equi-join on doc_id with the position band as residual — within a
-    document it touches ≤ w·len pairs, so the join output is linear in
-    corpus tokens (w is a constant), hash-partitioned by doc. Pair counting
-    shuffles on (tok_a, tok_b) with map-side partials; the unigram table is
-    vocabulary-sized and broadcast onto the pair counts; the corpus totals
-    are 1-row aggregates broadcast the same way. Top-k via per-partition
-    heaps. No transcendentals: lift divisions are fixed-order IEEE doubles,
-    bit-identical across engines."""
+    Scale shape: the windowed pairing is JOIN-FREE — a narrow array
+    ``transform``/``slice`` pairs every token with at most the next w
+    tokens inside its own document's token array, so both compute AND
+    output are ≤ w·len per document (linear in corpus tokens; the round-4
+    doc_id-equi self-join enumerated the full len² position cross-product
+    per document before the band residual filtered it — a straggler killer
+    on book-length docs; plan-asserted gone in tests/test_plans.py). Pair
+    counting shuffles on (tok_a, tok_b) with map-side partials; the
+    unigram table is vocabulary-sized and broadcast onto the pair counts;
+    the corpus totals are 1-row aggregates broadcast the same way. Top-k
+    via per-partition heaps. No transcendentals: lift divisions are
+    fixed-order IEEE doubles, bit-identical across engines."""
     t = load_tables(spark, sf_dir)
-    pos = t["documents"].select(
-        "doc_id", F.posexplode(TS.tokens()).alias("pos", "tok")
-    )
-    p2 = pos.select(
-        F.col("doc_id").alias("doc2"),
-        F.col("pos").alias("pos_b"),
-        F.col("tok").alias("tok_b"),
+    toks = t["documents"].select(TS.tokens().alias("t"))
+    # For token i (0-based), its forward window is the 1-based slice
+    # [i+2, i+2+w) of the same array — empty past the end, so edge
+    # documents shorter than w need no special case.
+    pair_arr = F.flatten(
+        F.transform(
+            "t",
+            lambda x, i: F.transform(
+                F.slice(F.col("t"), i + F.lit(2), F.lit(PMI_WINDOW)),
+                lambda y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+            ),
+        )
     )
     pairs = (
-        pos.join(
-            p2,
-            (F.col("doc_id") == F.col("doc2"))
-            & (F.col("pos_b") - F.col("pos")).between(1, PMI_WINDOW),
-        )
-        .groupBy(F.col("tok").alias("tok_a"), "tok_b")
+        toks.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
+    pos = toks.select(F.explode("t").alias("tok"))
     uni = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     n_total = pos.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
     n_pairs = pairs.agg(F.sum("n_pair").cast("double").alias("n_pairs"))

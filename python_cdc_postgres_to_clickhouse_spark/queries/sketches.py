@@ -117,8 +117,11 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged associatively — a fixed-size pass like CMS, but with a probe-
     free output. Because the exact-count filter trims the superset, the
     final answer is EXACT — so unlike the other sketches this one carries a
-    full DuckDB oracle; the sketch bounds the single extra pass to a
-    broadcast-sized candidate join instead of a full top-k sort."""
+    full DuckDB oracle. The candidate semi-join sits BELOW the exact-count
+    aggregate, so the count shuffle carries only the O(1/support)
+    candidate tokens, never vocabulary-sized partials (web-scale corpora
+    have unbounded distinct-token counts; plan-asserted in
+    tests/test_plans.py); n_total stays a map-side global count."""
     from ..operators.textstats import tokens
 
     t = load_tables(spark, sf_dir)
@@ -127,11 +130,14 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.stat.freqItems(["token"], support=HH_SUPPORT)
         .select(F.explode("token_freqItems").alias("token"))
     )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     return (
-        counts.join(F.broadcast(cand), "token")
-        .join(F.broadcast(total))
+        counts.join(F.broadcast(total))
         .select(
             "token",
             "n",

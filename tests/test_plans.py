@@ -221,6 +221,32 @@ def test_pmi_broadcasts_vocab_and_totals(spark):
     assert "BroadcastHashJoin" in plan, "unigram table must broadcast"
 
 
+def test_pmi_pairing_is_join_free(spark):
+    """The windowed pairing must be a narrow array transform (Generate over
+    flatten/transform/slice), NOT a doc_id-equi self-join whose band
+    residual makes compute quadratic per document. Only the vocabulary /
+    totals broadcasts may join."""
+    plan = P.physical_plan(_q(spark, "x_pmi_pairs"))
+    for shuffled_join in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert shuffled_join not in plan, f"{shuffled_join} in PMI plan:\n{plan}"
+    assert "Generate" in plan, "pairing should explode a per-doc pair array"
+
+
+def test_heavy_hitters_semi_join_below_aggregate(spark):
+    """The freqItems candidate set must prune the token stream BEFORE the
+    exact-count aggregate, so the count shuffle is candidate-sized
+    (O(1/support)), never vocabulary-sized. The tree prints parents before
+    children: the count HashAggregate must appear above its LeftSemi
+    child."""
+    plan = P.physical_plan(_q(spark, "x_heavy_hitters"))
+    lines = plan.splitlines()
+    semi_at = next(i for i, ln in enumerate(lines) if "LeftSemi" in ln)
+    agg_above = any(
+        "HashAggregate" in ln and "count" in ln for ln in lines[:semi_at]
+    )
+    assert agg_above, f"exact-count aggregate is not above the semi join:\n{plan}"
+
+
 def test_random_projection_is_narrow(spark):
     """Pure map stage: no exchange anywhere in the plan."""
     plan = P.physical_plan(_q(spark, "x_random_projection"))
