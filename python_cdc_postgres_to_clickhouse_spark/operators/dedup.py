@@ -183,13 +183,23 @@ def _jaccard_prefix(arrs: DataFrame, posting: DataFrame, threshold: float) -> Da
     Plan: the df table joins on the token key its aggregate just shuffled
     on (exchange reuse); the prefix rank is one window on doc; the size
     band (t·|b| ≤ |a| ≤ |b|/t) prunes before the verify join; the verify
-    is a hash-set array_intersect over the full arrays."""
+    is a hash-set array_intersect over the full arrays.
+
+    Pruning runs in double arithmetic against exact-rational bounds, so it
+    must never round STRICTER than the final double ``jaccard >= t``
+    filter: t itself may not be representable (0.1·30 rounds to
+    3.0000000000000004, dropping a jaccard==0.1 boundary pair the postings
+    strategy accepts). A 1e-9 slack on every pruning bound only ever
+    admits extra candidates — the exact verify filter removes them."""
+    eps = F.lit(1e-9)
     arrs = arrs.persist()
     dftab = posting.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     ranked = posting.join(dftab, "token").withColumn(
         "rn", F.row_number().over(W.partitionBy("doc").orderBy("df", "token"))
     )
-    prefix_len = F.col("n_tok") - F.ceil(F.col("n_tok") * F.lit(threshold)) + 1
+    prefix_len = (
+        F.col("n_tok") - F.ceil(F.col("n_tok") * F.lit(threshold) - eps) + 1
+    )
     pref = ranked.filter(F.col("rn") <= prefix_len).select("doc", "token", "n_tok")
     pa = pref.select(F.col("doc").alias("a"), "token", F.col("n_tok").alias("n_a"))
     pb = pref.select(F.col("doc").alias("b"), "token", F.col("n_tok").alias("n_b"))
@@ -197,8 +207,8 @@ def _jaccard_prefix(arrs: DataFrame, posting: DataFrame, threshold: float) -> Da
         pa.join(pb, "token")
         .filter(F.col("a") < F.col("b"))
         .filter(
-            (F.col("n_a").cast("double") >= F.lit(threshold) * F.col("n_b"))
-            & (F.col("n_b").cast("double") >= F.lit(threshold) * F.col("n_a"))
+            (F.col("n_a").cast("double") >= F.lit(threshold) * F.col("n_b") - eps)
+            & (F.col("n_b").cast("double") >= F.lit(threshold) * F.col("n_a") - eps)
         )
         .select("a", "b")
         .distinct()

@@ -28,7 +28,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import _ivf_cells_udf, norm, train_ivf_centroids
+from ..operators.similarity import _ivf_cells_udf, train_ivf_centroids
 from ..registry import query
 from ..tables import load_tables
 
@@ -105,9 +105,13 @@ def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤20k rows, one narrow TakeOrdered pass — never a full corpus scan,
     see train_ivf_centroids); the assignment pass broadcasts the (k × dim)
     centroid matrix inside an Arrow-batched GEMM UDF — one narrow pass, no
-    shuffle; the per-cluster rollup is a k-group hash aggregate with
+    shuffle; the cosine to the ASSIGNED centroid is a JVM fold against a
+    k×dim literal centroid table indexed by cluster_id (no second UDF, no
+    join); the per-cluster rollup is a k-group hash aggregate with
     map-side partials. Iterative fitting ⇒ no SQL oracle; rows-only driver
     row, with determinism and numpy-replay parity in tests."""
+    from ..operators.similarity import cosine
+
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     C = train_ivf_centroids(emb, n_centroids=KMEANS_K, seed=KMEANS_SEED)
@@ -115,13 +119,18 @@ def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.select(
         "vec_id",
         F.element_at(cell1(F.col("embedding")), 1).alias("cluster_id"),
-        norm("embedding").alias("_norm"),
+        F.col("embedding").cast("array<double>").alias("_e"),
     )
+    centroid_table = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in C]
+    )
+    centroid = F.element_at(centroid_table, F.col("cluster_id") + 1)
     return (
-        assigned.groupBy("cluster_id")
+        assigned.withColumn("_cos", cosine(F.col("_e"), centroid))
+        .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.avg("_norm").alias("mean_norm"),
+            F.avg("_cos").alias("mean_cos_to_centroid"),
         )
         .orderBy("cluster_id")
     )

@@ -25,8 +25,6 @@ sketches and union them, never the raw stream.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -51,8 +49,19 @@ class DistinctSketchSink:
         )
 
     def _has_state(self) -> bool:
-        return os.path.isdir(self.state_dir) and any(
-            name.startswith("day=") for name in os.listdir(self.state_dir)
+        # Probe through the Hadoop FileSystem API, not os.path: state may
+        # live on HDFS/S3 where a local-path check returns False and the
+        # dynamic partition overwrite would silently REPLACE same-day
+        # sketches instead of merging them (undercounted estimates, no
+        # error anywhere).
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.state_dir)
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return False
+        return any(
+            st.getPath().getName().startswith("day=")
+            for st in fs.listStatus(path)
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:

@@ -89,3 +89,23 @@ def test_jaccard_strategies_agree(spark):
     }
     assert post == pref
     assert len(post) > 0
+
+
+def test_jaccard_strategies_agree_at_exact_threshold_boundary(spark):
+    """Double-rounding regression: threshold=0.1 with |a|=3, |b|=30 shingles
+    and a ⊂ b gives jaccard == 0.1 exactly — accepted by the final filter,
+    but 0.1*30 rounds to 3.0000000000000004 in doubles, so an un-relaxed
+    size band (and the un-relaxed prefix-length ceil) silently drops the
+    pair in prefix mode only. Both strategies must keep it."""
+    # n tokens, all distinct → n-2 distinct 3-gram shingles.
+    toks_b = [f"w{i}" for i in range(32)]   # 30 shingles
+    toks_a = toks_b[:5]                     # 3 shingles, all common
+    docs = spark.createDataFrame(
+        [("a", " ".join(toks_a)), ("b", " ".join(toks_b))], "doc_id string, text string"
+    )
+    for strategy in ("postings", "prefix"):
+        rows = D.jaccard_pairs(docs, threshold=0.1, strategy=strategy).collect()
+        assert len(rows) == 1, f"{strategy} lost the boundary pair"
+        r = rows[0]
+        assert (r["n_common"], r["n_a"], r["n_b"]) == (3, 3, 30)
+        assert r["jaccard"] == 0.1

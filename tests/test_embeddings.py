@@ -87,10 +87,23 @@ def test_kmeans_matches_numpy_replay(spark):
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     want_sizes = np.bincount(np.argmax(Xn @ C.T, axis=1), minlength=KMEANS_K)
 
-    got = {r["cluster_id"]: r["n_vectors"] for r in x_kmeans_embed(spark, SF_SMOKE).collect()}
+    rows = x_kmeans_embed(spark, SF_SMOKE).collect()
+    got = {r["cluster_id"]: r["n_vectors"] for r in rows}
     for j in range(KMEANS_K):
         assert got.get(j, 0) == want_sizes[j], j
     assert sum(got.values()) == len(X)
+
+    # mean_cos_to_centroid must be the actual mean cosine between members
+    # and their ASSIGNED centroid (ADVICE round-4: the column previously
+    # held mean vector norm).
+    assign = np.argmax(Xn @ C.T, axis=1)
+    cos_all = np.einsum("ij,ij->i", Xn, C[assign] / np.maximum(
+        np.linalg.norm(C[assign], axis=1, keepdims=True), 1e-12))
+    got_cos = {r["cluster_id"]: r["mean_cos_to_centroid"] for r in rows}
+    for j in range(KMEANS_K):
+        if want_sizes[j]:
+            want = float(np.mean(cos_all[assign == j]))
+            assert abs(got_cos[j] - want) < 1e-9, j
 
 
 def test_kmeans_deterministic_across_runs(spark):

@@ -202,6 +202,37 @@ def test_tpch_q21_semi_and_anti_joins(spark):
     assert "LeftAnti" in plan, "NOT EXISTS must plan as an anti join"
 
 
+def test_tpch_q21_reuses_exchange_across_self_joins(spark):
+    """The semi and anti self-joins on lineitem must share ONE shuffle of
+    the l1 side — AQE inserts ReusedExchange at runtime, so assert on the
+    final adaptive plan (after execution), not the initial one."""
+    df = _q(spark, "tpch_q21_waiting_supplier")
+    df.collect()
+    plan = P.physical_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, f"no exchange reuse in final Q21 plan:\n{plan}"
+
+
+def test_tpch_q15_double_evaluation_is_scan_pruned(spark):
+    """Q15 evaluates the revenue subtree twice by design (once for the max,
+    once for the equality probe); the cost that matters is that BOTH
+    lineitem re-reads are column-pruned to the 4 needed columns — a
+    re-scan of 4 pruned columns is cheap, a full-width one is not."""
+    df = _q(spark, "tpch_q15_top_supplier")
+    lcols = {c for c in P.read_schema_columns(df) if c.startswith("l_")}
+    assert lcols <= {"l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"}, lcols
+
+
+def test_tpch_q11_reuses_exchange_for_scalar_threshold(spark):
+    """The value-share threshold recomputes the partsupp×supplier×nation
+    subtree; AQE must reuse its shuffle rather than re-shuffling."""
+    df = _q(spark, "tpch_q11_value_share")
+    df.collect()
+    plan = P.physical_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, f"no exchange reuse in final Q11 plan:\n{plan}"
+
+
 def test_tpch_q22_anti_join_and_broadcast_scalar(spark):
     plan = P.physical_plan(_q(spark, "tpch_q22_lapsed_customers"))
     assert "LeftAnti" in plan

@@ -119,3 +119,29 @@ def test_state_stays_one_file_per_day(spark, tmp_path):
     for day_dir in glob.glob(os.path.join(str(tmp_path / "state"), "day=*")):
         files = [f for f in os.listdir(day_dir) if f.endswith(".parquet")]
         assert len(files) == 1, (day_dir, files)
+
+
+def test_merge_read_prunes_to_touched_day_partitions(spark, tmp_path):
+    """The merge-time state read (read.parquet + day.isin(batch days)) must
+    touch ONLY the day= partitions the incoming batch spans — partition
+    pruning on the state dir, asserted on the files actually read, so a
+    one-day micro-batch never rescans months of state."""
+    events = _events(spark)
+    sink = DistinctSketchSink(spark, str(tmp_path / "state"))
+    sink.process_batch(events, batch_id=0)
+
+    state = spark.read.parquet(sink.state_dir)
+    all_days = sorted(r["day"] for r in state.select("day").distinct().collect())
+    assert len(all_days) >= 2, "fixture must span multiple days"
+    target = all_days[0]
+    # Mirror process_batch's merge read exactly.
+    pruned = state.filter(F.col("day").isin([target]))
+    read_files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_files, "pruned read returned no files"
+    for f in read_files:
+        assert f"day={target.isoformat()}" in f, (f, target)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    after = plan.split("PartitionFilters")[1][:200] if "PartitionFilters" in plan else ""
+    assert "day" in after, f"day predicate not in PartitionFilters:\n{plan}"
