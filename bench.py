@@ -58,6 +58,10 @@ HEADLINE = [
     "x_heavy_hitters",         # freqItems candidates + exact trim
     "tpch_q8_market_share",    # 8-way join, conditional share (Q8)
     "tpch_q9_product_profit",  # 5-way profit rollup (Q9)
+    # Added round 5 (earlier entries unchanged — like-for-like holds).
+    "x_sketch_cms_freq",       # count-min frequency probes
+    "x_cluster_canonical",     # CC clusters + quality-argmax keep
+    "x_ngram_novelty",         # first-occurrence shingle novelty
 ]
 
 

@@ -471,3 +471,63 @@ def x_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), "tok_a", "tok_b")
         .limit(PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# X28: n-gram novelty — what fraction of each document's shingles is FIRST
+# seen in that document (scanning in doc_id order)? The incremental-crawl
+# curation signal: a new snapshot whose documents are mostly old shingles
+# adds little; per-document novelty ranks what to keep. Exact and
+# engine-portable (counts and one IEEE division).
+# ---------------------------------------------------------------------------
+
+NGRAM_NOVELTY_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc, unnest(list_distinct({_SQL_SHINGLES3})) AS shingle
+  FROM (SELECT doc_id AS doc, {_SQL_TOKENS} AS t FROM documents)
+), first AS (
+  SELECT shingle, MIN(doc) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT doc,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_doc = doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = doc THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM sh JOIN first USING (shingle)
+GROUP BY doc
+"""
+
+
+@query("x_ngram_novelty", oracle=NGRAM_NOVELTY_SQL, tags=("ext", "text", "dedup"))
+def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28: per-document 3-gram novelty — the fraction of a document's
+    distinct shingles whose FIRST occurrence (min doc_id over the corpus)
+    is this document.
+
+    Scale shape: distinct (doc, shingle) postings explode narrowly; the
+    first-occurrence table is ONE groupBy on shingle; joining it back is
+    equi on the same shingle key (AQE reuses the exchange — the postings
+    are already hash-partitioned by shingle from the aggregate); the
+    per-doc rollup is one more shuffle on doc. Three linear passes, no
+    self-join, no window over the whole corpus — at 100 TB the shingle
+    dictionary shuffle is the cost, exactly as for x_ngram_counts."""
+    t = load_tables(spark, sf_dir)
+    sh = (
+        t["documents"]
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.array_distinct(D.shingles(shingle=3))).alias("shingle"),
+        )
+        .distinct()
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    novel = F.sum((F.col("first_doc") == F.col("doc")).cast("long"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1)).cast("double")).alias("novelty"),
+        )
+    )

@@ -295,7 +295,10 @@ def x_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_duplicates(t["documents"], max_hamming=1)
 
 
-DEDUP_CLUSTERS_SQL = f"""
+# Shared recursive-CTE chain: Jaccard pairs → undirected edges → transitive
+# closure → (vertex, component). Appended-to by x_dedup_clusters and
+# x_cluster_canonical so the two oracles cannot drift.
+_CLUSTER_CTE = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id AS doc, string_split({SQL_NORM}, ' ') AS t FROM documents
 ), tok AS (
@@ -324,7 +327,9 @@ WITH RECURSIVE toks AS (
   SELECT e.v AS vertex, r.lbl FROM reach r JOIN edges e ON e.u = r.vertex
 ), comp AS (
   SELECT vertex, MIN(lbl) AS component FROM reach GROUP BY vertex
-)
+)"""
+
+DEDUP_CLUSTERS_SQL = f"""{_CLUSTER_CTE}
 SELECT component,
        CAST(COUNT(*) AS BIGINT) AS cluster_size,
        MIN(vertex) AS representative
@@ -352,6 +357,73 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vertex").alias("representative"),
         )
         .orderBy("component")
+    )
+
+
+CLUSTER_CANONICAL_SQL = f"""{_CLUSTER_CTE},
+qual AS (
+  SELECT doc_id,
+         least(1.0, (CAST(len(string_split({SQL_NORM}, ' ')) AS DOUBLE) / 50.0) * 0.5
+                    + (CAST(len(list_intersect(string_split({SQL_NORM}, ' '),
+                                               {_STOP_SQL})) AS DOUBLE) / 4.0) * 0.5)
+           AS q
+  FROM documents
+), ranked AS (
+  SELECT component, vertex, q,
+         ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, vertex ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+  FROM comp JOIN qual ON vertex = doc_id
+)
+SELECT component, cluster_size, vertex AS canonical, q AS canonical_score
+FROM ranked WHERE rn = 1
+"""
+
+
+@query(
+    "x_cluster_canonical",
+    oracle=CLUSTER_CANONICAL_SQL,
+    tags=("ext", "dedup", "iterative"),
+)
+def x_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 keep/drop stage: near-dup clusters → the member each cluster
+    KEEPS, chosen by quality score (ties → min doc_id) rather than min id —
+    the canonical-selection decision a production dedup pipeline actually
+    ships (keep the best copy, drop cluster_size-1 others).
+
+    Scale shape: the clustered-vertex set is a small fraction of the
+    corpus, so the (vertex, component) frame joins the per-doc quality
+    features on doc_id and everything downstream — one window over
+    component for the rank and size — shuffles only clustered docs, never
+    the corpus. Quality is the same deterministic token/stopword composite
+    x_quality_score oracle-checks; the component closure is the same
+    edge set x_dedup_clusters oracle-checks (shared CTE, no drift)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.clusters import connected_components
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = D.jaccard_pairs(docs, threshold=0.6)
+    comp = connected_components(pairs)
+    qual = TS.quality_features(docs).select(
+        F.col("doc_id").alias("vertex"), F.col("quality_score").alias("q")
+    )
+    member = comp.join(qual, "vertex")
+    w = W.partitionBy("component")
+    ranked = member.select(
+        "component",
+        "vertex",
+        "q",
+        F.row_number()
+        .over(w.orderBy(F.desc("q"), F.asc("vertex")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        "cluster_size",
+        F.col("vertex").alias("canonical"),
+        F.col("q").alias("canonical_score"),
     )
 
 

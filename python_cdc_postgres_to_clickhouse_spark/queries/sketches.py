@@ -93,6 +93,43 @@ def x_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return singles.unionByName(union).orderBy("event_type")
 
 
+CMS_EPS = 0.001        # over-estimate ≤ ε·N with prob ≥ δ
+CMS_CONF = 0.99
+CMS_SEED = 42          # explicit seed → deterministic hashing across runs
+# Fixed probe set: the language-marker stopwords the corpus fixtures carry.
+CMS_PROBES = ("the", "and", "of", "to", "in", "el", "la", "de", "der", "die")
+
+
+@query("x_sketch_cms_freq", tags=("ext", "sketch", "approx"))
+def x_sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates for a fixed probe set of
+    corpus tokens — the frequency-oracle member of the sketch family
+    (ClickHouse topK-combinator / frequency-cap analog).
+
+    The aggregate is Spark's `count_min_sketch` with an EXPLICIT seed, so
+    the d×w counter table is deterministic; partial aggregation IS sketch
+    merge (counter-wise add — exact, unlike HLL's register max there is no
+    estimation loss in the merge itself), so the shuffle carries one
+    ~ε⁻¹·ln(1/δ) counter grid per task regardless of cardinality. The
+    driver collects ONE row (the few-KB sketch binary), deserializes it
+    via the JVM sketch library, and probes the fixed token list — at
+    100 TB the probe set rides on a few-KB summary, never a re-scan.
+    Guarantees (tested): est ≥ exact always; est ≤ exact + ε·N w.p. ≥ δ.
+    Sketch internals are engine-specific ⇒ rows-only driver row."""
+    from ..operators.textstats import tokens
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(F.explode(tokens()).alias("token"))
+    sk = toks.agg(
+        F.count_min_sketch(
+            "token", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+        ).alias("sk")
+    ).collect()[0]["sk"]
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
+    rows = [(p, int(jcms.estimateCount(p))) for p in CMS_PROBES]
+    return spark.createDataFrame(rows, "token string, est_n bigint").orderBy("token")
+
+
 HH_SUPPORT = 0.02
 
 HEAVY_HITTERS_SQL = f"""

@@ -52,86 +52,89 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The driver's CORRECTNESS gate checks the first 50 queries in dict order
 # (observed in round 1: CORRECTNESS_r01.json stopped at exactly 50 entries
 # in registration order, leaving all cdc_*/t_*/x_*/m_* unverified).
-# Round-4 rotation policy (no query's driver row goes >2 rounds stale):
-# (a) every query NEW this round — first driver rows for the TPC-H gap
-#     suite, passage dedup, PMI lift, and the embedding transforms;
-# (b) the five queries whose last driver row is round 1 (displaced from
-#     the r3 window, promised back this round);
-# (c) 32 of the 44 round-2-rows queries, prioritizing everything that
-#     touches the events catalog (the NTZ→LTZ ts normalization in
-#     tables.py changed that code path) and every EXT/bench family
-#     representative. The 12 deferred to round 5 are untouched
-#     single-shape relational queries (m_covar_corr, m_median_exact,
-#     m_histogram, m_string_agg, m_unpivot, m_salted_agg, a_pivot,
-#     s_intersect_all, w_running_sum, sub_correlated_scalar,
-#     sub_exists_correlated, sub_small_qty_revenue, plus c_json_funcs,
-#     m_order_priority_check, m_disjunctive_bands, m_lateral_top_order,
-#     m_global_agg_revenue, m_token_tf_topn, a_groupby_orders,
-#     c_string_funcs, j_inner_equi, x_corpus_prep, x_quality_score,
-#     x_text_stats — displaced late for w_forward_fill,
-#     a_percentile_disc/c_explode_outer/c_struct_funcs, the sketch
-#     family, and the Q9/Q11/Q16/Q20 second wave) — at round-4 end they
-#     are exactly 2 rounds stale and MUST lead the round-5 window.
+# Round-5 rotation policy (no query's driver row goes >2 rounds stale):
+# (a) the 24 queries whose last driver row is round 2 — exactly 2 rounds
+#     stale at round-4 end, promised the lead slots by the round-4
+#     comment (and held to it by the round-4 verdict);
+# (b) every query NEW or semantically CHANGED this round: the CMS sketch,
+#     cluster canonical selection, and n-gram novelty are new;
+#     x_pmi_pairs (join-free linear pairing), x_heavy_hitters (semi-join
+#     below the aggregate), x_kmeans_embed (mean cosine-to-centroid
+#     column), x_minhash_near_dup (widened persist) changed;
+#     x_dedup_clusters shares the refactored cluster CTE;
+# (c) 18 of the remaining 48 round-3-rows queries: the join, window, and
+#     subquery families plus c_math_funcs (the once-red cell — kept on a
+#     short leash) and the r3 EXT approximations. The 30 deferred
+#     (a_count_distinct, a_argmax, a_conditional, a_rollup, a_cube,
+#     a_rollup_grouping, a_grouping_sets, a_having, a_stats_moments,
+#     a_groupby_expr, s_except, s_except_all, c_like_split,
+#     c_case_in_between, c_array_funcs, c_null_handling, x_lang_id,
+#     x_hash_split, x_det_sample, x_repetition_stats,
+#     x_rolling_fingerprint, x_pii_scrub, x_token_packing,
+#     x_embedding_stats, x_leakage_safe_split, x_decontaminate,
+#     x_ngram_counts, x_tfidf_topterms, x_vocab_build,
+#     x_stratified_sample) are untouched shapes that will be exactly 2
+#     rounds stale at round-5 end and MUST lead the round-6 window.
 # The union of rounds verifies the full registry (asserted in
 # tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) new this round: TPC-H gap suite.
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q12_late_lines",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_lapsed_customers",
-    "tpch_q9_product_profit",
-    "tpch_q11_value_share",
-    "tpch_q16_supplier_counts",
-    "tpch_q20_promo_suppliers",
-    # (a) new this round: corpus + embedding operators.
-    "x_passage_dedup",
+    # (a) the 24 two-round-stale queries lead.
+    "m_covar_corr",
+    "m_median_exact",
+    "m_histogram",
+    "m_string_agg",
+    "m_unpivot",
+    "m_salted_agg",
+    "a_pivot",
+    "s_intersect_all",
+    "w_running_sum",
+    "sub_correlated_scalar",
+    "sub_exists_correlated",
+    "sub_small_qty_revenue",
+    "c_json_funcs",
+    "m_order_priority_check",
+    "m_disjunctive_bands",
+    "m_lateral_top_order",
+    "m_global_agg_revenue",
+    "m_token_tf_topn",
+    "a_groupby_orders",
+    "c_string_funcs",
+    "j_inner_equi",
+    "x_corpus_prep",
+    "x_quality_score",
+    "x_text_stats",
+    # (b) new this round.
+    "x_sketch_cms_freq",
+    "x_cluster_canonical",
+    "x_ngram_novelty",
+    # (b) changed this round.
     "x_pmi_pairs",
-    "x_random_projection",
-    "x_kmeans_embed",
-    "w_forward_fill",
-    "a_percentile_disc",
-    "c_explode_outer",
-    "c_struct_funcs",
-    "x_sketch_distinct_rollup",
-    "x_sketch_quantiles",
-    "x_sketch_theta_setops",
     "x_heavy_hitters",
-    # (b) round-1-only rows, displaced from the r3 window.
-    "a_approx_distinct",
-    "a_approx_quantiles",
-    "s_intersect",
-    "s_union_all",
-    "s_union_distinct",
-    # (c) events-catalog queries — the ts normalization changed their source
-    # path this round.
-    "t_tumbling_window",
-    "t_sliding_window",
-    "t_session_window",
-    "m_json_map",
-    "c_datetime_funcs",
-    "j_asof_latest_event",
-    "cdc_latest_by_key",
-    "cdc_op_routing",
-    "cdc_snapshot_union_changelog",
-    "cdc_changes_per_key_topn",
-    # (c) flagship + bench representatives with round-2 rows.
-    "q1_pricing_summary",
-    "j_star_broadcast",
-    "m_shipping_priority",
-    "m_nation_volume",
-    "w_topk_per_group",
-    # (c) EXT family representatives with round-2 rows.
-    "x_dedup_exact",
-    "x_jaccard_near_dup",
-    "x_cosine_topk",
-    "x_lsh_cosine_topk",
-    "x_embedding_near_dup",
+    "x_kmeans_embed",
+    "x_minhash_near_dup",
+    "x_dedup_clusters",
+    # (c) round-3-rows refresh: joins.
+    "j_left_outer",
+    "j_full_outer",
+    "j_semi",
+    "j_anti",
+    "j_theta_band",
+    # (c) round-3-rows refresh: windows.
+    "w_rank_dense",
+    "w_lag_lead",
+    "w_moving_avg",
+    "w_ntile_first_last",
+    "w_percent_rank_cume",
+    "w_range_frame",
+    # (c) round-3-rows refresh: subqueries + the once-red scalar cell.
+    "sub_scalar_avg",
+    "sub_in",
+    "sub_not_exists",
+    "sub_min_price_supplier",
+    "c_math_funcs",
+    # (c) round-3-rows refresh: EXT approximations.
+    "x_simhash_near_dup",
+    "x_ivf_cosine_topk",
 )
 
 

@@ -110,3 +110,59 @@ def test_heavy_hitters_exact_vs_bruteforce(spark):
     got = {(r["token"], r["n"]) for r in SK.x_heavy_hitters(spark, SF_ORACLE).collect()}
     assert got == want
     assert len(got) > 0
+
+
+def _cms_tokens(spark):
+    from python_cdc_postgres_to_clickhouse_spark.operators.textstats import tokens
+
+    t = load_tables(spark, SF_ORACLE)
+    return t["documents"].select(F.explode(tokens()).alias("token"))
+
+
+def test_cms_deterministic_and_one_sided(spark):
+    """Explicit seed ⇒ identical estimates across runs; CMS never
+    underestimates, and overestimates by at most ε·N w.p. ≥ δ (all probes
+    must respect the lower bound; the ε·N slack is per-probe)."""
+    a = {r["token"]: r["est_n"] for r in SK.x_sketch_cms_freq(spark, SF_ORACLE).collect()}
+    b = {r["token"]: r["est_n"] for r in SK.x_sketch_cms_freq(spark, SF_ORACLE).collect()}
+    assert a == b
+    assert set(a) == set(SK.CMS_PROBES)
+
+    toks = _cms_tokens(spark)
+    n_total = toks.count()
+    exact = {
+        r["token"]: r["n"]
+        for r in toks.filter(F.col("token").isin(list(SK.CMS_PROBES)))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    slack = SK.CMS_EPS * n_total
+    for p in SK.CMS_PROBES:
+        want = exact.get(p, 0)
+        assert a[p] >= want, (p, a[p], want)
+        assert a[p] <= want + slack, (p, a[p], want, slack)
+
+
+def test_cms_merge_equals_monolithic(spark):
+    """CMS merge is counter-wise ADD — exact, so sketches built on disjoint
+    halves and merged must give bit-identical estimates to one monolithic
+    sketch (the property that lets partial aggregation BE the merge)."""
+    toks = _cms_tokens(spark).withColumn(
+        "half", (F.crc32(F.col("token")) % 2).cast("int")
+    )
+    agg = F.count_min_sketch(
+        "token", F.lit(SK.CMS_EPS), F.lit(SK.CMS_CONF), F.lit(SK.CMS_SEED)
+    ).alias("sk")
+    jvm = spark._jvm
+    halves = [
+        jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(r["sk"]))
+        for r in toks.groupBy("half").agg(agg).orderBy("half").collect()
+    ]
+    assert len(halves) == 2
+    halves[0].mergeInPlace(halves[1])
+    mono = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(toks.agg(agg).collect()[0]["sk"])
+    )
+    for p in SK.CMS_PROBES:
+        assert halves[0].estimateCount(p) == mono.estimateCount(p), p
