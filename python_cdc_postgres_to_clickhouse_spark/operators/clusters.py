@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Below this many (directed) edges the component graph runs single-partition:
+# iteration cost is scheduling overhead, not data (see connected_components).
+SMALL_GRAPH_EDGES = 200_000
+
 
 def connected_components(
     pairs: DataFrame,
@@ -36,12 +40,33 @@ def connected_components(
     (raises if not converged — real dedup graphs converge in ≤ log₂(max
     component diameter) rounds).
     """
+    # Both edge directions via ONE explode, not a union of two selects: a
+    # union duplicates the upstream pair-producing subtree (for Jaccard
+    # pairs that's the whole postings join, executed twice inside the
+    # checkpoint job — measured 3.5 s vs 1.9 s at sf0.1).
     edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+                    F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size-adaptive parallelism: after near-dup candidate generation the
+    # pair graph is usually a sliver of the corpus, and the loop's cost
+    # becomes per-iteration FIXED overhead (full-width joins + checkpoint
+    # jobs over near-empty partitions), not data. Collapsing a small edge
+    # list to one partition makes every iteration a 1-task job chain
+    # (measured ~4s → ~1s on a 256-edge graph at sf0.1); big graphs keep
+    # full parallelism. The count is free — the checkpoint above already
+    # materialized the edges.
+    if edges.count() <= SMALL_GRAPH_EDGES:
+        edges = edges.coalesce(1)
     labels = (
         edges.select(F.col("u").alias("vertex"))
         .distinct()

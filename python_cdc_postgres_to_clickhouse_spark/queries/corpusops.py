@@ -429,8 +429,10 @@ def x_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus totals are 1-row aggregates broadcast the same way. Top-k
     via per-partition heaps. No transcendentals: lift divisions are
     fixed-order IEEE doubles, bit-identical across engines."""
+    from ..tables import widen_small_scan
+
     t = load_tables(spark, sf_dir)
-    toks = t["documents"].select(TS.tokens().alias("t"))
+    toks = widen_small_scan(t["documents"]).select(TS.tokens().alias("t"))
     # For token i (0-based), its forward window is the 1-based slice
     # [i+2, i+2+w) of the same array — empty past the end, so edge
     # documents shorter than w need no special case.
@@ -504,21 +506,26 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingles whose FIRST occurrence (min doc_id over the corpus)
     is this document.
 
-    Scale shape: distinct (doc, shingle) postings explode narrowly; the
+    Scale shape: (doc, shingle) postings are already distinct from the
+    per-doc array_distinct — no corpus-wide distinct shuffle; the
     first-occurrence table is ONE groupBy on shingle; joining it back is
-    equi on the same shingle key (AQE reuses the exchange — the postings
-    are already hash-partitioned by shingle from the aggregate); the
-    per-doc rollup is one more shuffle on doc. Three linear passes, no
-    self-join, no window over the whole corpus — at 100 TB the shingle
-    dictionary shuffle is the cost, exactly as for x_ngram_counts."""
+    equi on the same shingle key; the per-doc rollup is one more shuffle
+    on doc. Two shuffle keys total (shingle, doc), no self-join, no window
+    over the whole corpus — at 100 TB the shingle dictionary shuffle is
+    the cost, exactly as for x_ngram_counts. The scan is widened past a
+    single input split so the interpreted shingle transform uses every
+    core (see widen_small_scan); the postings persist because they feed
+    both the aggregate and the probe side of the join."""
+    from ..tables import widen_small_scan
+
     t = load_tables(spark, sf_dir)
     sh = (
-        t["documents"]
+        widen_small_scan(t["documents"])
         .select(
             F.col("doc_id").alias("doc"),
             F.explode(F.array_distinct(D.shingles(shingle=3))).alias("shingle"),
         )
-        .distinct()
+        .persist()
     )
     first = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
     novel = F.sum((F.col("first_doc") == F.col("doc")).cast("long"))
