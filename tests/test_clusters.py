@@ -53,6 +53,18 @@ def test_connected_components_chain(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_connected_components_wide_path(spark, monkeypatch):
+    """The >SMALL_GRAPH_EDGES branch (no single-partition collapse) must
+    produce identical components — force it by zeroing the cutoff."""
+    from python_cdc_postgres_to_clickhouse_spark.operators import clusters as C
+
+    monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", 0)
+    n = 30
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["a", "b"])
+    got = {r["vertex"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
 def test_dedup_keep_representatives(spark):
     docs = load_tables(spark, SF_ORACLE)["documents"]
     pairs = D.jaccard_pairs(docs, threshold=0.6)
