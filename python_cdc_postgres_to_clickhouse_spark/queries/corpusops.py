@@ -538,3 +538,48 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count(F.lit(1)).cast("double")).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X29: per-source document caps — the anti-boilerplate curation control.
+# Crawl corpora are dominated by a few mega-domains; capping each source at
+# K deterministically-chosen documents bounds any single domain's share of
+# the training mix without a global sort.
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP_K = 10
+
+SOURCE_CAP_SQL = f"""
+SELECT doc_id, source, rk
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat('cap', CAST(doc_id AS VARCHAR))), doc_id
+         ) AS rk
+  FROM documents) t
+WHERE rk <= {SOURCE_CAP_K}
+"""
+
+
+@query("x_source_cap", oracle=SOURCE_CAP_SQL, tags=("ext", "pipeline", "sampling"))
+def x_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: keep at most {SOURCE_CAP_K} documents per source, chosen by
+    salted-md5 order (deterministic, layout-independent, and unbiased —
+    the same engine-portable coin as the split/sample family, so the kept
+    set is reproducible across engines and runs).
+
+    Scale shape: one shuffle on source; the rank ≤ K filter plans as
+    WindowGroupLimit (plan-asserted), so each partition keeps a K-row
+    heap per source during the sort — the shuffle output is bounded by
+    K·|sources|, never the corpus. The md5 order key is computed narrowly
+    pre-shuffle. This is the standard per-domain cap of a crawl-curation
+    pipeline."""
+    t = load_tables(spark, sf_dir)
+    order_key = F.md5(F.concat(F.lit("cap"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(order_key, "doc_id")
+    return (
+        t["documents"]
+        .select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= SOURCE_CAP_K)
+    )

@@ -107,6 +107,80 @@ def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_QUALITY = (
+    f"least(1.0, (CAST(len(string_split({SQL_NORM}, ' ')) AS DOUBLE) / 50.0) * 0.5"
+    f" + (CAST(len(list_intersect(string_split({SQL_NORM}, ' '), {_STOP_SQL}))"
+    f" AS DOUBLE) / 4.0) * 0.5)"
+)
+
+QUALITY_GATE_SQL = f"""
+WITH q AS (
+  SELECT doc_id, lang, {_SQL_QUALITY} AS q FROM documents
+), ranked AS (
+  SELECT lang, q,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM q
+), med AS (
+  SELECT lang, MAX(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN q END) AS med_quality
+  FROM ranked GROUP BY lang
+)
+SELECT q.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN q.q >= med.med_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       med.med_quality AS med_quality
+FROM q JOIN med ON q.lang = med.lang
+GROUP BY q.lang, med.med_quality
+"""
+
+
+@query("x_quality_gate_per_lang", oracle=QUALITY_GATE_SQL, tags=("ext", "pipeline", "text"))
+def x_quality_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 follow-through: per-language quality gating — keep documents at
+    or above their OWN language's median quality (a fixed global threshold
+    under-filters the dominant language and guts the small ones). The
+    median is percentile_disc-style element SELECTION at rank ⌈n/2⌉ —
+    an actual data point, no interpolation arithmetic, engine-exact.
+
+    Scale shape: one sort-shuffle keyed by lang for the rank/count window
+    (language cardinality is tiny, so each group is one sorted run; for
+    truly skewed corpora the sketch path — x_sketch_quantiles' KLL per
+    group — replaces the exact gate, trading ⌈n/2⌉ exactness for a
+    k-bounded summary), then the per-lang median broadcast back onto the
+    scored docs for the gate count. Output is |langs| rows."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    q = TS.quality_features(t["documents"]).select(
+        "doc_id", "lang", F.col("quality_score").alias("q")
+    )
+    ranked = q.select(
+        "lang",
+        "q",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("q", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    med = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                F.col("q"),
+            )
+        ).alias("med_quality")
+    )
+    return (
+        q.join(F.broadcast(med), "lang")
+        .groupBy("lang", "med_quality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("q") >= F.col("med_quality")).cast("long")).alias("n_kept"),
+        )
+        .select("lang", "n_docs", "n_kept", "med_quality")
+    )
+
+
 def _lang_id_sql() -> str:
     """DuckDB oracle generated from the SAME marker vocabularies the Spark
     heuristic uses (no drift possible). Tie-break mirrors Spark's

@@ -57,24 +57,26 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     stale at round-4 end, promised the lead slots by the round-4
 #     comment (and held to it by the round-4 verdict);
 # (b) every query NEW or semantically CHANGED this round: the CMS sketch,
-#     cluster canonical selection, and n-gram novelty are new;
-#     x_pmi_pairs (join-free linear pairing), x_heavy_hitters (semi-join
-#     below the aggregate), x_kmeans_embed (mean cosine-to-centroid
-#     column), x_minhash_near_dup (widened persist) changed;
-#     x_dedup_clusters shares the refactored cluster CTE;
-# (c) 18 of the remaining 48 round-3-rows queries: the join, window, and
+#     cluster canonical selection, n-gram novelty, per-source caps, and
+#     the per-lang quality gate are new; x_pmi_pairs (join-free linear
+#     pairing), x_heavy_hitters (semi-join below the aggregate),
+#     x_kmeans_embed (mean cosine-to-centroid column), x_minhash_near_dup
+#     (widened persist) changed; x_dedup_clusters shares the refactored
+#     cluster CTE;
+# (c) 16 of the remaining 48 round-3-rows queries: the join, window, and
 #     subquery families plus c_math_funcs (the once-red cell — kept on a
-#     short leash) and the r3 EXT approximations. The 30 deferred
-#     (a_count_distinct, a_argmax, a_conditional, a_rollup, a_cube,
-#     a_rollup_grouping, a_grouping_sets, a_having, a_stats_moments,
-#     a_groupby_expr, s_except, s_except_all, c_like_split,
-#     c_case_in_between, c_array_funcs, c_null_handling, x_lang_id,
-#     x_hash_split, x_det_sample, x_repetition_stats,
+#     short leash). The 32 deferred (a_count_distinct, a_argmax,
+#     a_conditional, a_rollup, a_cube, a_rollup_grouping, a_grouping_sets,
+#     a_having, a_stats_moments, a_groupby_expr, s_except, s_except_all,
+#     c_like_split, c_case_in_between, c_array_funcs, c_null_handling,
+#     x_lang_id, x_hash_split, x_det_sample, x_repetition_stats,
 #     x_rolling_fingerprint, x_pii_scrub, x_token_packing,
 #     x_embedding_stats, x_leakage_safe_split, x_decontaminate,
 #     x_ngram_counts, x_tfidf_topterms, x_vocab_build,
-#     x_stratified_sample) are untouched shapes that will be exactly 2
-#     rounds stale at round-5 end and MUST lead the round-6 window.
+#     x_stratified_sample, x_simhash_near_dup, x_ivf_cosine_topk) are
+#     untouched shapes (the last two have strong local accuracy tests)
+#     that will be exactly 2 rounds stale at round-5 end and MUST lead
+#     the round-6 window.
 # The union of rounds verifies the full registry (asserted in
 # tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -107,6 +109,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_sketch_cms_freq",
     "x_cluster_canonical",
     "x_ngram_novelty",
+    "x_source_cap",
+    "x_quality_gate_per_lang",
     # (b) changed this round.
     "x_pmi_pairs",
     "x_heavy_hitters",
@@ -132,9 +136,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sub_not_exists",
     "sub_min_price_supplier",
     "c_math_funcs",
-    # (c) round-3-rows refresh: EXT approximations.
-    "x_simhash_near_dup",
-    "x_ivf_cosine_topk",
 )
 
 

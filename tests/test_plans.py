@@ -278,6 +278,19 @@ def test_heavy_hitters_semi_join_below_aggregate(spark):
     assert agg_above, f"exact-count aggregate is not above the semi join:\n{plan}"
 
 
+def test_source_cap_uses_window_group_limit(spark):
+    """The rank ≤ K filter must push a per-source K-row limit into the
+    window sort — shuffle output bounded by K·|sources|, not the corpus."""
+    assert P.has_window_group_limit(_q(spark, "x_source_cap"))
+
+
+def test_quality_gate_broadcasts_median_table(spark):
+    """The |langs|-row median table must broadcast back onto the scored
+    docs — the gate adds no second corpus shuffle."""
+    plan = P.physical_plan(_q(spark, "x_quality_gate_per_lang"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_random_projection_is_narrow(spark):
     """Pure map stage: no exchange anywhere in the plan."""
     plan = P.physical_plan(_q(spark, "x_random_projection"))
