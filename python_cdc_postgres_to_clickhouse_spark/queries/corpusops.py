@@ -583,3 +583,63 @@ def x_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= SOURCE_CAP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# X31: mixture rebalancing weights — given per-source token counts, the
+# per-source sampling rate that moves the corpus toward a UNIFORM token
+# mixture (capped at 1.0: upsampling is a separate epoch-level decision).
+# The knob a data-mixture pipeline actually turns before training.
+# ---------------------------------------------------------------------------
+
+MIXTURE_SQL = f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS n_sources
+  FROM s
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / total AS share,
+       least(1.0, (total / n_sources) / CAST(n_tokens AS DOUBLE)) AS sampling_rate
+FROM s CROSS JOIN tot
+"""
+
+
+@query("x_mixture_weights", oracle=MIXTURE_SQL, tags=("ext", "pipeline", "sampling"))
+def x_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31: per-source token accounting + the sampling rate that equalizes
+    the token mixture across sources (rate = uniform-target over actual
+    share, capped at 1 — downsample the over-represented, keep the rest).
+
+    Scale shape: ONE hash aggregate on source with map-side partials (the
+    token count is a narrow size(split) expression — the text never
+    shuffles, only per-source partial sums do); the 1-row totals frame is
+    broadcast. Output is |sources| rows. Divisions run in a fixed
+    left-associated order on both engines — bit-identical doubles."""
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(TS.tokens())).alias("n_tokens"),
+        )
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    return s.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total")).alias("share"),
+        F.least(
+            F.lit(1.0),
+            (F.col("total") / F.col("n_sources")) / F.col("n_tokens").cast("double"),
+        ).alias("sampling_rate"),
+    )

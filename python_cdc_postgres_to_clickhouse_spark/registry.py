@@ -58,14 +58,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     comment (and held to it by the round-4 verdict);
 # (b) every query NEW or semantically CHANGED this round: the CMS sketch,
 #     cluster canonical selection, n-gram novelty, per-source caps, and
-#     the per-lang quality gate are new; x_pmi_pairs (join-free linear
+#     the per-lang quality gate and mixture weights are new; x_pmi_pairs
+#     (join-free linear
 #     pairing), x_heavy_hitters (semi-join below the aggregate),
 #     x_kmeans_embed (mean cosine-to-centroid column), x_minhash_near_dup
 #     (widened persist) changed; x_dedup_clusters shares the refactored
 #     cluster CTE;
-# (c) 16 of the remaining 48 round-3-rows queries: the join, window, and
+# (c) 15 of the remaining 48 round-3-rows queries: the join, window, and
 #     subquery families plus c_math_funcs (the once-red cell — kept on a
-#     short leash). The 32 deferred (a_count_distinct, a_argmax,
+#     short leash). The 33 deferred (w_range_frame, a_count_distinct, a_argmax,
 #     a_conditional, a_rollup, a_cube, a_rollup_grouping, a_grouping_sets,
 #     a_having, a_stats_moments, a_groupby_expr, s_except, s_except_all,
 #     c_like_split, c_case_in_between, c_array_funcs, c_null_handling,
@@ -111,6 +112,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_ngram_novelty",
     "x_source_cap",
     "x_quality_gate_per_lang",
+    "x_mixture_weights",
     # (b) changed this round.
     "x_pmi_pairs",
     "x_heavy_hitters",
@@ -129,7 +131,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "w_moving_avg",
     "w_ntile_first_last",
     "w_percent_rank_cume",
-    "w_range_frame",
     # (c) round-3-rows refresh: subqueries + the once-red scalar cell.
     "sub_scalar_avg",
     "sub_in",
