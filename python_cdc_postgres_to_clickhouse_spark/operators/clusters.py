@@ -73,6 +73,18 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
+
+    # Fixpoint detection via the label-sum invariant: every step takes an
+    # element-wise MIN, so Σ component is strictly decreasing until the
+    # fixpoint and equal exactly AT it — one cheap aggregate per round
+    # instead of a self-join diff. Decimal sum: exact at any scale (a
+    # bigint sum of 10⁹ large vertex ids could overflow silently).
+    def label_sum(df: DataFrame) -> str:
+        return str(
+            df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+        )
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iterations):
         # 1) Propagate: min over the 1-hop neighborhood.
         neighbor_min = (
@@ -105,16 +117,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)  # truncate lineage each round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_iterations} rounds")
 
 
