@@ -116,14 +116,16 @@ _SQL_QUALITY = (
 QUALITY_GATE_SQL = f"""
 WITH q AS (
   SELECT doc_id, lang, {_SQL_QUALITY} AS q FROM documents
-), ranked AS (
+), hist AS (
+  SELECT lang, q, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY lang, q
+), cum AS (
   SELECT lang, q,
-         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
-         COUNT(*) OVER (PARTITION BY lang) AS n
-  FROM q
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY q) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM hist
 ), med AS (
-  SELECT lang, MAX(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN q END) AS med_quality
-  FROM ranked GROUP BY lang
+  SELECT lang, MIN(q) AS med_quality
+  FROM cum WHERE cum >= CAST(ceil(0.5*n) AS BIGINT) GROUP BY lang
 )
 SELECT q.lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -139,36 +141,35 @@ def x_quality_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 follow-through: per-language quality gating — keep documents at
     or above their OWN language's median quality (a fixed global threshold
     under-filters the dominant language and guts the small ones). The
-    median is percentile_disc-style element SELECTION at rank ⌈n/2⌉ —
-    an actual data point, no interpolation arithmetic, engine-exact.
+    median is percentile_disc-style element SELECTION — the smallest score
+    whose cumulative count reaches ⌈n/2⌉, an actual data point, no
+    interpolation arithmetic, engine-exact.
 
-    Scale shape: one sort-shuffle keyed by lang for the rank/count window
-    (language cardinality is tiny, so each group is one sorted run; for
-    truly skewed corpora the sketch path — x_sketch_quantiles' KLL per
-    group — replaces the exact gate, trading ⌈n/2⌉ exactness for a
-    k-bounded summary), then the per-lang median broadcast back onto the
-    scored docs for the gate count. Output is |langs| rows."""
+    Scale shape: HISTOGRAM median, not a corpus sort — the quality
+    composite has a bounded value domain (two small-int features), so the
+    corpus collapses to a (lang, score) histogram via one hash aggregate
+    with map-side partials, and the rank-selection window runs over the
+    per-lang DISTINCT SCORES (bounded), never corpus rows — a per-lang
+    window over raw docs would be one multi-billion-row sort task for the
+    dominant language at 100 TB. The |langs|-row median table broadcasts
+    back onto the scored docs for the gate count. Output is |langs| rows."""
     t = load_tables(spark, sf_dir)
     from pyspark.sql import Window as W
 
     q = TS.quality_features(t["documents"]).select(
         "doc_id", "lang", F.col("quality_score").alias("q")
     )
-    ranked = q.select(
+    hist = q.groupBy("lang", "q").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.select(
         "lang",
         "q",
-        F.row_number()
-        .over(W.partitionBy("lang").orderBy("q", "doc_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+        F.sum("cnt").over(W.partitionBy("lang").orderBy("q")).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("lang")).alias("n"),
     )
-    med = ranked.groupBy("lang").agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
-                F.col("q"),
-            )
-        ).alias("med_quality")
+    med = (
+        cum.filter(F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n")).cast("long"))
+        .groupBy("lang")
+        .agg(F.min("q").alias("med_quality"))
     )
     return (
         q.join(F.broadcast(med), "lang")
