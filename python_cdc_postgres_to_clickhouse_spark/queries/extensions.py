@@ -467,13 +467,17 @@ def x_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the clustered-vertex set is a small fraction of the
     corpus, so the (vertex, component) frame joins the per-doc quality
-    features on doc_id and everything downstream — one window over
-    component for the rank and size — shuffles only clustered docs, never
-    the corpus. Quality is the same deterministic token/stopword composite
-    x_quality_score oracle-checks; the component closure is the same
-    edge set x_dedup_clusters oracle-checks (shared CTE, no drift)."""
-    from pyspark.sql import Window as W
-
+    features on doc_id and shuffles only clustered docs, never the
+    corpus. The per-cluster argmax is a min-STRUCT hash aggregate
+    ((-q, vertex) — IEEE negation is exact, so the score round-trips
+    bit-identically), NOT a window: partial aggregation keeps one
+    candidate row per partition, so a pathological giant cluster (site
+    boilerplate) never becomes a single sort task. Quality is the same
+    deterministic token/stopword composite x_quality_score oracle-checks;
+    the component closure is the same edge set x_dedup_clusters
+    oracle-checks (shared CTE, no drift); the oracle keeps its window
+    formulation — equivalent result, and the oracle only runs at test
+    scale."""
     from ..operators.clusters import connected_components
 
     t = load_tables(spark, sf_dir)
@@ -484,21 +488,17 @@ def x_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vertex"), F.col("quality_score").alias("q")
     )
     member = comp.join(qual, "vertex")
-    w = W.partitionBy("component")
-    ranked = member.select(
-        "component",
-        "vertex",
-        "q",
-        F.row_number()
-        .over(w.orderBy(F.desc("q"), F.asc("vertex")))
-        .alias("rn"),
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    best = member.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min(
+            F.struct((-F.col("q")).alias("nq"), F.col("vertex").alias("v"))
+        ).alias("b"),
     )
-    return ranked.filter(F.col("rn") == 1).select(
+    return best.select(
         "component",
         "cluster_size",
-        F.col("vertex").alias("canonical"),
-        F.col("q").alias("canonical_score"),
+        F.col("b.v").alias("canonical"),
+        (-F.col("b.nq")).alias("canonical_score"),
     )
 
 

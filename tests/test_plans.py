@@ -284,6 +284,16 @@ def test_source_cap_uses_window_group_limit(spark):
     assert P.has_window_group_limit(_q(spark, "x_source_cap"))
 
 
+def test_cluster_canonical_argmax_is_aggregate_not_window(spark):
+    """The per-cluster keep decision must be a partial-aggregable min-struct
+    hash aggregate — a window over component would make a pathological
+    giant cluster one single sort task."""
+    df = _q(spark, "x_cluster_canonical")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan, plan
+    assert P.has_partial_aggregate(df)
+
+
 def test_quality_gate_broadcasts_median_table(spark):
     """The |langs|-row median table must broadcast back onto the scored
     docs — the gate adds no second corpus shuffle."""
