@@ -62,6 +62,10 @@ HEADLINE = [
     "x_sketch_cms_freq",       # count-min frequency probes
     "x_cluster_canonical",     # CC clusters + quality-argmax keep
     "x_ngram_novelty",         # first-occurrence shingle novelty
+    "x_funnel_steps",          # sequential funnel, one user_id partitioning
+    "x_gap_fill_locf",         # day-spine explode + bounded LOCF window
+    "x_outlier_zscore",        # two-pass broadcast-stats outlier census
+    "x_weighted_sample",       # A-Res weighted TakeOrdered sample
 ]
 
 

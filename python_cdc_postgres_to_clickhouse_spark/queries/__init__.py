@@ -20,3 +20,4 @@ from . import misc  # noqa: F401
 from . import tpch_gaps  # noqa: F401
 from . import embeddings  # noqa: F401
 from . import sketches  # noqa: F401
+from . import behavior  # noqa: F401

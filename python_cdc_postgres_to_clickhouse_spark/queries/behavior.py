@@ -1,0 +1,332 @@
+"""Behavioral / event-stream analytics (funnel, retention, gap-fill,
+outliers) plus deterministic weighted sampling.
+
+The reference ships its events into ClickHouse and leaves this analysis to
+the warehouse (reference docker-compose.yml:155-174 provisions the server;
+main.py:1-58 only delivers rows). These queries are that downstream surface,
+native in Spark over the same `events` / `documents` tables.
+
+Scale notes (100 TB):
+- Funnel and retention shuffle on ``user_id`` once per step; every
+  subsequent join/agg reuses the same key, so AQE keeps the exchanges
+  co-partitioned. No per-user state exceeds the user's own event count.
+- Gap-fill explodes a per-user day spine bounded by the observation window
+  (days, not events), then fills with one bounded per-user window.
+- The z-score pass is two scans: a 5-row stats aggregate (decimal-exact,
+  map-side combinable) broadcast back over the fact table — never a
+  re-shuffle of events on a non-key.
+- Weighted sampling is a narrow keying expression + ``TakeOrdered(k)`` —
+  no global sort, no driver collect.
+
+Float determinism: means/variances are derived from exact integer-cent sums
+(see OUTLIER_SQL comment) surfaced as DOUBLE, then combined with the *same* IEEE754 expression tree on both
+engines, so every derived double is bit-identical. The weighted-sample ln()
+key is libm-evaluated on both engines; it ranks rows but is deliberately NOT
+an output column (transcendental ulp differences would break value hashing,
+see scalars.c_math_funcs) — orderings flip only if two keys collide within
+~1e-16 relative, which the md5-uniform construction makes vanishingly rare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_tables
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS users_signup,
+       (SELECT count(*) FROM s2) AS users_viewed,
+       (SELECT count(*) FROM s3) AS users_purchased,
+       CAST((SELECT count(*) FROM s2) AS DOUBLE)
+         / CAST((SELECT count(*) FROM s1) AS DOUBLE) AS view_rate,
+       CAST((SELECT count(*) FROM s3) AS DOUBLE)
+         / CAST((SELECT count(*) FROM s2) AS DOUBLE) AS purchase_rate
+"""
+
+
+@query("x_funnel_steps", oracle=FUNNEL_SQL, tags=("ext", "behavior", "events"))
+def x_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel signup → view → purchase.
+
+    Each step keeps users whose earliest qualifying event is strictly
+    after their previous step's timestamp. Every aggregate and join keys
+    on ``user_id``, so the three steps ride one hash partitioning; the
+    final counts are 1-row aggregates combined via broadcast — the scalar
+    pattern tpch_q15 uses. Reference analog: warehouse-side funnel over
+    the CDC-delivered events table.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts", "event_type")
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    c1 = s1.agg(F.count("*").alias("users_signup"))
+    c2 = s2.agg(F.count("*").alias("users_viewed"))
+    c3 = s3.agg(F.count("*").alias("users_purchased"))
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(c3)
+        .select(
+            "users_signup",
+            "users_viewed",
+            "users_purchased",
+            (
+                F.col("users_viewed").cast("double")
+                / F.col("users_signup").cast("double")
+            ).alias("view_rate"),
+            (
+                F.col("users_purchased").cast("double")
+                / F.col("users_viewed").cast("double")
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+RETENTION_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT)
+           AS day_offset,
+         e.user_id
+  FROM events e JOIN first_seen f USING (user_id)
+)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM activity WHERE day_offset <= 14
+GROUP BY cohort_day, day_offset
+"""
+
+
+@query("x_retention_cohort", oracle=RETENTION_SQL, tags=("ext", "behavior", "events"))
+def x_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention triangle: users active N days after first event.
+
+    First-seen agg and the activity join both key on ``user_id`` (one
+    partitioning reused); the distinct + final agg shuffle carries only
+    (cohort, offset, user) triples capped at 15 offsets per user-day.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .where(F.col("day_offset") <= 14)
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+GAP_FILL_SQL = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('day', ts) AS day, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), daily AS (
+  SELECT user_id, day, value FROM ranked WHERE rn = 1
+), bounds AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+)
+SELECT s.user_id, s.day,
+       last_value(d.value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.day) AS value_filled,
+       d.value IS NOT NULL AS is_observed
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+@query("x_gap_fill_locf", oracle=GAP_FILL_SQL, tags=("ext", "behavior", "timeseries"))
+def x_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample per user with last-observation-carried-forward.
+
+    The per-day representative is a ``max_by`` over (ts, event_id) — one
+    hash aggregate, no per-day sort (the oracle's row_number form is
+    order-equivalent). The spine is ``sequence(d0, d1)`` exploded per
+    user — its size is the observation window in days, independent of
+    event volume — and the LOCF window is bounded per user. The double
+    ``value`` passes through untouched, so parity is bit-exact.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", "value"
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
+
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("value").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+# Stats from exact integer-cent sums, recombined with an identical IEEE754
+# expression tree on both engines — see module docstring. Cents, not
+# DECIMAL(18,6): Spark's decimal→double cast is correctly rounded (Java
+# BigDecimal) while DuckDB's scaled-int128 path can be 1 ulp off at high
+# scales; integer sums < 2^53 convert exactly on both, and the final
+# division by an exactly-representable power of ten rounds identically.
+OUTLIER_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(CAST(round(value * 100) AS DECIMAL(18,0))) AS DOUBLE) / 100.0 AS s1,
+         CAST(SUM(CAST(round(value * 100) AS DECIMAL(18,0))
+                  * CAST(round(value * 100) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS s2
+  FROM events GROUP BY event_type
+), derived AS (
+  SELECT event_type, n,
+         s1 / CAST(n AS DOUBLE) AS mean,
+         sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS sd
+  FROM stats
+)
+SELECT e.event_type, d.n, d.mean, d.sd,
+       COUNT(CASE WHEN abs((e.value - d.mean) / d.sd) > 2.5 THEN 1 END) AS n_outliers,
+       MAX(abs((e.value - d.mean) / d.sd)) AS max_abs_z
+FROM events e JOIN derived d USING (event_type)
+GROUP BY e.event_type, d.n, d.mean, d.sd
+"""
+
+
+@query("x_outlier_zscore", oracle=OUTLIER_SQL, tags=("ext", "behavior", "quality"))
+def x_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier census (two-pass, broadcast stats).
+
+    Pass 1 reduces events to a 5-row decimal-exact stats table (count,
+    Σv, Σv² — map-side combinable); pass 2 broadcasts it back over the
+    fact table and counts |z| > 2.5. At 100 TB this is two scans and one
+    5-row broadcast — events are never shuffled on a non-key.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("decimal(18,0)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(cents).cast("double") / 100.0).alias("s1"),
+        (F.sum(cents * cents).cast("double") / 10000.0).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    derived = stats.select(
+        "event_type",
+        "n",
+        (F.col("s1") / nd).alias("mean"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / nd)
+            / (F.col("n") - F.lit(1)).cast("double")
+        ).alias("sd"),
+    )
+    z = F.abs((F.col("value") - F.col("mean")) / F.col("sd"))
+    return (
+        ev.join(F.broadcast(derived), "event_type")
+        .groupBy("event_type", "n", "mean", "sd")
+        .agg(
+            F.count(F.when(z > 2.5, 1)).alias("n_outliers"),
+            F.max(z).alias("max_abs_z"),
+        )
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, lang, n_chars,
+         ln((CAST(CAST(concat('0x', substr(md5(concat('wsamp', CAST(doc_id AS VARCHAR))), 1, 8))
+                   AS BIGINT) AS DOUBLE) + 1) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+)
+SELECT doc_id, source, lang, n_chars
+FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+"""
+
+
+@query(
+    "x_weighted_sample",
+    oracle=WEIGHTED_SAMPLE_SQL,
+    tags=("ext", "sampling", "pipeline"),
+)
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis–
+    Spirakis A-Res), weight = ``n_chars``.
+
+    Key = ln(u)/w with u a salted-md5 uniform in (0,1] — maximizing it is
+    the classic u^(1/w) reservoir draw, but seedable and replayable on any
+    engine. The key is a narrow row-local expression; selection is a
+    ``TakeOrdered(50)`` (no global sort, no driver collect). The key
+    itself is NOT output — see module docstring on libm ulp parity.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wsamp"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    key = F.log((h.cast("double") + 1) / F.lit(4294967296.0)) / F.col("n_chars").cast(
+        "double"
+    )
+    return (
+        docs.select("doc_id", "source", "lang", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(50)
+        .drop("k")
+    )

@@ -57,16 +57,19 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     stale at round-4 end, promised the lead slots by the round-4
 #     comment (and held to it by the round-4 verdict);
 # (b) every query NEW or semantically CHANGED this round: the CMS sketch,
-#     cluster canonical selection, n-gram novelty, per-source caps, and
-#     the per-lang quality gate and mixture weights are new; x_pmi_pairs
-#     (join-free linear
+#     cluster canonical selection, n-gram novelty, per-source caps, the
+#     per-lang quality gate and mixture weights, and the behavior family
+#     (funnel, retention cohort, gap-fill LOCF, z-score outliers,
+#     weighted sampling) are new; x_pmi_pairs (join-free linear
 #     pairing), x_heavy_hitters (semi-join below the aggregate),
 #     x_kmeans_embed (mean cosine-to-centroid column), x_minhash_near_dup
 #     (widened persist) changed; x_dedup_clusters shares the refactored
 #     cluster CTE;
-# (c) 15 of the remaining 48 round-3-rows queries: the join, window, and
-#     subquery families plus c_math_funcs (the once-red cell — kept on a
-#     short leash). The 33 deferred (w_range_frame, a_count_distinct, a_argmax,
+# (c) 10 of the remaining 48 round-3-rows queries: the join family, three
+#     windows, one subquery, plus c_math_funcs (the once-red cell — kept
+#     on a short leash). The 38 deferred (w_range_frame, a_count_distinct,
+#     a_argmax, w_ntile_first_last, w_percent_rank_cume, sub_in,
+#     sub_not_exists, sub_min_price_supplier,
 #     a_conditional, a_rollup, a_cube, a_rollup_grouping, a_grouping_sets,
 #     a_having, a_stats_moments, a_groupby_expr, s_except, s_except_all,
 #     c_like_split, c_case_in_between, c_array_funcs, c_null_handling,
@@ -113,6 +116,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_source_cap",
     "x_quality_gate_per_lang",
     "x_mixture_weights",
+    "x_funnel_steps",
+    "x_retention_cohort",
+    "x_gap_fill_locf",
+    "x_outlier_zscore",
+    "x_weighted_sample",
     # (b) changed this round.
     "x_pmi_pairs",
     "x_heavy_hitters",
@@ -129,13 +137,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "w_rank_dense",
     "w_lag_lead",
     "w_moving_avg",
-    "w_ntile_first_last",
-    "w_percent_rank_cume",
-    # (c) round-3-rows refresh: subqueries + the once-red scalar cell.
+    # (c) round-3-rows refresh: subquery + the once-red scalar cell.
     "sub_scalar_avg",
-    "sub_in",
-    "sub_not_exists",
-    "sub_min_price_supplier",
     "c_math_funcs",
 )
 

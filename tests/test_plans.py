@@ -339,3 +339,36 @@ def test_sketch_rollup_is_partial_aggregated(spark):
 def test_heavy_hitters_candidate_join_broadcasts(spark):
     plan = P.physical_plan(_q(spark, "x_heavy_hitters"))
     assert "Broadcast" in plan
+
+
+def test_outlier_zscore_broadcasts_stats(spark):
+    """The 5-row stats table must broadcast back over events — the fact
+    table is never re-shuffled on a non-key for the z pass."""
+    plan = P.physical_plan(_q(spark, "x_outlier_zscore"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert P.has_partial_aggregate(_q(spark, "x_outlier_zscore"))
+
+
+def test_weighted_sample_is_takeordered(spark):
+    """A-Res selection must compile to TakeOrdered(k) — a global Sort of
+    the corpus by sampling key would be a 100 TB total-order shuffle."""
+    plan = P.physical_plan(_q(spark, "x_weighted_sample"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_gap_fill_has_no_cartesian_and_prunes_columns(spark):
+    """Spine join stays an equi-join on (user_id, day); the scan reads only
+    the four columns the resample needs."""
+    df = _q(spark, "x_gap_fill_locf")
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    cols = set(P.read_schema_columns(df))
+    assert "props" not in cols and "event_type" not in cols, cols
+
+
+def test_funnel_steps_single_user_partitioning(spark):
+    """Every step aggregates and joins on user_id; only the final 1-row
+    scalar combine may nest-loop (broadcast, 1×1×1)."""
+    plan = P.physical_plan(_q(spark, "x_funnel_steps"))
+    assert "CartesianProduct" not in plan, plan

@@ -82,3 +82,62 @@ def test_ngram_novelty_first_occurrences_partition_the_dictionary(spark):
     first_doc = min(r["doc"] for r in rows)
     first = next(r for r in rows if r["doc"] == first_doc)
     assert first["novelty"] == 1.0
+
+
+def test_weighted_sample_matches_numpy_replay(spark):
+    """Independent A-Res replay: recompute ln(u)/w keys in Python from the
+    same salted-md5 uniforms and check the engine picked exactly the
+    top-50 — validates the keying math end to end."""
+    import hashlib
+    import math as m
+
+    from python_cdc_postgres_to_clickhouse_spark.queries.behavior import (
+        x_weighted_sample,
+    )
+
+    docs = load_tables(spark, SF_SMOKE)["documents"].select("doc_id", "n_chars").collect()
+    keys = {}
+    for r in docs:
+        h = int(hashlib.md5(f"wsamp{r['doc_id']}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        keys[r["doc_id"]] = m.log(u) / r["n_chars"]
+    expect = {d for d, _ in sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:50]}
+    got = {r["doc_id"] for r in x_weighted_sample(spark, SF_SMOKE).collect()}
+    assert got == expect
+
+
+def test_funnel_counts_monotone_nonincreasing(spark):
+    from python_cdc_postgres_to_clickhouse_spark.queries.behavior import (
+        x_funnel_steps,
+    )
+
+    r = x_funnel_steps(spark, SF_SMOKE).collect()[0]
+    assert r["users_signup"] >= r["users_viewed"] >= r["users_purchased"] >= 0
+    assert 0.0 <= r["view_rate"] <= 1.0 and 0.0 <= r["purchase_rate"] <= 1.0
+
+
+def test_gap_fill_spine_is_contiguous_and_preserves_observations(spark):
+    """Per user: one row per calendar day between first and last active day
+    (no gaps, no dupes); every observed day keeps its own value; filled
+    days carry the previous observed value forward."""
+    from python_cdc_postgres_to_clickhouse_spark.queries.behavior import (
+        x_gap_fill_locf,
+    )
+
+    rows = x_gap_fill_locf(spark, SF_SMOKE).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for _u, rs in by_user.items():
+        rs.sort(key=lambda r: r["day"])
+        days = [r["day"] for r in rs]
+        assert len(set(days)) == len(days)
+        assert (days[-1] - days[0]).days == len(days) - 1, "spine has gaps"
+        assert rs[0]["is_observed"], "first spine day must be observed"
+        last = None
+        for r in rs:
+            if r["is_observed"]:
+                last = r["value_filled"]
+            else:
+                assert r["value_filled"] == last, "LOCF must carry last value"
