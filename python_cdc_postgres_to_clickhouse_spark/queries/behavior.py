@@ -330,3 +330,106 @@ def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("k")
     )
+
+
+INTERP_SQL = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('day', ts) AS day, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), daily AS (
+  SELECT user_id, day, value FROM ranked WHERE rn = 1
+), bounds AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+), ctx AS (
+  SELECT s.user_id, s.day, d.value,
+         last_value(d.value IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.day) AS pv,
+         last_value(d.day IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.day) AS pd,
+         first_value(d.value IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(d.day IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id, day,
+       CASE WHEN value IS NOT NULL THEN value
+            ELSE pv + (nv - pv)
+                 * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                    / CAST(date_diff('day', pd, nd) AS DOUBLE))
+       END AS value_interp,
+       value IS NOT NULL AS is_observed
+FROM ctx
+"""
+
+
+@query(
+    "x_interpolate_linear", oracle=INTERP_SQL, tags=("ext", "behavior", "timeseries")
+)
+def x_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample with LINEAR interpolation between observations (the
+    numeric sibling of x_gap_fill_locf's step fill).
+
+    Same bounded day-spine shape as the LOCF query; two extra bounded
+    per-user windows carry the (previous, next) observed (day, value)
+    context, and the interpolation weight is one fixed-order IEEE
+    division — bit-identical across engines given identical day offsets.
+    The spine never extends past a user's first/last observation, so
+    every gap has both endpoints (no extrapolation branch).
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", "value"
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            "value",
+            F.last("value", ignorenulls=True).over(back).alias("pv"),
+            F.last(F.when(F.col("value").isNotNull(), F.col("day")), True)
+            .over(back)
+            .alias("pd"),
+            F.first("value", ignorenulls=True).over(fwd).alias("nv"),
+            F.first(F.when(F.col("value").isNotNull(), F.col("day")), True)
+            .over(fwd)
+            .alias("nd"),
+        )
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff("nd", "pd").cast(
+        "double"
+    )
+    return ctx.select(
+        "user_id",
+        "day",
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("value_interp"),
+        F.col("value").isNotNull().alias("is_observed"),
+    )

@@ -425,9 +425,15 @@ def x_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document before the band residual filtered it — a straggler killer
     on book-length docs; plan-asserted gone in tests/test_plans.py). Pair
     counting shuffles on (tok_a, tok_b) with map-side partials; the
-    unigram table is vocabulary-sized and broadcast onto the pair counts;
-    the corpus totals are 1-row aggregates broadcast the same way. Top-k
-    via per-partition heaps. No transcendentals: lift divisions are
+    unigram table is vocabulary-sized, broadcast onto the pair counts, and
+    counted in the SAME shuffle as the pairs via per-token NULL-marker
+    rows — the corpus is exploded exactly once and both unigram
+    broadcasts read a ReusedExchange (runtime-plan-asserted);
+    the corpus totals come in CLOSED FORM from document lengths (one
+    narrow scan — integer-valued doubles below 2^53, every addition
+    exact, so the sum is order-independent and matches the oracle's
+    pair-count SUM bit-for-bit) and broadcast as one row. Top-k via
+    per-partition heaps. No transcendentals: lift divisions are
     fixed-order IEEE doubles, bit-identical across engines."""
     from ..tables import widen_small_scan
 
@@ -445,15 +451,38 @@ def x_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
-        toks.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
-        .agg(F.count(F.lit(1)).alias("n_pair"))
+    # Unigram counts ride the SAME explode + shuffle as the pair counts: each
+    # token also emits a (tok, NULL) marker row, so one aggregate yields both
+    # tables and the two unigram broadcasts (ua/ub) plus the pair side all
+    # read ONE reused shuffle exchange — the corpus is exploded exactly once.
+    marker_arr = F.transform(
+        "t",
+        lambda x: F.struct(
+            x.alias("tok_a"), F.lit(None).cast("string").alias("tok_b")
+        ),
     )
-    pos = toks.select(F.explode("t").alias("tok"))
-    uni = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    n_total = pos.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
-    n_pairs = pairs.agg(F.sum("n_pair").cast("double").alias("n_pairs"))
+    agg = (
+        toks.select(F.explode(F.concat(pair_arr, marker_arr)).alias("p"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = agg.filter(F.col("tok_b").isNotNull()).withColumnRenamed("n", "n_pair")
+    uni = agg.filter(F.col("tok_b").isNull()).select(
+        F.col("tok_a").alias("tok"), F.col("n").alias("n_tok")
+    )
+    # Corpus totals in closed form from document lengths — one narrow scan,
+    # never a second pass over the exploded positions or the pair counts:
+    # n_total = Σ len; a doc of length L emits Σᵢ min(w, L-1-i) pairs, i.e.
+    # w·L − w(w+1)/2 when L > w, else L(L−1)/2. (The oracle keeps its SUM
+    # formulation — identical value.)
+    length = F.size("t").cast("double")
+    w = float(PMI_WINDOW)
+    pair_cnt = F.when(
+        length > w, length * w - F.lit(w * (w + 1) / 2.0)
+    ).otherwise(length * (length - 1) / 2.0)
+    totals = toks.agg(
+        F.sum(length).alias("n_total"), F.sum(pair_cnt).alias("n_pairs")
+    )
     ua = uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
     ub = uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
     lift = (
@@ -467,8 +496,7 @@ def x_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(ua), "tok_a")
         .join(F.broadcast(ub), "tok_b")
-        .join(F.broadcast(n_total))
-        .join(F.broadcast(n_pairs))
+        .join(F.broadcast(totals))
         .select("tok_a", "tok_b", "n_pair", lift.alias("lift"))
         .orderBy(F.desc("n_pair"), "tok_a", "tok_b")
         .limit(PMI_TOP)

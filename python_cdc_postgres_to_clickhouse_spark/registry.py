@@ -59,8 +59,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (b) every query NEW or semantically CHANGED this round: the CMS sketch,
 #     cluster canonical selection, n-gram novelty, per-source caps, the
 #     per-lang quality gate and mixture weights, and the behavior family
-#     (funnel, retention cohort, gap-fill LOCF, z-score outliers,
-#     weighted sampling) are new; x_pmi_pairs (join-free linear
+#     (funnel, retention cohort, gap-fill LOCF, linear interpolation,
+#     z-score outliers, weighted sampling) are new; x_pmi_pairs (join-free linear
 #     pairing), x_heavy_hitters (semi-join below the aggregate),
 #     x_kmeans_embed (mean cosine-to-centroid column), x_minhash_near_dup
 #     (widened persist) changed; x_dedup_clusters shares the refactored
@@ -119,6 +119,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_funnel_steps",
     "x_retention_cohort",
     "x_gap_fill_locf",
+    "x_interpolate_linear",
     "x_outlier_zscore",
     "x_weighted_sample",
     # (b) changed this round.
@@ -127,9 +128,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_kmeans_embed",
     "x_minhash_near_dup",
     "x_dedup_clusters",
-    # (c) round-3-rows refresh: joins.
+    # (c) round-3-rows refresh: joins (j_full_outer deferred to round 6
+    # with the other untouched shapes — its outer-null semantics are
+    # half-covered by j_left_outer's green row meanwhile).
     "j_left_outer",
-    "j_full_outer",
     "j_semi",
     "j_anti",
     "j_theta_band",

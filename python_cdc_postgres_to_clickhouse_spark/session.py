@@ -33,6 +33,11 @@ def get_spark(app_name: str = "python_cdc_postgres_to_clickhouse_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # columns carry NO parquet min/max statistics, which silently
+        # disables the data skipping the clustered/Z-ordered layouts
+        # (operators/layout.py) exist to provide.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -53,4 +58,6 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read the raw int64 and convert in tables.load_table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # INT96 writes carry no parquet stats — see get_spark.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     return spark

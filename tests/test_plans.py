@@ -372,3 +372,13 @@ def test_funnel_steps_single_user_partitioning(spark):
     scalar combine may nest-loop (broadcast, 1×1×1)."""
     plan = P.physical_plan(_q(spark, "x_funnel_steps"))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pmi_single_corpus_shuffle_via_reused_exchange(spark):
+    """The unigram-marker trick: pairs, ua, and ub must all read ONE
+    shuffle of the exploded corpus — AQE inserts ReusedExchange at
+    runtime, so collect first and inspect the executed plan."""
+    df = _q(spark, "x_pmi_pairs")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
