@@ -108,6 +108,96 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BITS = 1 << 20  # 1 Mbit → ≤ 128 KB of set words, fixed vs corpus size
+BLOOM_K = 4            # independent salted-md5 hash functions
+
+
+def _bloom_positions(shingle_col, k: int = BLOOM_K):
+    """k salted-md5 bit positions in [0, BLOOM_BITS) for a shingle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bloom"), j.cast("string"), shingle_col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BITS,
+    )
+
+
+@query("x_bloom_decontaminate", tags=("ext", "pipeline", "dedup", "approx"))
+def x_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13': Bloom-filter decontamination — the fixed-memory variant of
+    x_decontaminate for when the benchmark shingle set is too large to
+    broadcast as an exact hash set.
+
+    The filter is a sparse 64-bit word table: every test shingle sets
+    k = {BLOOM_K} salted-md5 bit positions, ``bit_or``-aggregated by word
+    index. OR-merge IS partial aggregation (commutative — result is
+    partitioning-independent, so the filter is deterministic), and the
+    table is ≤ BLOOM_BITS/64 rows ≈ 128 KB however large the benchmark
+    grows — that bounded size is exactly why this variant exists. The
+    train side explodes its k probe positions and takes ONE broadcast
+    join against the word table; a shingle is flagged iff all k bits are
+    set (``bool_and``). Bloom semantics make the per-doc count an UPPER
+    bound: zero false negatives (the conservative direction for
+    decontamination), false-positive rate bounded by (1-e^{{-kn/m}})^k —
+    both property-tested against the exact query. Engine-specific bit
+    layout ⇒ rows-only driver row.
+    """
+    from ..operators.sampling import assign_split
+    from ..tables import widen_small_scan
+
+    t = load_tables(spark, sf_dir)
+    sh = (
+        widen_small_scan(assign_split(t["documents"], "doc_id"))
+        .select("doc_id", "split", F.array_distinct(D.shingles()).alias("shs"))
+        .persist()
+    )
+    words = (
+        sh.filter(F.col("split") == "test")
+        .select(F.explode("shs").alias("shingle"))
+        .select(F.explode(_bloom_positions(F.col("shingle"))).alias("pos"))
+        .groupBy((F.col("pos") / 64).cast("long").alias("word_id"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")).alias("word"))
+    )
+    probes = (
+        sh.filter(F.col("split") == "train")
+        .select("doc_id", F.explode("shs").alias("shingle"))
+        .select(
+            "doc_id",
+            "shingle",
+            F.explode(_bloom_positions(F.col("shingle"))).alias("pos"),
+        )
+        .withColumn("word_id", (F.col("pos") / 64).cast("long"))
+    )
+    hits = probes.join(F.broadcast(words), "word_id", "left").select(
+        "doc_id",
+        "shingle",
+        (
+            F.coalesce(F.col("word"), F.lit(0).cast("long")).bitwiseAND(
+                F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")
+            )
+            != 0
+        ).alias("hit"),
+    )
+    flagged = (
+        hits.groupBy("doc_id", "shingle")
+        .agg(F.bool_and("hit").alias("all_hit"))
+        .filter("all_hit")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged_shingles"))
+        .withColumn(
+            "contaminated",
+            F.col("n_flagged_shingles") >= CONTAMINATION_MIN_SHINGLES,
+        )
+    )
+
+
 NGRAM_TOPK = 20
 
 NGRAM_COUNTS_SQL = f"""

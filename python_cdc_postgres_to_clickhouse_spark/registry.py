@@ -122,6 +122,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_interpolate_linear",
     "x_outlier_zscore",
     "x_weighted_sample",
+    "x_bloom_decontaminate",
     # (b) changed this round.
     "x_pmi_pairs",
     "x_heavy_hitters",
@@ -138,8 +139,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (c) round-3-rows refresh: windows.
     "w_rank_dense",
     "w_lag_lead",
-    "w_moving_avg",
-    # (c) round-3-rows refresh: subquery + the once-red scalar cell.
+    # (c) round-3-rows refresh: subquery + the once-red scalar cell
+    # (w_moving_avg deferred to the round-6 lead set with the other
+    # untouched shapes).
     "sub_scalar_avg",
     "c_math_funcs",
 )

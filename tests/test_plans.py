@@ -382,3 +382,13 @@ def test_pmi_single_corpus_shuffle_via_reused_exchange(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_bloom_decontaminate_broadcasts_word_table_and_partial_aggs(spark):
+    """The Bloom word table must broadcast onto the probe side (the corpus
+    never shuffles on word_id) and the bit_or build must partial-aggregate
+    (OR-merge is the mergeable-sketch property the filter relies on)."""
+    df = _q(spark, "x_bloom_decontaminate")
+    plan = P.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert P.has_partial_aggregate(df)

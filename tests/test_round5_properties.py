@@ -141,3 +141,33 @@ def test_gap_fill_spine_is_contiguous_and_preserves_observations(spark):
                 last = r["value_filled"]
             else:
                 assert r["value_filled"] == last, "LOCF must carry last value"
+
+
+def test_bloom_decontaminate_bounds_exact(spark):
+    """Bloom flags are a superset of exact contamination per doc (no false
+    negatives) and the global false-positive overshoot is small."""
+    from python_cdc_postgres_to_clickhouse_spark.queries.corpusops import (
+        x_bloom_decontaminate,
+        x_decontaminate,
+    )
+
+    exact = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in x_decontaminate(spark, SF_SMOKE).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged_shingles"]
+        for r in x_bloom_decontaminate(spark, SF_SMOKE).collect()
+    }
+    # One-sided: every exactly-shared shingle must be flagged.
+    for doc, n in exact.items():
+        assert bloom.get(doc, 0) >= n, doc
+    # FP overshoot bounded (1 Mbit for a fixture-sized set → near-zero FPP).
+    overshoot = sum(bloom.values()) - sum(exact.values())
+    assert overshoot <= max(5, 0.01 * sum(exact.values())), overshoot
+    # Deterministic (bitwise-OR merge is partitioning-independent).
+    again = {
+        r["doc_id"]: r["n_flagged_shingles"]
+        for r in x_bloom_decontaminate(spark, SF_SMOKE).collect()
+    }
+    assert again == bloom
