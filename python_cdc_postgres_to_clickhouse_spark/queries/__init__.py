@@ -21,3 +21,4 @@ from . import tpch_gaps  # noqa: F401
 from . import embeddings  # noqa: F401
 from . import sketches  # noqa: F401
 from . import behavior  # noqa: F401
+from . import recursive  # noqa: F401

@@ -58,18 +58,21 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     comment (and held to it by the round-4 verdict);
 # (b) every query NEW or semantically CHANGED this round: the CMS sketch,
 #     cluster canonical selection, n-gram novelty, per-source caps, the
-#     per-lang quality gate and mixture weights, and the behavior family
+#     per-lang quality gate and mixture weights, the behavior family
 #     (funnel, retention cohort, gap-fill LOCF, linear interpolation,
-#     z-score outliers, weighted sampling) are new; x_pmi_pairs (join-free linear
+#     z-score outliers, weighted sampling), the Bloom decontamination
+#     pass, and the recursive-CTE date spine are new; x_pmi_pairs
+#     (join-free linear single-shuffle
 #     pairing), x_heavy_hitters (semi-join below the aggregate),
 #     x_kmeans_embed (mean cosine-to-centroid column), x_minhash_near_dup
 #     (widened persist) changed; x_dedup_clusters shares the refactored
 #     cluster CTE;
-# (c) 10 of the remaining 48 round-3-rows queries: the join family, three
+# (c) 7 of the remaining 48 round-3-rows queries: three joins, two
 #     windows, one subquery, plus c_math_funcs (the once-red cell — kept
-#     on a short leash). The 38 deferred (w_range_frame, a_count_distinct,
+#     on a short leash). The 41 deferred (w_range_frame, a_count_distinct,
 #     a_argmax, w_ntile_first_last, w_percent_rank_cume, sub_in,
-#     sub_not_exists, sub_min_price_supplier,
+#     sub_not_exists, sub_min_price_supplier, j_full_outer, j_theta_band,
+#     w_moving_avg,
 #     a_conditional, a_rollup, a_cube, a_rollup_grouping, a_grouping_sets,
 #     a_having, a_stats_moments, a_groupby_expr, s_except, s_except_all,
 #     c_like_split, c_case_in_between, c_array_funcs, c_null_handling,
@@ -123,6 +126,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_outlier_zscore",
     "x_weighted_sample",
     "x_bloom_decontaminate",
+    "sql_recursive_date_spine",
     # (b) changed this round.
     "x_pmi_pairs",
     "x_heavy_hitters",
@@ -135,7 +139,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j_left_outer",
     "j_semi",
     "j_anti",
-    "j_theta_band",
     # (c) round-3-rows refresh: windows.
     "w_rank_dense",
     "w_lag_lead",
