@@ -66,6 +66,8 @@ HEADLINE = [
     "x_gap_fill_locf",         # day-spine explode + bounded LOCF window
     "x_outlier_zscore",        # two-pass broadcast-stats outlier census
     "x_weighted_sample",       # A-Res weighted TakeOrdered sample
+    "x_interpolate_linear",    # spine + bounded prev/next context windows
+    "x_bloom_decontaminate",   # bit_or word-table build + broadcast probe
 ]
 
 
