@@ -38,6 +38,8 @@ def get_spark(app_name: str = "python_cdc_postgres_to_clickhouse_spark",
         # disables the data skipping the clustered/Z-ordered layouts
         # (operators/layout.py) exist to provide.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Python Data Source filter pushdown (sources/pydatasource.py).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -60,4 +62,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # INT96 writes carry no parquet stats — see get_spark.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark

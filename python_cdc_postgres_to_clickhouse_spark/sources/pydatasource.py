@@ -1,0 +1,201 @@
+"""Custom Spark 4 Python Data Source for the WAL changelog (S8).
+
+The reference consumes Debezium's WAL-derived topic with a hand-rolled
+poll loop (reference main.py:12-58); here the same envelope stream is a
+first-class Spark source: ``spark.read.format("wal_jsonl")`` /
+``spark.readStream.format("wal_jsonl")`` over a JSONL change log. This
+upgrades the parquet file-stream stand-in (streaming/filestream.py) with
+the real source contract:
+
+- **Batch**: line-range ``InputPartition``s (parallel scan of one log),
+  plus FILTER PUSHDOWN — ``op`` equality and ``source_lsn`` range
+  predicates are evaluated inside the source's read loop, so a
+  `op = 'd'` audit query never materializes the other 95% of envelopes.
+- **Streaming**: offsets are line positions (JSON-serializable dicts);
+  `readBetweenOffsets` makes replay after a restart deterministic — the
+  exactly-once contract Structured Streaming needs from a source. The
+  driver-side simple reader is appropriate for a single log file; a
+  partitioned WAL would promote to DataSourceStreamReader with one
+  InputPartition per (segment, range).
+
+The JSONL layout is one envelope per line in delivery order — the
+at-least-once, out-of-order-by-lsn stream the CDC operators are built to
+absorb (see sources/cdc.ChangeLogFixture).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+
+from .cdc import ENVELOPE_SCHEMA, ChangeLogFixture
+
+FORMAT_NAME = "wal_jsonl"
+
+# pushFilters() executes in a separate Python planning worker, so an
+# in-process record is invisible to the test process; the reader instead
+# writes the accepted filters to a `<path>.pushed` sidecar (local/shared
+# FS), which tests read back to assert pushdown actually happened.
+def pushed_filters(path: str) -> list[str]:
+    try:
+        with open(path + ".pushed") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return []
+
+_FIELDS = [f.name for f in ENVELOPE_SCHEMA.fields]
+_ROW_FIELDS = ["id", "username", "email", "created_at_us"]
+
+
+def write_wal_jsonl(fixture: ChangeLogFixture, path: str) -> int:
+    """Materialize a fixture as a JSONL change log (delivery order)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for ev in fixture.events:
+            f.write(json.dumps(ev) + "\n")
+    return len(fixture.events)
+
+
+def _parse_line(line: str):
+    ev = json.loads(line)
+
+    def row(d):
+        return None if d is None else tuple(d.get(k) for k in _ROW_FIELDS)
+
+    return (
+        row(ev.get("before")),
+        row(ev.get("after")),
+        ev.get("op"),
+        ev.get("ts_ms"),
+        ev.get("source_lsn"),
+        ev.get("source_table"),
+        ev.get("kafka_partition"),
+        ev.get("kafka_offset"),
+    )
+
+
+def _passes(ev_tuple, filters) -> bool:
+    idx = {n: i for i, n in enumerate(_FIELDS)}
+    for f in filters:
+        (col,) = f.attribute
+        v = ev_tuple[idx[col]]
+        if v is None:
+            return False
+        if isinstance(f, EqualTo) and not v == f.value:
+            return False
+        if isinstance(f, GreaterThan) and not v > f.value:
+            return False
+        if isinstance(f, GreaterThanOrEqual) and not v >= f.value:
+            return False
+        if isinstance(f, LessThan) and not v < f.value:
+            return False
+        if isinstance(f, LessThanOrEqual) and not v <= f.value:
+            return False
+    return True
+
+
+@dataclass
+class _LineRange(InputPartition):
+    start: int
+    end: int
+
+
+class WalBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.n_partitions = int(options.get("numPartitions", 4))
+        self.filters: list = []
+
+    def pushFilters(self, filters):
+        """Accept flat op/lsn comparisons; hand everything else back."""
+        supported = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+        rest = []
+        for f in filters:
+            if isinstance(f, supported) and len(f.attribute) == 1 and f.attribute[0] in (
+                "op",
+                "source_lsn",
+                "kafka_offset",
+                "source_table",
+            ):
+                self.filters.append(f)
+            else:
+                rest.append(f)
+        with open(self.path + ".pushed", "w") as f:
+            json.dump([repr(x) for x in self.filters], f)
+        return iter(rest)
+
+    def partitions(self):
+        with open(self.path) as f:
+            n = sum(1 for _ in f)
+        per = max(1, (n + self.n_partitions - 1) // self.n_partitions)
+        return [_LineRange(i, min(i + per, n)) for i in range(0, n, per)]
+
+    def read(self, partition: _LineRange):
+        with open(self.path) as f:
+            for i, line in enumerate(f):
+                if i >= partition.end:
+                    break
+                if i >= partition.start:
+                    t = _parse_line(line)
+                    if _passes(t, self.filters):
+                        yield t
+
+
+class WalStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are line positions; replay between offsets is exact."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.batch_lines = int(options.get("batchLines", 100))
+
+    def initialOffset(self):
+        return {"line": 0}
+
+    def _read_range(self, start: int, end: int | None):
+        rows = []
+        with open(self.path) as f:
+            for i, line in enumerate(f):
+                if end is not None and i >= end:
+                    break
+                if i >= start:
+                    rows.append(_parse_line(line))
+        return rows
+
+    def read(self, start: dict):
+        s = start["line"]
+        rows = self._read_range(s, s + self.batch_lines)
+        return iter(rows), {"line": s + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._read_range(start["line"], end["line"]))
+
+
+class WalDataSource(DataSource):
+    """``spark.dataSource.register(WalDataSource)`` then
+    ``spark.read.format("wal_jsonl").option("path", p)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        return ENVELOPE_SCHEMA
+
+    def reader(self, schema):
+        return WalBatchReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return WalStreamReader(self.options)
