@@ -119,3 +119,55 @@ def test_stream_reads_in_bounded_batches_and_resumes(registered, tmp_path):
         "restart must resume from the committed line offset — "
         f"got {len(second)} rows"
     )
+
+
+def test_segmented_stream_reads_all_segments_in_parallel_and_resumes(
+    registered, tmp_path
+):
+    """Directory-of-segments source: every segment's rows arrive, later
+    triggers are capped at batchLines per segment, and a checkpointed
+    restart emits only appended lines."""
+    import os
+    import time
+
+    spark = registered
+    spark.dataSource.register(PDS.WalSegmentedDataSource)
+    fx = generate_changelog(n_keys=15, n_ops=90, seed=5)
+    seg_dir = tmp_path / "segs"
+    os.makedirs(seg_dir)
+    half = len(fx.events) // 2
+    PDS.write_wal_jsonl(
+        ChangeLogFixture(events=fx.events[:half]), str(seg_dir / "seg_00.jsonl")
+    )
+    PDS.write_wal_jsonl(
+        ChangeLogFixture(events=fx.events[half:]), str(seg_dir / "seg_01.jsonl")
+    )
+
+    def run(expect):
+        out: list = []
+        q = (
+            spark.readStream.format(PDS.SEGMENTED_FORMAT_NAME)
+            .option("path", str(seg_dir))
+            .option("batchLines", "10")
+            .load()
+            .writeStream.foreachBatch(lambda bdf, _b: out.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / "seg_ckpt"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and len(out) < expect:
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+        return out
+
+    first = run(len(fx.events))
+    assert _key_set(first) == _key_set(changelog_df(spark, fx).collect())
+
+    extra = ChangeLogFixture(events=fx.events[:7])
+    with open(seg_dir / "seg_00.jsonl", "a") as f:
+        for ev in extra.events:
+            f.write(json.dumps(ev) + "\n")
+    second = run(len(extra.events))
+    assert len(second) == len(extra.events), len(second)
