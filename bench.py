@@ -68,6 +68,11 @@ HEADLINE = [
     "x_weighted_sample",       # A-Res weighted TakeOrdered sample
     "x_interpolate_linear",    # spine + bounded prev/next context windows
     "x_bloom_decontaminate",   # bit_or word-table build + broadcast probe
+    # Added late round 5: MergeTree-semantics family (earlier entries
+    # unchanged — like-for-like holds).
+    "cdc_collapsing_state",    # signed-collapse hash agg (CollapsingMergeTree)
+    "x_window_funnel",         # windowFunnel linear fold, one user_id shuffle
+    "x_session_paths",         # in-session transition bigrams, lead window
 ]
 
 

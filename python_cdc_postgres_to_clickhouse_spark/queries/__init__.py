@@ -22,3 +22,4 @@ from . import embeddings  # noqa: F401
 from . import sketches  # noqa: F401
 from . import behavior  # noqa: F401
 from . import recursive  # noqa: F401
+from . import mergetree  # noqa: F401

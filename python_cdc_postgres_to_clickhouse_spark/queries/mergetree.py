@@ -1,0 +1,246 @@
+"""MergeTree-family destination semantics + event-sequence analytics.
+
+The reference provisions ClickHouse as the CDC destination (reference
+docker-compose.yml:155-174) and leaves the warehouse-side behaviors to the
+MergeTree engine family and ClickHouse's sequence functions:
+
+- **CollapsingMergeTree**: state rows carry ``sign = +1`` and cancel rows
+  ``sign = -1``; reading collapses each key with ``SUM(sign)`` /
+  ``SUM(metric * sign) ... HAVING SUM(sign) > 0``.
+- **windowFunnel(window)(cond1, cond2, ...)**: the max funnel depth a user
+  reaches with all steps inside a sliding time window from the first step.
+- **Session path analysis** (``neighbor`` / window functions): top event
+  transitions within a session gap.
+
+These queries are that surface, native in Spark over the driver's ``events``
+table (`user_id` keys, `ts`/`event_id` total order — same stand-in mapping
+as queries/cdc_queries.py).
+
+Scale notes (100 TB):
+- The collapsing read is ONE hash aggregate on the key — map-side partial
+  sums of ``sign``/``sign*value`` combine associatively, exactly like the
+  MergeTree background merge it models.
+- windowFunnel groups a user's (bounded) step events into one sorted array
+  and folds it with a linear DP — the same per-user memory model ClickHouse
+  uses. No self-join: compute is O(events), never O(events²)
+  (the EXISTS-chain formulation is kept only as the DuckDB oracle, where
+  the fixture is small).
+- Session paths is one window shuffle on ``user_id`` (lead over the user's
+  timeline — a session id is deliberately never materialized: a transition
+  is any consecutive pair with gap ≤ the session gap, so a second
+  (user, session) shuffle would be pure waste) + one agg + TakeOrdered(k).
+
+Float determinism: the collapsing balance is an exact DECIMAL(18,6) sum
+surfaced as DOUBLE (see queries/_exprs.py); the funnel and path queries are
+integer/count-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_tables
+from ._exprs import DEC
+
+COLLAPSING_SQL = """
+SELECT user_id, net_rows, n_deliveries, balance FROM (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT)
+           AS net_rows,
+         COUNT(*) AS n_deliveries,
+         CAST(SUM(CASE WHEN event_type = 'error'
+                       THEN -CAST(value AS DECIMAL(18,6))
+                       ELSE CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+           AS balance
+  FROM events
+  GROUP BY user_id) t
+WHERE net_rows > 0
+"""
+
+
+@query("cdc_collapsing_state", oracle=COLLAPSING_SQL, tags=("cdc", "mergetree"))
+def cdc_collapsing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree read semantics: signed rows collapsed per key.
+
+    ``event_type = 'error'`` stands in for the cancel rows (``sign = -1``);
+    everything else is a state row (``sign = +1``). The live view is the
+    classic ClickHouse collapsing read: ``SUM(sign)`` as the net row count,
+    ``SUM(sign * value)`` as the net balance, keys with non-positive net
+    dropped. The reference's provisioned destination would run exactly this
+    against a CollapsingMergeTree table (docker-compose.yml:155-174).
+
+    One hash aggregate on the key; partial aggregation IS the background
+    merge. Decimal-exact sum → bit-identical DOUBLE on both engines.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    sign_val = F.when(
+        F.col("event_type") == "error", -F.col("value").cast(DEC)
+    ).otherwise(F.col("value").cast(DEC))
+    sign = F.when(F.col("event_type") == "error", F.lit(-1)).otherwise(F.lit(1))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(sign).alias("net_rows"),
+            F.count(F.lit(1)).alias("n_deliveries"),
+            F.sum(sign_val).cast("double").alias("balance"),
+        )
+        .filter(F.col("net_rows") > 0)
+    )
+
+
+# EXISTS-chain oracle: depth ≥ 2 iff some view follows a signup within the
+# window; depth 3 iff a purchase follows that view inside the SAME window
+# (anchored at the signup). Row-value comparisons give the strict
+# (ts, event_id) event order the Spark fold uses.
+WINDOW_FUNNEL_SQL = """
+WITH s AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'),
+d2 AS (
+  SELECT DISTINCT s.user_id
+  FROM s JOIN events v
+    ON v.user_id = s.user_id AND v.event_type = 'view'
+   AND (v.ts, v.event_id) > (s.ts, s.event_id)
+   AND v.ts <= s.ts + INTERVAL 1 HOUR
+),
+d3 AS (
+  SELECT DISTINCT s.user_id
+  FROM s
+  JOIN events v
+    ON v.user_id = s.user_id AND v.event_type = 'view'
+   AND (v.ts, v.event_id) > (s.ts, s.event_id)
+   AND v.ts <= s.ts + INTERVAL 1 HOUR
+  JOIN events p
+    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+   AND (p.ts, p.event_id) > (v.ts, v.event_id)
+   AND p.ts <= s.ts + INTERVAL 1 HOUR
+)
+SELECT depth, COUNT(*) AS n_users FROM (
+  SELECT u.user_id,
+         CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+              WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+              ELSE 1 END AS depth
+  FROM (SELECT DISTINCT user_id FROM s) u) t
+GROUP BY depth
+"""
+
+_FUNNEL_WINDOW_US = 3_600_000_000  # 1 hour, µs
+
+
+@query("x_window_funnel", oracle=WINDOW_FUNNEL_SQL, tags=("behavior", "mergetree"))
+def x_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(3600)('signup','view','purchase')``: per
+    user, the deepest signup → view → purchase chain whose every step falls
+    within 1 hour of the chain's signup; output is users per max depth.
+
+    Unlike x_funnel_steps (unbounded time, queries/behavior.py), the window
+    constraint anchors at the FIRST step — ClickHouse's windowFunnel
+    contract. Spark side runs ClickHouse's actual algorithm: per user, sort
+    the (bounded) step events once and fold linearly, keeping per depth the
+    LATEST chain-start timestamp (later starts are strictly easier to
+    extend, so max is lossless). Compute is O(user's events) — the
+    EXISTS-chain form is kept only as the DuckDB oracle.
+
+    One shuffle on user_id (the groupBy); the fold is a JVM higher-order
+    function over the sorted array — no UDF, no self-join, state = 2
+    timestamps + a depth per user.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    steps = ev.filter(F.col("event_type").isin("signup", "view", "purchase")).select(
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "event_type",
+    )
+    seq = steps.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("tus", "event_id", "event_type"))).alias(
+            "seq"
+        )
+    )
+    w = F.lit(_FUNNEL_WINDOW_US)
+    # State: s1/s2 = latest chain-start (signup tus) achieving depth 1/2;
+    # d = max depth reached. greatest() skips nulls, so "no chain yet" and
+    # "new candidate" merge in one expression.
+    init = F.struct(
+        F.lit(None).cast("long").alias("s1"),
+        F.lit(None).cast("long").alias("s2"),
+        F.lit(0).alias("d"),
+    )
+
+    def step(acc, e):
+        is_signup = e["event_type"] == F.lit("signup")
+        view_ok = (
+            (e["event_type"] == F.lit("view"))
+            & acc["s1"].isNotNull()
+            & (e["tus"] <= acc["s1"] + w)
+        )
+        purchase_ok = (
+            (e["event_type"] == F.lit("purchase"))
+            & acc["s2"].isNotNull()
+            & (e["tus"] <= acc["s2"] + w)
+        )
+        s1 = F.when(is_signup, F.greatest(acc["s1"], e["tus"])).otherwise(acc["s1"])
+        s2 = F.when(view_ok, F.greatest(acc["s2"], acc["s1"])).otherwise(acc["s2"])
+        d = F.greatest(
+            acc["d"],
+            F.when(purchase_ok, F.lit(3))
+            .when(view_ok, F.lit(2))
+            .when(is_signup, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        return F.struct(s1.alias("s1"), s2.alias("s2"), d.alias("d"))
+
+    depth = F.aggregate(F.col("seq"), init, step)["d"]
+    return (
+        seq.select("user_id", depth.alias("depth"))
+        .filter(F.col("depth") >= 1)
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SESSION_PATHS_SQL = """
+SELECT src, dst, n_transitions FROM (
+  SELECT event_type AS src, next_type AS dst, COUNT(*) AS n_transitions
+  FROM (
+    SELECT event_type,
+           LEAD(event_type) OVER w AS next_type,
+           LEAD(ts) OVER w AS next_ts,
+           ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) t
+  WHERE next_type IS NOT NULL AND next_ts <= ts + INTERVAL 30 MINUTE
+  GROUP BY event_type, next_type) g
+ORDER BY n_transitions DESC, src, dst
+LIMIT 20
+"""
+
+
+@query("x_session_paths", oracle=SESSION_PATHS_SQL, tags=("behavior", "mergetree"))
+def x_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top in-session event transitions (Markov bigrams): consecutive event
+    pairs on a user's timeline with gap ≤ 30 min, counted and top-20 ranked —
+    the ClickHouse ``neighbor()``/window path-analysis pattern the reference
+    leaves to the warehouse.
+
+    A session id is deliberately never materialized: a transition exists iff
+    two events are adjacent for the user AND within the session gap, so one
+    ``lead`` window on ``user_id`` suffices — sessionizing first would add a
+    second (user, session) shuffle for the same answer. One window shuffle +
+    one small agg + TakeOrdered(20); no global sort.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1_800_000_000  # 30 min
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("gap"),
+    ).filter(F.col("dst").isNotNull() & (F.col("gap") <= gap_us))
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), "src", "dst")
+        .limit(20)
+    )

@@ -61,7 +61,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     per-lang quality gate and mixture weights, the behavior family
 #     (funnel, retention cohort, gap-fill LOCF, linear interpolation,
 #     z-score outliers, weighted sampling), the Bloom decontamination
-#     pass, and the recursive-CTE date spine are new; x_pmi_pairs
+#     pass, the recursive-CTE date spine, and the MergeTree-semantics
+#     family (CollapsingMergeTree signed collapse, windowFunnel,
+#     session path bigrams) are new; x_pmi_pairs
 #     (join-free linear single-shuffle
 #     pairing), x_heavy_hitters (semi-join below the aggregate),
 #     x_kmeans_embed (mean cosine-to-centroid column), x_minhash_near_dup
@@ -80,8 +82,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     x_rolling_fingerprint, x_pii_scrub, x_token_packing,
 #     x_embedding_stats, x_leakage_safe_split, x_decontaminate,
 #     x_ngram_counts, x_tfidf_topterms, x_vocab_build,
-#     x_stratified_sample, x_simhash_near_dup, x_ivf_cosine_topk) are
-#     untouched shapes (the last two have strong local accuracy tests)
+#     x_stratified_sample, x_simhash_near_dup, x_ivf_cosine_topk, plus
+#     j_semi, j_anti, w_rank_dense — displaced late in round 5 by the
+#     MergeTree-semantics family) are
+#     untouched shapes (simhash/ivf have strong local accuracy tests)
 #     that will be exactly 2 rounds stale at round-5 end and MUST lead
 #     the round-6 window.
 # The union of rounds verifies the full registry (asserted in
@@ -127,20 +131,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_weighted_sample",
     "x_bloom_decontaminate",
     "sql_recursive_date_spine",
+    "cdc_collapsing_state",
+    "x_window_funnel",
+    "x_session_paths",
     # (b) changed this round.
     "x_pmi_pairs",
     "x_heavy_hitters",
     "x_kmeans_embed",
     "x_minhash_near_dup",
     "x_dedup_clusters",
-    # (c) round-3-rows refresh: joins (j_full_outer deferred to round 6
-    # with the other untouched shapes — its outer-null semantics are
-    # half-covered by j_left_outer's green row meanwhile).
+    # (c) round-3-rows refresh: one join, one window (j_semi, j_anti,
+    # w_rank_dense, and j_full_outer ceded their slots to the late-round
+    # MergeTree-semantics queries above and join the round-6 lead set —
+    # all four are r3-green untouched shapes; outer-null semantics stay
+    # half-covered by j_left_outer's row meanwhile).
     "j_left_outer",
-    "j_semi",
-    "j_anti",
-    # (c) round-3-rows refresh: windows.
-    "w_rank_dense",
     "w_lag_lead",
     # (c) round-3-rows refresh: subquery + the once-red scalar cell
     # (w_moving_avg deferred to the round-6 lead set with the other

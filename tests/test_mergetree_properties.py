@@ -1,0 +1,129 @@
+"""MergeTree-semantics family invariants against brute-force Python replays
+on small randomized event tables — independent of the DuckDB oracle (which
+shares SQL semantics and could share a misconception).
+
+The windowFunnel check matters most: the declared query runs a linear fold
+(latest-chain-start DP), the oracle runs EXISTS-chain joins, and this test
+runs a third, exhaustive O(n³) enumeration — three independent formulations
+of the same contract.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import types as T
+
+from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+    x_session_paths,
+    x_window_funnel,
+)
+
+from .test_behavior_property import SCHEMA, TYPES, _write_and_point
+
+WINDOW = dt.timedelta(hours=1)
+GAP = dt.timedelta(minutes=30)
+
+
+def _random_events(seed: int, n_users: int = 10, n_events: int = 200, spread_min: int = 60 * 24):
+    """Denser-than-behavior-tests timestamps so 1-hour windows actually bind
+    (and sometimes don't — both branches of the window check get exercised)."""
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1)
+    return [
+        (
+            i,
+            base + dt.timedelta(minutes=rng.randrange(0, spread_min)),
+            rng.randrange(1, n_users + 1),
+            rng.choice(TYPES),
+            round(rng.uniform(0, 100), 2),
+            "{}",
+        )
+        for i in range(n_events)
+    ]
+
+
+def _brute_window_funnel(rows):
+    """Exhaustive chain enumeration: depth 3 iff ∃ signup s, view v, purchase
+    p with (s)<(v)<(p) in (ts, event_id) order and v.ts, p.ts ≤ s.ts + 1h."""
+    by_user: dict = {}
+    for eid, ts, uid, etype, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, eid, etype))
+    hist: dict[int, int] = {}
+    for evs in by_user.values():
+        evs.sort()
+        signups = [(ts, eid) for ts, eid, e in evs if e == "signup"]
+        views = [(ts, eid) for ts, eid, e in evs if e == "view"]
+        purchases = [(ts, eid) for ts, eid, e in evs if e == "purchase"]
+        if not signups:
+            continue
+        depth = 1
+        for s in signups:
+            for v in views:
+                if v > s and v[0] <= s[0] + WINDOW:
+                    depth = max(depth, 2)
+                    for p in purchases:
+                        if p > v and p[0] <= s[0] + WINDOW:
+                            depth = 3
+        hist[depth] = hist.get(depth, 0) + 1
+    return hist
+
+
+def test_window_funnel_matches_brute_force(spark, tmp_path):
+    # Wide spread (windows rarely bind), tight spread (chains everywhere),
+    # and a mid case.
+    for seed, spread in ((7, 60 * 24 * 10), (23, 60 * 12), (99, 60 * 48)):
+        rows = _random_events(seed, spread_min=spread)
+        sf = _write_and_point(spark, tmp_path, rows, f"wf{seed}")
+        got = {r["depth"]: r["n_users"] for r in x_window_funnel(spark, sf).collect()}
+        assert got == _brute_window_funnel(rows), (seed, spread)
+
+
+def test_window_funnel_anchors_window_at_first_step(spark, tmp_path):
+    """Hand-built chain: view at +50 min, purchase at +70 min. Each adjacent
+    gap < 1h but the purchase is outside the window anchored at the signup →
+    depth must stop at 2 (the unbounded funnel would say 3)."""
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, base, 1, "signup", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=50), 1, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=70), 1, "purchase", 1.0, "{}"),
+        # User 2: the same chain fully inside the hour → depth 3.
+        (4, base, 2, "signup", 1.0, "{}"),
+        (5, base + dt.timedelta(minutes=20), 2, "view", 1.0, "{}"),
+        (6, base + dt.timedelta(minutes=59), 2, "purchase", 1.0, "{}"),
+        # User 3: a LATER signup re-anchors the window and rescues the chain.
+        (7, base, 3, "signup", 1.0, "{}"),
+        (8, base + dt.timedelta(minutes=55), 3, "signup", 1.0, "{}"),
+        (9, base + dt.timedelta(minutes=80), 3, "view", 1.0, "{}"),
+        (10, base + dt.timedelta(minutes=110), 3, "purchase", 1.0, "{}"),
+    ]
+    sf = _write_and_point(spark, tmp_path, rows, "wf_anchor")
+    got = {r["depth"]: r["n_users"] for r in x_window_funnel(spark, sf).collect()}
+    assert got == {2: 1, 3: 2}
+
+
+def _brute_session_paths(rows):
+    by_user: dict = {}
+    for eid, ts, uid, etype, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, eid, etype))
+    counts: dict = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (ts_a, _ea, a), (ts_b, _eb, b) in zip(evs, evs[1:]):
+            if ts_b - ts_a <= GAP:
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(src, dst, n) for (src, dst), n in ranked[:20]]
+
+
+def test_session_paths_matches_brute_force(spark, tmp_path):
+    for seed in (11, 42):
+        rows = _random_events(seed, spread_min=60 * 24 * 3)
+        sf = _write_and_point(spark, tmp_path, rows, f"sp{seed}")
+        got = [
+            (r["src"], r["dst"], r["n_transitions"])
+            for r in x_session_paths(spark, sf).collect()
+        ]
+        assert got == _brute_session_paths(rows), seed

@@ -392,3 +392,43 @@ def test_bloom_decontaminate_broadcasts_word_table_and_partial_aggs(spark):
     plan = P.physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert P.has_partial_aggregate(df)
+
+
+def test_window_funnel_fold_is_join_free(spark):
+    """windowFunnel must be the per-user linear fold: one user_id hash
+    aggregate (collect+sort+fold), one tiny depth aggregate — never the
+    EXISTS-chain self-joins the oracle uses (those are quadratic-per-user),
+    and never a Python UDF."""
+    df = _q(spark, "x_window_funnel")
+    plan = P.physical_plan(df)
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct"):
+        assert join not in plan, f"{join} in windowFunnel plan:\n{plan}"
+    assert "Python" not in plan, plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected ≤2 hash exchanges:\n{plan}"
+
+
+def test_session_paths_single_user_shuffle_no_session_key(spark):
+    """Transitions come from ONE lead window on user_id — materializing a
+    session id would add a second (user, session) exchange for the same
+    answer. One window exchange + one pair-count exchange, top-k via
+    TakeOrdered (no global sort)."""
+    df = _q(spark, "x_session_paths")
+    plan = P.physical_plan(df)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected ≤2 hash exchanges:\n{plan}"
+    assert "TakeOrderedAndProject" in plan, plan
+    cols = set(P.read_schema_columns(df))
+    assert "props" not in cols and "value" not in cols, cols
+
+
+def test_collapsing_state_partial_aggregation(spark):
+    """The signed collapse is mergeable by construction (sign/sign·value
+    sums) — partial aggregation must appear, mirroring the MergeTree
+    background merge it models."""
+    df = _q(spark, "cdc_collapsing_state")
+    assert P.has_partial_aggregate(df)
+    plan = P.physical_plan(df)
+    cols = set(P.read_schema_columns(df))
+    assert "props" not in cols and "ts" not in cols, cols
