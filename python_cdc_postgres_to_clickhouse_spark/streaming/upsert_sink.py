@@ -111,8 +111,14 @@ class ParquetUpsertSink:
             return None
         return state.filter(F.col("op") != "d").drop("bucket")
 
-    def compact(self, tombstone_horizon_lsn: int) -> None:
-        """Drop delete tombstones older than the source's replay horizon.
+    def compact(
+        self,
+        tombstone_horizon_lsn: int,
+        ttl_older_than: "object | None" = None,
+        ttl_col: str = "created_at",
+    ) -> None:
+        """Drop delete tombstones older than the source's replay horizon,
+        and (optionally) expire live rows past a TTL.
 
         A tombstone only matters while an older change for its key can
         still arrive; once the source can no longer replay below
@@ -120,13 +126,33 @@ class ParquetUpsertSink:
         retention, debezium.json:24), the tombstone is dead weight. Run
         periodically (e.g. daily); rewrites every bucket once — at scale,
         schedule per-bucket-range to spread the I/O.
+
+        ``ttl_older_than`` is the ClickHouse ``TTL ts + INTERVAL n DELETE``
+        analog the provisioned destination would enforce table-side: live
+        rows whose ``ttl_col`` is strictly below the threshold are dropped
+        in the same rewrite. Rows with a NULL ``ttl_col`` (e.g. tombstones,
+        whose row state is gone) are never TTL-dropped — a tombstone's
+        lifetime is governed by the replay horizon alone, and expiring it
+        early could resurrect its key from an out-of-order older update.
+
+        Like ClickHouse's merge-time TTL, expiry is eventually consistent:
+        a late redelivery of an expired row re-enters the state until the
+        next compaction sweeps it again. Choose the TTL threshold older
+        than the replay horizon and the reappearance window is bounded by
+        one compaction period.
         """
         state = self.read_state()
         if state is None:
             return
-        compacted = state.filter(
-            ~((F.col("op") == "d") & (F.col("source_lsn") < tombstone_horizon_lsn))
-        ).localCheckpoint(eager=True)  # materialize before overwriting the source
+        keep = ~((F.col("op") == "d") & (F.col("source_lsn") < tombstone_horizon_lsn))
+        if ttl_older_than is not None:
+            expired = (F.col("op") != "d") & (
+                F.col(ttl_col).isNotNull() & (F.col(ttl_col) < F.lit(ttl_older_than))
+            )
+            keep = keep & ~expired
+        compacted = state.filter(keep).localCheckpoint(
+            eager=True
+        )  # materialize before overwriting the source
         # STATIC whole-table overwrite: compaction rewrites everything anyway,
         # and dynamic mode would leave a bucket directory untouched when every
         # one of its rows is an expired tombstone (nothing written for that

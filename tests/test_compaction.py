@@ -91,3 +91,39 @@ def test_surviving_tombstone_still_blocks_zombie(spark, tmp_path):
     q2 = sink.attach(flat(), checkpoint_dir=str(tmp_path / "ckpt"))
     q2.awaitTermination(120)
     assert zombie_key not in {r["id"] for r in sink.current_state().collect()}
+
+
+def test_ttl_expires_old_live_rows_not_tombstones(spark, tmp_path):
+    """ClickHouse `TTL created_at + INTERVAL n DELETE` analog: live rows
+    below the threshold drop, newer live rows and ALL surviving tombstones
+    stay (a tombstone's lifetime is the replay horizon, not the TTL)."""
+    fx = generate_changelog(n_keys=20, n_ops=150, seed=21)
+    src = str(tmp_path / "src")
+    write_stream_fixture(spark, fx, src, n_files=3)
+    sink = ParquetUpsertSink(spark, str(tmp_path / "state"), n_buckets=4)
+    q = sink.attach(
+        with_event_time(unwrap(read_change_stream(spark, src), keep_deletes=True)),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    live = sink.current_state().collect()
+    cas = sorted(r["created_at"] for r in live)
+    ttl = cas[len(cas) // 2]  # expire the older half
+    n_tombs_before = (
+        spark.read.parquet(str(tmp_path / "state")).filter(F.col("op") == "d").count()
+    )
+    assert n_tombs_before > 0
+
+    sink.compact(tombstone_horizon_lsn=0, ttl_older_than=ttl)
+
+    after = sink.current_state().collect()
+    assert sorted(r["created_at"] for r in after) == [c for c in cas if c >= ttl]
+    assert {r["id"] for r in after} == {
+        r["id"] for r in live if r["created_at"] >= ttl
+    }
+    # Tombstones untouched (horizon 0 keeps them all).
+    n_tombs_after = (
+        spark.read.parquet(str(tmp_path / "state")).filter(F.col("op") == "d").count()
+    )
+    assert n_tombs_after == n_tombs_before
