@@ -73,6 +73,8 @@ HEADLINE = [
     "cdc_collapsing_state",    # signed-collapse hash agg (CollapsingMergeTree)
     "x_window_funnel",         # windowFunnel linear fold, one user_id shuffle
     "x_session_paths",         # in-session transition bigrams, lead window
+    "x_session_stats",         # full sessionization, single-exchange windows
+    "x_time_weighted_avg",     # irregular-series time-weighted mean
 ]
 
 

@@ -244,3 +244,134 @@ def x_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_transitions"), "src", "dst")
         .limit(20)
     )
+
+
+TWA_SQL = """
+SELECT user_id, sum_wv, sum_dur_us, twa FROM (
+  SELECT user_id,
+         CAST(SUM(cents * dur_us) AS BIGINT) AS sum_wv,
+         CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us,
+         CAST(SUM(cents * dur_us) AS DOUBLE)
+           / CAST(SUM(dur_us) AS DOUBLE) / 100.0 AS twa
+  FROM (
+    SELECT user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             - epoch_us(ts) AS dur_us
+    FROM events
+  ) t
+  WHERE dur_us IS NOT NULL AND dur_us > 0
+  GROUP BY user_id) g
+"""
+
+
+@query("x_time_weighted_avg", oracle=TWA_SQL, tags=("behavior", "timeseries"))
+def x_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user: each reading holds until
+    the next one, so its weight is the µs until the user's next event — the
+    TSDB/ClickHouse ``avgWeighted(value, dt)`` pattern for irregularly
+    sampled series (a last-value-holds step function, the same LOCF reading
+    x_gap_fill_locf materializes day-by-day).
+
+    One lead window on the user timeline (single user_id shuffle) + one hash
+    aggregate on the same key. Zero-duration samples drop (they hold for no
+    time); the last reading has no successor and drops likewise.
+
+    Float determinism: value is cents-exact (≤2dp) → ``round(value*100)``
+    is integer on both engines; weighted sums are pure int64 arithmetic and
+    the final division divides two exactly-representable doubles (sums stay
+    < 2^53 at fixture scales; at warehouse scale keep the sums DECIMAL and
+    serve the ratio, same shape).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    cents = F.round(F.col("value") * 100).cast("long")
+    t = ev.select(
+        "user_id", cents.alias("cents"), dur.alias("dur_us")
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    return t.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dur_us")).alias("sum_wv"),
+        F.sum("dur_us").alias("sum_dur_us"),
+        (
+            F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double")
+            / F.lit(100.0)
+        ).alias("twa"),
+    )
+
+
+SESSION_STATS_SQL = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT sess_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(sess_events) AS BIGINT) AS longest_session_events,
+       CAST(SUM(dur_contrib) AS BIGINT) AS total_in_session_dur_us
+FROM (
+  SELECT user_id, sess_id,
+         COUNT(*) OVER (PARTITION BY user_id, sess_id) AS sess_events,
+         COALESCE(
+           CASE WHEN LEAD(new_sess) OVER w = 0
+                THEN epoch_us(LEAD(ts) OVER w) - epoch_us(ts) END, 0)
+           AS dur_contrib
+  FROM (
+    SELECT user_id, ts, event_id, new_sess,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                       - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                       <= 1800000000
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events) a) b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) s
+GROUP BY user_id
+"""
+
+
+@query("x_session_stats", oracle=SESSION_STATS_SQL, tags=("behavior", "timeseries"))
+def x_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sessionization (30-min inactivity gap) with per-user session
+    statistics: session count, events, longest session, total in-session
+    dwell time — the batch analog of T4's event-time session windows,
+    materialized with the classic gap-flag + running-sum session id.
+
+    Plan shape: every window partitions on ``user_id`` (the sess_id suffix
+    on the count window is a sort-extension of the same shuffle — one
+    exchange feeds all three window specs), then one per-user aggregate.
+    Dwell time sums consecutive-pair gaps *within* a session, so a
+    one-event session contributes 0 — durations and counts stay pure
+    integers (no float hashing concerns).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+    new_sess = F.when(gap <= 1_800_000_000, F.lit(0)).otherwise(F.lit(1))
+    a = ev.select("user_id", "ts", "event_id", new_sess.alias("new_sess"))
+    b = a.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sess_id")
+    dur_contrib = F.coalesce(
+        F.when(
+            F.lead("new_sess").over(wo) == 0,
+            F.unix_micros(F.lead("ts").over(wo)) - F.unix_micros("ts"),
+        ),
+        F.lit(0),
+    )
+    s = b.select(
+        "user_id",
+        "sess_id",
+        F.count(F.lit(1)).over(ws).alias("sess_events"),
+        dur_contrib.alias("dur_contrib"),
+    )
+    return s.groupBy("user_id").agg(
+        F.countDistinct("sess_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("sess_events").alias("longest_session_events"),
+        F.sum("dur_contrib").alias("total_in_session_dur_us"),
+    )

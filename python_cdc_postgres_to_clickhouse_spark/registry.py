@@ -83,8 +83,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     x_embedding_stats, x_leakage_safe_split, x_decontaminate,
 #     x_ngram_counts, x_tfidf_topterms, x_vocab_build,
 #     x_stratified_sample, x_simhash_near_dup, x_ivf_cosine_topk, plus
-#     j_semi, j_anti, w_rank_dense — displaced late in round 5 by the
-#     MergeTree-semantics family) are
+#     j_semi, j_anti, w_rank_dense, w_lag_lead, sub_scalar_avg — displaced
+#     late in round 5 by the MergeTree/timeseries families) are
 #     untouched shapes (simhash/ivf have strong local accuracy tests)
 #     that will be exactly 2 rounds stale at round-5 end and MUST lead
 #     the round-6 window.
@@ -134,23 +134,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cdc_collapsing_state",
     "x_window_funnel",
     "x_session_paths",
+    "x_time_weighted_avg",
+    "x_session_stats",
     # (b) changed this round.
     "x_pmi_pairs",
     "x_heavy_hitters",
     "x_kmeans_embed",
     "x_minhash_near_dup",
     "x_dedup_clusters",
-    # (c) round-3-rows refresh: one join, one window (j_semi, j_anti,
-    # w_rank_dense, and j_full_outer ceded their slots to the late-round
-    # MergeTree-semantics queries above and join the round-6 lead set —
-    # all four are r3-green untouched shapes; outer-null semantics stay
-    # half-covered by j_left_outer's row meanwhile).
+    # (c) round-3-rows refresh: one join + the once-red scalar cell
+    # (j_semi, j_anti, w_rank_dense, w_lag_lead, sub_scalar_avg, and
+    # j_full_outer ceded their slots to the late-round MergeTree/timeseries
+    # queries above and join the round-6 lead set with w_moving_avg — all
+    # are r3-green untouched shapes; outer-null semantics stay half-covered
+    # by j_left_outer's row meanwhile).
     "j_left_outer",
-    "w_lag_lead",
-    # (c) round-3-rows refresh: subquery + the once-red scalar cell
-    # (w_moving_avg deferred to the round-6 lead set with the other
-    # untouched shapes).
-    "sub_scalar_avg",
     "c_math_funcs",
 )
 

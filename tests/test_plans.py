@@ -432,3 +432,25 @@ def test_collapsing_state_partial_aggregation(spark):
     plan = P.physical_plan(df)
     cols = set(P.read_schema_columns(df))
     assert "props" not in cols and "ts" not in cols, cols
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    """Lead window and the per-user aggregate share one user_id shuffle;
+    the weighted sum partial-aggregates."""
+    df = _q(spark, "x_time_weighted_avg")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert P.has_partial_aggregate(df)
+    cols = set(P.read_schema_columns(df))
+    assert "props" not in cols and "event_type" not in cols, cols
+
+
+def test_session_stats_single_exchange(spark):
+    """All three window specs AND the two-level aggregate ride ONE user_id
+    exchange: the (user, sess_id) specs need only a re-sort because
+    hash(user_id) already co-locates every session of a user — the property
+    that makes full sessionization linear at 100 TB."""
+    plan = P.physical_plan(_q(spark, "x_session_stats"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join not in plan, plan
