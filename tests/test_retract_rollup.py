@@ -178,3 +178,62 @@ def test_streaming_attach_end_to_end(spark, tmp_path):
         .collect()
     }
     assert _served(sink) == recomputed
+
+
+# -- property: ANY op sequence, ANY chunking, dups + reordering ------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from python_cdc_postgres_to_clickhouse_spark.operators.upsert import replay_oracle  # noqa: E402
+
+from .test_upsert_property import _events_from_script  # noqa: E402
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    script=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=30
+    ),
+    dup_mask=st.lists(st.booleans(), min_size=0, max_size=30),
+    shuffle_seed=st.integers(0, 2**16),
+    n_chunks=st.integers(1, 4),
+)
+def test_rollup_equals_replay_for_any_sequence(
+    spark, tmp_path_factory, script, dup_mask, shuffle_seed, n_chunks
+):
+    """For ANY consistent op sequence with verbatim duplicate deliveries,
+    arbitrary delivery order, and arbitrary micro-batch chunking, the
+    incrementally-maintained rollup equals GROUP BY over the replay oracle.
+    Mirrors test_upsert_property's state-level guarantee one level up."""
+    events = _events_from_script(script)
+    dups = [dict(e) for e, d in zip(events, dup_mask) if d]
+    events = events + dups
+    import random
+
+    random.Random(shuffle_seed).shuffle(events)
+    for off, e in enumerate(events):
+        e["kafka_offset"] = off
+
+    tmp = tmp_path_factory.mktemp("retract_prop")
+    sink = _mk_sink(spark, tmp, "p")
+    chunk = max(1, (len(events) + n_chunks - 1) // n_chunks)
+    for i in range(0, len(events), chunk):
+        sink.process_batch(_flat(spark, events[i : i + chunk]), i // chunk)
+
+    exp: dict[int, tuple[int, int]] = {}
+    for row in replay_oracle(events).values():
+        g = len(row["username"])
+        n, s = exp.get(g, (0, 0))
+        exp[g] = (n + 1, s + row["created_at_us"])
+    served = sink.serve()
+    got = (
+        {r["grp"]: (r["n_rows"], int(r["sum_metric"])) for r in served.collect()}
+        if served is not None
+        else {}
+    )
+    assert got == exp
