@@ -180,3 +180,51 @@ def test_audio_metadata_prunes_payload(spark, audio, tmp_path):
     assert "payload" not in plan, "payload column must be pruned from the scan"
     row = stats.collect()[0]
     assert row["n"] == 12 and row["avg_duration_sec"] > 0
+
+
+# -- video: scene cuts ------------------------------------------------------
+
+def test_scene_cuts_find_planted_shot_boundaries(spark):
+    from python_cdc_postgres_to_clickhouse_spark.operators.multimodal import (
+        encode_fake_video,
+        scene_cuts,
+        shot_boundaries,
+    )
+
+    videos = [
+        (1, encode_fake_video(1, n_frames=12, cuts=(4, 9))),
+        (2, encode_fake_video(2, n_frames=6, cuts=())),
+        (3, encode_fake_video(3, n_frames=8, cuts=(1, 2, 7))),
+    ]
+    df = spark.createDataFrame(videos, "media_id: long, payload: binary").repartition(3)
+
+    cuts = {
+        (r["media_id"], r["frame_idx"])
+        for r in scene_cuts(df).collect()
+        if r["is_cut"]
+    }
+    assert cuts == {(1, 4), (1, 9), (3, 1), (3, 2), (3, 7)}
+
+    shots = {r["media_id"]: (r["n_shots"], r["cut_frames"]) for r in shot_boundaries(df).collect()}
+    assert shots == {1: (3, [4, 9]), 2: (1, []), 3: (4, [1, 2, 7])}
+
+
+def test_scene_cuts_transition_rows_per_video(spark):
+    """n_frames-1 transition rows per video, diffs deterministic across runs."""
+    from python_cdc_postgres_to_clickhouse_spark.operators.multimodal import (
+        encode_fake_video,
+        scene_cuts,
+    )
+
+    df = spark.createDataFrame(
+        [(7, encode_fake_video(7, n_frames=10, cuts=(5,)))],
+        "media_id: long, payload: binary",
+    )
+    rows1 = sorted((r["frame_idx"], r["mean_abs_diff"]) for r in scene_cuts(df).collect())
+    rows2 = sorted((r["frame_idx"], r["mean_abs_diff"]) for r in scene_cuts(df).collect())
+    assert rows1 == rows2
+    assert len(rows1) == 9
+    assert [i for i, _ in rows1] == list(range(1, 10))
+    # Within-shot diffs are jitter-sized; the planted cut dwarfs them.
+    within = [d for i, d in rows1 if i != 5]
+    assert max(within) < 4.0 and rows1[4][1] > 16.0
