@@ -44,9 +44,14 @@ def test_connected_components_matches_union_find(spark):
     assert got == expected
 
 
-def test_connected_components_chain(spark):
+def test_connected_components_chain(spark, monkeypatch):
     """A path graph is the worst case for label propagation — still
-    converges and labels everything with the min id."""
+    converges and labels everything with the min id. Zero the union-find
+    gate so the iterative path (with the single-partition collapse) stays
+    covered."""
+    from python_cdc_postgres_to_clickhouse_spark.operators import clusters as C
+
+    monkeypatch.setattr(C, "DRIVER_UNION_FIND_EDGES", 0)
     n = 30
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["a", "b"])
     got = {r["vertex"]: r["component"] for r in connected_components(pairs).collect()}
@@ -54,15 +59,35 @@ def test_connected_components_chain(spark):
 
 
 def test_connected_components_wide_path(spark, monkeypatch):
-    """The >SMALL_GRAPH_EDGES branch (no single-partition collapse) must
-    produce identical components — force it by zeroing the cutoff."""
+    """The fully-distributed branch (no union-find, no single-partition
+    collapse) must produce identical components — force it by zeroing both
+    cutoffs."""
     from python_cdc_postgres_to_clickhouse_spark.operators import clusters as C
 
     monkeypatch.setattr(C, "SMALL_GRAPH_EDGES", 0)
+    monkeypatch.setattr(C, "DRIVER_UNION_FIND_EDGES", 0)
     n = 30
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["a", "b"])
     got = {r["vertex"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_driver_and_distributed_paths_agree_on_fixture(spark, monkeypatch):
+    """Ladder rungs are interchangeable: the real fixture's Jaccard pair
+    graph must get the SAME labeling from driver union-find (default gate)
+    and the iterative propagation loop (gate zeroed)."""
+    from python_cdc_postgres_to_clickhouse_spark.operators import clusters as C
+
+    docs = load_tables(spark, SF_ORACLE)["documents"]
+    pairs = D.jaccard_pairs(docs, threshold=0.6)
+    via_driver = {
+        r["vertex"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(C, "DRIVER_UNION_FIND_EDGES", 0)
+    via_loop = {
+        r["vertex"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert via_driver == via_loop and via_driver
 
 
 def test_dedup_keep_representatives(spark):
