@@ -278,10 +278,12 @@ def x_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     time); the last reading has no successor and drops likewise.
 
     Float determinism: value is cents-exact (≤2dp) → ``round(value*100)``
-    is integer on both engines; weighted sums are pure int64 arithmetic and
-    the final division divides two exactly-representable doubles (sums stay
-    < 2^53 at fixture scales; at warehouse scale keep the sums DECIMAL and
-    serve the ratio, same shape).
+    is integer on both engines; weighted sums are pure int64 arithmetic
+    (bounded: max_cents · observation_window_µs ≈ 2.6e17 ≪ 2^63). The
+    sums surface as BIGINT (hash-exact), and the served ratio divides
+    their doubles — an int64→float64 cast is round-to-nearest on both
+    engines, so even sums past 2^53 produce the identical double and the
+    division is then bit-identical IEEE754.
     """
     ev = load_tables(spark, sf_dir)["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
