@@ -48,7 +48,7 @@ SMALL_GRAPH_EDGES = 200_000
 DRIVER_UNION_FIND_EDGES = 200_000
 
 
-def _driver_union_find(edge_rows: list, vertex_type: T.DataType):
+def _driver_union_find(edge_rows: list):
     """Min-root union-find over a bounded edge list (path compression +
     attach-max-root-to-min, so every root is its component's minimum id —
     identical labeling to the propagation fixpoint)."""
@@ -119,9 +119,7 @@ def connected_components(
         # identical (component = min vertex id) — asserted against the
         # distributed path in tests.
         utype = edges.schema["u"].dataType
-        labeled = _driver_union_find(
-            [(r["u"], r["v"]) for r in edges.collect()], utype
-        )
+        labeled = _driver_union_find([(r["u"], r["v"]) for r in edges.collect()])
         spark = edges.sparkSession
         schema = T.StructType(
             [T.StructField("vertex", utype), T.StructField("component", utype)]
