@@ -29,6 +29,10 @@ Scale shape: one postings shuffle on (gram, occ) — the same skew profile
 as the Jaccard postings join (stop-gram skew answers to the same df-based
 remedies) — then a candidate-count aggregate and two id-keyed hash joins
 to fetch strings for verification. Never O(N²).
+
+Round-6 note: DuckDB ships ``levenshtein`` too, so this can be declared as
+a fully oracle-checked query (`x_fuzzy_name_pairs` over part.p_name) when
+a driver-window slot opens — the round-5 window was already committed.
 """
 
 from __future__ import annotations
