@@ -63,12 +63,15 @@ def test_cdc_latest_by_key_uses_window_group_limit(spark):
 
 def test_no_python_udfs_in_relational_surface(spark):
     """Every oracle-checked query must stay fully JVM-side (no
-    BatchEvalPython / ArrowEvalPython nodes)."""
+    BatchEvalPython / ArrowEvalPython nodes) and must never compile to a
+    non-broadcast all-pairs CartesianProduct (broadcast nested loops over
+    1-row scalar combines are fine; a shuffled cartesian is O(N²))."""
     for name, spec in all_queries().items():
         if spec.oracle is None:
             continue
         plan = P.physical_plan(spec.fn(spark, SF_ORACLE))
         assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+        assert "CartesianProduct" not in plan, f"{name} compiles to all-pairs"
 
 
 def test_dynamic_partition_pruning(spark, tmp_path):
