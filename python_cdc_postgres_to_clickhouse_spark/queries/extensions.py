@@ -984,3 +984,32 @@ def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "split_key", split_column("split_key").alias("split"))
     )
+
+
+FUZZY_PAIRS_SQL = """
+SELECT a.p_partkey AS ida, b.p_partkey AS idb,
+       CAST(levenshtein(lower(trim(a.p_name)), lower(trim(b.p_name))) AS INTEGER)
+         AS distance
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE abs(length(lower(trim(a.p_name))) - length(lower(trim(b.p_name)))) <= 2
+  AND levenshtein(lower(trim(a.p_name)), lower(trim(b.p_name))) <= 2
+"""
+
+
+@query("x_fuzzy_name_pairs", oracle=FUZZY_PAIRS_SQL, tags=("ext", "dedup"))
+def x_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42: entity-resolution fuzzy join — all part-name pairs within
+    Levenshtein distance 2. The Spark side blocks with the COMPLETE q-gram
+    multiset count filter (operators/fuzzy.py: one edit destroys ≤ q grams,
+    so no true pair can be dropped) and verifies with the JVM levenshtein;
+    the DuckDB oracle is the strongest kind — an INDEPENDENT brute-force
+    O(N²) formulation, so blocking bugs cannot hide in a shared shape.
+
+    Scale: one (gram, occurrence) postings shuffle + candidate count +
+    id-keyed verify joins — never the oracle's all-pairs product (the
+    global plan sweep asserts no CartesianProduct)."""
+    from ..operators.fuzzy import fuzzy_pairs
+
+    t = load_tables(spark, sf_dir)
+    out = fuzzy_pairs(t["part"], "p_partkey", "p_name", max_distance=2)
+    return out.withColumn("distance", F.col("distance").cast("int"))

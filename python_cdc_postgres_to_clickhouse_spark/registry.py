@@ -83,8 +83,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     x_embedding_stats, x_leakage_safe_split, x_decontaminate,
 #     x_ngram_counts, x_tfidf_topterms, x_vocab_build,
 #     x_stratified_sample, x_simhash_near_dup, x_ivf_cosine_topk, plus
-#     j_semi, j_anti, w_rank_dense, w_lag_lead, sub_scalar_avg — displaced
-#     late in round 5 by the MergeTree/timeseries families) are
+#     j_semi, j_anti, w_rank_dense, w_lag_lead, sub_scalar_avg, j_left_outer
+#     — displaced
+#     late in round 5 by the MergeTree/timeseries/fuzzy families) are
 #     untouched shapes (simhash/ivf have strong local accuracy tests)
 #     that will be exactly 2 rounds stale at round-5 end and MUST lead
 #     the round-6 window.
@@ -136,19 +137,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_session_paths",
     "x_time_weighted_avg",
     "x_session_stats",
+    "x_fuzzy_name_pairs",
     # (b) changed this round.
     "x_pmi_pairs",
     "x_heavy_hitters",
     "x_kmeans_embed",
     "x_minhash_near_dup",
     "x_dedup_clusters",
-    # (c) round-3-rows refresh: one join + the once-red scalar cell
-    # (j_semi, j_anti, w_rank_dense, w_lag_lead, sub_scalar_avg, and
-    # j_full_outer ceded their slots to the late-round MergeTree/timeseries
-    # queries above and join the round-6 lead set with w_moving_avg — all
-    # are r3-green untouched shapes; outer-null semantics stay half-covered
-    # by j_left_outer's row meanwhile).
-    "j_left_outer",
+    # (c) round-3-rows refresh: the once-red scalar cell keeps its short
+    # leash (j_semi, j_anti, w_rank_dense, w_lag_lead, sub_scalar_avg,
+    # j_left_outer, and j_full_outer ceded their slots to the late-round
+    # MergeTree/timeseries/fuzzy queries above and join the round-6 lead
+    # set with w_moving_avg — all are r3-green untouched shapes).
     "c_math_funcs",
 )
 
