@@ -23,3 +23,4 @@ from . import sketches  # noqa: F401
 from . import behavior  # noqa: F401
 from . import recursive  # noqa: F401
 from . import mergetree  # noqa: F401
+from . import cdc_history  # noqa: F401

@@ -761,3 +761,70 @@ def x_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total") / F.col("n_sources")) / F.col("n_tokens").cast("double"),
         ).alias("sampling_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X28: document rarity scoring — the deterministic core of unigram-LM
+# perplexity filters. Pipelines score documents by how improbable their
+# tokens are under a corpus LM and drop the tails; the geometric-mean
+# probability itself needs ln() (libm-specific, excluded from the oracle
+# surface like queries/scalars.py's math family), but every signal the
+# filter thresholds on is a pure integer/ratio statistic of corpus term
+# frequencies — computed exactly here.
+# ---------------------------------------------------------------------------
+
+DOC_RARITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY token)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(freq) AS BIGINT) AS sum_freq,
+       CAST(SUM(freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_freq,
+       CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(MIN(freq) AS BIGINT) AS min_freq
+FROM toks JOIN freq USING (token)
+GROUP BY doc_id
+"""
+
+
+@query("x_doc_rarity", oracle=DOC_RARITY_SQL, tags=("ext", "quality", "pipeline"))
+def x_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28: per-document corpus-frequency statistics — the deterministic
+    stand-in for unigram-LM perplexity scoring. Every token's corpus
+    frequency joins back onto its occurrences; a document's mean/min
+    frequency and hapax count are the signals perplexity filters threshold
+    on (rare-token-heavy docs ≈ high perplexity), without the
+    libm-dependent ln() that would desynchronize the engines.
+
+    Scale shape: ONE token-count aggregate (map-side combinable — the
+    "language model" is just this table), ONE postings equi-join of
+    occurrences to frequencies on the token key (linear in corpus tokens,
+    same profile as the TF-IDF join), ONE per-doc aggregate. No broadcast
+    of the vocabulary is assumed: at 100 TB the vocab is unbounded, so the
+    join shuffles both sides on the token key and AQE handles the Zipfian
+    skew of the head tokens (or operators/skew.py salts them).
+
+    mean_freq divides two int64-cast doubles — bit-identical IEEE754.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(TS.tokens()).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        toks.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+            (F.sum("freq").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_freq"
+            ),
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.min("freq").alias("min_freq"),
+        )
+    )

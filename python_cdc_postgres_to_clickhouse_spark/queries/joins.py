@@ -236,3 +236,134 @@ def j_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(matched, "event_id", "left").select(
         "event_id", "user_id", "asof_ts"
     )
+
+
+_SESS_GAP_US = 1_800_000_000  # 30 min, matches the sessionization family
+_OVERLAP_BUCKET_US = 3_600_000_000  # 1 h blocking granularity
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts)
+                   - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))
+                   <= {_SESS_GAP_US}
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM base),
+s AS (
+  SELECT user_id, sess_id,
+         MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+  FROM sess GROUP BY user_id, sess_id),
+ov AS (
+  SELECT a.user_id, a.sess_id, CAST(COUNT(*) AS BIGINT) AS n_concurrent
+  FROM s a JOIN s b
+    ON a.user_id <> b.user_id
+   AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+  GROUP BY a.user_id, a.sess_id)
+SELECT s.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN ov.n_concurrent IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlapped_sessions,
+       CAST(COALESCE(MAX(ov.n_concurrent), 0) AS BIGINT) AS max_concurrent
+FROM s LEFT JOIN ov ON s.user_id = ov.user_id AND s.sess_id = ov.sess_id
+GROUP BY s.user_id
+"""
+
+
+@query(
+    "j_interval_overlap",
+    oracle=INTERVAL_OVERLAP_SQL,
+    tags=("join", "interval", "behavior"),
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: sessionize each user's events (30-min
+    gap), then count for every session the concurrent sessions of OTHER
+    users (intervals intersecting it), reported per user as session counts
+    and peak concurrency. The general shape is the temporal/range overlap
+    join (validity intervals, meeting calendars, resource booking) that
+    Spark has no native operator for.
+
+    Scale shape: the oracle's theta self-join (DuckDB runs an IEJoin) is
+    replaced Spark-side by **bucket blocking** — each interval explodes to
+    the 1-hour epochs it touches (intervals are gap-bounded, so the
+    explode factor is small), candidates meet through a bucket equi-join,
+    the exact overlap predicate is the residual, and a pair seen in k
+    shared buckets dedups through one distinct. Candidate volume is
+    Σ_bucket n_a·n_b — the bucket width is the knob that trades explode
+    factor against candidate density, and a skewed bucket (a flash-crowd
+    hour) is ordinary equi-join skew that AQE splits. No CartesianProduct
+    anywhere in the plan (the global sweep test pins this).
+
+    All arithmetic is int64 epochs — exact on both engines.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window as W
+
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+    new_sess = F.when(gap <= _SESS_GAP_US, F.lit(0)).otherwise(F.lit(1))
+    sess_id = F.sum("new_sess").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    s = (
+        ev.select("user_id", "ts", "event_id", new_sess.alias("new_sess"))
+        .withColumn("sess_id", sess_id)
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+        )
+    )
+    bucket = F.explode(
+        F.sequence(
+            (F.col("start_us") / _OVERLAP_BUCKET_US).cast("long"),
+            (F.col("end_us") / _OVERLAP_BUCKET_US).cast("long"),
+        )
+    ).alias("bucket")
+    ea = s.select(
+        F.col("user_id").alias("a_user"),
+        F.col("sess_id").alias("a_sess"),
+        F.col("start_us").alias("a_start"),
+        F.col("end_us").alias("a_end"),
+        bucket,
+    )
+    eb = s.select(
+        F.col("user_id").alias("b_user"),
+        F.col("sess_id").alias("b_sess"),
+        F.col("start_us").alias("b_start"),
+        F.col("end_us").alias("b_end"),
+        bucket,
+    )
+    pairs = (
+        ea.join(eb, "bucket")
+        .filter(
+            (F.col("a_user") != F.col("b_user"))
+            & (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("a_user", "a_sess", "b_user", "b_sess")
+        .distinct()
+    )
+    ov = pairs.groupBy("a_user", "a_sess").agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+    return (
+        s.join(
+            ov,
+            (F.col("user_id") == F.col("a_user")) & (F.col("sess_id") == F.col("a_sess")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_concurrent").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlapped_sessions"),
+            F.coalesce(F.max("n_concurrent"), F.lit(0).cast("long")).alias(
+                "max_concurrent"
+            ),
+        )
+    )

@@ -377,3 +377,140 @@ def x_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sess_events").alias("longest_session_events"),
         F.sum("dur_contrib").alias("total_in_session_dur_us"),
     )
+
+
+COUNTER_RATE_SQL = """
+SELECT user_id, n_samples, n_resets, increase_cents, rate_cps FROM (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resets,
+         CAST(SUM(CASE WHEN delta IS NULL THEN 0
+                       WHEN delta >= 0 THEN delta
+                       ELSE cents END) AS BIGINT) AS increase_cents,
+         CAST(SUM(CASE WHEN delta IS NULL THEN 0
+                       WHEN delta >= 0 THEN delta
+                       ELSE cents END) AS DOUBLE)
+           / (CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1e6)
+           AS rate_cps
+  FROM (
+    SELECT user_id, ts, cents,
+           cents - LAG(cents) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta
+    FROM (SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events) c) t
+  GROUP BY user_id
+  HAVING COUNT(*) >= 2 AND epoch_us(MAX(ts)) > epoch_us(MIN(ts))) g
+"""
+
+
+@query("x_counter_rate", oracle=COUNTER_RATE_SQL, tags=("behavior", "timeseries"))
+def x_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter rate with reset detection — the ClickHouse
+    ``deltaSumTimestamp`` / PromQL ``increase()``/``rate()`` reading of a
+    gauge series: per user, sum the positive sample-to-sample deltas; a
+    negative delta is a counter reset, contributing the post-reset value
+    (the counter restarted from zero and climbed back). Rate divides the
+    total increase by the observed time span.
+
+    One lag window on the user timeline + one hash aggregate on the SAME
+    key — the aggregate's exchange is satisfied by the window's existing
+    hash(user_id) partitioning, so sessionizing 100 TB of samples costs
+    exactly one shuffle of four narrow columns.
+
+    Float determinism: samples are cents-exact (≤2dp) so deltas and
+    increases are pure int64; the served rate divides two doubles cast
+    from int64 (round-to-nearest on both engines) — bit-identical IEEE754.
+    Users with one sample or a zero time-span have no defined rate and drop.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    t = ev.select("user_id", "ts", "event_id", cents.alias("cents"))
+    delta = F.col("cents") - F.lag("cents").over(wo)
+    d = t.select("user_id", "ts", delta.alias("delta"), "cents")
+    inc = F.when(F.col("delta").isNull(), 0).when(
+        F.col("delta") >= 0, F.col("delta")
+    ).otherwise(F.col("cents"))
+    span_us = F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_resets"),
+            F.sum(inc).alias("increase_cents"),
+            (
+                F.sum(inc).cast("double")
+                / (span_us.cast("double") / F.lit(1e6))
+            ).alias("rate_cps"),
+            span_us.alias("_span_us"),
+        )
+        .filter((F.col("n_samples") >= 2) & (F.col("_span_us") > 0))
+        .drop("_span_us")
+    )
+
+
+_DOWNSAMPLE_HOT_DAYS = 7
+
+DOWNSAMPLE_TIERS_SQL = f"""
+WITH cutoff AS (
+  SELECT max(ts) - INTERVAL {_DOWNSAMPLE_HOT_DAYS} DAY AS hot_from FROM events)
+SELECT resolution, bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT CASE WHEN ts >= (SELECT hot_from FROM cutoff) THEN '1h'
+              ELSE '1d' END AS resolution,
+         CASE WHEN ts >= (SELECT hot_from FROM cutoff)
+              THEN date_trunc('hour', ts)
+              ELSE date_trunc('day', ts) END AS bucket_ts,
+         value
+  FROM events) t
+GROUP BY resolution, bucket_ts
+"""
+
+
+@query(
+    "x_downsample_tiers", oracle=DOWNSAMPLE_TIERS_SQL, tags=("timeseries", "mergetree")
+)
+def x_downsample_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-tiered downsampling — the GraphiteMergeTree / TSDB retention
+    policy read: samples younger than {_DOWNSAMPLE_HOT_DAYS} days (relative
+    to the stream's watermark, max ts) roll up at hour resolution, older
+    ones at day resolution. The served table is what a retention-tiered
+    store physically keeps: recent data fine-grained, history coarse.
+
+    The watermark is a 1-row aggregate cross-broadcast onto the scan (the
+    Q15 scalar pattern — never an unpartitioned window); tier assignment is
+    then a narrow CASE, and the whole query is ONE hash aggregate with
+    map-side partials. As a retention job at 100 TB, the CASE keys the
+    rewrite so only old partitions are rewritten — partition pruning on
+    ingestion date bounds the touched bytes.
+
+    Decimal-exact sums → bit-identical DOUBLE on both engines.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    cutoff = ev.agg(
+        (
+            F.max("ts") - F.expr(f"INTERVAL {_DOWNSAMPLE_HOT_DAYS} DAYS")
+        ).alias("hot_from")
+    )
+    hot = F.col("ts") >= F.col("hot_from")
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .select(
+            F.when(hot, F.lit("1h")).otherwise(F.lit("1d")).alias("resolution"),
+            F.when(hot, F.date_trunc("hour", "ts"))
+            .otherwise(F.date_trunc("day", "ts"))
+            .alias("bucket_ts"),
+            "value",
+        )
+        .groupBy("resolution", "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )

@@ -150,6 +150,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # MergeTree/timeseries/fuzzy queries above and join the round-6 lead
     # set with w_moving_avg — all are r3-green untouched shapes).
     "c_math_funcs",
+    # ------------------------------------------------------------------
+    # Positions 51+: the ROUND-6 QUEUE. The driver consumes exactly the
+    # first 50 names, so entries below this line get no round-5 row —
+    # they are the queries added AFTER the round-5 window filled (all
+    # locally oracle-checked in tests/test_queries_oracle.py) and MUST
+    # lead the round-6 window together with the 41 deferred r3-rows
+    # queries listed above (41 + the queue here ≤ 50 keeps round 6
+    # feasible — grow this queue past 9 only by displacing into round 7
+    # explicitly).
+    # ------------------------------------------------------------------
+    "cdc_scd2_history",
+    "cdc_versioned_collapse",
+    "cdc_reconciliation",
+    "x_counter_rate",
+    "x_downsample_tiers",
+    "x_doc_rarity",
+    "j_interval_overlap",
 )
 
 
