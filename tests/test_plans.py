@@ -457,3 +457,75 @@ def test_session_stats_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
         assert join not in plan, plan
+
+
+def test_scd2_history_single_exchange(spark):
+    """SCD2 is one lead window on the key: exactly one hash exchange, no
+    join, and the scan reads only the five projected columns."""
+    df = _q(spark, "cdc_scd2_history")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join not in plan, plan
+    cols = set(P.read_schema_columns(df))
+    assert "props" not in cols, cols
+
+
+def test_versioned_collapse_two_exchanges_same_leading_key(spark):
+    """(key, version) aggregate + per-key top-1: two hash exchanges, both
+    keyed on user_id (the window's partitioning is a prefix of the agg
+    key), with map-side partial aggregation and a WindowGroupLimit for the
+    top-1."""
+    df = _q(spark, "cdc_versioned_collapse")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert P.has_partial_aggregate(df)
+    assert P.has_window_group_limit(df)
+
+
+def test_reconciliation_digest_aggregates_partial(spark):
+    """Both digest sides partial-aggregate (the hash-sum is associative) so
+    the bucket exchange carries O(buckets) rows per task, never rows."""
+    df = _q(spark, "cdc_reconciliation")
+    assert P.has_partial_aggregate(df)
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_counter_rate_single_exchange(spark):
+    """Lag window and the per-user aggregate share one user_id shuffle."""
+    df = _q(spark, "x_counter_rate")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert P.has_partial_aggregate(df)
+    cols = set(P.read_schema_columns(df))
+    assert "props" not in cols and "event_type" not in cols, cols
+
+
+def test_downsample_tiers_broadcasts_watermark_scalar(spark):
+    """The max-ts watermark is a 1-row broadcast combine (never an
+    unpartitioned window); the rollup itself partial-aggregates."""
+    df = _q(spark, "x_downsample_tiers")
+    plan = P.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert P.has_partial_aggregate(df)
+    assert "WindowExec" not in plan and "RunningWindowFunction" not in plan, plan
+
+
+def test_doc_rarity_postings_join_not_broadcast_vocab_free(spark):
+    """The frequency join must partial-aggregate the LM table and never
+    materialize a cartesian; at fixture scale AQE may broadcast the vocab,
+    but the declared plan must stay an equi-join on the token key."""
+    df = _q(spark, "x_doc_rarity")
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert P.has_partial_aggregate(df)
+
+
+def test_interval_overlap_is_bucket_equi_join(spark):
+    """The overlap join must key on the hour bucket (equi), with the exact
+    interval predicate as residual — never a cartesian/pure-theta join."""
+    df = _q(spark, "j_interval_overlap")
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "bucket" in plan, plan
