@@ -75,6 +75,15 @@ HEADLINE = [
     "x_session_paths",         # in-session transition bigrams, lead window
     "x_session_stats",         # full sessionization, single-exchange windows
     "x_time_weighted_avg",     # irregular-series time-weighted mean
+    # Added round 5, second session: CDC-history + timeseries + interval
+    # family (earlier entries unchanged — like-for-like holds).
+    "cdc_scd2_history",        # SCD2 intervals, one key-window shuffle
+    "cdc_versioned_collapse",  # per-(key,version) signed collapse + top-1
+    "cdc_reconciliation",      # bucket digests of two materialized states
+    "x_counter_rate",          # reset-aware counter rate, one exchange
+    "x_downsample_tiers",      # age-tiered rollup, broadcast watermark
+    "x_doc_rarity",            # corpus term-frequency postings join
+    "j_interval_overlap",      # bucket-blocked interval overlap self-join
 ]
 
 
