@@ -84,6 +84,7 @@ HEADLINE = [
     "x_downsample_tiers",      # age-tiered rollup, broadcast watermark
     "x_doc_rarity",            # corpus term-frequency postings join
     "j_interval_overlap",      # bucket-blocked interval overlap self-join
+    "x_sequence_count",        # greedy A->B pairing, closed-form window
 ]
 
 

@@ -514,3 +514,74 @@ def x_downsample_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
     )
+
+
+SEQUENCE_COUNT_SQL = """
+SELECT user_id, n_signups, n_purchases, n_matched FROM (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_signups,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              - GREATEST(MAX(excess), 0) AS BIGINT) AS n_matched
+  FROM (
+    SELECT user_id, event_type,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS excess
+    FROM events WHERE event_type IN ('signup', 'purchase')) t
+  GROUP BY user_id) g
+WHERE n_matched > 0
+"""
+
+
+@query("x_sequence_count", oracle=SEQUENCE_COUNT_SQL, tags=("behavior", "mergetree"))
+def x_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount``-style pairing: per user, how many
+    DISTINCT signup → purchase chains complete, matching greedily and
+    without reuse (each signup redeems at most one later purchase and vice
+    versa — parenthesis matching on the event timeline).
+
+    The count has a closed form that needs no iteration and no join:
+    treating purchases as '+1' and signups as '-1',
+
+        matched = #purchases − max(0, max running excess of purchases)
+
+    — the running maximum counts exactly the purchases that arrive with no
+    open signup to redeem (the greedy algorithm's unmatched set). One
+    running-sum window + one aggregate on the SAME user_id key: a single
+    exchange, O(events) compute, state-free — contrast the naive
+    sequential-scan UDF or an O(n²) pairing join.
+
+    Pure integer arithmetic — bit-identical on both engines.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    steps = ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wo = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_b = F.when(F.col("event_type") == "purchase", 1).otherwise(-1)
+    t = steps.withColumn("excess", F.sum(is_b).over(wo))
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            .cast("long")
+            .alias("n_signups"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+            (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+                - F.greatest(F.max("excess"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_matched"),
+        )
+        .filter(F.col("n_matched") > 0)
+    )

@@ -167,6 +167,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_downsample_tiers",
     "x_doc_rarity",
     "j_interval_overlap",
+    "x_sequence_count",
 )
 
 

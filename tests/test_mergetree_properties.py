@@ -127,3 +127,39 @@ def test_session_paths_matches_brute_force(spark, tmp_path):
             for r in x_session_paths(spark, sf).collect()
         ]
         assert got == _brute_session_paths(rows), seed
+
+
+def test_sequence_count_matches_greedy_simulation(spark):
+    """The closed form (#B - max prefix excess) must equal a literal greedy
+    matcher run over each user's ordered signup/purchase timeline."""
+    from .conftest import SF_ORACLE
+    from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_ORACLE)["events"]
+    rows = (
+        ev.filter(ev.event_type.isin("signup", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    timelines: dict[int, list] = {}
+    for r in rows:
+        timelines.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    expected = {}
+    for user, tl in timelines.items():
+        avail = matched = 0
+        for _, _, et in sorted(tl):
+            if et == "signup":
+                avail += 1
+            elif avail > 0:
+                matched += 1
+                avail -= 1
+        if matched > 0:
+            expected[user] = matched
+    got = {
+        r["user_id"]: r["n_matched"]
+        for r in all_queries()["x_sequence_count"].fn(spark, SF_ORACLE).collect()
+    }
+    assert got == expected

@@ -529,3 +529,13 @@ def test_interval_overlap_is_bucket_equi_join(spark):
     plan = P.physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "bucket" in plan, plan
+
+
+def test_sequence_count_single_exchange(spark):
+    """Running-excess window and the per-user aggregate share one user_id
+    shuffle; no join anywhere (the naive formulation is a pairing join)."""
+    df = _q(spark, "x_sequence_count")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join not in plan, plan
