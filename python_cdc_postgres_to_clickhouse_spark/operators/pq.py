@@ -1,0 +1,126 @@
+"""Product quantization (PQ) for embedding columns: trained compression of
+``array<float>`` vectors into m small codes — the storage/ANN-memory stage
+that follows dedup and projection in an embedding pipeline (IVF-PQ is the
+standard billion-scale ANN layout; the IVF half lives in
+operators/similarity.py).
+
+Spark-first split, mirroring the IVF design:
+
+- **Training is model fitting, not a corpus pass**: per-subspace Lloyd's
+  k-means runs driver-side in numpy on a bounded uniform sample drawn with
+  the same no-prior-count TakeOrdered draw as ``train_ivf_centroids``
+  (``orderBy(rand(seed)).limit(n)`` — a per-partition heap, never a global
+  sort, never a partition prefix). The resulting (m × k × d/m) codebook
+  tensor is a few KB at any corpus size.
+- **Assignment is one narrow Arrow-batched pass**: the codebooks broadcast
+  inside a pandas UDF that argmin-assigns each of the m subvectors and
+  returns the codes plus the per-vector reconstruction error. No shuffle,
+  no join — 100 TB of embeddings stream through map tasks.
+- Compression ratio: 64 float32 dims (256 B) → m uint8 codes (m B); at
+  m=8 that is 32× before any entropy coding.
+
+Determinism: given (seed, data) the sample, the codebooks, and every
+assignment are reproducible — asserted against a pure-numpy replay in
+tests/test_embeddings.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 10,
+    seed: int = 42,
+    sample_limit: int = 20_000,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Fit per-subspace codebooks; returns an (m, k, d/m) float64 tensor.
+
+    Plain (non-spherical) Lloyd's per subspace — PQ quantizes raw
+    coordinates, so L2 is the right metric regardless of how the full
+    vectors are later compared. Empty cells keep their previous codeword
+    (same rule as the IVF trainer).
+    """
+    rows = vectors.select(vec_col).orderBy(F.rand(seed)).limit(sample_limit).collect()
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if X.ndim != 2 or X.shape[1] % m:
+        raise ValueError(f"dim {X.shape} not divisible into {m} subspaces")
+    if len(X) < k:
+        raise ValueError(f"sample of {len(X)} rows < {k} codewords")
+    dsub = X.shape[1] // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[rng.choice(len(S), size=k, replace=False)].copy()
+        for _ in range(n_iters):
+            # (n, k) squared L2 via the expansion trick; argmin per row.
+            d2 = (
+                (S * S).sum(axis=1, keepdims=True)
+                - 2.0 * S @ C.T
+                + (C * C).sum(axis=1)
+            )
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_assign(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector: (id, codes array<int>, errs array<double>,
+    sq_err double).
+
+    One Arrow-batched pandas UDF pass; the codebook tensor rides the UDF
+    closure (broadcast once per executor). ``errs[j]`` is subspace j's
+    squared reconstruction error, ``sq_err`` their sum over all dims —
+    the quality signals PQ tuning monitors.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    m, k, dsub = codebooks.shape
+    books = codebooks  # closure capture
+
+    @pandas_udf("struct<codes: array<int>, errs: array<double>>")
+    def _encode(col: pd.Series) -> pd.DataFrame:
+        X = np.array(col.tolist(), dtype=np.float64)
+        n = X.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        errs = np.empty((n, m), dtype=np.float64)
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            C = books[j]
+            d2 = (
+                (S * S).sum(axis=1, keepdims=True)
+                - 2.0 * S @ C.T
+                + (C * C).sum(axis=1)
+            )
+            a = d2.argmin(axis=1)
+            codes[:, j] = a
+            diff = S - C[a]
+            errs[:, j] = (diff * diff).sum(axis=1)
+        return pd.DataFrame({"codes": list(codes), "errs": list(errs)})
+
+    enc = df.select(id_col, _encode(F.col(vec_col)).alias("_pq"))
+    return enc.select(
+        id_col,
+        F.col("_pq.codes").alias("codes"),
+        F.col("_pq.errs").alias("errs"),
+        F.aggregate(
+            F.col("_pq.errs"), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("sq_err"),
+    )

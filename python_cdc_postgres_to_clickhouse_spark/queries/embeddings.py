@@ -134,3 +134,54 @@ def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+PQ_M = 8
+PQ_K = 16
+PQ_SEED = 11
+
+
+@query("x_pq_codes", tags=("ext", "embedding", "iterative"))
+def x_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51: product-quantization codebook utilization — encode every
+    embedding into {PQ_M} sub-codes ({PQ_K} codewords each; 32× compression
+    of a 64-dim float32 vector before entropy coding) and report, per
+    subspace: vectors encoded, codewords actually used, the hottest
+    codeword's population, and the mean squared reconstruction error. This
+    is the health view an IVF-PQ index build is tuned against (dead
+    codewords → retrain; skewed populations → more k; high MSE → more m).
+
+    Build once, assign many: codebooks train driver-side on a bounded
+    TakeOrdered uniform sample (never a corpus pass, no prior count —
+    operators/pq.py); assignment is ONE narrow Arrow-batched GEMM pass;
+    the rollup explodes the m sub-codes (constant fan-out) into an m×k-group
+    hash aggregate with map-side partials. Iterative fitting ⇒ rows-only
+    driver row; determinism + numpy-replay parity + error-dominance tests
+    in tests/test_embeddings.py.
+    """
+    from ..operators.pq import pq_assign, train_pq_codebooks
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    books = train_pq_codebooks(emb, m=PQ_M, k=PQ_K, seed=PQ_SEED)
+    enc = pq_assign(emb, books)
+    sub = enc.select(
+        F.posexplode(F.arrays_zip("codes", "errs")).alias("subspace", "z")
+    ).select(
+        "subspace",
+        F.col("z.codes").alias("code"),
+        F.col("z.errs").alias("err"),
+    )
+    per_code = sub.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("err").alias("err_sum")
+    )
+    return (
+        per_code.groupBy("subspace")
+        .agg(
+            F.sum("n").alias("n_vectors"),
+            F.count(F.lit(1)).alias("codes_used"),
+            F.max("n").alias("top_code_n"),
+            (F.sum("err_sum") / F.sum("n")).alias("mean_sq_err"),
+        )
+        .orderBy("subspace")
+    )

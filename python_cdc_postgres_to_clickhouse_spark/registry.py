@@ -168,6 +168,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_doc_rarity",
     "j_interval_overlap",
     "x_sequence_count",
+    "x_pq_codes",
 )
 
 

@@ -138,3 +138,95 @@ def test_kmeans_clusters_tighter_than_random(spark):
         np.mean([Xn[i] @ R[rand_assign[i]] for i in range(len(Xn))])
     )
     assert fitted > random_baseline + 0.05
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py + x_pq_codes)
+# ---------------------------------------------------------------------------
+
+
+def _pq_fixture(spark):
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+    from .conftest import SF_ORACLE
+
+    return load_tables(spark, SF_ORACLE)["embeddings"]
+
+
+def test_pq_assign_matches_numpy_replay(spark):
+    import numpy as np
+
+    from python_cdc_postgres_to_clickhouse_spark.operators.pq import (
+        pq_assign,
+        train_pq_codebooks,
+    )
+
+    emb = _pq_fixture(spark)
+    books = train_pq_codebooks(emb, m=8, k=16, seed=11)
+    got = {
+        r["vec_id"]: (list(r["codes"]), r["sq_err"])
+        for r in pq_assign(emb, books).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    m, k, dsub = books.shape
+    for r in rows:
+        x = np.array(r["embedding"], dtype=np.float64)
+        codes = []
+        err = 0.0
+        for j in range(m):
+            s = x[j * dsub : (j + 1) * dsub]
+            d2 = ((books[j] - s) ** 2).sum(axis=1)
+            a = int(d2.argmin())
+            codes.append(a)
+            err += float(d2[a])
+        g_codes, g_err = got[r["vec_id"]]
+        assert g_codes == codes
+        assert abs(g_err - err) < 1e-9 * max(1.0, err)
+
+
+def test_pq_training_is_deterministic(spark):
+    import numpy as np
+
+    from python_cdc_postgres_to_clickhouse_spark.operators.pq import train_pq_codebooks
+
+    emb = _pq_fixture(spark)
+    b1 = train_pq_codebooks(emb, m=8, k=16, seed=11)
+    b2 = train_pq_codebooks(emb, m=8, k=16, seed=11)
+    assert np.array_equal(b1, b2)
+
+
+def test_pq_beats_rank0_quantizer(spark):
+    """Trained codebooks must reconstruct strictly better than collapsing
+    each subspace to its single mean (the k=1 'quantizer') — the minimal
+    claim that training learned anything."""
+    import numpy as np
+
+    from python_cdc_postgres_to_clickhouse_spark.operators.pq import (
+        pq_assign,
+        train_pq_codebooks,
+    )
+
+    emb = _pq_fixture(spark)
+    books = train_pq_codebooks(emb, m=8, k=16, seed=11)
+    pq_mse = (
+        pq_assign(emb, books).agg({"sq_err": "avg"}).collect()[0][0]
+    )
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    baseline = ((X - X.mean(axis=0)) ** 2).sum(axis=1).mean()
+    assert pq_mse < baseline * 0.9
+
+
+def test_pq_codes_query_shape(spark):
+    from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
+
+    from .conftest import SF_ORACLE
+
+    rows = all_queries()["x_pq_codes"].fn(spark, SF_ORACLE).collect()
+    assert [r["subspace"] for r in rows] == list(range(8))
+    for r in rows:
+        assert 1 <= r["codes_used"] <= 16
+        assert r["top_code_n"] <= r["n_vectors"]
+        assert r["mean_sq_err"] >= 0.0
