@@ -162,3 +162,48 @@ def test_scd2_streaming_leg(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert _sink_history(sink) == _python_scd2(fx.events)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property: history == oracle for ANY op sequence / delivery
+# order / duplication / chunking (mirrors test_retract_rollup's pattern).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from .test_upsert_property import _events_from_script  # noqa: E402
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    script=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=30
+    ),
+    dup_mask=st.lists(st.booleans(), min_size=0, max_size=30),
+    shuffle_seed=st.integers(0, 2**16),
+    n_chunks=st.integers(1, 4),
+)
+def test_scd2_history_equals_oracle_for_any_sequence(
+    spark, tmp_path_factory, script, dup_mask, shuffle_seed, n_chunks
+):
+    events = _events_from_script(script)
+    dups = [dict(e) for e, d in zip(events, dup_mask) if d]
+    events = events + dups
+    import random
+
+    random.Random(shuffle_seed).shuffle(events)
+    for off, e in enumerate(events):
+        e["kafka_offset"] = off
+
+    tmp = tmp_path_factory.mktemp("scd2_prop")
+    sink = Scd2HistorySink(spark, str(tmp / "state"), n_buckets=4)
+    chunk = max(1, (len(events) + n_chunks - 1) // n_chunks)
+    for i in range(0, len(events), chunk):
+        sink.process_batch(_flat(spark, events[i : i + chunk]), i // chunk)
+
+    assert _sink_history(sink) == _python_scd2(events)
