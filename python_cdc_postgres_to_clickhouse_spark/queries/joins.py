@@ -324,6 +324,10 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.unix_micros("ts")).alias("start_us"),
             F.max(F.unix_micros("ts")).alias("end_us"),
         )
+        # Feeds BOTH explode sides and the per-user total — persisted so the
+        # sessionize window+agg runs once, not three times (the partitioning
+        # is already session-parallel: it comes out of the user_id shuffle).
+        .persist()
     )
     bucket = F.explode(
         F.sequence(
