@@ -124,3 +124,75 @@ def pq_assign(
             F.col("_pq.errs"), F.lit(0.0), lambda acc, x: acc + x
         ).alias("sq_err"),
     )
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    corpus_id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate L2 top-k over PQ codes — the
+    search-side payoff of the compression: each query builds an (m × K)
+    lookup table of exact query-subvector→codeword distances, and a coded
+    corpus vector's approximate distance is the SUM of m table lookups —
+    no decode, no float vector in memory.
+
+    Spark shape: queries are few and small → the (q × m × K) table tensor
+    broadcasts inside one Arrow-batched UDF over the coded corpus (a
+    narrow map pass — the corpus never shuffles); per-query top-k is a
+    (query_id) hash aggregate over a bounded min-heap via
+    ``WindowGroupLimit``-friendly row_number. At 100 TB the scan reads m
+    int8-scale code columns instead of the 256-byte vector — the 32×
+    scan-byte reduction IS the speedup.
+
+    Returns (query_id, neighbor_id, approx_d2, rank). Recall vs exact L2
+    is bounded-tested in tests/test_embeddings.py.
+    """
+    import pandas as pd  # noqa: F401 — annotations resolved at module level
+    from pyspark.sql import Window as W
+    from pyspark.sql.functions import pandas_udf
+
+    m, K, dsub = codebooks.shape
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = [r[query_id_col] for r in q_rows]
+    Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    # (nq, m, K): exact distance from each query subvector to each codeword.
+    tables = np.empty((len(q_ids), m, K), dtype=np.float64)
+    for j in range(m):
+        S = Q[:, j * dsub : (j + 1) * dsub]  # (nq, dsub)
+        C = codebooks[j]  # (K, dsub)
+        tables[:, j, :] = (
+            (S * S).sum(axis=1, keepdims=True) - 2.0 * S @ C.T + (C * C).sum(axis=1)
+        )
+
+    @pandas_udf("array<double>")
+    def _adc(codes: pd.Series) -> pd.Series:
+        X = np.array(codes.tolist(), dtype=np.int64)  # (n, m)
+        n = X.shape[0]
+        # Gather per subspace: tables[:, j, X[:, j]] is (nq, n).
+        d = np.zeros((len(q_ids), n), dtype=np.float64)
+        for j in range(m):
+            d += tables[:, j, X[:, j]]
+        return pd.Series(list(d.T))
+
+    scored = corpus_codes.select(
+        F.col(corpus_id_col).alias("neighbor_id"), _adc(F.col("codes")).alias("_d")
+    ).select(
+        "neighbor_id",
+        F.posexplode("_d").alias("_qi", "approx_d2"),
+    )
+    qid_map = F.array(*[F.lit(i) for i in q_ids])
+    scored = scored.select(
+        F.element_at(qid_map, F.col("_qi") + 1).alias("query_id"),
+        "neighbor_id",
+        "approx_d2",
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -230,3 +230,51 @@ def test_pq_codes_query_shape(spark):
         assert 1 <= r["codes_used"] <= 16
         assert r["top_code_n"] <= r["n_vectors"]
         assert r["mean_sq_err"] >= 0.0
+
+
+def test_pq_adc_topk_recall_and_exactness(spark):
+    """ADC top-k over PQ codes: (a) the approximate distances equal a numpy
+    ADC replay exactly; (b) recall@10 vs exact L2 clears a sane floor for
+    16 codewords x 8 subspaces on the fixture."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from python_cdc_postgres_to_clickhouse_spark.operators.pq import (
+        pq_adc_topk,
+        pq_assign,
+        train_pq_codebooks,
+    )
+
+    emb = _pq_fixture(spark)
+    books = train_pq_codebooks(emb, m=8, k=16, seed=11)
+    codes = pq_assign(emb, books).select("vec_id", "codes")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = pq_adc_topk(codes, books, queries, k=10).collect()
+
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in emb.select("vec_id", "embedding").collect()}
+    code_map = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    m, K, dsub = books.shape
+
+    def adc(qv, cs):
+        return sum(
+            float(((qv[j * dsub:(j + 1) * dsub] - books[j][cs[j]]) ** 2).sum())
+            for j in range(m)
+        )
+
+    q_ids = [r["vec_id"] for r in queries.select("vec_id").collect()]
+    # (a) distances replay bit-close (same float64 ops, different order tol).
+    for r in got:
+        expect = adc(X[r["query_id"]], code_map[r["neighbor_id"]])
+        assert abs(r["approx_d2"] - expect) < 1e-9 * max(1.0, expect)
+    # (b) recall@10 vs exact L2.
+    hits = total = 0
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q in q_ids:
+        d2 = {i: float(((X[q] - v) ** 2).sum()) for i, v in X.items()}
+        exact = set(sorted(d2, key=lambda i: (d2[i], i))[:10])
+        hits += len(exact & by_q[q])
+        total += 10
+    assert hits / total >= 0.4, f"ADC recall@10 {hits/total:.2f}"
