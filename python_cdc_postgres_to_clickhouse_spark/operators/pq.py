@@ -196,3 +196,64 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_adc_rerank_topk(
+    corpus_codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    oversample: int = 5,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    corpus_id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC shortlist + exact re-rank — the standard PQ search pipeline.
+
+    Stage 1 scans only the code columns (``pq_adc_topk``) for an
+    ``oversample·k`` shortlist per query; stage 2 reads the full float
+    vectors for ONLY the shortlist (a broadcast semi of |q|·oversample·k
+    ids against the vector table — the big side is filtered, never
+    shuffled) and re-ranks by exact L2. Recall approaches exact search
+    while the corpus-wide scan stays 32× cheaper; the exact pass touches
+    a constant number of vectors per query.
+    """
+    from pyspark.sql import Window as W
+
+    shortlist = pq_adc_topk(
+        corpus_codes,
+        codebooks,
+        queries,
+        k=k * oversample,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        corpus_id_col=corpus_id_col,
+    ).select("query_id", "neighbor_id")
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_vec = F.map_from_arrays(
+        F.array(*[F.lit(r[query_id_col]) for r in q_rows]),
+        F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in r[vec_col]])
+                for r in q_rows
+            ]
+        ),
+    )
+    cand = vectors.select(
+        F.col(corpus_id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).join(F.broadcast(shortlist), "neighbor_id")
+    qv = F.element_at(q_vec, F.col("query_id"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("_v"), qv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy("exact_d2", "neighbor_id")
+    return (
+        cand.withColumn("exact_d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "exact_d2", "rank")
+    )
