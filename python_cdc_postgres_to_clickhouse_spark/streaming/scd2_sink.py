@@ -188,6 +188,51 @@ class Scd2HistorySink:
             .drop("bucket")
         )
 
+    def enrich_as_of(
+        self,
+        facts: DataFrame,
+        fact_key: str,
+        fact_time_ms: str,
+        payload: Sequence[str] | None = None,
+        how: str = "left",
+    ) -> DataFrame:
+        """Temporal table join (Flink's FOR SYSTEM_TIME AS OF): each fact
+        row joins the dimension version that was valid AT ITS OWN event
+        time — the standard CDC-warehouse enrichment (order × customer
+        address as of order time), served straight from the history table.
+
+        Plan shape: an equi-join on the key with the interval containment
+        as residual — ONE hash shuffle of facts and history on the key;
+        per key the matching version is unique (intervals partition the
+        timeline), so no dedup pass is needed. Facts earlier than the
+        key's first version (or inside a deleted gap) stay unmatched under
+        ``how='left'``.
+        """
+        state = self.read_state()
+        if state is None:
+            raise ValueError("no history state to enrich against")
+        dim = state.filter(F.col(self.op_col) != OP_DELETE)
+        if payload is not None:
+            dim = dim.select(*self.keys, self.time_col, "valid_to_ms", *payload)
+        # Disambiguate: prefix every dimension column except the join key.
+        renames = {
+            c: f"dim_{c}"
+            for c in dim.columns
+            if c not in self.keys and c not in (self.time_col, "valid_to_ms")
+        }
+        for old, new in renames.items():
+            dim = dim.withColumnRenamed(old, new)
+        key_eq = [facts[fact_key] == dim[k] for k in self.keys]
+        in_interval = (dim[self.time_col] <= facts[fact_time_ms]) & (
+            dim["valid_to_ms"].isNull()
+            | (dim["valid_to_ms"] > facts[fact_time_ms])
+        )
+        cond = key_eq[0]
+        for c in key_eq[1:]:
+            cond = cond & c
+        joined = facts.join(dim, cond & in_interval, how)
+        return joined.drop(*self.keys, self.time_col, "valid_to_ms")
+
     # -- retention ---------------------------------------------------------
 
     def compact(self, closed_before_ms: int) -> None:

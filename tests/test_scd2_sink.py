@@ -207,3 +207,42 @@ def test_scd2_history_equals_oracle_for_any_sequence(
         sink.process_batch(_flat(spark, events[i : i + chunk]), i // chunk)
 
     assert _sink_history(sink) == _python_scd2(events)
+
+
+def test_scd2_enrich_as_of_temporal_join(spark, tmp_path):
+    """Temporal table join: every fact picks the dimension version valid at
+    its own timestamp — verified against a python interval scan, including
+    facts before the key's first version and inside deleted gaps."""
+    fx = generate_changelog(n_keys=15, n_ops=120, seed=23)
+    sink = Scd2HistorySink(spark, str(tmp_path / "state"), n_buckets=4)
+    sink.process_batch(_flat(spark, fx.events), 0)
+
+    # Facts: probe each key at every midpoint between consecutive change
+    # timestamps, plus before-first and after-last.
+    hist = _python_scd2(fx.events)
+    by_key: dict[int, list] = {}
+    for (key, lsn), (uname, ts, nxt) in hist.items():
+        by_key.setdefault(key, []).append((ts, nxt, uname))
+    probes = []
+    for key, chain in by_key.items():
+        tss = sorted(t for t, _, _ in chain)
+        pts = [tss[0] - 5, tss[-1] + 5] + [t + 1 for t in tss]
+        probes += [(key, int(p)) for p in pts]
+    facts = spark.createDataFrame(probes, "k: long, t_ms: long")
+
+    got = {
+        (r["k"], r["t_ms"]): r["dim_username"]
+        for r in sink.enrich_as_of(
+            facts, "k", "t_ms", payload=("username",)
+        ).collect()
+    }
+
+    def expected(key, t):
+        for ts, nxt, uname in by_key.get(key, []):
+            if ts <= t and (nxt is None or t < nxt):
+                return uname
+        return None
+
+    assert len(got) == len(probes)  # left join keeps every fact exactly once
+    for key, t in probes:
+        assert got[(key, t)] == expected(key, t), (key, t)
