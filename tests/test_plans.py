@@ -539,3 +539,15 @@ def test_sequence_count_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
         assert join not in plan, plan
+
+
+def test_interval_overlap_and_sequence_count_prune_scans(spark):
+    """The events scan under both queries must read only the columns the
+    operator touches — value/props never enter the session/pairing paths."""
+    for name, banned in (
+        ("j_interval_overlap", {"value", "props", "event_type"}),
+        ("x_sequence_count", {"value", "props"}),
+        ("cdc_versioned_collapse", {"props", "event_id"}),
+    ):
+        cols = set(P.read_schema_columns(_q(spark, name)))
+        assert not (cols & banned), (name, cols)
