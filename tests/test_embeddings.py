@@ -313,3 +313,23 @@ def test_pq_adc_rerank_recovers_recall(spark):
         hits += len(top & by_q[q])
         total += 10
     assert hits / total >= 0.8, f"rerank recall@10 {hits/total:.2f}"
+
+
+def test_pq_adc_topk_k_exceeding_corpus(spark):
+    """k larger than the corpus returns every vector, ranked, per query."""
+    from pyspark.sql import functions as F
+
+    from python_cdc_postgres_to_clickhouse_spark.operators.pq import (
+        pq_adc_topk,
+        pq_assign,
+        train_pq_codebooks,
+    )
+
+    emb = _pq_fixture(spark)
+    n = emb.count()
+    books = train_pq_codebooks(emb, m=8, k=16, seed=11)
+    codes = pq_assign(emb, books).select("vec_id", "codes")
+    queries = emb.filter(F.col("vec_id") == 0)
+    got = pq_adc_topk(codes, books, queries, k=n + 10).collect()
+    assert len(got) == n
+    assert sorted(r["rank"] for r in got) == list(range(1, n + 1))

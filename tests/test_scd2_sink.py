@@ -246,3 +246,12 @@ def test_scd2_enrich_as_of_temporal_join(spark, tmp_path):
     assert len(got) == len(probes)  # left join keeps every fact exactly once
     for key, t in probes:
         assert got[(key, t)] == expected(key, t), (key, t)
+
+
+def test_scd2_empty_batch_is_noop(spark, tmp_path):
+    fx = generate_changelog(n_keys=8, n_ops=40, seed=29)
+    sink = Scd2HistorySink(spark, str(tmp_path / "state"), n_buckets=4)
+    sink.process_batch(_flat(spark, fx.events), 0)
+    before = _sink_history(sink)
+    sink.process_batch(_flat(spark, fx.events).limit(0), 1)
+    assert _sink_history(sink) == before
