@@ -255,3 +255,39 @@ def test_scd2_empty_batch_is_noop(spark, tmp_path):
     before = _sink_history(sink)
     sink.process_batch(_flat(spark, fx.events).limit(0), 1)
     assert _sink_history(sink) == before
+
+
+def test_scd2_checkpoint_restart(spark, tmp_path):
+    """D4 for the history sink: stop mid-stream, restart from the same
+    checkpoint — no double-apply, final history complete."""
+    import os
+    import shutil
+
+    from python_cdc_postgres_to_clickhouse_spark.sources.cdc import with_event_time
+
+    fx = generate_changelog(n_keys=20, n_ops=150, seed=31)
+    src = str(tmp_path / "src")
+    all_files = write_stream_fixture(spark, fx, src, n_files=6)
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    half = len(all_files) // 2
+    for p in all_files[half:]:
+        shutil.move(p, os.path.join(staged, os.path.basename(p)))
+
+    def flat(stream):
+        return with_event_time(unwrap(stream, keep_deletes=True))
+
+    sink = Scd2HistorySink(spark, str(tmp_path / "state"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    q1 = sink.attach(flat(read_change_stream(spark, src)), checkpoint_dir=ckpt)
+    q1.awaitTermination(120)
+    partial = _sink_history(sink)
+
+    for p in os.listdir(staged):
+        shutil.move(os.path.join(staged, p), os.path.join(src, p))
+    q2 = sink.attach(flat(read_change_stream(spark, src)), checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+
+    got = _sink_history(sink)
+    assert got == _python_scd2(fx.events)
+    assert partial != got
