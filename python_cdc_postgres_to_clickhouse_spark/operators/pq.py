@@ -257,3 +257,179 @@ def pq_adc_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "exact_d2", "rank")
     )
+
+
+def train_ivfpq(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 10,
+    seed: int = 42,
+    sample_limit: int = 20_000,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit the full IVF-PQ model: L2 coarse cells + PQ codebooks on the
+    RESIDUALS (x − cell centroid) — the standard billion-scale ANN layout.
+    Residual encoding matters: residual energy is what survives the coarse
+    quantizer, so the same (m × K) budget buys a finer code.
+
+    One bounded TakeOrdered sample feeds both stages driver-side; the
+    returned ((n_cells × d), (m × K × d/m)) tensors are a few KB at any
+    corpus size. L2 (non-spherical) k-means throughout, so cells, residuals,
+    and ADC all speak the same metric.
+    """
+    rows = vectors.select(vec_col).orderBy(F.rand(seed)).limit(sample_limit).collect()
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if len(X) < max(n_cells, k):
+        raise ValueError(f"sample of {len(X)} rows too small")
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
+    for _ in range(n_iters):
+        d2 = (
+            (X * X).sum(axis=1, keepdims=True) - 2.0 * X @ C.T + (C * C).sum(axis=1)
+        )
+        a = d2.argmin(axis=1)
+        for c in range(n_cells):
+            mask = a == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+    resid = X - C[d2.argmin(axis=1)]
+
+    # Per-subspace codebooks on residuals (same Lloyd loop as train_pq_codebooks).
+    dsub = X.shape[1] // m
+    if X.shape[1] % m:
+        raise ValueError(f"dim {X.shape[1]} not divisible into {m} subspaces")
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        S = resid[:, j * dsub : (j + 1) * dsub]
+        B = S[rng.choice(len(S), size=k, replace=False)].copy()
+        for _ in range(n_iters):
+            d2s = (
+                (S * S).sum(axis=1, keepdims=True) - 2.0 * S @ B.T + (B * B).sum(axis=1)
+            )
+            a = d2s.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    B[c] = S[mask].mean(axis=0)
+        books[j] = B
+    return C, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    cells: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode the corpus: (id, cell, codes). One narrow Arrow pass — cell
+    assignment and residual PQ codes in the same batch GEMMs; the index
+    row is ~(4 + m) bytes against the 256-byte vector."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = cells
+    m, K, dsub = codebooks.shape
+    books = codebooks
+
+    @pandas_udf("struct<cell: int, codes: array<int>>")
+    def _enc(col: pd.Series) -> pd.DataFrame:
+        X = np.array(col.tolist(), dtype=np.float64)
+        d2 = (
+            (X * X).sum(axis=1, keepdims=True) - 2.0 * X @ C.T + (C * C).sum(axis=1)
+        )
+        cell = d2.argmin(axis=1)
+        R = X - C[cell]
+        n = X.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            S = R[:, j * dsub : (j + 1) * dsub]
+            B = books[j]
+            dj = (
+                (S * S).sum(axis=1, keepdims=True) - 2.0 * S @ B.T + (B * B).sum(axis=1)
+            )
+            codes[:, j] = dj.argmin(axis=1)
+        return pd.DataFrame({"cell": cell.astype(np.int32), "codes": list(codes)})
+
+    enc = df.select(id_col, _enc(F.col(vec_col)).alias("_e"))
+    return enc.select(
+        id_col, F.col("_e.cell").alias("cell"), F.col("_e.codes").alias("codes")
+    )
+
+
+def ivfpq_topk(
+    corpus_index: DataFrame,
+    cells: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    corpus_id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ approximate L2 top-k: probe each query's ``nprobe`` nearest
+    cells and score ONLY those cells' rows by residual-ADC lookups.
+
+    Scale shape: the (query, cell) probe list broadcasts onto the coded
+    corpus through a cell equi-join — the scan touches
+    ≈ N·(nprobe/n_cells) index rows of (4 + m) bytes each (the IVF prune
+    × the PQ byte cut, multiplicative); per-(query, cell) ADC tables ride
+    the UDF closure keyed by probe id; per-query top-k is a
+    WindowGroupLimit. No full-corpus pass, no all-pairs, no float vectors
+    read. Exact re-ranking composes via ``pq_adc_rerank_topk``'s
+    broadcast-shortlist pattern when recall demands it.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql.functions import pandas_udf
+
+    C = cells
+    m, K, dsub = codebooks.shape
+    books = codebooks
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = [r[query_id_col] for r in q_rows]
+    Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    d2q = (Q * Q).sum(axis=1, keepdims=True) - 2.0 * Q @ C.T + (C * C).sum(axis=1)
+    probe_cells = np.argsort(d2q, axis=1)[:, :nprobe]  # (nq, nprobe)
+
+    # Per (query, probed cell): ADC table over the residual (q - C[cell]).
+    # Keyed by a dense probe id so the UDF does one dict lookup per group.
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    for qi, q_id in enumerate(q_ids):
+        for cell in probe_cells[qi]:
+            r = Q[qi] - C[cell]
+            tab = np.empty((m, K), dtype=np.float64)
+            for j in range(m):
+                s = r[j * dsub : (j + 1) * dsub]
+                tab[j] = ((codebooks[j] - s) ** 2).sum(axis=1)
+            tables[(q_id, int(cell))] = tab
+
+    probes = [(q_id, int(cell)) for (q_id, cell) in tables]
+    probe_df = queries.sparkSession.createDataFrame(
+        probes, f"query_id: long, cell: int"
+    )
+
+    @pandas_udf("double")
+    def _adc(qid: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
+        X = np.array(codes.tolist(), dtype=np.int64)
+        out = np.empty(len(X), dtype=np.float64)
+        # Group rows by (query, cell) so each table gathers vectorized.
+        keys = pd.DataFrame({"q": qid.values, "c": cell.values})
+        for (qv, cv), idx in keys.groupby(["q", "c"]).groups.items():
+            tab = tables[(qv, int(cv))]
+            sub = X[np.asarray(idx)]
+            out[np.asarray(idx)] = tab[np.arange(m), sub].sum(axis=1)
+        return pd.Series(out)
+
+    cand = corpus_index.join(F.broadcast(probe_df), "cell")
+    scored = cand.select(
+        "query_id",
+        F.col(corpus_id_col).alias("neighbor_id"),
+        _adc(F.col("query_id"), F.col("cell"), F.col("codes")).alias("approx_d2"),
+    )
+    w = W.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -333,3 +333,72 @@ def test_pq_adc_topk_k_exceeding_corpus(spark):
     got = pq_adc_topk(codes, books, queries, k=n + 10).collect()
     assert len(got) == n
     assert sorted(r["rank"] for r in got) == list(range(1, n + 1))
+
+
+def test_ivfpq_topk_replay_bounds_and_recall(spark):
+    """IVF-PQ: (a) candidates come ONLY from probed cells (the scan is the
+    IVF prune x PQ byte cut); (b) approx distances replay a numpy
+    residual-ADC implementation exactly; (c) recall@10 at nprobe=4 clears a
+    floor consistent with the PQ full-scan ceiling on the fixture."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from python_cdc_postgres_to_clickhouse_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    emb = _pq_fixture(spark)
+    C, books = train_ivfpq(emb, n_cells=16, m=8, k=16, seed=11)
+    idx = ivfpq_encode(emb, C, books)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = ivfpq_topk(idx, C, books, queries, k=10, nprobe=4).collect()
+
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in emb.select("vec_id", "embedding").collect()}
+    index = {r["vec_id"]: (r["cell"], list(r["codes"])) for r in idx.collect()}
+    m, K, dsub = books.shape
+
+    def probed(qv):
+        d2 = ((C - qv) ** 2).sum(axis=1)
+        return set(np.argsort(d2)[:4].tolist())
+
+    def residual_adc(qv, cell, codes):
+        r = qv - C[cell]
+        return sum(
+            float(((r[j * dsub:(j + 1) * dsub] - books[j][codes[j]]) ** 2).sum())
+            for j in range(m)
+        )
+
+    for r in got:
+        cell, codes = index[r["neighbor_id"]]
+        assert cell in probed(X[r["query_id"]])          # (a)
+        expect = residual_adc(X[r["query_id"]], cell, codes)
+        assert abs(r["approx_d2"] - expect) < 1e-9 * max(1.0, expect)  # (b)
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for q in by_q:
+        d2 = {i: float(((X[q] - v) ** 2).sum()) for i, v in X.items()}
+        exact = set(sorted(d2, key=lambda i: (d2[i], i))[:10])
+        hits += len(exact & by_q[q])
+        total += 10
+    assert hits / total >= 0.25, f"ivfpq recall@10 {hits/total:.2f}"  # (c)
+
+
+def test_ivfpq_training_deterministic_and_cells_cover(spark):
+    import numpy as np
+    from python_cdc_postgres_to_clickhouse_spark.operators.pq import (
+        ivfpq_encode,
+        train_ivfpq,
+    )
+
+    emb = _pq_fixture(spark)
+    C1, b1 = train_ivfpq(emb, n_cells=16, m=8, k=16, seed=11)
+    C2, b2 = train_ivfpq(emb, n_cells=16, m=8, k=16, seed=11)
+    assert np.array_equal(C1, C2) and np.array_equal(b1, b2)
+    cells = {r["cell"] for r in ivfpq_encode(emb, C1, b1).collect()}
+    assert len(cells) >= 8  # no pathological cell collapse on the fixture
