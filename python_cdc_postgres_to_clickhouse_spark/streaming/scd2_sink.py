@@ -233,6 +233,54 @@ class Scd2HistorySink:
         joined = facts.join(dim, cond & in_interval, how)
         return joined.drop(*self.keys, self.time_col, "valid_to_ms")
 
+    def attach_enrichment(
+        self,
+        facts: DataFrame,
+        out_dir: str,
+        checkpoint_dir: str,
+        fact_key: str,
+        fact_time_ms: str,
+        payload: Sequence[str] | None = None,
+        **trigger_kwargs,
+    ) -> StreamingQuery:
+        """Continuous temporal enrichment: each fact micro-batch joins the
+        dimension version valid at its own event time and appends to
+        ``out_dir``.
+
+        Semantics are processing-time-snapshot (the industry default for
+        streaming temporal joins): a batch enriches against the history AS
+        KNOWN when the batch processes — a dimension change that arrives
+        later does not retro-update already-emitted facts. When the fact
+        stream lags the dimension stream by less than the dimension's
+        delivery delay, re-run the batch derivation (`cdc_scd2_history` ⋈
+        facts) over the affected window to heal — the same
+        lateness-vs-latency trade every streaming temporal join makes.
+
+        Append output is replay-tolerant downstream: re-emitted batches
+        carry identical rows (the join is deterministic given state), so
+        readers dedup on (fact id) if the sink crashed between write and
+        checkpoint commit.
+        """
+
+        def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+            if self.read_state() is None:
+                enriched = batch_df  # dimension empty: pass facts through
+            else:
+                enriched = self.enrich_as_of(
+                    batch_df, fact_key, fact_time_ms, payload=payload
+                )
+            enriched.write.mode("append").parquet(out_dir)
+
+        if not trigger_kwargs:
+            trigger_kwargs = {"availableNow": True}
+        return (
+            facts.writeStream.foreachBatch(_enrich)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
     # -- retention ---------------------------------------------------------
 
     def compact(self, closed_before_ms: int) -> None:

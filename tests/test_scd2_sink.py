@@ -291,3 +291,59 @@ def test_scd2_checkpoint_restart(spark, tmp_path):
     got = _sink_history(sink)
     assert got == _python_scd2(fx.events)
     assert partial != got
+
+
+def test_scd2_streaming_enrichment(spark, tmp_path):
+    """Continuous temporal enrichment: a fact stream joined per batch to the
+    dimension state; every emitted fact carries the version valid at its own
+    event time (dimension fully applied first — steady-state semantics)."""
+    fx = generate_changelog(n_keys=12, n_ops=90, seed=37)
+    sink = Scd2HistorySink(spark, str(tmp_path / "state"), n_buckets=4)
+    sink.process_batch(_flat(spark, fx.events), 0)
+
+    hist = _python_scd2(fx.events)
+    by_key: dict[int, list] = {}
+    for (key, lsn), (uname, ts, nxt) in hist.items():
+        by_key.setdefault(key, []).append((ts, nxt, uname))
+    probes = []
+    for key, chain in by_key.items():
+        for ts, _, _ in chain:
+            probes.append((key, int(ts) + 1))
+    import os
+
+    facts_dir = str(tmp_path / "facts")
+    os.makedirs(facts_dir)
+    facts = spark.createDataFrame(probes, "k: long, t_ms: long")
+    facts.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(facts_dir, "b0.parquet")
+    )
+    stream = (
+        spark.readStream.schema("k long, t_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(facts_dir, "*.parquet"))
+    )
+    out = str(tmp_path / "enriched")
+    q = sink.attach_enrichment(
+        stream,
+        out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        fact_key="k",
+        fact_time_ms="t_ms",
+        payload=("username",),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["k"], r["t_ms"]): r["dim_username"]
+        for r in spark.read.parquet(out).collect()
+    }
+
+    def expected(key, t):
+        for ts, nxt, uname in by_key.get(key, []):
+            if ts <= t and (nxt is None or t < nxt):
+                return uname
+        return None
+
+    assert len(got) == len(probes)
+    for key, t in probes:
+        assert got[(key, t)] == expected(key, t)
