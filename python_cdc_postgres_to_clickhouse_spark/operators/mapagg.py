@@ -67,6 +67,39 @@ def map_agg(
     )
 
 
+def map_agg_multi(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    map_col: str,
+    aggs: Sequence[str] = ("sum", "min", "max"),
+) -> DataFrame:
+    """Several Map-combinators over the SAME map column in one pass —
+    ``sumMap(m), minMap(m), maxMap(m)`` as one explode + one (group, key)
+    shuffle + one group reassembly, instead of one pipeline per combinator.
+
+    ClickHouse evaluates the combinators side by side over a single read;
+    this is the Spark analog: all per-key aggregates share the exploded
+    child and the (group, key) exchange, and the reassembly aggregate
+    emits one map column per combinator. Output columns are named
+    ``{agg}_map``.
+    """
+    bad = [a for a in aggs if a not in _AGGS]
+    if bad:
+        raise ValueError(f"aggs must be among {sorted(_AGGS)}, got {bad}")
+    exploded = df.select(*group_cols, F.explode(map_col).alias("_k", "_v"))
+    per_key = exploded.groupBy(*group_cols, "_k").agg(
+        *[_AGGS[a](F.col("_v")).alias(f"_{a}") for a in aggs]
+    )
+    return per_key.groupBy(*group_cols).agg(
+        *[
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("_k", f"_{a}")))
+            ).alias(f"{a}_map")
+            for a in aggs
+        ]
+    )
+
+
 def sum_map(df: DataFrame, group_cols: Sequence[str], map_col: str) -> DataFrame:
     return map_agg(df, group_cols, map_col, "sum", "sum_map")
 

@@ -585,3 +585,73 @@ def x_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_matched") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Map-combinator aggregation: ClickHouse sumMap / minMap / maxMap. Metric
+# dictionaries (per-status counters, per-type gauges) are stored as map
+# columns and aggregated KEY-WISE per group; the reference's destination
+# exposes exactly this combinator family for such columns. Rendered as
+# deterministic "k:v,..." strings so the oracle hash covers the map values
+# without depending on either engine's native map ordering/encoding.
+# ---------------------------------------------------------------------------
+
+MAP_COMBINATORS_SQL = """
+WITH ev AS (
+  SELECT user_id % 10 AS ugrp, event_type AS k,
+         CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS v
+  FROM events),
+per_key AS (
+  SELECT ugrp, k, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM ev GROUP BY ugrp, k)
+SELECT ugrp,
+       string_agg(k || ':' || s,  ',' ORDER BY k) AS sum_map,
+       string_agg(k || ':' || mn, ',' ORDER BY k) AS min_map,
+       string_agg(k || ':' || mx, ',' ORDER BY k) AS max_map
+FROM per_key GROUP BY ugrp
+"""
+
+
+def _render_map(col: str) -> F.Column:
+    """map<string,long> -> canonical "k:v,..." string, entries sorted by key."""
+    return F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.map_entries(F.col(col))),
+            lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+        ),
+    ).alias(col)
+
+
+@query("a_map_combinators", oracle=MAP_COMBINATORS_SQL, tags=("agg", "mergetree", "map"))
+def a_map_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse Map-combinator family (sumMap/minMap/maxMap) over a
+    metric-dictionary column: per user-group, aggregate map values key-wise
+    and emit one map per combinator, rendered canonically for the oracle.
+
+    Uses operators.mapagg.map_agg_multi: ONE narrow map explode feeds ONE
+    (group, key) hash aggregate computing all three combinators side by
+    side (map-side partials — the shuffle carries one (sum,min,max) triple
+    per (task, group, key), the exact state the ClickHouse combinator
+    keeps), then ONE group-level reassembly; the combinators share every
+    exchange instead of one pipeline each. Values are exact integer cents
+    (lossless DECIMAL route), so sums are order-independent and the
+    rendered strings are engine-identical.
+    """
+    from ..operators.mapagg import map_agg_multi
+
+    ev = load_tables(spark, sf_dir)["events"]
+    rows = ev.select(
+        (F.col("user_id") % 10).alias("ugrp"),
+        F.create_map(
+            F.col("event_type"),
+            (F.col("value").cast(DEC) * 100).cast("long"),
+        ).alias("m"),
+    )
+    out = map_agg_multi(rows, ["ugrp"], "m", aggs=("sum", "min", "max"))
+    return out.select(
+        "ugrp",
+        _render_map("sum_map"),
+        _render_map("min_map"),
+        _render_map("max_map"),
+    )

@@ -169,6 +169,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j_interval_overlap",
     "x_sequence_count",
     "x_pq_codes",
+    # Round-6 queue continued (EXPLICIT round-7 displacement: with the 41
+    # deferred r3-rows queries plus the 9 names above, round 6's 50-slot
+    # window is full — every name from here down is committed to LEAD the
+    # round-7 window instead; all are locally oracle-checked on every test
+    # run, so the only debt is driver-row freshness).
+    "a_map_combinators",
+    "x_sequence_match",
 )
 
 

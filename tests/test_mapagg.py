@@ -61,3 +61,25 @@ def test_map_agg_partial_aggregates_and_stays_jvm(spark):
 def test_map_agg_rejects_unknown_agg(spark):
     with pytest.raises(ValueError):
         map_agg(_df(spark), ["host"], "codes", "median")
+
+
+def test_map_agg_multi_equals_individual_combinators(spark):
+    from python_cdc_postgres_to_clickhouse_spark.operators.mapagg import map_agg_multi
+
+    multi = {
+        r["host"]: (dict(r["sum_map"]), dict(r["min_map"]), dict(r["max_map"]))
+        for r in map_agg_multi(_df(spark), ["host"], "codes").collect()
+    }
+    for agg, idx in (("sum", 0), ("min", 1), ("max", 2)):
+        single = {
+            r["host"]: dict(r[f"{agg}_map"])
+            for r in map_agg(_df(spark), ["host"], "codes", agg).collect()
+        }
+        assert {h: t[idx] for h, t in multi.items()} == single
+
+
+def test_map_agg_multi_rejects_unknown_agg(spark):
+    from python_cdc_postgres_to_clickhouse_spark.operators.mapagg import map_agg_multi
+
+    with pytest.raises(ValueError, match="aggs must be among"):
+        map_agg_multi(_df(spark), ["host"], "codes", aggs=("sum", "median"))

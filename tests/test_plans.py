@@ -551,3 +551,14 @@ def test_interval_overlap_and_sequence_count_prune_scans(spark):
     ):
         cols = set(P.read_schema_columns(_q(spark, name)))
         assert not (cols & banned), (name, cols)
+
+
+def test_map_combinators_one_explode_two_exchanges(spark):
+    """a_map_combinators: the three combinators (sumMap/minMap/maxMap) must
+    share ONE explode and ONE (group, key) exchange — not one pipeline per
+    combinator — plus the unavoidable group-level reassembly exchange."""
+    df = _q(spark, "a_map_combinators")
+    plan = P.physical_plan(df)
+    assert plan.count("Generate explode") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert P.has_partial_aggregate(df), plan
