@@ -655,3 +655,105 @@ def a_map_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
         _render_map("min_map"),
         _render_map("max_map"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequenceMatch: the third of ClickHouse's sequence-function trio
+# (windowFunnel above bounds chains by a time window; sequenceCount counts
+# greedy non-overlapping chains; sequenceMatch answers the boolean "does the
+# pattern occur as a subsequence at all"). Pattern '(?1).*(?2)[.*(?3)]' with
+# no time constraint — pure event-order subsequence matching.
+# ---------------------------------------------------------------------------
+
+SEQUENCE_MATCH_SQL = """
+WITH m2 AS (
+  SELECT DISTINCT a.user_id
+  FROM events a JOIN events b
+    ON b.user_id = a.user_id
+   AND a.event_type = 'signup' AND b.event_type = 'purchase'
+   AND (b.ts, b.event_id) > (a.ts, a.event_id)),
+m3 AS (
+  SELECT DISTINCT a.user_id
+  FROM events a
+  JOIN events b
+    ON b.user_id = a.user_id AND b.event_type = 'click'
+   AND (b.ts, b.event_id) > (a.ts, a.event_id)
+  JOIN events c
+    ON c.user_id = a.user_id AND c.event_type = 'purchase'
+   AND (c.ts, c.event_id) > (b.ts, b.event_id)
+  WHERE a.event_type = 'signup')
+SELECT 'signup.*purchase' AS pattern,
+       CAST((SELECT COUNT(*) FROM m2) AS BIGINT) AS n_matched
+UNION ALL
+SELECT 'signup.*click.*purchase' AS pattern,
+       CAST((SELECT COUNT(*) FROM m3) AS BIGINT) AS n_matched
+"""
+
+
+@query("x_sequence_match", oracle=SEQUENCE_MATCH_SQL, tags=("behavior", "mergetree"))
+def x_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)')`` / ``('(?1).*(?2).*(?3)')``:
+    per user, does the event stream contain the step pattern as an ordered
+    subsequence (no time bound)? Output: users matched per pattern.
+
+    Spark side runs the greedy linear scan (earliest-first subsequence
+    matching is exact for existence): per user, ONE sorted array of the
+    step events folded by a JVM higher-order function whose state is just
+    the depth reached per pattern — both patterns share the same sorted
+    array and the same fold pass. One shuffle on user_id, compute
+    O(user's step events); the EXISTS-chain form (which a hash join would
+    evaluate as a per-user cross product) is kept only as the DuckDB
+    oracle. The count rollup is a partial-aggregated global sum.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    steps = ev.filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    ).select("user_id", F.unix_micros("ts").alias("tus"), "event_id", "event_type")
+    seq = steps.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("tus", "event_id", "event_type"))).alias(
+            "seq"
+        )
+    )
+    # Shared fold: d2 tracks 'signup then purchase', d3 tracks
+    # 'signup then click then purchase'. Greedy depth advance on the next
+    # wanted type; depth never retreats, so reaching the end == match.
+    init = F.struct(F.lit(0).alias("d2"), F.lit(0).alias("d3"))
+
+    def step(acc, e):
+        t = e["event_type"]
+        d2 = F.when(
+            (acc["d2"] == 0) & (t == F.lit("signup")), F.lit(1)
+        ).when(
+            (acc["d2"] == 1) & (t == F.lit("purchase")), F.lit(2)
+        ).otherwise(acc["d2"])
+        d3 = F.when(
+            (acc["d3"] == 0) & (t == F.lit("signup")), F.lit(1)
+        ).when(
+            (acc["d3"] == 1) & (t == F.lit("click")), F.lit(2)
+        ).when(
+            (acc["d3"] == 2) & (t == F.lit("purchase")), F.lit(3)
+        ).otherwise(acc["d3"])
+        return F.struct(d2.alias("d2"), d3.alias("d3"))
+
+    st = F.aggregate(F.col("seq"), init, step)
+    flags = seq.select(
+        (st["d2"] == 2).cast("long").alias("m2"),
+        (st["d3"] == 3).cast("long").alias("m3"),
+    )
+    tot = flags.agg(
+        F.sum("m2").alias("n2"), F.sum("m3").alias("n3")
+    )
+    return tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("signup.*purchase").alias("pattern"),
+                    F.col("n2").alias("n_matched"),
+                ),
+                F.struct(
+                    F.lit("signup.*click.*purchase").alias("pattern"),
+                    F.col("n3").alias("n_matched"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.pattern", "r.n_matched")
