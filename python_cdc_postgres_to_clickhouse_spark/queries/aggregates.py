@@ -377,3 +377,63 @@ def a_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(at(0.5).alias("p50"), at(0.9).alias("p90"))
         .orderBy("o_orderstatus")
     )
+
+
+WEIGHTED_QUANTILE_SQL = """
+WITH l AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS wgt
+  FROM lineitem),
+c AS (
+  SELECT l_returnflag, v,
+         SUM(wgt) OVER (PARTITION BY l_returnflag ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(wgt) OVER (PARTITION BY l_returnflag) AS tot
+  FROM l)
+SELECT l_returnflag,
+       MIN(CASE WHEN cum * 2 >= tot THEN v END) AS wmedian_cents,
+       MIN(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS wp90_cents
+FROM c GROUP BY l_returnflag
+"""
+
+
+@query("a_weighted_quantiles", oracle=WEIGHTED_QUANTILE_SQL, tags=("agg", "quantile"))
+def a_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(0.5|0.9)(price, quantity)``: the
+    smallest value whose cumulative weight reaches the level — exact
+    weighted quantiles with quantity-weighted prices per return flag.
+
+    All arithmetic is integer (cents values, bigint weights, cross-
+    multiplied level comparisons), so both engines agree bit-for-bit —
+    no interpolation formula to diverge on (see the verify note on
+    percentile formulas). ONE exchange: hash(l_returnflag) satisfies both
+    window specs (running RANGE cumsum + partition total) and the final
+    aggregate — the group key prefixes every spec, so Spark re-sorts
+    within partitions without re-shuffling; compute is the per-group sort,
+    O(n log n), with a scan-pruned 3-column read."""
+    l = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag",
+        (dec("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("wgt"),
+    )
+    wc = (
+        W.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("l_returnflag")
+    c = l.select(
+        "l_returnflag",
+        "v",
+        F.sum("wgt").over(wc).alias("cum"),
+        F.sum("wgt").over(wt).alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("v"))).alias(
+            "wmedian_cents"
+        ),
+        F.min(F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("v"))).alias(
+            "wp90_cents"
+        ),
+    )

@@ -176,6 +176,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # run, so the only debt is driver-row freshness).
     "a_map_combinators",
     "x_sequence_match",
+    "a_weighted_quantiles",
 )
 
 

@@ -562,3 +562,14 @@ def test_map_combinators_one_explode_two_exchanges(spark):
     assert plan.count("Generate explode") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert P.has_partial_aggregate(df), plan
+
+
+def test_weighted_quantiles_single_exchange(spark):
+    """a_weighted_quantiles: hash(l_returnflag) must satisfy both window
+    specs and the final aggregate — one exchange total, scan pruned to the
+    3 input columns."""
+    df = _q(spark, "a_weighted_quantiles")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"l_returnflag", "l_extendedprice", "l_quantity"}, cols
