@@ -482,3 +482,71 @@ def ivf_cosine_topk(
         sim.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): prune semantic near-duplicates by
+    clustering embeddings with a coarse quantizer and comparing pairs only
+    WITHIN each cluster — cross-cluster pairs are never materialized, so
+    compute is Σ|cluster|² instead of N². At 100 TB you raise n_clusters
+    so clusters stay a few thousand rows (the paper's regime: k scales
+    with N, per-cluster work is constant); the within-cluster pairing is
+    an equi-join on cluster_id whose both sides read ONE reused exchange.
+
+    Keep rule: a vector is pruned iff some SMALLER-id vector in its
+    cluster has cosine ≥ threshold (keep-first — deterministic and
+    engine-replayable; the paper keeps the lowest-centroid-cosine member,
+    a choice this rule replaces for determinism).
+
+    Returns (id_col, cluster_id, kept) for every input row.
+    """
+    C = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(vectors, n_centroids=n_clusters, seed=seed)
+    )
+    cell1 = _ivf_cells_udf(C, 1)
+    assigned = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(cell1(F.col(vec_col)), 1).alias("cluster_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        norm(vec_col).alias("_n"),
+    )
+    a = assigned.select(
+        "cluster_id",
+        F.col("vec_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        "cluster_id",
+        F.col("vec_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    sim = dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+    pruned = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(sim >= F.lit(threshold))
+        .select(F.col("_idb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            pruned.withColumn("_pruned", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
+        )
+    )

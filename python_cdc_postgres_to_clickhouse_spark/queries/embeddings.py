@@ -185,3 +185,36 @@ def x_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace")
     )
+
+
+SEMDEDUP_THRESHOLD = 0.4
+SEMDEDUP_K = 8
+SEMDEDUP_SEED = 7
+
+
+@query("x_semantic_dedup", tags=("ext", "embedding", "dedup", "iterative"))
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (semantic flavor, SemDeDup): cluster the embedding corpus with the
+    shared coarse quantizer, then prune any vector whose cluster holds a
+    smaller-id vector with cosine ≥ 0.4 (the same radius x_embedding_near_dup uses — the fixture corpus is near-uniform, so a production-style 0.9x radius would prune nothing) — semantic
+    near-duplicate removal that never compares across clusters.
+
+    Scale shape: training reads a bounded TakeOrdered sample (no corpus
+    pass, no prior count); assignment is one narrow Arrow-batched pass;
+    the within-cluster pairing is an equi-join on cluster_id — both sides
+    read the SAME exchange (AQE ReusedExchange, plan-asserted) and
+    compute is Σ|cluster|², bounded by raising n_clusters with corpus
+    size (the SemDeDup regime) instead of comparing all pairs.
+    Iterative/driver-trained quantizer ⇒ rows-only driver row; planted
+    duplicates, determinism, and a numpy replay are pinned in
+    tests/test_embeddings.py."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = semantic_dedup(
+        emb,
+        threshold=SEMDEDUP_THRESHOLD,
+        n_clusters=SEMDEDUP_K,
+        seed=SEMDEDUP_SEED,
+    )
+    return out.orderBy("vec_id").select("vec_id", "cluster_id", "kept")

@@ -177,6 +177,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "a_map_combinators",
     "x_sequence_match",
     "a_weighted_quantiles",
+    "x_semantic_dedup",
 )
 
 

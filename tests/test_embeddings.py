@@ -402,3 +402,88 @@ def test_ivfpq_training_deterministic_and_cells_cover(spark):
     assert np.array_equal(C1, C2) and np.array_equal(b1, b2)
     cells = {r["cell"] for r in ivfpq_encode(emb, C1, b1).collect()}
     assert len(cells) >= 8  # no pathological cell collapse on the fixture
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (x_semantic_dedup / operators.similarity.semantic_dedup)
+# --------------------------------------------------------------------------
+
+
+def _semdedup_replay(spark):
+    """Driver-side numpy replay of the full SemDeDup pipeline."""
+    from python_cdc_postgres_to_clickhouse_spark.queries.embeddings import (
+        SEMDEDUP_K,
+        SEMDEDUP_SEED,
+        SEMDEDUP_THRESHOLD,
+    )
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    C = train_ivf_centroids(emb, n_centroids=SEMDEDUP_K, seed=SEMDEDUP_SEED)
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(Xn @ C.T, axis=1)
+    pruned: set[int] = set()
+    for c in range(SEMDEDUP_K):
+        members = np.where(assign == c)[0]
+        members = members[np.argsort(ids[members])]
+        for ii, i in enumerate(members):
+            for j in members[ii + 1 :]:
+                cos = float(X[i] @ X[j]) / (
+                    float(np.linalg.norm(X[i])) * float(np.linalg.norm(X[j]))
+                )
+                if cos >= SEMDEDUP_THRESHOLD:
+                    pruned.add(int(ids[j]))
+    return {int(ids[k]): int(assign[k]) for k in range(len(ids))}, pruned
+
+
+def test_semantic_dedup_matches_numpy_replay(spark):
+    from python_cdc_postgres_to_clickhouse_spark.queries.embeddings import (
+        x_semantic_dedup,
+    )
+
+    want_assign, want_pruned = _semdedup_replay(spark)
+    rows = x_semantic_dedup(spark, SF_SMOKE).collect()
+    assert len(rows) == len(want_assign)
+    for r in rows:
+        assert r["cluster_id"] == want_assign[r["vec_id"]], r
+        assert r["kept"] == (r["vec_id"] not in want_pruned), r
+    assert want_pruned, "fixture/threshold must actually exercise the prune path"
+
+
+def test_semantic_dedup_planted_duplicates_keep_first(spark):
+    """Identical vectors always share a cluster (identical assignment
+    input), so exactly the smallest id of each planted group survives —
+    regardless of what the trained quantizer looks like."""
+    from python_cdc_postgres_to_clickhouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # Plant: ids 100,101,102 duplicate row 0; ids 200,201 duplicate row 5.
+    for i in (100, 101, 102):
+        rows.append((i, base[0].tolist()))
+    for i in (200, 201):
+        rows.append((i, base[5].tolist()))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(df, threshold=0.9999, n_clusters=4, seed=1).collect()
+    }
+    assert out[0] and not (out[100] or out[101] or out[102])
+    assert out[5] and not (out[200] or out[201])
+    # Non-planted rows are all kept at a ~1.0 threshold.
+    assert all(out[i] for i in range(20))
+
+
+def test_semantic_dedup_deterministic_across_runs(spark):
+    from python_cdc_postgres_to_clickhouse_spark.queries.embeddings import (
+        x_semantic_dedup,
+    )
+
+    a = sorted(map(tuple, x_semantic_dedup(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, x_semantic_dedup(spark, SF_SMOKE).collect()))
+    assert a == b

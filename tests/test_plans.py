@@ -573,3 +573,12 @@ def test_weighted_quantiles_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     cols = set(P.read_schema_columns(df))
     assert cols <= {"l_returnflag", "l_extendedprice", "l_quantity"}, cols
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    """x_semantic_dedup: the pairing must be an equi-join on cluster_id —
+    never a cartesian product — and the prune join stays on vec_id."""
+    df = _q(spark, "x_semantic_dedup")
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "cluster_id" in plan, plan
