@@ -828,3 +828,30 @@ def x_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("freq").alias("min_freq"),
         )
     )
+
+
+BPE_MERGES = 16
+BPE_CAP = 5000
+
+
+@query("x_bpe_merges", tags=("ext", "text", "vocab", "iterative"))
+def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 endpoint: BPE tokenizer induction — the {BPE_MERGES}-row merge
+    table a byte-pair tokenizer would ship, trained on the corpus.
+
+    Corpus-scale work is ONE word-count aggregate (explode + partial-agg
+    hash aggregate — word-count shaped); the dictionary is capped to the
+    top-{BPE_CAP} words via TakeOrdered (bounded heap, no global sort) and
+    merge rounds run driver-side on that bounded dict — the IVF-trainer
+    split: model fitting on a bounded sample, never an iterative corpus
+    pass. Deterministic ties ⇒ stable output; iterative fitting ⇒
+    rows-only driver row, with a pure-python independent replay and a
+    hand-computed case in tests/test_corpusops.py."""
+    from ..operators.bpe import train_bpe
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(F.explode(TS.tokens()).alias("token"))
+    merges = train_bpe(toks, n_merges=BPE_MERGES, cap=BPE_CAP)
+    return spark.createDataFrame(
+        merges, "rank: int, left: string, right: string, pair_count: long"
+    ).orderBy("rank")

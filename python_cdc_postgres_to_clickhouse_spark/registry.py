@@ -178,6 +178,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_sequence_match",
     "a_weighted_quantiles",
     "x_semantic_dedup",
+    "x_bpe_merges",
 )
 
 

@@ -17,7 +17,7 @@ from python_cdc_postgres_to_clickhouse_spark.operators.sampling import assign_sp
 from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
 from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
 
-from .conftest import SF_ORACLE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 
 def _q(spark, name):
@@ -117,3 +117,69 @@ def test_vocab_ids_are_dense_and_rank_consistent(spark):
     assert ids == list(range(1, len(ids) + 1)), "vocab ids must be dense from 1"
     cnts = [(r["cnt"], r["token"]) for r in rows]
     assert cnts == sorted(cnts, key=lambda t: (-t[0], t[1])), "id order = (cnt desc, token)"
+
+
+# --------------------------------------------------------------------------
+# BPE merge induction (x_bpe_merges / operators.bpe)
+# --------------------------------------------------------------------------
+
+
+def test_bpe_classic_sennrich_example():
+    """The textbook dictionary: first merges must be (e,s), (es,t),
+    (est,</w>) at weight 9, with ties broken left-ascending."""
+    from python_cdc_postgres_to_clickhouse_spark.operators.bpe import bpe_merges_from_dict
+
+    d = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    got = bpe_merges_from_dict(d, 3)
+    assert got == [(0, "e", "s", 9), (1, "es", "t", 9), (2, "est", "</w>", 9)]
+
+
+def test_bpe_overlap_count_and_left_to_right_apply():
+    """"aaa" contributes (a,a) TWICE to the count, but applying the merge
+    rewrites left-to-right non-overlapping: aaa -> [aa, a]."""
+    from python_cdc_postgres_to_clickhouse_spark.operators.bpe import bpe_merges_from_dict
+
+    got = bpe_merges_from_dict([("aaa", 3)], 2)
+    assert got[0] == (0, "a", "a", 6)
+    # After the merge the word is [aa, a, </w>]: pairs (aa,a) and (a,</w>)
+    # tie at 3; 'a' < 'aa' so (a, </w>) wins.
+    assert got[1] == (1, "a", "</w>", 3)
+
+
+def test_bpe_stops_on_singleton_pairs():
+    from python_cdc_postgres_to_clickhouse_spark.operators.bpe import bpe_merges_from_dict
+
+    assert bpe_merges_from_dict([("ab", 1)], 5) == []
+
+
+def test_bpe_query_matches_duckdb_dict_replay(spark):
+    """The Spark word-count + cap must feed the same dictionary a DuckDB
+    tokenization produces; given that, the merge table is identical."""
+    import duckdb
+
+    from python_cdc_postgres_to_clickhouse_spark.operators.bpe import (
+        bpe_merges_from_dict,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.queries.corpusops import (
+        _SQL_TOKENS,
+        BPE_CAP,
+        BPE_MERGES,
+        x_bpe_merges,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    freqs = con.execute(
+        f"""
+        SELECT token, COUNT(*) AS n FROM (
+          SELECT unnest({_SQL_TOKENS}) AS token FROM documents) t
+        GROUP BY token ORDER BY n DESC, token LIMIT {BPE_CAP}
+        """
+    ).fetchall()
+    want = bpe_merges_from_dict([(w, n) for w, n in freqs], BPE_MERGES)
+    got = [tuple(r) for r in x_bpe_merges(spark, SF_SMOKE).collect()]
+    assert got == want
+    assert len(got) == BPE_MERGES
