@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections import Counter
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EOW = "</w>"
@@ -100,3 +100,47 @@ def train_bpe(
 ) -> list[tuple[int, str, str, int]]:
     """Corpus-scale word count -> capped dictionary -> driver BPE rounds."""
     return bpe_merges_from_dict(top_word_freqs(tokens, cap, token_col), n_merges)
+
+
+def encode_token_expr(token, merges: list):
+    """Column: token string -> array of BPE symbols after applying
+    ``merges`` in rank order — pure JVM string expressions, no UDF.
+
+    Representation: symbols joined by DOUBLE spaces, with leading/trailing
+    doubles ("  a  b  c  </w>  "). A merge (a, b) is one literal
+    ``replace(" a  b ", " ab ")``: the pattern consumes only the INNER
+    space of each double separator, so back-to-back occurrences keep a
+    spare space between them and plain left-to-right replace() reproduces
+    BPE's non-overlapping apply exactly ("a a a a" -> "aa aa", not
+    "aa a a"). Symbols never contain spaces (tokens are whitespace-split),
+    so no false boundary matches. k merges = k chained replaces in ONE
+    narrow whole-stage-codegen map — the encode pass over 100 TB is
+    shuffle-free with the few-KB merge table inlined as literals.
+    """
+    col = token if isinstance(token, Column) else F.col(token)
+    s = F.concat(
+        F.lit("  "), F.regexp_replace(col, "(.)", "$1  "), F.lit(EOW + "  ")
+    )
+    for _, left, right, _ in merges:
+        s = F.replace(
+            s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+        )
+    return F.filter(
+        F.split(F.trim(s), " +"), lambda x: x != F.lit("")
+    )
+
+
+def apply_merges_py(word: str, merges: list) -> list[str]:
+    """Pure-python replay of encode_token_expr (tests/oracles)."""
+    sym = list(word) + [EOW]
+    for _, left, right, _ in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym

@@ -855,3 +855,35 @@ def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank: int, left: string, right: string, pair_count: long"
     ).orderBy("rank")
+
+
+@query("x_bpe_encode", tags=("ext", "text", "vocab", "iterative"))
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 endpoint, part 2: ENCODE the corpus with the trained BPE merge
+    table — per document, the BPE token count next to the whitespace token
+    count, plus an md5 over the full symbol stream (keeps the row narrow
+    while hashing every symbol).
+
+    The merge table is trained once (see x_bpe_merges: one corpus-scale
+    word count + bounded driver rounds) and inlined as LITERALS into the
+    encode expression — {BPE_MERGES} chained literal replace()s inside one
+    narrow whole-stage-codegen map over the token array (operators/bpe.py
+    encode_token_expr, the double-separator trick). The encode pass is
+    shuffle-FREE: at 100 TB it is a pure map stage, exactly how you want
+    to tokenize a corpus. Driver-trained model ⇒ rows-only driver row;
+    encode-vs-python-replay parity is pinned in tests/test_corpusops.py."""
+    from ..operators.bpe import encode_token_expr, train_bpe
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(F.explode(TS.tokens()).alias("token"))
+    merges = train_bpe(toks, n_merges=BPE_MERGES, cap=BPE_CAP)
+    docs = t["documents"].select("doc_id", TS.tokens().alias("t"))
+    sym = F.flatten(
+        F.transform("t", lambda tok: encode_token_expr(tok, merges))
+    )
+    return docs.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_ws_tokens"),
+        F.size(sym).cast("long").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws(" ", sym)).alias("enc_md5"),
+    )

@@ -179,6 +179,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "a_weighted_quantiles",
     "x_semantic_dedup",
     "x_bpe_merges",
+    "x_bpe_encode",
 )
 
 

@@ -183,3 +183,54 @@ def test_bpe_query_matches_duckdb_dict_replay(spark):
     got = [tuple(r) for r in x_bpe_merges(spark, SF_SMOKE).collect()]
     assert got == want
     assert len(got) == BPE_MERGES
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    """Every document's symbol stream from the chained-replace encode must
+    equal the pure-python per-word merge apply."""
+    import hashlib
+
+    import duckdb
+
+    from python_cdc_postgres_to_clickhouse_spark.operators.bpe import (
+        apply_merges_py,
+        bpe_merges_from_dict,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.queries.corpusops import (
+        _SQL_TOKENS,
+        BPE_CAP,
+        BPE_MERGES,
+        x_bpe_encode,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    freqs = con.execute(
+        f"""SELECT token, COUNT(*) AS n FROM (
+              SELECT unnest({_SQL_TOKENS}) AS token FROM documents) t
+            GROUP BY token ORDER BY n DESC, token LIMIT {BPE_CAP}"""
+    ).fetchall()
+    merges = bpe_merges_from_dict(list(freqs), BPE_MERGES)
+    doc_toks = con.execute(
+        f"SELECT doc_id, {_SQL_TOKENS} AS t FROM documents"
+    ).fetchall()
+    want = {}
+    for doc_id, toks in doc_toks:
+        syms = [s for w in toks for s in apply_merges_py(w, merges)]
+        want[doc_id] = (
+            len(toks),
+            len(syms),
+            hashlib.md5(" ".join(syms).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"], r["enc_md5"])
+        for r in x_bpe_encode(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # Compression must actually happen: merges shorten the symbol stream
+    # vs chars+EOW.
+    n_chars = sum(sum(len(w) + 1 for w in toks) for _, toks in doc_toks)
+    assert sum(v[1] for v in got.values()) < n_chars

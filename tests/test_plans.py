@@ -582,3 +582,14 @@ def test_semantic_dedup_pairs_within_cluster_only(spark):
     plan = P.physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "cluster_id" in plan, plan
+
+
+def test_bpe_encode_is_shuffle_free_map(spark):
+    """x_bpe_encode's returned plan must be a pure narrow map over the
+    documents scan — the merge table is inlined as literals, so encoding
+    adds NO exchange (training runs separately, bounded)."""
+    df = _q(spark, "x_bpe_encode")
+    plan = P.physical_plan(df)
+    assert "Exchange" not in plan, plan
+    cols = set(P.read_schema_columns(df))
+    assert "doc_id" in cols
