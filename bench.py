@@ -85,6 +85,13 @@ HEADLINE = [
     "x_doc_rarity",            # corpus term-frequency postings join
     "j_interval_overlap",      # bucket-blocked interval overlap self-join
     "x_sequence_count",        # greedy A->B pairing, closed-form window
+    # Added round 5, third session (earlier entries unchanged —
+    # like-for-like holds).
+    "a_map_combinators",       # sumMap/minMap/maxMap, one shared explode
+    "x_sequence_match",        # subsequence patterns, shared linear fold
+    "a_weighted_quantiles",    # exact weighted p50/p90, one exchange
+    "x_semantic_dedup",        # SemDeDup cluster-bucketed embedding prune
+    "x_bpe_encode",            # BPE train + shuffle-free corpus encode
 ]
 
 

@@ -378,3 +378,48 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_concurrent"
         ),
     )
+
+
+@query(
+    "j_asof_forward_tolerance",
+    oracle="""
+    SELECT event_id, user_id,
+           (SELECT min(p.ts) FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+               AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE) AS asof_ts
+    FROM events e
+    WHERE e.event_type = 'click'
+    """,
+    tags=("join", "asof"),
+)
+def j_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction with a tolerance band: each click
+    paired with the user's next purchase within 30 minutes (NULL when none
+    follows in the band) — the attribution-window join.
+
+    Exercises operators/asof.asof_join_composed(direction='forward',
+    tolerance_us=...): the pandas merge_asof surface (direction +
+    tolerance) expressed as a pure-JVM range join. The tolerance is not
+    just semantics — it BOUNDS the range-join amplification to the rows
+    inside the band (compare j_asof_latest_event, whose unbounded ≤ side
+    grows with history), which is what keeps the composed plan viable at
+    100 TB; the shuffle stays keyed on user_id.
+    """
+    from ..operators.asof import asof_join_composed
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join_composed(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="forward",
+        tolerance_us=30 * 60 * 1_000_000,
+    )
+    return out.select("event_id", "user_id", "asof_ts")

@@ -180,6 +180,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_semantic_dedup",
     "x_bpe_merges",
     "x_bpe_encode",
+    "j_asof_forward_tolerance",
 )
 
 

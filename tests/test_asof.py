@@ -65,3 +65,72 @@ def test_asof_pandas_carries_right_payload(spark):
         key = (r["user_id"], r["asof_ts"], r["asof_o_orderkey"])
         assert key in od
         assert od[key] == r["asof_o_totalprice"]
+
+
+def _event_frames(spark):
+    t = load_tables(spark, SF_ORACLE)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return clicks, purchases
+
+
+def test_asof_forward_tolerance_implementations_agree(spark):
+    clicks, purchases = _event_frames(spark)
+    kw = dict(direction="forward", tolerance_us=30 * 60 * 1_000_000)
+    composed = {
+        r["event_id"]: r["asof_ts"]
+        for r in asof_join_composed(
+            clicks, purchases, "user_id", "ts", "ts", **kw
+        ).collect()
+    }
+    cogrouped = {
+        r["event_id"]: r["asof_ts"]
+        for r in asof_join_pandas(
+            clicks, purchases, "user_id", "ts", "ts", **kw
+        ).collect()
+    }
+    assert composed == cogrouped
+    matched = [v for v in composed.values() if v is not None]
+    assert matched and len(matched) < len(composed), (
+        "tolerance band must both match and miss at this sf"
+    )
+
+
+def test_asof_tolerance_is_a_band_not_a_hint(spark):
+    """Every forward match must fall inside [ts, ts + tol]; shrinking the
+    band can only null-out or keep each match, never change it to an
+    earlier one (min is monotone in the band)."""
+    clicks, purchases = _event_frames(spark)
+    wide = {
+        r["event_id"]: (r["ts"], r["asof_ts"])
+        for r in asof_join_composed(
+            clicks, purchases, "user_id", "ts", "ts",
+            direction="forward", tolerance_us=30 * 60 * 1_000_000,
+        ).collect()
+    }
+    for ts, m in wide.values():
+        if m is not None:
+            delta = (m - ts).total_seconds()
+            assert 0 <= delta <= 1800, (ts, m)
+    narrow = {
+        r["event_id"]: r["asof_ts"]
+        for r in asof_join_composed(
+            clicks, purchases, "user_id", "ts", "ts",
+            direction="forward", tolerance_us=5 * 60 * 1_000_000,
+        ).collect()
+    }
+    for eid, m in narrow.items():
+        assert m is None or m == wide[eid][1]
+
+
+def test_asof_rejects_bad_direction(spark):
+    clicks, purchases = _event_frames(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join_composed(clicks, purchases, "user_id", "ts", "ts", direction="nearest")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join_pandas(clicks, purchases, "user_id", "ts", "ts", direction="nearest")
