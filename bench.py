@@ -92,6 +92,11 @@ HEADLINE = [
     "a_weighted_quantiles",    # exact weighted p50/p90, one exchange
     "x_semantic_dedup",        # SemDeDup cluster-bucketed embedding prune
     "x_bpe_encode",            # BPE train + shuffle-free corpus encode
+    # Added round 5, fourth session (earlier entries unchanged —
+    # like-for-like holds).
+    "x_keyword_bm25",          # BM25 retrieval, one probe-filtered explode
+    "x_embedding_quantize",    # int8 quantize, shuffle-free map
+    "x_retention_flags",       # retention() flags, one user_id aggregate
 ]
 
 

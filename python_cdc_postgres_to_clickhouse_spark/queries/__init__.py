@@ -24,3 +24,4 @@ from . import behavior  # noqa: F401
 from . import recursive  # noqa: F401
 from . import mergetree  # noqa: F401
 from . import cdc_history  # noqa: F401
+from . import retrieval  # noqa: F401

@@ -757,3 +757,82 @@ def x_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.pattern", "r.n_matched")
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse retention(cond1, ..., condN): per-user condition flags where
+# flag k (k > 1) counts only when cond1 also held, then summed over users.
+# Completes the behavioral-aggregate trio next to windowFunnel and
+# sequenceMatch above. Conditions here are weekly activity windows — the
+# canonical retention() example shape.
+# ---------------------------------------------------------------------------
+
+RETENTION_WEEKS = (
+    ("2024-01-01", "2024-01-08"),
+    ("2024-01-08", "2024-01-15"),
+    ("2024-01-15", "2024-01-22"),
+    ("2024-01-22", "2024-01-29"),
+)
+
+RETENTION_FLAGS_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         {", ".join(
+             f"MAX(CASE WHEN ts >= TIMESTAMP '{lo} 00:00:00'"
+             f" AND ts < TIMESTAMP '{hi} 00:00:00' THEN 1 ELSE 0 END) AS c{i + 1}"
+             for i, (lo, hi) in enumerate(RETENTION_WEEKS)
+         )}
+  FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(c1) AS BIGINT) AS r1,
+       {", ".join(
+           f"CAST(SUM(c1 * c{k}) AS BIGINT) AS r{k}"
+           for k in range(2, len(RETENTION_WEEKS) + 1)
+       )},
+       {", ".join(
+           f"CAST(SUM(c1 * c{k}) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS ratio{k}"
+           for k in range(2, len(RETENTION_WEEKS) + 1)
+       )}
+FROM per_user
+"""
+
+
+@query("x_retention_flags", oracle=RETENTION_FLAGS_SQL, tags=("behavior", "mergetree"))
+def x_retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention(cond1..cond4)`` analog: per-user boolean
+    flags for four weekly activity windows, where flag k (k>1) counts only
+    if the user also satisfied cond1, summed over users — week-over-week
+    retention counts plus ratios off one aggregate.
+
+    Scale shape: ONE hash aggregate on ``user_id`` with map-side partials
+    (each partial is 4 bits per user — conditional MAX combines
+    associatively, exactly the ClickHouse retention() combinator state),
+    then a 1-row final aggregate. No joins, no windows, no second pass —
+    per-user state is constant-size regardless of event count, so the
+    shuffle carries |users| 4-flag rows at any corpus size. The weekly
+    predicates fold to timestamp-range filters evaluated in the scan
+    stage. Float determinism: ratios are single fixed-order divisions of
+    exact integer counts."""
+    t = load_tables(spark, sf_dir)
+    conds = [
+        F.max(
+            F.when(
+                (F.col("ts") >= F.lit(f"{lo} 00:00:00").cast("timestamp"))
+                & (F.col("ts") < F.lit(f"{hi} 00:00:00").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias(f"c{i + 1}")
+        for i, (lo, hi) in enumerate(RETENTION_WEEKS)
+    ]
+    per_user = t["events"].groupBy("user_id").agg(*conds)
+    n = len(RETENTION_WEEKS)
+    aggs = [F.sum("c1").cast("long").alias("r1")] + [
+        F.sum(F.col("c1") * F.col(f"c{k}")).cast("long").alias(f"r{k}")
+        for k in range(2, n + 1)
+    ]
+    out = per_user.agg(*aggs)
+    ratios = [
+        (F.col(f"r{k}").cast("double") / F.col("r1").cast("double")).alias(f"ratio{k}")
+        for k in range(2, n + 1)
+    ]
+    return out.select("r1", *[f"r{k}" for k in range(2, n + 1)], *ratios)

@@ -181,6 +181,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_bpe_merges",
     "x_bpe_encode",
     "j_asof_forward_tolerance",
+    # Round-5 fourth-session additions (oracle-checked locally on every
+    # test run; same round-7 lead commitment as the names above).
+    "x_keyword_bm25",
+    "x_embedding_quantize",
+    "x_retention_flags",
 )
 
 

@@ -593,3 +593,42 @@ def test_bpe_encode_is_shuffle_free_map(spark):
     assert "Exchange" not in plan, plan
     cols = set(P.read_schema_columns(df))
     assert "doc_id" in cols
+
+
+def test_keyword_bm25_no_corpus_join_and_topk(spark):
+    """x_keyword_bm25: document length rides the explode (no sort-merge
+    join back to the corpus), df/total stats broadcast onto the tf table,
+    and top-k is TakeOrdered — never a global sort."""
+    df = _q(spark, "x_keyword_bm25")
+    plan = P.physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # The df-stats side re-derives the tf subtree (same shape, plan-identical)
+    # — AQE must reuse ONE tf exchange at runtime, so the corpus is exploded
+    # exactly once (the x_pmi_pairs pattern: assert on the final plan).
+    df.collect()
+    final = P.physical_plan(df)
+    assert "ReusedExchange" in final, final
+
+
+def test_embedding_quantize_is_shuffle_free_map(spark):
+    """x_embedding_quantize is a pure narrow map over the embeddings scan —
+    a 100 TB re-encode pass must add NO exchange."""
+    df = _q(spark, "x_embedding_quantize")
+    plan = P.physical_plan(df)
+    assert "Exchange" not in plan, plan
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"vec_id", "embedding"}, cols
+
+
+def test_retention_flags_single_user_exchange(spark):
+    """x_retention_flags: one hash exchange on user_id (partial 4-flag
+    aggregates combine map-side), then a 1-row final aggregate — no joins,
+    no windows."""
+    df = _q(spark, "x_retention_flags")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert P.has_partial_aggregate(df), plan
