@@ -97,6 +97,7 @@ HEADLINE = [
     "x_keyword_bm25",          # BM25 retrieval, one probe-filtered explode
     "x_embedding_quantize",    # int8 quantize, shuffle-free map
     "x_retention_flags",       # retention() flags, one user_id aggregate
+    "x_ivfpq_topk",            # IVF-PQ ANN: cell probe + residual ADC
 ]
 
 

@@ -186,6 +186,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_keyword_bm25",
     "x_embedding_quantize",
     "x_retention_flags",
+    "x_ivfpq_topk",
 )
 
 

@@ -487,3 +487,15 @@ def test_semantic_dedup_deterministic_across_runs(spark):
     a = sorted(map(tuple, x_semantic_dedup(spark, SF_SMOKE).collect()))
     b = sorted(map(tuple, x_semantic_dedup(spark, SF_SMOKE).collect()))
     assert a == b
+
+
+def test_ivfpq_declared_query_finds_self_at_rank1(spark):
+    """The declared x_ivfpq_topk row: every query (a corpus member) must
+    retrieve ITSELF at rank 1 — its own cell is always its nearest probe
+    and its ADC self-distance is the minimal quantization error."""
+    from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
+
+    df = all_queries()["x_ivfpq_topk"].fn(spark, "/root/testdata/sf0.001")
+    top1 = {r["query_id"]: r["neighbor_id"] for r in df.filter("rank = 1").collect()}
+    assert top1, "no results"
+    assert all(q == n for q, n in top1.items()), top1
