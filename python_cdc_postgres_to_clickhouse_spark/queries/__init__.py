@@ -25,3 +25,4 @@ from . import recursive  # noqa: F401
 from . import mergetree  # noqa: F401
 from . import cdc_history  # noqa: F401
 from . import retrieval  # noqa: F401
+from . import chfuncs  # noqa: F401

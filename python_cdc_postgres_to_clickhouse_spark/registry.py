@@ -187,6 +187,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_embedding_quantize",
     "x_retention_flags",
     "x_ivfpq_topk",
+    # Round-5 fifth-session additions: ClickHouse function analogs
+    # (exponentialMovingAverage, largestTriangleThreeBuckets,
+    # dictGetOrDefault, multiSearch*) — same round-7 lead commitment.
+    "x_ewma_trailing",
+    "x_lttb_downsample",
+    "x_dict_enrich",
+    "c_multi_search",
 )
 
 
