@@ -98,6 +98,12 @@ HEADLINE = [
     "x_embedding_quantize",    # int8 quantize, shuffle-free map
     "x_retention_flags",       # retention() flags, one user_id aggregate
     "x_ivfpq_topk",            # IVF-PQ ANN: cell probe + residual ADC
+    # Added round 5, fifth session (earlier entries unchanged —
+    # like-for-like holds).
+    "x_ewma_trailing",         # trailing EWMA, unrolled lags, one exchange
+    "x_lttb_downsample",       # LTTB downsample, broadcast anchor summary
+    "x_dict_enrich",           # dictGet broadcast enrichment, no fact shuffle
+    "c_multi_search",          # multiSearch scalars, zero exchanges
 ]
 
 

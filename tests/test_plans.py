@@ -632,3 +632,52 @@ def test_retention_flags_single_user_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
     assert P.has_partial_aggregate(df), plan
+
+
+def test_ewma_trailing_single_user_exchange(spark):
+    """x_ewma_trailing: the unrolled-lag window, the latest-row ranking, and
+    the per-user count all ride ONE user_id hash exchange — no join, no
+    second shuffle, and the scan reads only the four projected columns."""
+    df = _q(spark, "x_ewma_trailing")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"user_id", "ts", "event_id", "value"}, cols
+
+
+def test_lttb_broadcasts_anchor_summary_onto_points(spark):
+    """x_lttb_downsample: the per-(series, day) anchor summary (KB-sized at
+    any corpus size) broadcasts back onto the points — the point set itself
+    is never sort-merge joined, and the full-data exchanges are the summary
+    aggregate plus the per-bucket argmax window."""
+    df = _q(spark, "x_lttb_downsample")
+    plan = P.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert join not in plan, plan
+    assert P.has_partial_aggregate(df), plan
+
+
+def test_dict_enrich_never_shuffles_facts(spark):
+    """x_dict_enrich: both the dict build (customer⋈nation) and the lookup
+    (events⋈dict) are broadcast hash joins, so the fact table reaches the
+    rollup without a join shuffle; the events scan is pruned to two
+    columns."""
+    df = _q(spark, "x_dict_enrich")
+    plan = P.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert join not in plan, plan
+    cols = P.read_schema_columns(df)
+    assert {"user_id", "value"} <= set(cols), cols
+    assert "props" not in cols and "event_type" not in cols, cols
+
+
+def test_multi_search_is_scan_plus_projection(spark):
+    """c_multi_search: k instr probes are pure whole-stage-codegen scalars —
+    no hash exchange, no join, no aggregate anywhere in the plan."""
+    df = _q(spark, "c_multi_search")
+    plan = P.physical_plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan and "Aggregate" not in plan, plan
