@@ -1,0 +1,859 @@
+"""ClickHouse SQL dialect shim: run the reference warehouse's queries here.
+
+The reference pipeline (main.py:1-58) delivers CDC rows into ClickHouse and
+its users query that warehouse in ClickHouse SQL. ``translate()`` rewrites
+the practical subset of that dialect — camelCase functions, parametric
+aggregates (``quantile(0.9)(x)``), ``-If`` combinators, ``PREWHERE``,
+``FINAL``, ``ARRAY JOIN``, ``SETTINGS``/``FORMAT`` clauses — into Spark SQL,
+and ``clickhouse_sql()`` executes the result against the engine's tables, so
+existing dashboards port by string substitution instead of a rewrite.
+
+Design: a token-level source-to-source pass, not a full parser. SQL clause
+structure (SELECT/FROM/GROUP BY/CTEs/subqueries/window specs) is shared
+between the dialects and passes through untouched; what differs is function
+vocabulary and a handful of CH-only clauses, which are local token patterns:
+
+- function calls rewrite recursively (name rules + arg-order swaps +
+  templates), including parametric aggregates' double arg lists;
+- ``fooIf(args, cond)`` combinators become ``foo(args) FILTER (WHERE cond)``
+  (the ANSI form Spark executes natively);
+- ``PREWHERE`` merges into ``WHERE`` with explicit parens (in ClickHouse it
+  is an IO-ordering hint; Spark's parquet pushdown already does that job);
+- ``ARRAY JOIN expr AS alias`` becomes ``LATERAL VIEW explode(...)``;
+- ``FINAL`` drops: the engine's tables are materialized latest-state
+  (streaming/upsert_sink.py is the ReplacingMergeTree+FINAL equivalent);
+- ``SETTINGS``/``FORMAT`` drop (engine/wire concerns, not semantics).
+
+Constructs with no faithful SQL-level mapping raise ``DialectError`` naming
+the engine's native equivalent (``LIMIT n BY`` -> WindowGroupLimit pattern,
+``topK`` -> x_heavy_hitters, ``windowFunnel`` -> x_window_funnel, sumMap ->
+operators/mapagg.py, ASOF JOIN -> operators/asof.py, ``-State/-Merge`` ->
+queries/sketches.py where partial aggregation IS the sketch merge) — a
+loud pointer beats a silent wrong answer.
+
+Documented semantic divergences (value-level, not shape-level):
+- ``cityHash64``/``sipHash64`` map to ``xxhash64``: same role (stable
+  64-bit hash), different values — fine for bucketing/sampling keys, not
+  for cross-system hash equality.
+- ``quantileExact`` maps to ``percentile`` (Spark interpolates between
+  order statistics; CH picks one) — ranks differ by at most one element.
+- ``toStartOfWeek`` ignores the CH ``mode`` argument (Spark weeks start
+  Monday).
+- ``anyLast``/``any`` keep their "some value" contract; which value is
+  engine-dependent in both systems.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Sequence
+
+__all__ = ["DialectError", "translate", "clickhouse_sql"]
+
+
+class DialectError(ValueError):
+    """A ClickHouse construct with no faithful SQL-level translation."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+    | (?P<str>'(?:[^'\\]|\\.|'')*')
+    | (?P<qid>`[^`]*`|"[^"]*")
+    | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+    | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>->|<=|>=|!=|<>|==|\|\|)
+    | (?P<p>.)
+    """,
+    re.X | re.S,
+)
+
+
+def _tokenize(sql: str) -> list[str]:
+    out: list[str] = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(sql):
+        if m.start() != pos:  # pragma: no cover - regex is total
+            raise DialectError(f"cannot tokenize at {sql[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.lastgroup != "ws":
+            out.append(m.group())
+    return out
+
+
+def _is_ident(tok: str) -> bool:
+    return bool(re.match(r"[A-Za-z_`\"]", tok))
+
+
+def _u(tok: str) -> str:
+    return tok.upper()
+
+
+def _is_str_lit(tok: str) -> bool:
+    return tok.startswith("'")
+
+
+def _unquote(tok: str) -> str:
+    return tok[1:-1].replace("''", "'").replace("\\'", "'")
+
+
+# ---------------------------------------------------------------------------
+# Clause-level passes (list surgery before the function pass)
+# ---------------------------------------------------------------------------
+
+_CLAUSE_ENDERS = {
+    "GROUP", "ORDER", "LIMIT", "HAVING", "WINDOW", "UNION", "EXCEPT",
+    "INTERSECT", "SETTINGS", "FORMAT",
+}
+_JOIN_KINDS = {"INNER", "LEFT", "RIGHT", "FULL", "OUTER", "SEMI", "ANTI", "CROSS"}
+
+
+def _strip_format_settings(toks: list[str]) -> list[str]:
+    out: list[str] = []
+    depth = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if _u(t) == "SETTINGS":
+            d = depth
+            i += 1
+            while i < len(toks):
+                if toks[i] == "(":
+                    depth += 1
+                elif toks[i] == ")":
+                    depth -= 1
+                    if depth < d:
+                        out.append(")")
+                        i += 1
+                        break
+                elif _u(toks[i]) == "FORMAT" and depth == d:
+                    break
+                i += 1
+            continue
+        if _u(t) == "FORMAT" and i + 1 < len(toks) and _is_ident(toks[i + 1]):
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _strip_final_and_join_mods(toks: list[str]) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t, u = toks[i], _u(toks[i])
+        if u == "FINAL" and out and out[-1] != "." and (
+            (_is_ident(out[-1]) and _u(out[-1]) not in _KEYWORDS_NOT_CALLS)
+            or out[-1] == ")"
+        ):
+            i += 1
+            continue
+        if u in ("ANY", "GLOBAL", "ALL", "ASOF"):
+            j = i + 1
+            while j < len(toks) and _u(toks[j]) in _JOIN_KINDS:
+                j += 1
+            if j < len(toks) and _u(toks[j]) == "JOIN":
+                if u == "ASOF":
+                    raise DialectError(
+                        "ASOF JOIN has no SQL-level mapping here — use "
+                        "operators/asof.py (asof_join: composition or "
+                        "cogrouped merge_asof, direction + tolerance)"
+                    )
+                i += 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _reject_limit_by(toks: list[str]) -> None:
+    depth = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif _u(t) == "LIMIT":
+            d = depth
+            j = i + 1
+            while j < len(toks) and depth >= d:
+                tj = toks[j]
+                if tj == "(":
+                    depth += 1
+                elif tj == ")":
+                    depth -= 1
+                    if depth < d:
+                        break
+                elif depth == d:
+                    uj = _u(tj)
+                    if uj == "BY":
+                        raise DialectError(
+                            "LIMIT n BY has no direct Spark SQL clause — "
+                            "use the row_number()<=n window pattern "
+                            "(WindowGroupLimit pushes the heap into the "
+                            "shuffle; see w_topk_per_group)"
+                        )
+                    if uj in _CLAUSE_ENDERS or uj == "SELECT":
+                        break
+                j += 1
+            depth = d
+        i += 1
+
+
+def _merge_prewhere(toks: list[str]) -> list[str]:
+    """``PREWHERE a [WHERE b]`` -> ``WHERE (a) AND (b)`` per scope."""
+    i = 0
+    while i < len(toks):
+        if _u(toks[i]) != "PREWHERE":
+            i += 1
+            continue
+        depth = 0
+        j = i + 1
+        where_at = end_at = None
+        while j < len(toks):
+            t = toks[j]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    end_at = j
+                    break
+                depth -= 1
+            elif depth == 0:
+                u = _u(t)
+                if u == "WHERE":
+                    where_at = j
+                    break
+                if u in _CLAUSE_ENDERS:
+                    end_at = j
+                    break
+            j += 1
+        if where_at is not None:
+            # find end of the WHERE clause
+            depth = 0
+            k = where_at + 1
+            wend = len(toks)
+            while k < len(toks):
+                t = toks[k]
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    if depth == 0:
+                        wend = k
+                        break
+                    depth -= 1
+                elif depth == 0 and _u(t) in _CLAUSE_ENDERS:
+                    wend = k
+                    break
+                k += 1
+            pre = toks[i + 1:where_at]
+            cond = toks[where_at + 1:wend]
+            toks = (
+                toks[:i]
+                + ["WHERE", "(", *pre, ")", "AND", "(", *cond, ")"]
+                + toks[wend:]
+            )
+        else:
+            wend = end_at if end_at is not None else len(toks)
+            pre = toks[i + 1:wend]
+            toks = toks[:i] + ["WHERE", "(", *pre, ")"] + toks[wend:]
+        i += 1
+    return toks
+
+
+_AJ_COUNT = [0]
+
+
+def _rewrite_array_join(toks: list[str]) -> list[str]:
+    """``[LEFT] ARRAY JOIN expr AS alias`` -> ``LATERAL VIEW [OUTER]
+    explode(expr) _aj AS alias``."""
+    i = 0
+    while i < len(toks):
+        if _u(toks[i]) == "ARRAY" and i + 1 < len(toks) and _u(toks[i + 1]) == "JOIN":
+            left = i > 0 and _u(toks[i - 1]) == "LEFT"
+            start = i - 1 if left else i
+            depth = 0
+            j = i + 2
+            as_at = None
+            while j < len(toks):
+                t = toks[j]
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0:
+                    u = _u(t)
+                    if u == "AS":
+                        as_at = j
+                        break
+                    if u in _CLAUSE_ENDERS or u == "WHERE":
+                        break
+                j += 1
+            if as_at is None or as_at + 1 >= len(toks) or not _is_ident(toks[as_at + 1]):
+                raise DialectError(
+                    "ARRAY JOIN requires the `ARRAY JOIN <expr> AS <alias>` "
+                    "form here (multi-array and implicit-alias variants: "
+                    "use explicit LATERAL VIEW explode / arrays_zip)"
+                )
+            expr = toks[i + 2:as_at]
+            alias = toks[as_at + 1]
+            _AJ_COUNT[0] += 1
+            repl = ["LATERAL", "VIEW"]
+            if left:
+                repl.append("OUTER")
+            repl += ["explode", "(", *expr, ")", f"_aj{_AJ_COUNT[0]}", "AS", alias]
+            toks = toks[:start] + repl + toks[as_at + 2:]
+            i = start + len(repl)
+            continue
+        i += 1
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Function rules
+# ---------------------------------------------------------------------------
+
+def _fn(name: str) -> Callable[[list[str]], str]:
+    return lambda a: f"{name}({', '.join(a)})"
+
+
+def _swap(name: str) -> Callable[[list[str]], str]:
+    return lambda a: f"{name}({', '.join(reversed(a))})"
+
+
+def _tpl(fmt: str) -> Callable[[list[str]], str]:
+    return lambda a: fmt.format(*a)
+
+
+def _trunc(unit: str) -> Callable[[list[str]], str]:
+    return lambda a: f"date_trunc('{unit}', {a[0]})"
+
+
+def _cast(sql_type: str) -> Callable[[list[str]], str]:
+    return lambda a: f"cast({a[0]} as {sql_type})"
+
+
+def _try_cast(sql_type: str) -> Callable[[list[str]], str]:
+    return lambda a: f"try_cast({a[0]} as {sql_type})"
+
+
+def _time_floor(seconds: int) -> Callable[[list[str]], str]:
+    return lambda a: (
+        f"timestamp_seconds(floor(unix_timestamp({a[0]}) / {seconds}) * {seconds})"
+    )
+
+
+def _timestampadd(unit: str) -> Callable[[list[str]], str]:
+    return lambda a: f"timestampadd({unit}, {a[1]}, {a[0]})"
+
+
+def _date_diff(a: list[str]) -> str:
+    if not _is_str_lit(a[0]):
+        raise DialectError("dateDiff requires a literal unit")
+    return f"timestampdiff({_unquote(a[0]).upper()}, {a[1]}, {a[2]})"
+
+
+_FMT_MAP = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
+    ("%I", "hh"), ("%M", "mm"), ("%S", "ss"), ("%F", "yyyy-MM-dd"),
+    ("%T", "HH:mm:ss"), ("%e", "d"), ("%j", "DDD"), ("%p", "a"), ("%%", "%"),
+]
+
+
+def _format_datetime(a: list[str]) -> str:
+    if not _is_str_lit(a[1]):
+        raise DialectError("formatDateTime requires a literal format string")
+    fmt = _unquote(a[1])
+    out = fmt
+    for ch, sp in _FMT_MAP:
+        out = out.replace(ch, sp)
+    if "%" in out:
+        raise DialectError(f"formatDateTime: unsupported specifier in {fmt!r}")
+    return f"date_format({a[0]}, '{out}')"
+
+
+def _split_by_char(a: list[str]) -> str:
+    if not _is_str_lit(a[0]):
+        raise DialectError("splitByChar/splitByString require a literal separator")
+    sep = re.escape(_unquote(a[0])).replace("'", "''")
+    return f"split({a[1]}, '{sep}')"
+
+
+def _extract(a: list[str]) -> str:
+    # CH extract(haystack, 'regex'); the ANSI EXTRACT(field FROM ts) form
+    # arrives as one arg containing FROM and passes through untouched.
+    if len(a) != 2 or not _is_str_lit(a[1]):
+        return f"extract({', '.join(a)})"
+    idx = 1 if "(" in a[1] else 0
+    return f"regexp_extract({a[0]}, {a[1]}, {idx})"
+
+
+def _replace_regexp_all(a: list[str]) -> str:
+    rep = a[2]
+    if _is_str_lit(rep):
+        rep = "'" + re.sub(r"\\(\d)", r"$\1", _unquote(rep)).replace("'", "''") + "'"
+    return f"regexp_replace({a[0]}, {a[1]}, {rep})"
+
+
+def _json_path(a1: str) -> str:
+    if not _is_str_lit(a1):
+        raise DialectError("JSON extraction requires a literal key")
+    return f"'$.{_unquote(a1)}'"
+
+
+def _multi_if(a: list[str]) -> str:
+    if len(a) % 2 == 0 or len(a) < 3:
+        raise DialectError("multiIf needs cond,val pairs plus an else")
+    parts = ["CASE"]
+    for i in range(0, len(a) - 1, 2):
+        parts.append(f"WHEN {a[i]} THEN {a[i + 1]}")
+    parts.append(f"ELSE {a[-1]} END")
+    return " ".join(parts)
+
+
+def _count(a: list[str]) -> str:
+    return f"count({', '.join(a)})" if a else "count(*)"
+
+
+def _array_slice(a: list[str]) -> str:
+    if len(a) == 3:
+        return f"slice({a[0]}, {a[1]}, {a[2]})"
+    return f"slice({a[0]}, {a[1]}, size({a[0]}))"
+
+
+def _range(a: list[str]) -> str:
+    if len(a) == 1:
+        return f"sequence(0, {a[0]} - 1)"
+    return f"sequence({a[0]}, {a[1]} - 1)"
+
+
+RULES: dict[str, Callable[[list[str]], str]] = {
+    # -- date/time ---------------------------------------------------------
+    "toDate": _fn("to_date"),
+    "toDate32": _fn("to_date"),
+    "toDateTime": _fn("to_timestamp"),
+    "toDateTime64": lambda a: f"to_timestamp({a[0]})",
+    "toStartOfYear": _trunc("year"),
+    "toStartOfQuarter": _trunc("quarter"),
+    "toStartOfMonth": _trunc("month"),
+    "toStartOfWeek": lambda a: f"date_trunc('week', {a[0]})",  # mode ignored
+    "toMonday": _tpl("to_date(date_trunc('week', {0}))"),
+    "toStartOfDay": _trunc("day"),
+    "toStartOfHour": _trunc("hour"),
+    "toStartOfMinute": _trunc("minute"),
+    "toStartOfFiveMinutes": _time_floor(300),
+    "toStartOfTenMinutes": _time_floor(600),
+    "toStartOfFifteenMinutes": _time_floor(900),
+    "toYear": _fn("year"),
+    "toQuarter": _fn("quarter"),
+    "toMonth": _fn("month"),
+    "toDayOfMonth": _fn("day"),
+    "toDayOfYear": _fn("dayofyear"),
+    "toDayOfWeek": _tpl("(((dayofweek({0}) + 5) % 7) + 1)"),  # Monday=1
+    "toHour": _fn("hour"),
+    "toMinute": _fn("minute"),
+    "toSecond": _fn("second"),
+    "toYYYYMM": _tpl("cast(date_format({0}, 'yyyyMM') as int)"),
+    "toYYYYMMDD": _tpl("cast(date_format({0}, 'yyyyMMdd') as int)"),
+    "toUnixTimestamp": _fn("unix_timestamp"),
+    "fromUnixTimestamp": _fn("from_unixtime"),
+    "now": _fn("now"),
+    "today": lambda a: "current_date()",
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
+    "addYears": _timestampadd("YEAR"),
+    "addMonths": _fn("add_months"),
+    "addWeeks": _timestampadd("WEEK"),
+    "addDays": _fn("date_add"),
+    "addHours": _timestampadd("HOUR"),
+    "addMinutes": _timestampadd("MINUTE"),
+    "addSeconds": _timestampadd("SECOND"),
+    "subtractDays": _fn("date_sub"),
+    "dateDiff": _date_diff,
+    "date_diff": _date_diff,
+    "formatDateTime": _format_datetime,
+    # -- type conversions --------------------------------------------------
+    "toInt8": _cast("int"), "toInt16": _cast("int"), "toInt32": _cast("int"),
+    "toInt64": _cast("bigint"),
+    "toUInt8": _cast("int"), "toUInt16": _cast("int"), "toUInt32": _cast("bigint"),
+    "toUInt64": _cast("bigint"),
+    "toFloat32": _cast("float"), "toFloat64": _cast("double"),
+    "toString": _cast("string"),
+    "toBool": _cast("boolean"),
+    "toInt64OrNull": _try_cast("bigint"), "toInt32OrNull": _try_cast("int"),
+    "toFloat64OrNull": _try_cast("double"),
+    "toDecimal64": lambda a: f"cast({a[0]} as decimal(18, {a[1]}))",
+    "toFixedString": _cast("string"),
+    "toTypeName": _fn("typeof"),
+    # -- conditionals / null -----------------------------------------------
+    "multiIf": _multi_if,
+    "ifNull": _fn("ifnull"),
+    "nullIf": _fn("nullif"),
+    "assumeNotNull": _tpl("{0}"),
+    "isNull": _tpl("({0} IS NULL)"),
+    "isNotNull": _tpl("({0} IS NOT NULL)"),
+    "empty": _tpl("(length({0}) = 0)"),
+    "notEmpty": _tpl("(length({0}) > 0)"),
+    # -- strings -----------------------------------------------------------
+    "lengthUTF8": _fn("length"),
+    "lowerUTF8": _fn("lower"),
+    "upperUTF8": _fn("upper"),
+    "substringUTF8": _fn("substring"),
+    "mid": _fn("substring"),
+    "position": _swap("locate"),
+    "positionCaseInsensitive": lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
+    "splitByChar": _split_by_char,
+    "splitByString": _split_by_char,
+    "concatWithSeparator": _fn("concat_ws"),
+    "startsWith": _fn("startswith"),
+    "endsWith": _fn("endswith"),
+    "trimLeft": _fn("ltrim"),
+    "trimRight": _fn("rtrim"),
+    "trimBoth": _fn("trim"),
+    "replaceAll": _fn("replace"),
+    "replaceRegexpAll": _replace_regexp_all,
+    "match": _tpl("({0} RLIKE {1})"),
+    "extract": _extract,
+    "like": _tpl("({0} LIKE {1})"),
+    "notLike": _tpl("({0} NOT LIKE {1})"),
+    "ilike": _tpl("({0} ILIKE {1})"),
+    "leftPad": _fn("lpad"),
+    "rightPad": _fn("rpad"),
+    # -- arrays ------------------------------------------------------------
+    "arrayJoin": _fn("explode"),
+    "has": _fn("array_contains"),
+    "hasAny": _fn("arrays_overlap"),
+    "indexOf": _fn("array_position"),
+    "arrayElement": _fn("element_at"),
+    "arrayConcat": _fn("concat"),
+    "arraySlice": _array_slice,
+    "arrayDistinct": _fn("array_distinct"),
+    "arrayUniq": _tpl("size(array_distinct({0}))"),
+    "arraySort": _fn("sort_array"),
+    "arrayReverseSort": lambda a: f"sort_array({a[0]}, false)",
+    "arrayReverse": _fn("reverse"),
+    "arrayFlatten": _fn("flatten"),
+    "arrayZip": _fn("arrays_zip"),
+    "arrayMap": lambda a: (
+        f"transform({a[1]}, {a[0]})" if len(a) == 2
+        else f"zip_with({a[1]}, {a[2]}, {a[0]})"
+    ),
+    "arrayFilter": _swap("filter"),
+    "arrayExists": _swap("exists"),
+    "arrayAll": _swap("forall"),
+    "arrayCount": lambda a: f"size(filter({a[1]}, {a[0]}))",
+    "arrayFirst": lambda a: f"element_at(filter({a[1]}, {a[0]}), 1)",
+    "arraySum": _tpl("aggregate({0}, 0D, (acc, x) -> acc + x)"),
+    "arrayMin": _fn("array_min"),
+    "arrayMax": _fn("array_max"),
+    "arrayStringConcat": _fn("array_join"),
+    "arrayEnumerate": _tpl("sequence(1, size({0}))"),
+    "range": _range,
+    # -- JSON --------------------------------------------------------------
+    "JSONExtractString": lambda a: f"get_json_object({a[0]}, {_json_path(a[1])})",
+    "JSONExtractInt": lambda a: (
+        f"cast(get_json_object({a[0]}, {_json_path(a[1])}) as bigint)"
+    ),
+    "JSONExtractFloat": lambda a: (
+        f"cast(get_json_object({a[0]}, {_json_path(a[1])}) as double)"
+    ),
+    "JSONExtractBool": lambda a: (
+        f"cast(get_json_object({a[0]}, {_json_path(a[1])}) as boolean)"
+    ),
+    "JSONHas": lambda a: (
+        f"(get_json_object({a[0]}, {_json_path(a[1])}) IS NOT NULL)"
+    ),
+    "visitParamExtractString": lambda a: f"get_json_object({a[0]}, {_json_path(a[1])})",
+    "simpleJSONExtractString": lambda a: f"get_json_object({a[0]}, {_json_path(a[1])})",
+    # -- aggregates --------------------------------------------------------
+    "count": _count,
+    "uniq": _fn("approx_count_distinct"),
+    "uniqCombined": _fn("approx_count_distinct"),
+    "uniqCombined64": _fn("approx_count_distinct"),
+    "uniqHLL12": _fn("approx_count_distinct"),
+    "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    "any": _fn("any_value"),
+    "anyLast": _fn("last"),
+    "anyHeavy": _fn("any_value"),
+    "argMax": _fn("max_by"),
+    "argMin": _fn("min_by"),
+    "groupUniqArray": _fn("collect_set"),
+    "median": _tpl("percentile({0}, 0.5)"),
+    "medianExact": _tpl("percentile({0}, 0.5)"),
+    "stddevPop": _fn("stddev_pop"),
+    "stddevSamp": _fn("stddev_samp"),
+    "varPop": _fn("var_pop"),
+    "varSamp": _fn("var_samp"),
+    "covarPop": _fn("covar_pop"),
+    "covarSamp": _fn("covar_samp"),
+    "skewPop": _fn("skewness"),
+    "kurtPop": _fn("kurtosis"),
+    "groupBitAnd": _fn("bit_and"),
+    "groupBitOr": _fn("bit_or"),
+    "groupBitXor": _fn("bit_xor"),
+    # -- math / hash / bits ------------------------------------------------
+    "intDiv": _tpl("({0} div {1})"),
+    "modulo": _tpl("({0} % {1})"),
+    "plus": _tpl("({0} + {1})"),
+    "minus": _tpl("({0} - {1})"),
+    "multiply": _tpl("({0} * {1})"),
+    "divide": _tpl("({0} / {1})"),
+    "negate": _tpl("(- {0})"),
+    "roundBankers": _fn("bround"),
+    "cityHash64": _fn("xxhash64"),  # role-equivalent, different values
+    "sipHash64": _fn("xxhash64"),
+    "farmHash64": _fn("xxhash64"),
+    "halfMD5": _fn("xxhash64"),
+    "MD5": _tpl("unhex(md5({0}))"),
+    "SHA256": _tpl("unhex(sha2({0}, 256))"),
+    "bitAnd": _tpl("({0} & {1})"),
+    "bitOr": _tpl("({0} | {1})"),
+    "bitXor": _tpl("({0} ^ {1})"),
+    "bitNot": _tpl("(~ {0})"),
+    "bitShiftLeft": _fn("shiftleft"),
+    "bitShiftRight": _fn("shiftright"),
+    "rand": lambda a: "cast(floor(rand() * 4294967296) as bigint)",
+    # -- URL ---------------------------------------------------------------
+    "protocol": _tpl("parse_url({0}, 'PROTOCOL')"),
+    "domain": _tpl("parse_url({0}, 'HOST')"),
+    "path": _tpl("parse_url({0}, 'PATH')"),
+    "queryString": _tpl("parse_url({0}, 'QUERY')"),
+    "extractURLParameter": _tpl("parse_url({0}, 'QUERY', {1})"),
+}
+
+# Parametric aggregates: fn(params)(args).
+ParamRule = Callable[[Sequence[str] | None, list[str]], str]
+
+
+def _quantile_approx(params: Sequence[str] | None, args: list[str]) -> str:
+    p = params[0] if params else "0.5"
+    return f"percentile_approx({args[0]}, {p})"
+
+
+def _quantile_exact(params: Sequence[str] | None, args: list[str]) -> str:
+    p = params[0] if params else "0.5"
+    return f"percentile({args[0]}, {p})"
+
+
+def _quantiles(exact: bool) -> ParamRule:
+    def h(params: Sequence[str] | None, args: list[str]) -> str:
+        if not params:
+            raise DialectError("quantiles requires level parameters")
+        fn = "percentile" if exact else "percentile_approx"
+        return f"{fn}({args[0]}, array({', '.join(params)}))"
+
+    return h
+
+
+def _group_array(params: Sequence[str] | None, args: list[str]) -> str:
+    base = f"collect_list({args[0]})"
+    return f"slice({base}, 1, {params[0]})" if params else base
+
+
+def _uniq_up_to(params: Sequence[str] | None, args: list[str]) -> str:
+    if not params:
+        raise DialectError("uniqUpTo requires a cap parameter")
+    return f"least(count(DISTINCT {', '.join(args)}), {params[0]} + 1)"
+
+
+PARAM_RULES: dict[str, ParamRule] = {
+    "quantile": _quantile_approx,
+    "quantileTDigest": _quantile_approx,
+    "quantileTiming": _quantile_approx,
+    "quantileDeterministic": _quantile_approx,
+    "quantileExact": _quantile_exact,
+    "quantileExactLow": _quantile_exact,
+    "quantileExactHigh": _quantile_exact,
+    "quantiles": _quantiles(exact=False),
+    "quantilesExact": _quantiles(exact=True),
+    "groupArray": _group_array,
+    "uniqUpTo": _uniq_up_to,
+}
+
+# Aggregate bases eligible for the -If combinator -> FILTER (WHERE ...).
+_IF_BASES = {
+    "count", "sum", "avg", "min", "max", "any", "anyLast", "argMax", "argMin",
+    "uniq", "median", "groupArray", "groupUniqArray", "stddevPop",
+    "stddevSamp", "varPop", "varSamp",
+}
+
+_UNSUPPORTED: dict[str, str] = {
+    "topK": "no per-group heavy-hitter SQL aggregate — use x_heavy_hitters "
+            "(freqItems candidates + exact semi-joined trim)",
+    "topKWeighted": "use x_heavy_hitters with a weight pre-aggregation",
+    "sumMap": "use operators/mapagg.py map_agg / a_map_combinators",
+    "minMap": "use operators/mapagg.py map_agg / a_map_combinators",
+    "maxMap": "use operators/mapagg.py map_agg / a_map_combinators",
+    "windowFunnel": "use x_window_funnel (sorted-step linear fold)",
+    "retention": "use x_retention_flags (per-user flag aggregate)",
+    "sequenceMatch": "use x_sequence_match (greedy subsequence fold)",
+    "sequenceCount": "use x_sequence_count (closed-form greedy pairing)",
+    "histogram": "use m_histogram (width_bucket-style exact binning)",
+    "neighbor": "use lag()/lead() window functions over an explicit ordering",
+    "runningAccumulate": "use a running-sum window (w_running_sum)",
+    "largestTriangleThreeBuckets": "use x_lttb_downsample",
+    "exponentialMovingAverage": "use x_ewma_trailing",
+}
+
+
+def _apply_function(name: str, rendered_args: list[str],
+                    params: list[str] | None) -> str:
+    if name in _UNSUPPORTED:
+        raise DialectError(f"{name}: {_UNSUPPORTED[name]}")
+    if name.endswith("State") or name.endswith("Merge"):
+        raise DialectError(
+            f"{name}: -State/-Merge combinators are ClickHouse storage "
+            "artifacts — Spark's partial aggregation IS the sketch merge "
+            "(see queries/sketches.py, streaming/sketch_sink.py)"
+        )
+    if name in PARAM_RULES:
+        return PARAM_RULES[name](params, rendered_args)
+    if params is not None:
+        raise DialectError(f"{name}: unexpected parametric call")
+    if name in RULES:
+        return RULES[name](rendered_args)
+    # -If combinator: fooIf(args..., cond) -> foo(args) FILTER (WHERE cond)
+    if name.endswith("If") and len(name) > 2:
+        base = name[:-2]
+        if base in _IF_BASES or base in ("uniqExact",):
+            if not rendered_args:
+                raise DialectError(f"{name} needs a condition argument")
+            cond = rendered_args[-1]
+            inner = rendered_args[:-1]
+            if base == "uniqExact":
+                # FILTER + DISTINCT don't combine; nulls never count.
+                return f"count(DISTINCT if({cond}, {inner[0]}, NULL))"
+            body = _apply_function(base, inner, None)
+            return f"{body} FILTER (WHERE {cond})"
+    return f"{name}({', '.join(rendered_args)})"
+
+
+# ---------------------------------------------------------------------------
+# Function-call pass
+# ---------------------------------------------------------------------------
+
+def _parse_args(toks: list[str], open_at: int) -> tuple[list[list[str]], int]:
+    """toks[open_at] == '('; return (arg token lists, index after ')')."""
+    assert toks[open_at] == "("
+    args: list[list[str]] = []
+    cur: list[str] = []
+    depth = 1
+    i = open_at + 1
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+            cur.append(t)
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                if cur or args:
+                    args.append(cur)
+                return args, i + 1
+            cur.append(t)
+        elif t == "," and depth == 1:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+        i += 1
+    raise DialectError("unbalanced parentheses")
+
+
+_NO_SPACE_BEFORE = {",", ")", ".", "]"}
+_NO_SPACE_AFTER = {"(", ".", "["}
+
+
+def _render(parts: list[str]) -> str:
+    out: list[str] = []
+    for p in parts:
+        if out and p not in _NO_SPACE_BEFORE and out[-1] not in _NO_SPACE_AFTER:
+            # "(" attaches to whatever precedes it (call-like) unless the
+            # previous token is a keyword: "WHERE (a)" but `"q"(x)`.
+            if p != "(" or _u(out[-1]) in _KEYWORDS_NOT_CALLS:
+                out.append(" ")
+        out.append(p)
+    return "".join(out)
+
+
+_KEYWORDS_NOT_CALLS = {
+    "IN", "AND", "OR", "NOT", "AS", "ON", "BY", "OVER", "WHERE", "SELECT",
+    "FROM", "JOIN", "WHEN", "THEN", "ELSE", "CASE", "END", "VALUES", "USING",
+    "EXISTS", "ALL", "ANY", "SOME", "DISTINCT", "INTERVAL", "BETWEEN",
+    "PARTITION", "ROWS", "FILTER", "HAVING", "GROUP", "ORDER",
+    "LATERAL", "VIEW", "UNION", "LIMIT", "CAST", "IF",
+}
+
+
+def _rewrite_calls(toks: list[str]) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            _is_ident(t)
+            and not t.startswith(("`", '"'))
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+            and _u(t) not in _KEYWORDS_NOT_CALLS
+            and not (out and out[-1] == ".")
+        ):
+            name = t
+            arg_tok_lists, j = _parse_args(toks, i + 1)
+            params: list[str] | None = None
+            if (
+                j < len(toks)
+                and toks[j] == "("
+                and (name in PARAM_RULES or name in _UNSUPPORTED)
+            ):
+                params = [_render(_rewrite_calls(a)) for a in arg_tok_lists]
+                arg_tok_lists, j = _parse_args(toks, j)
+            rendered = [_render(_rewrite_calls(a)) for a in arg_tok_lists]
+            out.append(_apply_function(name, rendered, params))
+            i = j
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def translate(sql: str) -> str:
+    """Translate a ClickHouse SQL string into Spark SQL."""
+    toks = _tokenize(sql)
+    toks = _strip_format_settings(toks)
+    toks = _strip_final_and_join_mods(toks)
+    _reject_limit_by(toks)
+    toks = _merge_prewhere(toks)
+    toks = _rewrite_array_join(toks)
+    toks = _rewrite_calls(toks)
+    return _render(toks)
+
+
+def clickhouse_sql(spark, sql: str, sf_dir: str | None = None):
+    """Translate ``sql`` from ClickHouse dialect and run it on Spark.
+
+    When ``sf_dir`` is given, the engine's tables are (re)registered as temp
+    views first, so table names resolve exactly as they would against the
+    reference's warehouse.
+    """
+    if sf_dir is not None:
+        from .tables import load_tables
+
+        load_tables(spark, sf_dir)
+    return spark.sql(translate(sql))

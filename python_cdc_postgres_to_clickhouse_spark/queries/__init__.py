@@ -26,3 +26,4 @@ from . import mergetree  # noqa: F401
 from . import cdc_history  # noqa: F401
 from . import retrieval  # noqa: F401
 from . import chfuncs  # noqa: F401
+from . import chsql  # noqa: F401

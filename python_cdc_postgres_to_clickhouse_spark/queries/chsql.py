@@ -1,0 +1,128 @@
+"""Queries declared IN ClickHouse SQL, executed through the dialect shim.
+
+These three run verbatim ClickHouse-dialect strings through
+``dialect.translate()`` and ``spark.sql()`` — the end-to-end proof that a
+reference-warehouse user's existing queries (camelCase functions, ``-If``
+combinators, parametric aggregates, ``PREWHERE``/``FINAL``/``FORMAT``,
+``ARRAY JOIN``) port by string pass-through. Each has an independent
+hand-written ANSI oracle, so the driver checks the TRANSLATION's semantics,
+not just that it parses.
+
+Scale: the translated plans are ordinary Catalyst plans — the rollup is a
+partial-aggregated hash agg, the scalar query is whole-stage codegen over a
+pruned scan, the word count is one explode + one hash agg; nothing about
+going through the dialect layer costs an exchange (plan-asserted in
+tests/test_dialect.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..dialect import clickhouse_sql
+from ..registry import query
+
+CH_EVENTS_ROLLUP = """
+SELECT toStartOfDay(ts) AS day,
+       countIf(event_type = 'purchase') AS purchases,
+       uniqExact(user_id) AS users,
+       uniqUpTo(3)(event_type) AS type_cap,
+       sumIf(toInt64(round(value * 100)), value > 0) AS pos_cents,
+       max(JSONExtractInt(props, 'k')) AS max_k
+FROM events FINAL
+PREWHERE user_id % 10 != 0
+GROUP BY day
+HAVING uniqExact(user_id) > 0
+ORDER BY day
+FORMAT TabSeparated
+"""
+
+EVENTS_ROLLUP_ORACLE = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(LEAST(COUNT(DISTINCT event_type), 4) AS BIGINT) AS type_cap,
+       CAST(SUM(CASE WHEN value > 0
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS pos_cents,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE user_id % 10 != 0
+GROUP BY 1
+HAVING COUNT(DISTINCT user_id) > 0
+ORDER BY 1
+"""
+
+
+@query("sql_ch_events_rollup", oracle=EVENTS_ROLLUP_ORACLE, tags=("dialect", "agg"))
+def sql_ch_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event rollup written in ClickHouse SQL: conditional counts
+    (``countIf``), exact distincts (``uniqExact``), a capped distinct
+    (``uniqUpTo(3)``), a filtered cents sum (``sumIf`` + ``toInt64``), and a
+    JSON field max — plus ``FINAL``, ``PREWHERE``, and ``FORMAT``, all
+    handled by the dialect layer. Translates to one partial-aggregated hash
+    aggregate over a pruned scan."""
+    return clickhouse_sql(spark, CH_EVENTS_ROLLUP, sf_dir)
+
+
+CH_DOCS_SCALARS = """
+SELECT doc_id,
+       upper(substring(text, 1, 10)) AS head10,
+       position(text, 'the') AS pos_the,
+       if(match(text, '[0-9]+'), 1, 0) AS has_digit,
+       multiIf(n_chars < 200, 'short', n_chars < 400, 'mid', 'long') AS size_band,
+       arrayStringConcat(arraySlice(splitByChar(' ', text), 1, 3), '_') AS head3
+FROM documents
+WHERE startsWith(lower(lang), 'e') AND notEmpty(text)
+ORDER BY doc_id
+"""
+
+DOCS_SCALARS_ORACLE = """
+SELECT doc_id,
+       upper(substring(text, 1, 10)) AS head10,
+       CAST(strpos(text, 'the') AS BIGINT) AS pos_the,
+       CASE WHEN regexp_matches(text, '[0-9]+') THEN 1 ELSE 0 END AS has_digit,
+       CASE WHEN n_chars < 200 THEN 'short'
+            WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS size_band,
+       array_to_string(list_slice(string_split(text, ' '), 1, 3), '_') AS head3
+FROM documents
+WHERE starts_with(lower(lang), 'e') AND length(text) > 0
+ORDER BY doc_id
+"""
+
+
+@query("sql_ch_docs_scalars", oracle=DOCS_SCALARS_ORACLE, tags=("dialect", "scalar"))
+def sql_ch_docs_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document scalar battery in ClickHouse SQL: ``position`` (CH arg
+    order — the dialect swaps to ``locate``), regex ``match`` -> RLIKE,
+    ``multiIf`` -> CASE, ``splitByChar`` (escaped-literal separator, swapped
+    args) + ``arraySlice``/``arrayStringConcat``, ``startsWith`` and
+    ``notEmpty``. Pure whole-stage-codegen projection — zero exchanges."""
+    return clickhouse_sql(spark, CH_DOCS_SCALARS, sf_dir)
+
+
+CH_WORD_FREQ = """
+SELECT word, count() AS n
+FROM (SELECT arrayJoin(splitByChar(' ', lower(text))) AS word FROM documents)
+WHERE word != ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+WORD_FREQ_ORACLE = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+"""
+
+
+@query("sql_ch_word_freq", oracle=WORD_FREQ_ORACLE, tags=("dialect", "text"))
+def sql_ch_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequency in ClickHouse SQL: ``arrayJoin`` in a subquery
+    becomes ``explode``, zero-arg ``count()`` becomes ``count(*)``.
+    Translates to explode -> partial-aggregated hash agg -> TakeOrdered 20
+    (deterministic tie-break on the word)."""
+    return clickhouse_sql(spark, CH_WORD_FREQ, sf_dir)

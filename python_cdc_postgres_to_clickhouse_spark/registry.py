@@ -194,6 +194,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_lttb_downsample",
     "x_dict_enrich",
     "c_multi_search",
+    # ClickHouse-dialect queries: declared in CH SQL, executed through
+    # dialect.translate() — the oracle checks the translation's semantics.
+    "sql_ch_events_rollup",
+    "sql_ch_docs_scalars",
+    "sql_ch_word_freq",
 )
 
 

@@ -1,0 +1,286 @@
+"""ClickHouse SQL dialect shim: translation strings, semantics vs DuckDB,
+clause handling, loud-unsupported errors, and the translated plans' shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_cdc_postgres_to_clickhouse_spark import plans as P
+from python_cdc_postgres_to_clickhouse_spark.dialect import (
+    DialectError,
+    clickhouse_sql,
+    translate,
+)
+from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+from .conftest import SF_SMOKE
+from .oracle_harness import canon_rows, run_oracle
+
+
+# ---------------------------------------------------------------------------
+# translate(): string-level rules
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    ("ch", "expect"),
+    [
+        ("toStartOfDay(ts)", "date_trunc('day', ts)"),
+        ("toYYYYMM(ts)", "cast(date_format(ts, 'yyyyMM') as int)"),
+        ("toDayOfWeek(ts)", "(((dayofweek(ts) + 5) % 7) + 1)"),
+        ("toInt64(x)", "cast(x as bigint)"),
+        ("toInt64OrNull(x)", "try_cast(x as bigint)"),
+        ("uniq(x)", "approx_count_distinct(x)"),
+        ("uniqExact(a, b)", "count(DISTINCT a, b)"),
+        ("argMax(a, b)", "max_by(a, b)"),
+        ("quantile(0.9)(x)", "percentile_approx(x, 0.9)"),
+        ("quantilesExact(0.5, 0.9)(x)", "percentile(x, array(0.5, 0.9))"),
+        ("uniqUpTo(3)(x)", "least(count(DISTINCT x), 3 + 1)"),
+        ("groupArray(x)", "collect_list(x)"),
+        ("groupArray(5)(x)", "slice(collect_list(x), 1, 5)"),
+        ("countIf(c)", "count(*) FILTER (WHERE c)"),
+        ("sumIf(x, c)", "sum(x) FILTER (WHERE c)"),
+        ("uniqExactIf(x, c)", "count(DISTINCT if(c, x, NULL))"),
+        ("position(h, n)", "locate(n, h)"),
+        ("match(s, 'ab')", "(s RLIKE 'ab')"),
+        ("extract(s, '(a)b')", "regexp_extract(s, '(a)b', 1)"),
+        ("extract(s, 'ab')", "regexp_extract(s, 'ab', 0)"),
+        ("arrayFilter(x -> x > 1, a)", "filter(a, x -> x > 1)"),
+        ("arrayMap(x -> x + 1, a)", "transform(a, x -> x + 1)"),
+        ("arrayMap((x, y) -> x + y, a, b)", "zip_with(a, b, (x, y) -> x + y)"),
+        ("has(a, 1)", "array_contains(a, 1)"),
+        ("arrayStringConcat(a, '_')", "array_join(a, '_')"),
+        ("JSONExtractString(j, 'k')", "get_json_object(j, '$.k')"),
+        ("count()", "count(*)"),
+        ("dateDiff('day', a, b)", "timestampdiff(DAY, a, b)"),
+        ("formatDateTime(ts, '%Y-%m-%d')", "date_format(ts, 'yyyy-MM-dd')"),
+        ("cityHash64(x)", "xxhash64(x)"),
+        ("intDiv(a, b)", "(a div b)"),
+        ("MD5(x)", "unhex(md5(x))"),
+        ("multiIf(c1, v1, c2, v2, v3)",
+         "CASE WHEN c1 THEN v1 WHEN c2 THEN v2 ELSE v3 END"),
+        ("range(5)", "sequence(0, 5 - 1)"),
+    ],
+)
+def test_translate_expressions(ch, expect):
+    assert translate(f"SELECT {ch} FROM t") == f"SELECT {expect} FROM t"
+
+
+def test_nested_calls_rewrite_recursively():
+    out = translate("SELECT sumIf(toInt64(round(v * 100)), notEmpty(s)) FROM t")
+    assert out == (
+        "SELECT sum(cast(round(v * 100) as bigint)) "
+        "FILTER (WHERE (length(s) > 0)) FROM t"
+    )
+
+
+def test_prewhere_merges_with_where_parenthesized():
+    out = translate("SELECT x FROM t PREWHERE a = 1 OR b = 2 WHERE c = 3 GROUP BY x")
+    assert out == "SELECT x FROM t WHERE (a = 1 OR b = 2) AND (c = 3) GROUP BY x"
+
+
+def test_prewhere_alone_becomes_where():
+    assert translate("SELECT x FROM t PREWHERE a = 1") == (
+        "SELECT x FROM t WHERE (a = 1)"
+    )
+
+
+def test_final_dropped_after_table_but_kept_as_column():
+    assert translate("SELECT x FROM t FINAL WHERE a = 1") == (
+        "SELECT x FROM t WHERE a = 1"
+    )
+    # `final` directly after SELECT is a column reference, not the modifier
+    assert translate("SELECT final FROM t") == "SELECT final FROM t"
+
+
+def test_format_and_settings_stripped():
+    assert translate("SELECT x FROM t FORMAT JSONEachRow") == "SELECT x FROM t"
+    assert translate("SELECT x FROM t SETTINGS max_threads = 4") == (
+        "SELECT x FROM t"
+    )
+    # inside a subquery, the enclosing paren survives
+    assert translate("SELECT * FROM (SELECT x FROM t SETTINGS join_use_nulls = 1)") == (
+        "SELECT * FROM (SELECT x FROM t)"
+    )
+
+
+def test_join_modifiers_stripped_but_union_all_kept():
+    assert translate("SELECT * FROM a ANY LEFT JOIN b USING (k)") == (
+        "SELECT * FROM a LEFT JOIN b USING (k)"
+    )
+    assert translate("SELECT * FROM a GLOBAL INNER JOIN b ON a.k = b.k") == (
+        "SELECT * FROM a INNER JOIN b ON a.k = b.k"
+    )
+    assert translate("SELECT x FROM a UNION ALL SELECT x FROM b") == (
+        "SELECT x FROM a UNION ALL SELECT x FROM b"
+    )
+
+
+def test_array_join_becomes_lateral_view():
+    out = translate("SELECT tok FROM t ARRAY JOIN splitByChar(' ', s) AS tok")
+    assert "LATERAL VIEW explode(split(s, '\\ '))" in out and "AS tok" in out
+    out = translate("SELECT tok FROM t LEFT ARRAY JOIN arr AS tok WHERE tok != ''")
+    assert "LATERAL VIEW OUTER explode(arr)" in out
+
+
+def test_ansi_extract_passes_through():
+    assert translate("SELECT EXTRACT(YEAR FROM ts) FROM t") == (
+        "SELECT EXTRACT(YEAR FROM ts) FROM t"
+    )
+
+
+def test_qualified_and_quoted_names_untouched():
+    assert translate("SELECT t.toDate FROM db.t") == "SELECT t.toDate FROM db.t"
+    assert translate('SELECT "toDate"(x) FROM t') == 'SELECT "toDate"(x) FROM t'
+
+
+@pytest.mark.parametrize(
+    ("sql", "hint"),
+    [
+        ("SELECT x FROM t LIMIT 3 BY k", "w_topk_per_group"),
+        ("SELECT topK(5)(x) FROM t", "x_heavy_hitters"),
+        ("SELECT sumMap(m) FROM t", "mapagg"),
+        ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "x_window_funnel"),
+        ("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k", "asof"),
+        ("SELECT sumState(x) FROM t", "sketch"),
+        ("SELECT uniqMerge(x) FROM t", "sketch"),
+        ("SELECT exponentialMovingAverage(1)(v, ts) FROM t", "x_ewma_trailing"),
+    ],
+)
+def test_unsupported_constructs_raise_with_hint(sql, hint):
+    with pytest.raises(DialectError, match=hint):
+        translate(sql)
+
+
+# ---------------------------------------------------------------------------
+# Semantics: translated Spark result == hand-written DuckDB ANSI
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_CASES = [
+    (
+        "day_of_week_monday_1",
+        "SELECT toDayOfWeek(ts) AS dw, count() AS n FROM events "
+        "GROUP BY dw ORDER BY dw",
+        "SELECT isodow(ts) AS dw, COUNT(*) AS n FROM events "
+        "GROUP BY 1 ORDER BY 1",
+    ),
+    (
+        "yyyymm_and_datediff",
+        "SELECT toYYYYMM(ts) AS ym, "
+        "dateDiff('day', toDate(ts), toDate('2026-01-01')) AS dd, "
+        "count() AS n FROM events GROUP BY ym, dd ORDER BY ym, dd",
+        "SELECT CAST(strftime(ts, '%Y%m') AS INT) AS ym, "
+        "datediff('day', CAST(ts AS DATE), DATE '2026-01-01') AS dd, "
+        "COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    ),
+    (
+        "if_combinators_and_casts",
+        "SELECT event_type, countIf(value > 1) AS big, "
+        "sumIf(toInt64(round(value * 100)), user_id % 2 = 0) AS even_cents, "
+        "uniqExactIf(user_id, value > 1) AS big_users "
+        "FROM events GROUP BY event_type ORDER BY event_type",
+        "SELECT event_type, "
+        "CAST(COUNT(CASE WHEN value > 1 THEN 1 END) AS BIGINT) AS big, "
+        "CAST(SUM(CASE WHEN user_id % 2 = 0 "
+        "THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS even_cents, "
+        "CAST(COUNT(DISTINCT CASE WHEN value > 1 THEN user_id END) AS BIGINT) "
+        "AS big_users FROM events GROUP BY 1 ORDER BY 1",
+    ),
+    (
+        "string_functions",
+        "SELECT doc_id, position(text, 'and') AS p, "
+        "if(startsWith(text, 'The'), 1, 0) AS t0, "
+        "length(replaceAll(substring(text, 1, 50), ' ', '')) AS packed "
+        "FROM documents ORDER BY doc_id",
+        "SELECT doc_id, CAST(strpos(text, 'and') AS BIGINT) AS p, "
+        "CASE WHEN starts_with(text, 'The') THEN 1 ELSE 0 END AS t0, "
+        "CAST(length(replace(substring(text, 1, 50), ' ', '')) AS BIGINT) "
+        "AS packed FROM documents ORDER BY doc_id",
+    ),
+    (
+        "array_lambdas",
+        "SELECT doc_id, "
+        "arrayCount(w -> length(w) > 4, splitByChar(' ', text)) AS long_words, "
+        "arrayUniq(splitByChar(' ', text)) AS uniq_words "
+        "FROM documents ORDER BY doc_id",
+        "SELECT doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), "
+        "w -> length(w) > 4)) AS BIGINT) AS long_words, "
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) "
+        "AS uniq_words FROM documents ORDER BY doc_id",
+    ),
+    (
+        "json_and_multiif",
+        "SELECT multiIf(JSONExtractInt(props, 'k') < 30, 'lo', "
+        "JSONExtractInt(props, 'k') < 70, 'mid', 'hi') AS band, "
+        "count() AS n FROM events GROUP BY band ORDER BY band",
+        "SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 30 "
+        "THEN 'lo' WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) < 70 "
+        "THEN 'mid' ELSE 'hi' END AS band, COUNT(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1",
+    ),
+    (
+        "array_join_clause",
+        "SELECT tok, count() AS n FROM documents "
+        "ARRAY JOIN splitByChar(' ', lower(text)) AS tok "
+        "WHERE tok != '' AND length(tok) > 6 GROUP BY tok ORDER BY n DESC, tok "
+        "LIMIT 10",
+        "SELECT tok, COUNT(*) AS n FROM (SELECT unnest(string_split(lower(text), "
+        "' ')) AS tok FROM documents) t WHERE tok <> '' AND length(tok) > 6 "
+        "GROUP BY tok ORDER BY n DESC, tok LIMIT 10",
+    ),
+    (
+        "uniq_up_to_and_group_limits",
+        "SELECT source, uniqUpTo(2)(lang) AS lang_cap, uniqExact(doc_id) AS docs "
+        "FROM documents GROUP BY source ORDER BY source",
+        "SELECT source, CAST(LEAST(COUNT(DISTINCT lang), 3) AS BIGINT) AS lang_cap, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs "
+        "FROM documents GROUP BY 1 ORDER BY 1",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    ("name", "ch", "duck"), _SEMANTIC_CASES, ids=[c[0] for c in _SEMANTIC_CASES]
+)
+def test_translated_semantics_match_duckdb(spark, name, ch, duck):
+    load_tables(spark, SF_SMOKE)
+    sdf = clickhouse_sql(spark, ch).toPandas()
+    odf = run_oracle(duck, SF_SMOKE)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)}"
+    assert canon_rows(sdf) == canon_rows(odf), name
+
+
+def test_translated_runs_that_cannot_be_value_compared(spark):
+    """Engine-specific values (quantile interpolation, hash functions,
+    approx distinct) still translate and execute."""
+    load_tables(spark, SF_SMOKE)
+    df = clickhouse_sql(
+        spark,
+        "SELECT quantile(0.9)(value) AS q90, quantileExact(0.5)(value) AS med, "
+        "uniq(user_id) AS au, cityHash64(event_type) AS h, "
+        "anyLast(event_type) AS al FROM events GROUP BY h",
+    )
+    assert df.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Plans: going through the dialect costs nothing
+# ---------------------------------------------------------------------------
+
+def test_dialect_rollup_plan_partial_aggregates_and_prunes(spark):
+    from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
+
+    df = all_queries()["sql_ch_events_rollup"].fn(spark, SF_SMOKE)
+    assert P.has_partial_aggregate(df)
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"ts", "event_type", "user_id", "value", "props"}, cols
+
+
+def test_dialect_scalar_plan_is_exchange_free(spark):
+    from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
+
+    df = all_queries()["sql_ch_docs_scalars"].fn(spark, SF_SMOKE)
+    plan = P.physical_plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
