@@ -104,6 +104,9 @@ HEADLINE = [
     "x_lttb_downsample",       # LTTB downsample, broadcast anchor summary
     "x_dict_enrich",           # dictGet broadcast enrichment, no fact shuffle
     "c_multi_search",          # multiSearch scalars, zero exchanges
+    "sql_ch_events_rollup",    # ClickHouse-dialect SQL through translate()
+    "x_outlier_mad",           # MAD robust outliers, one event_type exchange
+    "x_attribution_last_touch",  # LOCF last-touch credit, one user_id exchange
 ]
 
 

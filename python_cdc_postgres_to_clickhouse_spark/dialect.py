@@ -272,6 +272,50 @@ def _merge_prewhere(toks: list[str]) -> list[str]:
     return toks
 
 
+def _rewrite_with_totals(toks: list[str]) -> list[str]:
+    """``GROUP BY k1, k2 WITH TOTALS`` -> ``GROUP BY GROUPING SETS ((k1, k2),
+    ())`` — the totals row is the empty grouping set (its group keys come
+    back NULL rather than CH's type-default zeros; same row, one convention).
+    ``ORDER BY … WITH FILL`` has no Spark clause and raises."""
+    i = 0
+    while i < len(toks):
+        if _u(toks[i]) == "WITH" and i + 1 < len(toks):
+            nxt = _u(toks[i + 1])
+            if nxt == "FILL":
+                raise DialectError(
+                    "ORDER BY … WITH FILL has no Spark SQL clause — use the "
+                    "date-spine + LOCF/interpolation queries "
+                    "(x_gap_fill_locf, x_interpolate_linear, "
+                    "sql_recursive_date_spine)"
+                )
+            if nxt == "TOTALS":
+                # find the GROUP BY keys that precede this WITH TOTALS
+                depth = 0
+                j = i - 1
+                by_at = None
+                while j >= 0:
+                    t = toks[j]
+                    if t == ")":
+                        depth += 1
+                    elif t == "(":
+                        depth -= 1
+                    elif depth == 0 and _u(t) == "BY" and j > 0 and _u(toks[j - 1]) == "GROUP":
+                        by_at = j
+                        break
+                    j -= 1
+                if by_at is None:
+                    raise DialectError("WITH TOTALS without a GROUP BY")
+                keys = toks[by_at + 1:i]
+                toks = (
+                    toks[:by_at + 1]
+                    + ["GROUPING", "SETS", "(", "(", *keys, ")", ",", "(", ")", ")"]
+                    + toks[i + 2:]
+                )
+                continue
+        i += 1
+    return toks
+
+
 _AJ_COUNT = [0]
 
 
@@ -473,6 +517,7 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "now": _fn("now"),
     "today": lambda a: "current_date()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
+    "age": _date_diff,
     "addYears": _timestampadd("YEAR"),
     "addMonths": _fn("add_months"),
     "addWeeks": _timestampadd("WEEK"),
@@ -603,6 +648,19 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "groupBitAnd": _fn("bit_and"),
     "groupBitOr": _fn("bit_or"),
     "groupBitXor": _fn("bit_xor"),
+    # -Array combinators: aggregate over the concatenation of array args.
+    "sumArray": _tpl("sum(aggregate({0}, 0D, (acc, x) -> acc + x))"),
+    "minArray": _tpl("min(array_min({0}))"),
+    "maxArray": _tpl("max(array_max({0}))"),
+    "countArray": _tpl("sum(size({0}))"),
+    # -- float classification ---------------------------------------------
+    "isFinite": _tpl("(NOT isnan({0}) AND abs({0}) != double('inf'))"),
+    "isInfinite": _tpl("(abs({0}) = double('inf'))"),
+    "isNaN": _fn("isnan"),
+    "ifNotFinite": _tpl(
+        "(CASE WHEN isnan({0}) OR abs({0}) = double('inf') "
+        "THEN {1} ELSE {0} END)"
+    ),
     # -- math / hash / bits ------------------------------------------------
     "intDiv": _tpl("({0} div {1})"),
     "modulo": _tpl("({0} % {1})"),
@@ -840,6 +898,7 @@ def translate(sql: str) -> str:
     toks = _strip_final_and_join_mods(toks)
     _reject_limit_by(toks)
     toks = _merge_prewhere(toks)
+    toks = _rewrite_with_totals(toks)
     toks = _rewrite_array_join(toks)
     toks = _rewrite_calls(toks)
     return _render(toks)

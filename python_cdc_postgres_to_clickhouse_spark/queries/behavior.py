@@ -433,3 +433,203 @@ def x_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_interp"),
         F.col("value").isNotNull().alias("is_observed"),
     )
+
+
+OUTLIER_MAD_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+), m AS (
+  SELECT event_type, cents, n,
+         MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+             THEN cents END) OVER (PARTITION BY event_type) AS med_cents
+  FROM r
+), d AS (
+  SELECT event_type, n, med_cents, abs(cents - med_cents) AS adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(cents - med_cents)) AS drn
+  FROM m
+), mm AS (
+  SELECT event_type, n, med_cents, adev,
+         MAX(CASE WHEN drn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+             THEN adev END) OVER (PARTITION BY event_type) AS mad_cents
+  FROM d
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, med_cents, mad_cents,
+       CAST(COUNT(CASE WHEN adev > 3 * mad_cents THEN 1 END) AS BIGINT)
+         AS n_outliers,
+       MAX(adev) AS max_adev
+FROM mm
+GROUP BY event_type, n, med_cents, mad_cents
+ORDER BY event_type
+"""
+
+
+@query("x_outlier_mad", oracle=OUTLIER_MAD_SQL, tags=("ext", "behavior", "quality"))
+def x_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median absolute deviation
+    (lower-median order statistic), flagging |v - median| > 3 * MAD.
+
+    The robust companion to x_outlier_zscore: a few extreme values move
+    mean/sd but not median/MAD, so contaminated telemetry doesn't mask its
+    own outliers. All arithmetic is integer cents (the exact cross-engine
+    pattern); medians are rank-⌈n/2⌉ element SELECTION via row_number +
+    windowed MAX(CASE ...), never an interpolating percentile (Spark and
+    DuckDB interpolate differently — the known median gotcha).
+
+    Plan: both median selections, the deviation ranking, and the final
+    census all ride ONE event_type hash exchange — every window spec and
+    the closing aggregate share hash(event_type), which satisfies the
+    extended grouping key (event_type, n, med, mad) with zero extra
+    exchanges (plan-asserted). At 100 TB the per-type sort is the only
+    super-linear term; with |event_type| small, AQE's skew handling or a
+    two-level rank (bucketed pre-rank) would be the next step — documented
+    trade, exact ranks need the per-key order.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+    c = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    wp = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wp.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    med_rank = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long")
+    m = r.select(
+        "event_type",
+        "cents",
+        "n",
+        F.max(F.when(F.col("rn") == med_rank, F.col("cents"))).over(wp).alias(
+            "med_cents"
+        ),
+    )
+    adev = F.abs(F.col("cents") - F.col("med_cents"))
+    d = m.select(
+        "event_type",
+        "n",
+        "med_cents",
+        adev.alias("adev"),
+        F.row_number().over(wp.orderBy(adev)).alias("drn"),
+    )
+    mm = d.select(
+        "event_type",
+        "n",
+        "med_cents",
+        "adev",
+        F.max(F.when(F.col("drn") == med_rank, F.col("adev"))).over(wp).alias(
+            "mad_cents"
+        ),
+    )
+    return (
+        mm.groupBy("event_type", "n", "med_cents", "mad_cents")
+        .agg(
+            F.count(
+                F.when(F.col("adev") > 3 * F.col("mad_cents"), 1)
+            ).alias("n_outliers"),
+            F.max("adev").alias("max_adev"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "med_cents",
+            "mad_cents",
+            "n_outliers",
+            "max_adev",
+        )
+        .orderBy("event_type")
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                    THEN event_type END IGNORE NULLS)
+           OVER w AS touch_type,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                    THEN ts END IGNORE NULLS)
+           OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), attributed AS (
+  SELECT CASE WHEN touch_ts IS NOT NULL
+                   AND touch_ts >= ts - INTERVAL 7 DAY
+              THEN touch_type ELSE 'direct' END AS channel,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM attributed GROUP BY channel ORDER BY channel
+"""
+
+
+@query(
+    "x_attribution_last_touch",
+    oracle=ATTRIBUTION_SQL,
+    tags=("ext", "behavior", "attribution"),
+)
+def x_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the user's
+    most recent preceding click/view within 7 days, else 'direct'; revenue
+    rolls up per attributed channel.
+
+    The "most recent touch" is a running LOCF over (ts, event_id)-ordered
+    rows — an IGNORE-NULLS last over a ROWS frame, so it is exactly
+    deterministic (a purchase row itself is never a touch, so including
+    the current row is harmless). The 7-day lookback is enforced as a
+    filter on the carried touch timestamp, not a frame bound — RANGE
+    frames would forfeit the event_id tie-break.
+
+    Plan: ONE user_id exchange for the window; the channel rollup's second
+    exchange carries ≤|channels|+1 partially-aggregated rows. At 100 TB
+    the state per user is one (type, ts) pair — the same linear shape as
+    the funnel/session family.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    seq = ev.select(
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    channel = F.when(
+        F.col("touch_ts").isNotNull()
+        & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+        F.col("touch_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            channel.alias("channel"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )

@@ -199,6 +199,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_ch_events_rollup",
     "sql_ch_docs_scalars",
     "sql_ch_word_freq",
+    "x_outlier_mad",
+    "x_attribution_last_touch",
 )
 
 

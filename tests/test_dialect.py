@@ -122,6 +122,37 @@ def test_array_join_becomes_lateral_view():
     assert "LATERAL VIEW OUTER explode(arr)" in out
 
 
+def test_with_totals_becomes_grouping_sets():
+    out = translate("SELECT k, count() AS n FROM t GROUP BY k WITH TOTALS")
+    assert out == (
+        "SELECT k, count(*) AS n FROM t GROUP BY GROUPING SETS((k), ())"
+    )
+    # multi-key, computed key
+    out = translate(
+        "SELECT toStartOfDay(ts) AS d, k, count() AS n FROM t "
+        "GROUP BY toStartOfDay(ts), k WITH TOTALS HAVING n > 1"
+    )
+    assert "GROUPING SETS((date_trunc('day', ts), k), ())" in out
+    # WITH ROLLUP / CTE WITH are untouched
+    assert "WITH ROLLUP" in translate("SELECT k FROM t GROUP BY k WITH ROLLUP")
+    assert translate("WITH c AS (SELECT 1 AS a) SELECT * FROM c").startswith("WITH c AS")
+
+
+def test_with_fill_raises_with_hint():
+    with pytest.raises(DialectError, match="x_gap_fill_locf"):
+        translate("SELECT d FROM t ORDER BY d WITH FILL")
+
+
+def test_array_combinators_and_float_classification():
+    assert translate("SELECT sumArray(a) FROM t") == (
+        "SELECT sum(aggregate(a, 0D, (acc, x) -> acc + x)) FROM t"
+    )
+    assert translate("SELECT isNaN(x), ifNotFinite(x, 0.0) FROM t") == (
+        "SELECT isnan(x), (CASE WHEN isnan(x) OR abs(x) = double('inf') "
+        "THEN 0.0 ELSE x END) FROM t"
+    )
+
+
 def test_ansi_extract_passes_through():
     assert translate("SELECT EXTRACT(YEAR FROM ts) FROM t") == (
         "SELECT EXTRACT(YEAR FROM ts) FROM t"
@@ -227,6 +258,16 @@ _SEMANTIC_CASES = [
         "SELECT tok, COUNT(*) AS n FROM (SELECT unnest(string_split(lower(text), "
         "' ')) AS tok FROM documents) t WHERE tok <> '' AND length(tok) > 6 "
         "GROUP BY tok ORDER BY n DESC, tok LIMIT 10",
+    ),
+    (
+        "with_totals_row",
+        "SELECT event_type AS k, count() AS n, "
+        "sumIf(toInt64(round(value * 100)), value > 0) AS cents "
+        "FROM events GROUP BY event_type WITH TOTALS ORDER BY k",
+        "SELECT event_type AS k, COUNT(*) AS n, "
+        "CAST(SUM(CASE WHEN value > 0 THEN CAST(round(value * 100) AS BIGINT) "
+        "END) AS BIGINT) AS cents FROM events "
+        "GROUP BY GROUPING SETS ((event_type), ()) ORDER BY k",
     ),
     (
         "uniq_up_to_and_group_limits",

@@ -681,3 +681,26 @@ def test_multi_search_is_scan_plus_projection(spark):
     plan = P.physical_plan(df)
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan and "Aggregate" not in plan, plan
+
+
+def test_outlier_mad_single_exchange(spark):
+    """x_outlier_mad: both median selections, the deviation ranking, and the
+    final census ride ONE event_type hash exchange — the window specs and
+    the extended-key aggregate all reuse hash(event_type)."""
+    df = _q(spark, "x_outlier_mad")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"event_type", "value"}, cols
+
+
+def test_attribution_single_user_exchange_then_tiny_rollup(spark):
+    """x_attribution_last_touch: the LOCF window is the only corpus-scale
+    exchange (user_id); the channel rollup partial-aggregates, so its
+    exchange carries <= |channels|+1 rows per task."""
+    df = _q(spark, "x_attribution_last_touch")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+    assert P.has_partial_aggregate(df), plan
