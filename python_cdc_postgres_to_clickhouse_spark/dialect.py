@@ -175,11 +175,10 @@ def _strip_final_and_join_mods(toks: list[str]) -> list[str]:
     return out
 
 
-def _reject_limit_by(toks: list[str]) -> None:
+def _find_limit_by(toks: list[str]) -> tuple[int, int, int] | None:
+    """Locate a ``LIMIT <n> BY`` clause; returns (limit_at, by_at, depth)."""
     depth = 0
-    i = 0
-    while i < len(toks):
-        t = toks[i]
+    for i, t in enumerate(toks):
         if t == "(":
             depth += 1
         elif t == ")":
@@ -187,28 +186,98 @@ def _reject_limit_by(toks: list[str]) -> None:
         elif _u(t) == "LIMIT":
             d = depth
             j = i + 1
-            while j < len(toks) and depth >= d:
+            dd = depth
+            while j < len(toks):
                 tj = toks[j]
                 if tj == "(":
-                    depth += 1
+                    dd += 1
                 elif tj == ")":
-                    depth -= 1
-                    if depth < d:
+                    dd -= 1
+                    if dd < d:
                         break
-                elif depth == d:
+                elif dd == d:
                     uj = _u(tj)
                     if uj == "BY":
-                        raise DialectError(
-                            "LIMIT n BY has no direct Spark SQL clause — "
-                            "use the row_number()<=n window pattern "
-                            "(WindowGroupLimit pushes the heap into the "
-                            "shuffle; see w_topk_per_group)"
-                        )
+                        return i, j, d
                     if uj in _CLAUSE_ENDERS or uj == "SELECT":
                         break
                 j += 1
-            depth = d
-        i += 1
+    return None
+
+
+def _rewrite_limit_by(toks: list[str]) -> list[str]:
+    """Top-level ``[ORDER BY o] LIMIT n BY k [LIMIT m]`` -> a row_number
+    window wrapper: pick the first n rows per distinct k in the o order.
+
+    Spark plans the ``row_number() <= n`` filter as a WindowGroupLimit (the
+    per-group heap pushes into the shuffle), so the translated query keeps
+    ClickHouse's own execution shape. Nested (subquery) LIMIT BY raises —
+    wrapping an inner scope is ambiguous token surgery."""
+    found = _find_limit_by(toks)
+    if found is None:
+        return toks
+    limit_at, by_at, depth = found
+    if depth != 0:
+        raise DialectError(
+            "LIMIT n BY inside a subquery isn't rewritten — hoist it or use "
+            "the row_number()<=n window pattern (see w_topk_per_group)"
+        )
+    d0 = 0
+    for i, t in enumerate(toks):
+        if t == "(":
+            d0 += 1
+        elif t == ")":
+            d0 -= 1
+        elif d0 == 0 and _u(t) in ("UNION", "INTERSECT", "EXCEPT"):
+            raise DialectError(
+                "LIMIT n BY over a set operation isn't rewritten — wrap the "
+                "compound in a subquery and apply row_number()<=n outside"
+            )
+    n_toks = toks[limit_at + 1:by_at]
+    if "," in n_toks:
+        raise DialectError("LIMIT n, m BY (offset form) is not supported")
+    # ORDER BY clause immediately preceding the LIMIT (CH clause order)
+    order_at = None
+    d0 = 0
+    for i in range(limit_at):
+        t = toks[i]
+        if t == "(":
+            d0 += 1
+        elif t == ")":
+            d0 -= 1
+        elif d0 == 0 and _u(t) == "ORDER" and i + 1 < len(toks) and _u(toks[i + 1]) == "BY":
+            order_at = i
+    # keys run to the next top-level clause (e.g. a trailing global LIMIT)
+    key_end = len(toks)
+    d0 = 0
+    for i in range(by_at + 1, len(toks)):
+        t = toks[i]
+        if t == "(":
+            d0 += 1
+        elif t == ")":
+            d0 -= 1
+        elif d0 == 0 and _u(t) in _CLAUSE_ENDERS:
+            key_end = i
+            break
+    keys = toks[by_at + 1:key_end]
+    trailing = toks[key_end:]
+    if order_at is not None:
+        pre = toks[:order_at]
+        order = toks[order_at + 2:limit_at]
+    else:
+        pre = toks[:limit_at]
+        order = keys
+    out = [
+        "SELECT", "*", "EXCEPT", "(", "__rn", ")", "FROM", "(",
+        "SELECT", "__q", ".", "*", ",", "row_number", "(", ")",
+        "OVER", "(", "PARTITION", "BY", *keys, "ORDER", "BY", *order, ")",
+        "AS", "__rn", "FROM", "(", *pre, ")", "AS", "__q", ")",
+        "WHERE", "__rn", "<=", *n_toks,
+    ]
+    if order_at is not None:
+        out += ["ORDER", "BY", *order]
+    out += trailing
+    return out
 
 
 def _merge_prewhere(toks: list[str]) -> list[str]:
@@ -896,7 +965,7 @@ def translate(sql: str) -> str:
     toks = _tokenize(sql)
     toks = _strip_format_settings(toks)
     toks = _strip_final_and_join_mods(toks)
-    _reject_limit_by(toks)
+    toks = _rewrite_limit_by(toks)
     toks = _merge_prewhere(toks)
     toks = _rewrite_with_totals(toks)
     toks = _rewrite_array_join(toks)

@@ -122,6 +122,23 @@ def test_array_join_becomes_lateral_view():
     assert "LATERAL VIEW OUTER explode(arr)" in out
 
 
+def test_limit_by_rewrites_to_window_wrapper():
+    out = translate(
+        "SELECT event_type, value FROM events "
+        "ORDER BY value DESC LIMIT 2 BY event_type"
+    )
+    assert out == (
+        "SELECT * EXCEPT(__rn) FROM (SELECT __q.*, row_number() "
+        "OVER (PARTITION BY event_type ORDER BY value DESC) AS __rn "
+        "FROM (SELECT event_type, value FROM events) AS __q) "
+        "WHERE __rn <= 2 ORDER BY value DESC"
+    )
+    # without ORDER BY, the window orders by the keys; trailing LIMIT kept
+    out = translate("SELECT k, v FROM t LIMIT 1 BY k LIMIT 10")
+    assert out.endswith("WHERE __rn <= 1 LIMIT 10")
+    assert "PARTITION BY k ORDER BY k" in out
+
+
 def test_with_totals_becomes_grouping_sets():
     out = translate("SELECT k, count() AS n FROM t GROUP BY k WITH TOTALS")
     assert out == (
@@ -167,7 +184,9 @@ def test_qualified_and_quoted_names_untouched():
 @pytest.mark.parametrize(
     ("sql", "hint"),
     [
-        ("SELECT x FROM t LIMIT 3 BY k", "w_topk_per_group"),
+        ("SELECT * FROM (SELECT x FROM t LIMIT 3 BY k)", "w_topk_per_group"),
+        ("SELECT x FROM a UNION ALL SELECT x FROM b LIMIT 3 BY x", "subquery"),
+        ("SELECT x FROM t LIMIT 3, 5 BY k", "offset form"),
         ("SELECT topK(5)(x) FROM t", "x_heavy_hitters"),
         ("SELECT sumMap(m) FROM t", "mapagg"),
         ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "x_window_funnel"),
@@ -260,6 +279,15 @@ _SEMANTIC_CASES = [
         "GROUP BY tok ORDER BY n DESC, tok LIMIT 10",
     ),
     (
+        "limit_by_top2_per_type",
+        "SELECT event_type, event_id, value FROM events "
+        "ORDER BY value DESC, event_id LIMIT 2 BY event_type",
+        "SELECT event_type, event_id, value FROM "
+        "(SELECT event_type, event_id, value, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY value DESC, event_id) AS rn "
+        "FROM events) t WHERE rn <= 2",
+    ),
+    (
         "with_totals_row",
         "SELECT event_type AS k, count() AS n, "
         "sumIf(toInt64(round(value * 100)), value > 0) AS cents "
@@ -316,6 +344,18 @@ def test_dialect_rollup_plan_partial_aggregates_and_prunes(spark):
     assert P.has_partial_aggregate(df)
     cols = set(P.read_schema_columns(df))
     assert cols <= {"ts", "event_type", "user_id", "value", "props"}, cols
+
+
+def test_limit_by_plans_as_window_group_limit(spark):
+    """The LIMIT BY rewrite keeps ClickHouse's execution shape: the
+    row_number()<=n filter pushes a per-group heap into the shuffle."""
+    load_tables(spark, SF_SMOKE)
+    df = clickhouse_sql(
+        spark,
+        "SELECT event_type, event_id, value FROM events "
+        "ORDER BY value DESC, event_id LIMIT 2 BY event_type",
+    )
+    assert P.has_window_group_limit(df), P.physical_plan(df)
 
 
 def test_dialect_scalar_plan_is_exchange_free(spark):
