@@ -107,6 +107,8 @@ HEADLINE = [
     "sql_ch_events_rollup",    # ClickHouse-dialect SQL through translate()
     "x_outlier_mad",           # MAD robust outliers, one event_type exchange
     "x_attribution_last_touch",  # LOCF last-touch credit, one user_id exchange
+    "x_rfm_segments",          # RFM quartile census, reduced-frame NTILEs
+    "x_cohort_ltv",            # cohort LTV triangle, windowed cohorting
 ]
 
 

@@ -633,3 +633,148 @@ def x_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(ts) AS last_ts,
+         COUNT(*) AS freq,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), scored AS (
+  SELECT user_id, last_ts, freq, monetary_cents,
+         NTILE(4) OVER (ORDER BY last_ts, user_id) AS r_score,
+         NTILE(4) OVER (ORDER BY freq, user_id) AS f_score,
+         NTILE(4) OVER (ORDER BY monetary_cents, user_id) AS m_score
+  FROM per_user
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@query("x_rfm_segments", oracle=RFM_SQL, tags=("ext", "behavior", "segmentation"))
+def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency/frequency/monetary from
+    purchase events, quartile-scored with NTILE, rolled up to the 4x4x4
+    segment census.
+
+    Determinism: every NTILE ordering carries user_id as the tie-break, so
+    quartile membership is exact on both engines (NTILE's
+    floor-division bucket formula is engine-identical given a total
+    order). Monetary is integer cents.
+
+    Scale note (deliberate, documented): the three NTILEs are GLOBAL
+    windows — the scored frame is |purchasing users| rows, already reduced
+    by the per-user aggregate, so the single-partition window is bounded
+    by the user population, not event volume. For a 10^9-user corpus the
+    swap-in is quantile-cut scores (approx_percentile thresholds broadcast
+    back — the x_outlier_zscore two-pass shape); exact NTILE is kept here
+    because the driver hash needs bit-reproducible buckets.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    scored = per_user.select(
+        "monetary_cents",
+        F.ntile(4).over(Window.orderBy("last_ts", "user_id")).alias("r_score"),
+        F.ntile(4).over(Window.orderBy("freq", "user_id")).alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .select(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+            "n_users",
+            "segment_cents",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+COHORT_LTV_SQL = """
+WITH firsts AS (
+  SELECT user_id, ts, value,
+         MIN(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_week
+  FROM events
+), rev AS (
+  SELECT cohort_week,
+         CAST(floor(datediff('day', cohort_week, date_trunc('week', ts)) / 7.0)
+              AS BIGINT) AS week_offset,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         user_id
+  FROM firsts
+)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM rev
+WHERE week_offset <= 8
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@query("x_cohort_ltv", oracle=COHORT_LTV_SQL, tags=("ext", "behavior", "cohort"))
+def x_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users cohorted by first-activity week,
+    revenue and active users per (cohort_week, week_offset) cell, first 9
+    weekly offsets — the standard LTV triangle.
+
+    The cohort assignment is a MIN window over the same user_id
+    partitioning the distinct-count aggregate needs, so cohorting and the
+    matrix rollup share ONE user-keyed exchange lineage; the final
+    (cohort, offset) aggregate is a second, matrix-sized exchange.
+    Week offsets are integer day arithmetic on week-truncated timestamps
+    (engine-identical), money is integer cents.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts", "value")
+    wu = Window.partitionBy("user_id")
+    firsts = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.min(F.date_trunc("week", "ts")).over(wu).alias("cohort_week"),
+    )
+    week_offset = F.floor(
+        F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7.0
+    ).cast("long")
+    rev = firsts.select(
+        "cohort_week",
+        week_offset.alias("week_offset"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "user_id",
+    )
+    return (
+        rev.filter(F.col("week_offset") <= 8)
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -187,9 +187,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_embedding_quantize",
     "x_retention_flags",
     "x_ivfpq_topk",
-    # Round-5 fifth-session additions: ClickHouse function analogs
-    # (exponentialMovingAverage, largestTriangleThreeBuckets,
-    # dictGetOrDefault, multiSearch*) — same round-7 lead commitment.
+    # Round-5 fifth-session additions (ClickHouse function analogs, the
+    # dialect-shim queries, and the behavior additions below) — same
+    # round-7 lead commitment as the rest of this queue. Round-7 window
+    # budget check: 41 round-3-stale + this queue must be split across
+    # rounds 6 and 7 as annotated above; everything from here down is
+    # round-7 material.
     "x_ewma_trailing",
     "x_lttb_downsample",
     "x_dict_enrich",
@@ -201,6 +204,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_ch_word_freq",
     "x_outlier_mad",
     "x_attribution_last_touch",
+    "x_rfm_segments",
+    "x_cohort_ltv",
 )
 
 

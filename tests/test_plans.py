@@ -704,3 +704,26 @@ def test_attribution_single_user_exchange_then_tiny_rollup(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "Join" not in plan, plan
     assert P.has_partial_aggregate(df), plan
+
+
+def test_rfm_global_ntiles_ride_reduced_frame(spark):
+    """x_rfm_segments: the only corpus-scale exchange is the per-user
+    aggregate; the global NTILE windows run on the already-reduced
+    |purchasing users| frame (documented bounded single-partition), and the
+    segment rollup is 4x4x4-sized."""
+    df = _q(spark, "x_rfm_segments")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" in plan, plan  # the documented trade
+    assert "Join" not in plan, plan
+    assert P.has_partial_aggregate(df), plan
+
+
+def test_cohort_ltv_shares_user_exchange_for_cohorting(spark):
+    """x_cohort_ltv: cohort-week MIN window on user_id, then the distinct-
+    count matrix rollup — no join anywhere, scan pruned to 3 columns."""
+    df = _q(spark, "x_cohort_ltv")
+    plan = P.physical_plan(df)
+    assert "Join" not in plan, plan
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"user_id", "ts", "value"}, cols
