@@ -126,3 +126,33 @@ def sql_ch_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Translates to explode -> partial-aggregated hash agg -> TakeOrdered 20
     (deterministic tie-break on the word)."""
     return clickhouse_sql(spark, CH_WORD_FREQ, sf_dir)
+
+
+CH_TOP_PER_TYPE = """
+SELECT event_type, event_id, toInt64(round(value * 100)) AS cents
+FROM events
+ORDER BY cents DESC, event_id
+LIMIT 3 BY event_type
+"""
+
+TOP_PER_TYPE_ORACLE = """
+SELECT event_type, event_id, cents FROM (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                                     event_id) AS rn
+  FROM events) t
+WHERE rn <= 3
+ORDER BY cents DESC, event_id
+"""
+
+
+@query("sql_ch_top_per_type", oracle=TOP_PER_TYPE_ORACLE, tags=("dialect", "window"))
+def sql_ch_top_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LIMIT n BY`` end to end: top-3 purchases per event type,
+    written with the CH-only clause and rewritten by the dialect layer to a
+    row_number wrapper that Spark plans as WindowGroupLimit — the same
+    per-group-heap-in-the-shuffle execution ClickHouse uses natively
+    (plan-asserted in tests/test_dialect.py)."""
+    return clickhouse_sql(spark, CH_TOP_PER_TYPE, sf_dir)

@@ -206,6 +206,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_attribution_last_touch",
     "x_rfm_segments",
     "x_cohort_ltv",
+    "sql_ch_top_per_type",
 )
 
 
