@@ -109,6 +109,7 @@ HEADLINE = [
     "x_attribution_last_touch",  # LOCF last-touch credit, one user_id exchange
     "x_rfm_segments",          # RFM quartile census, reduced-frame NTILEs
     "x_cohort_ltv",            # cohort LTV triangle, windowed cohorting
+    "x_active_users_rolling",  # DAU/WAU/MAU via constant-fan-out explode
 ]
 
 

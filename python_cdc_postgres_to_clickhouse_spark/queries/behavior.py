@@ -778,3 +778,75 @@ def x_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+ACTIVE_USERS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), mx AS (
+  SELECT MAX(day) AS max_day FROM days
+), cover AS (
+  SELECT d.user_id, d.day,
+         d.day + o * INTERVAL 1 DAY AS cday,
+         o
+  FROM (SELECT user_id, day, unnest(generate_series(0, 29)) AS o
+        FROM days) d, mx
+  WHERE d.day + o * INTERVAL 1 DAY <= mx.max_day
+)
+SELECT cday AS day,
+       CAST(COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END) AS BIGINT) AS dau,
+       CAST(COUNT(DISTINCT CASE WHEN o <= 6 THEN user_id END) AS BIGINT) AS wau,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+FROM cover
+GROUP BY cday
+ORDER BY cday
+"""
+
+
+@query(
+    "x_active_users_rolling",
+    oracle=ACTIVE_USERS_SQL,
+    tags=("ext", "behavior", "engagement"),
+)
+def x_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: exact DAU / trailing-7-day WAU / trailing-30-day
+    MAU per day.
+
+    Shape: dedup to (user, active-day) pairs (one exchange, the frame a
+    100 TB event log reduces to), EXPLODE each pair onto the ≤30 future
+    days it keeps the user "active" for (constant fan-out — the rolling
+    window becomes a plain GROUP BY; no per-day self-join, no
+    quadratic-in-window-length range join), cap at the corpus max day via
+    a broadcast 1-row scalar, then ONE aggregate computes all three
+    tiers as conditional distinct counts (offset 0 / ≤6 / ≤29). The
+    DuckDB oracle is the same explode written with generate_series — an
+    independent formulation of the same closed form.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    mx = days.agg(F.max("day").alias("max_day"))
+    cover = (
+        days.select(
+            "user_id",
+            "day",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("o"),
+        )
+        .withColumn("cday", F.expr("timestampadd(DAY, o, day)"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("cday") <= F.col("max_day"))
+    )
+    return (
+        cover.groupBy(F.col("cday").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("o") == 0, F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(F.col("o") <= 6, F.col("user_id"))
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .orderBy("day")
+    )

@@ -207,6 +207,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_rfm_segments",
     "x_cohort_ltv",
     "sql_ch_top_per_type",
+    "x_active_users_rolling",
 )
 
 

@@ -727,3 +727,17 @@ def test_cohort_ltv_shares_user_exchange_for_cohorting(spark):
     assert "Join" not in plan, plan
     cols = set(P.read_schema_columns(df))
     assert cols <= {"user_id", "ts", "value"}, cols
+
+
+def test_active_users_rolling_explode_not_range_join(spark):
+    """x_active_users_rolling: the rolling window is a constant-fan-out
+    explode + ONE group-by — no self-join, no range join; the only join in
+    the plan is the broadcast of the 1-row max-day scalar."""
+    df = _q(spark, "x_active_users_rolling")
+    plan = P.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert join not in plan, plan
+    assert "Generate explode" in plan, plan
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"user_id", "ts"}, cols
