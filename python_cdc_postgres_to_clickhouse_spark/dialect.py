@@ -835,8 +835,23 @@ _UNSUPPORTED: dict[str, str] = {
 }
 
 
+# ClickHouse resolves aggregate names case-insensitively (COUNT, Count,
+# count are one function); everything else is case-sensitive camelCase.
+_CI_CANON = {
+    n.lower(): n
+    for n in (
+        "count", "sum", "avg", "min", "max", "any", "anyLast", "median",
+        "uniq", "uniqExact", "argMax", "argMin", "stddevPop", "stddevSamp",
+        "varPop", "varSamp", "corr", "covarPop", "covarSamp", "groupArray",
+        "groupUniqArray", "quantile", "quantileExact", "quantiles",
+    )
+}
+
+
 def _apply_function(name: str, rendered_args: list[str],
                     params: list[str] | None) -> str:
+    if name not in RULES and name not in PARAM_RULES and name not in _UNSUPPORTED:
+        name = _CI_CANON.get(name.lower(), name)
     if name in _UNSUPPORTED:
         raise DialectError(f"{name}: {_UNSUPPORTED[name]}")
     if name.endswith("State") or name.endswith("Merge"):
@@ -938,6 +953,8 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
             and not (out and out[-1] == ".")
         ):
             name = t
+            if name not in RULES and name not in PARAM_RULES and name not in _UNSUPPORTED:
+                name = _CI_CANON.get(name.lower(), name)
             arg_tok_lists, j = _parse_args(toks, i + 1)
             params: list[str] | None = None
             if (

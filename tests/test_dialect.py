@@ -65,6 +65,17 @@ def test_translate_expressions(ch, expect):
     assert translate(f"SELECT {ch} FROM t") == f"SELECT {expect} FROM t"
 
 
+def test_aggregate_names_resolve_case_insensitively():
+    assert translate("SELECT COUNT(), UNIQEXACT(x), ArgMax(a, b) FROM t") == (
+        "SELECT count(*), count(DISTINCT x), max_by(a, b) FROM t"
+    )
+    assert translate("SELECT QUANTILE(0.9)(v) FROM t") == (
+        "SELECT percentile_approx(v, 0.9) FROM t"
+    )
+    # non-aggregate camelCase stays case-sensitive (a different identifier)
+    assert translate("SELECT todate(x) FROM t") == "SELECT todate(x) FROM t"
+
+
 def test_nested_calls_rewrite_recursively():
     out = translate("SELECT sumIf(toInt64(round(v * 100)), notEmpty(s)) FROM t")
     assert out == (
