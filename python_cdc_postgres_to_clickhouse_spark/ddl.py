@@ -1,0 +1,325 @@
+"""ClickHouse DDL translation: bring the warehouse's table definitions too.
+
+``translate_ddl()`` parses a ClickHouse ``CREATE TABLE`` statement — column
+list with CH types, ``ENGINE = <MergeTree family>``, ``PARTITION BY``,
+``ORDER BY``, ``TTL``, ``SETTINGS`` — and emits:
+
+- a runnable Spark SQL ``CREATE TABLE ... USING parquet`` statement
+  (CH types mapped to Spark types; ``Nullable``/``LowCardinality`` wrappers
+  unwrapped — every Spark column is nullable, dictionary encoding is
+  parquet's job),
+- the engine-equivalent maintenance strategy (ReplacingMergeTree ->
+  ParquetUpsertSink, SummingMergeTree -> the retractable rollup sink,
+  CollapsingMergeTree -> signed-collapse reads, ... — the same mapping
+  MIGRATION.md documents, machine-readable),
+- the layout spec: ``ORDER BY`` keys become cluster/Z-order keys for
+  ``operators/layout.py`` (the MergeTree primary-index analog — footer
+  min/max stats give the same data-skipping), ``PARTITION BY`` becomes a
+  derived partition column (Spark partition columns are real columns, so a
+  CH partition *expression* like ``toYYYYMM(ts)`` maps to a generated
+  column the writer derives via the translated expression),
+- the ``TTL`` horizon, mapping to ``ParquetUpsertSink.compact(...,
+  ttl_older_than=...)``.
+
+Scale: this is driver-side string work; what matters at 100 TB is that the
+MAPPING preserves the reference layout's pruning behavior — partition
+pruning (PARTITIONED BY), footer-stats skipping on the ORDER BY keys
+(cluster/Z-order, asserted in tests/test_layout.py), and TTL as bounded
+compaction rewrites rather than full-table scans.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .dialect import DialectError, translate
+
+__all__ = ["DdlPlan", "translate_ddl"]
+
+
+# ---------------------------------------------------------------------------
+# Type mapping
+# ---------------------------------------------------------------------------
+
+_SIMPLE_TYPES = {
+    "Int8": "TINYINT", "Int16": "SMALLINT", "Int32": "INT", "Int64": "BIGINT",
+    "UInt8": "SMALLINT", "UInt16": "INT", "UInt32": "BIGINT",
+    "UInt64": "BIGINT",  # documented narrowing: Spark has no unsigned 64-bit
+    "Float32": "FLOAT", "Float64": "DOUBLE",
+    "String": "STRING", "UUID": "STRING", "IPv4": "STRING", "IPv6": "STRING",
+    "Date": "DATE", "Date32": "DATE",
+    "DateTime": "TIMESTAMP", "DateTime64": "TIMESTAMP",
+    "Bool": "BOOLEAN",
+    "JSON": "STRING",
+}
+
+
+def map_type(ch_type: str) -> str:
+    """Map one ClickHouse column type to a Spark SQL type."""
+    t = ch_type.strip()
+    m = re.match(r"^(\w+)\s*(?:\((.*)\))?$", t, re.S)
+    if not m:
+        raise DialectError(f"cannot parse type {ch_type!r}")
+    name, inner = m.group(1), m.group(2)
+    if name in ("Nullable", "LowCardinality"):
+        return map_type(inner)
+    if name in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[name]
+    if name == "FixedString":
+        return "STRING"
+    if name == "DateTime64" or (name == "DateTime" and inner):
+        return "TIMESTAMP"
+    if name == "Decimal":
+        p, s = (x.strip() for x in inner.split(","))
+        return f"DECIMAL({p}, {s})"
+    if name in ("Decimal32", "Decimal64", "Decimal128"):
+        scale = inner.strip()
+        prec = {"Decimal32": 9, "Decimal64": 18, "Decimal128": 38}[name]
+        return f"DECIMAL({prec}, {scale})"
+    if name == "Array":
+        return f"ARRAY<{map_type(inner)}>"
+    if name == "Map":
+        k, v = _split_top(inner)
+        return f"MAP<{map_type(k)}, {map_type(v)}>"
+    if name == "Tuple":
+        parts = _split_top_list(inner)
+        fields = []
+        for i, p in enumerate(parts, start=1):
+            nm = re.match(r"^\s*([A-Za-z_]\w*)\s+(.+)$", p, re.S)
+            if nm and not re.match(r"^\s*\w+\s*\(", p):
+                fields.append(f"{nm.group(1)}: {map_type(nm.group(2))}")
+            else:
+                fields.append(f"_{i}: {map_type(p)}")
+        return "STRUCT<" + ", ".join(fields) + ">"
+    if name in ("Enum8", "Enum16"):
+        return "STRING"  # values arrive as their names through any decoder
+    if name in ("AggregateFunction", "SimpleAggregateFunction"):
+        raise DialectError(
+            f"{name}: -State storage columns have no Spark column type — "
+            "partial aggregation IS the mergeable state here "
+            "(queries/sketches.py, streaming/sketch_sink.py)"
+        )
+    raise DialectError(f"unmapped ClickHouse type {ch_type!r}")
+
+
+def _split_top(s: str) -> tuple[str, str]:
+    parts = _split_top_list(s)
+    if len(parts) != 2:
+        raise DialectError(f"expected two type params in {s!r}")
+    return parts[0], parts[1]
+
+
+def _split_top_list(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
+# ---------------------------------------------------------------------------
+# Engine mapping
+# ---------------------------------------------------------------------------
+
+_ENGINE_STRATEGY = {
+    "MergeTree": "append-only parquet table (tables.py); cluster/Z-order the "
+                 "ORDER BY keys via operators/layout.py for primary-index-"
+                 "equivalent data skipping",
+    "ReplacingMergeTree": "streaming/upsert_sink.py ParquetUpsertSink — "
+                          "current_state() is the FINAL read; the version "
+                          "argument maps to the sink's ordering column",
+    "SummingMergeTree": "streaming/retract_rollup.py RetractRollupSink "
+                        "(incremental GROUP BY maintenance) or "
+                        "streaming/rollup_sink.py for append-only streams",
+    "AggregatingMergeTree": "streaming/parts_rollup.py PartedRollupSink / "
+                            "streaming/sketch_sink.py — partial aggregation "
+                            "is the -State/-Merge equivalent",
+    "CollapsingMergeTree": "cdc_collapsing_state query shape: SUM(sign)-"
+                           "weighted aggregates, net <= 0 groups dropped",
+    "VersionedCollapsingMergeTree": "cdc_versioned_collapse query shape: "
+                                    "collapse per (key, version), newest "
+                                    "surviving version served",
+    "GraphiteMergeTree": "x_downsample_tiers: age-tiered rollup against the "
+                         "stream watermark",
+    "Kafka": "sources/kafka.py stream_options + decode (S1-S5)",
+    "Distributed": "no-op: every Spark table is distributed; drop the shard "
+                   "wrapper and query the underlying table directly",
+    "Log": "append-only parquet table (tables.py)",
+    "TinyLog": "append-only parquet table (tables.py)",
+    "Memory": "df.cache() / createOrReplaceTempView",
+}
+
+
+@dataclass
+class DdlPlan:
+    table: str
+    columns: list[tuple[str, str]]          # (name, spark_type)
+    engine: str
+    strategy: str                           # engine-equivalent maintenance
+    order_by: list[str] = field(default_factory=list)   # layout cluster keys
+    partition_expr: str | None = None       # translated Spark expression
+    partition_col: str | None = None        # derived column name
+    partition_type: str = "INT"             # derived column's Spark type
+    ttl: str | None = None                  # translated TTL expression
+    dropped: list[str] = field(default_factory=list)    # MATERIALIZED/ALIAS
+
+    @property
+    def spark_ddl(self) -> str:
+        cols = [f"  {n} {t}" for n, t in self.columns]
+        if self.partition_col:
+            cols.append(f"  {self.partition_col} {self.partition_type}")
+        body = ",\n".join(cols)
+        ddl = f"CREATE TABLE {self.table} (\n{body}\n) USING parquet"
+        if self.partition_col:
+            ddl += f"\nPARTITIONED BY ({self.partition_col})"
+        return ddl
+
+
+_CLAUSE_RE = re.compile(
+    r"\bENGINE\s*=\s*(?P<engine>\w+)(?:\s*\((?P<eargs>[^)]*)\))?"
+    r"|\bPARTITION\s+BY\s+"
+    r"|\bORDER\s+BY\s+"
+    r"|\bPRIMARY\s+KEY\s+"
+    r"|\bSAMPLE\s+BY\s+"
+    r"|\bTTL\s+"
+    r"|\bSETTINGS\s+",
+    re.I,
+)
+
+
+def _extract_clause(sql: str, name: str) -> str | None:
+    """Extract the expression following clause ``name`` up to the next
+    top-level clause keyword."""
+    m = re.search(rf"\b{name}\s+", sql, re.I)
+    if not m:
+        return None
+    rest = sql[m.end():]
+    depth = 0
+    out = []
+    i = 0
+    while i < len(rest):
+        nxt = _CLAUSE_RE.match(rest, i)
+        if depth == 0 and nxt:
+            break
+        ch = rest[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        out.append(ch)
+        i += 1
+    return "".join(out).strip() or None
+
+
+def _strip_tuple(expr: str) -> list[str]:
+    e = expr.strip()
+    if e.startswith("(") and e.endswith(")"):
+        e = e[1:-1]
+    if e.lower().startswith("tuple(") and e.endswith(")"):
+        e = e[6:-1]
+    return [p for p in _split_top_list(e) if p]
+
+
+def translate_ddl(sql: str) -> DdlPlan:
+    """Parse a ClickHouse ``CREATE TABLE`` and return the engine mapping."""
+    head = re.match(
+        r"\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"(?P<name>[\w.`\"]+)\s*(?:ON\s+CLUSTER\s+\S+\s*)?\(",
+        sql,
+        re.I,
+    )
+    if not head:
+        raise DialectError("not a CREATE TABLE statement")
+    table = head.group("name").strip("`\"").split(".")[-1]
+    # column list: balanced parens from the opening one
+    depth, i = 1, head.end()
+    start = i
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    col_block, tail = sql[start:i - 1], sql[i:]
+
+    columns: list[tuple[str, str]] = []
+    dropped: list[str] = []
+    for raw in _split_top_list(col_block):
+        if not raw or re.match(r"^(INDEX|CONSTRAINT|PROJECTION)\b", raw, re.I):
+            dropped.append(raw.split()[1] if len(raw.split()) > 1 else raw)
+            continue
+        cm = re.match(r"^([\w`\"]+)\s+(.*)$", raw, re.S)
+        if not cm:
+            raise DialectError(f"cannot parse column {raw!r}")
+        cname = cm.group(1).strip("`\"")
+        rest = cm.group(2).strip()
+        if re.search(r"\b(MATERIALIZED|ALIAS)\b", rest, re.I):
+            dropped.append(cname)  # derived server-side; writers re-derive
+            continue
+        # type runs until DEFAULT/CODEC/COMMENT/TTL or end (balanced parens)
+        tm = re.match(
+            r"^(.*?)(?:\s+(?:DEFAULT|CODEC|COMMENT|TTL)\b.*)?$", rest, re.S
+        )
+        columns.append((cname, map_type(tm.group(1))))
+
+    em = re.search(r"\bENGINE\s*=\s*(\w+)", tail, re.I)
+    engine = em.group(1) if em else "MergeTree"
+    base_engine = re.sub(r"^(Replicated|Shared)", "", engine)
+    strategy = _ENGINE_STRATEGY.get(base_engine)
+    if strategy is None:
+        raise DialectError(
+            f"engine {engine} has no mapping — see MIGRATION.md for the "
+            "supported MergeTree family"
+        )
+
+    order_by = [
+        translate(f"SELECT {k} FROM t")[7:-7]
+        for k in _strip_tuple(_extract_clause(tail, "ORDER\\s+BY") or "")
+        if k.lower() != "tuple()"
+    ]
+
+    part_raw = _extract_clause(tail, "PARTITION\\s+BY")
+    partition_expr = partition_col = None
+    partition_type = "INT"
+    col_types = dict(columns)
+    if part_raw and part_raw.lower() != "tuple()":
+        if part_raw.isidentifier() and part_raw in col_types:
+            # a real column: partition on it directly, no derived column
+            partition_col = part_raw
+            partition_type = col_types[part_raw]
+            columns = [(n, t) for n, t in columns if n != part_raw]
+        else:
+            partition_expr = translate(f"SELECT {part_raw} FROM t")[7:-7]
+            partition_col = (
+                "p_" + re.sub(r"\W+", "_", part_raw).strip("_").lower()
+            )
+            if "to_date" in partition_expr or "date_trunc" in partition_expr:
+                partition_type = "DATE"
+            elif "as int" not in partition_expr:
+                partition_type = "STRING"
+
+    ttl_raw = _extract_clause(tail, "TTL")
+    ttl = translate(f"SELECT {ttl_raw} FROM t")[7:-7] if ttl_raw else None
+
+    return DdlPlan(
+        table=table,
+        columns=columns,
+        engine=engine,
+        strategy=strategy,
+        order_by=order_by,
+        partition_expr=partition_expr,
+        partition_col=partition_col,
+        partition_type=partition_type,
+        ttl=ttl,
+        dropped=dropped,
+    )

@@ -1,0 +1,133 @@
+"""ClickHouse DDL translation: type mapping, engine strategies, layout
+extraction, and that the emitted Spark DDL actually executes."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_cdc_postgres_to_clickhouse_spark.ddl import map_type, translate_ddl
+from python_cdc_postgres_to_clickhouse_spark.dialect import DialectError
+
+
+@pytest.mark.parametrize(
+    ("ch", "spark_t"),
+    [
+        ("UInt64", "BIGINT"),
+        ("Int32", "INT"),
+        ("UInt8", "SMALLINT"),
+        ("Float64", "DOUBLE"),
+        ("String", "STRING"),
+        ("FixedString(16)", "STRING"),
+        ("Date", "DATE"),
+        ("DateTime", "TIMESTAMP"),
+        ("DateTime64(3)", "TIMESTAMP"),
+        ("Decimal(18, 2)", "DECIMAL(18, 2)"),
+        ("Decimal64(4)", "DECIMAL(18, 4)"),
+        ("Nullable(Int64)", "BIGINT"),
+        ("LowCardinality(String)", "STRING"),
+        ("LowCardinality(Nullable(String))", "STRING"),
+        ("Array(Float32)", "ARRAY<FLOAT>"),
+        ("Array(Nullable(String))", "ARRAY<STRING>"),
+        ("Map(String, UInt64)", "MAP<STRING, BIGINT>"),
+        ("Tuple(String, Int64)", "STRUCT<_1: STRING, _2: BIGINT>"),
+        ("Tuple(name String, qty Int64)", "STRUCT<name: STRING, qty: BIGINT>"),
+        ("Enum8('a' = 1, 'b' = 2)", "STRING"),
+        ("UUID", "STRING"),
+        ("Bool", "BOOLEAN"),
+    ],
+)
+def test_map_type(ch, spark_t):
+    assert map_type(ch) == spark_t
+
+
+def test_aggregate_function_column_raises_with_pointer():
+    with pytest.raises(DialectError, match="sketch"):
+        map_type("AggregateFunction(uniq, UInt64)")
+    with pytest.raises(DialectError, match="unmapped"):
+        map_type("Point")
+
+
+REPLACING_DDL = """
+CREATE TABLE IF NOT EXISTS analytics.users_current ON CLUSTER main
+(
+    user_id UInt64,
+    email Nullable(String),
+    balance Decimal(18, 2) DEFAULT 0,
+    tags Array(LowCardinality(String)),
+    updated_at DateTime64(3),
+    day_key Date MATERIALIZED toDate(updated_at),
+    INDEX email_idx email TYPE bloom_filter GRANULARITY 4
+)
+ENGINE = ReplacingMergeTree(updated_at)
+PARTITION BY toYYYYMM(updated_at)
+ORDER BY (user_id, updated_at)
+TTL updated_at + INTERVAL 90 DAY
+SETTINGS index_granularity = 8192
+"""
+
+
+def test_replacing_merge_tree_full_plan():
+    plan = translate_ddl(REPLACING_DDL)
+    assert plan.table == "users_current"
+    assert ("user_id", "BIGINT") in plan.columns
+    assert ("balance", "DECIMAL(18, 2)") in plan.columns
+    assert ("tags", "ARRAY<STRING>") in plan.columns
+    assert ("updated_at", "TIMESTAMP") in plan.columns
+    # MATERIALIZED column and the INDEX are dropped with a record
+    assert "day_key" in plan.dropped and "email_idx" in plan.dropped
+    assert plan.engine == "ReplacingMergeTree"
+    assert "ParquetUpsertSink" in plan.strategy
+    assert plan.order_by == ["user_id", "updated_at"]
+    assert plan.partition_expr == "cast(date_format(updated_at, 'yyyyMM') as int)"
+    assert plan.partition_col == "p_toyyyymm_updated_at"
+    assert plan.partition_type == "INT"
+    assert plan.ttl == "updated_at + INTERVAL 90 DAY"
+
+
+def test_emitted_spark_ddl_executes(spark):
+    plan = translate_ddl(REPLACING_DDL)
+    spark.sql("DROP TABLE IF EXISTS users_current")
+    try:
+        spark.sql(plan.spark_ddl)
+        cols = {f.name: f.dataType.simpleString() for f in spark.table("users_current").schema}
+        assert cols["user_id"] == "bigint"
+        assert cols["balance"] == "decimal(18,2)"
+        assert cols["p_toyyyymm_updated_at"] == "int"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS users_current")
+
+
+def test_plain_column_partition_is_not_rederived():
+    plan = translate_ddl(
+        "CREATE TABLE t (region String, v UInt64, d Date) "
+        "ENGINE = MergeTree PARTITION BY region ORDER BY v"
+    )
+    assert plan.partition_col == "region"
+    assert plan.partition_type == "STRING"
+    assert plan.partition_expr is None
+    assert ("region", "STRING") not in plan.columns  # moved to partition slot
+    assert "PARTITIONED BY (region)" in plan.spark_ddl
+
+
+def test_engine_family_strategies():
+    mk = "CREATE TABLE t (k UInt64, v Int64, sign Int8) ENGINE = {} ORDER BY k"
+    assert "cdc_collapsing_state" in translate_ddl(
+        mk.format("CollapsingMergeTree(sign)")
+    ).strategy
+    assert "RetractRollupSink" in translate_ddl(mk.format("SummingMergeTree")).strategy
+    assert "sketch_sink" in translate_ddl(mk.format("AggregatingMergeTree")).strategy
+    # Replicated prefix strips to the base engine
+    assert "ParquetUpsertSink" in translate_ddl(
+        mk.format("ReplicatedReplacingMergeTree")
+    ).strategy
+    with pytest.raises(DialectError, match="MIGRATION.md"):
+        translate_ddl(mk.format("EmbeddedRocksDB"))
+
+
+def test_order_by_translates_functions_and_skips_empty_tuple():
+    plan = translate_ddl(
+        "CREATE TABLE t (ts DateTime, v UInt64) ENGINE = MergeTree "
+        "PARTITION BY tuple() ORDER BY (toStartOfDay(ts), v)"
+    )
+    assert plan.partition_col is None
+    assert plan.order_by == ["date_trunc('day', ts)", "v"]
