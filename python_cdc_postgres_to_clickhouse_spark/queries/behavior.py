@@ -850,3 +850,24 @@ def x_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query("x_holt_trend", tags=("ext", "behavior", "timeseries", "iterative"))
+def x_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear trend (double exponential smoothing) over the
+    value series — the sequential recurrence the relational surface can't
+    unroll (each step consumes the previous step's OUTPUT; contrast
+    x_ewma_trailing's fixed-weight form, which lag-unrolls to pure SQL).
+
+    One user_id grouped-map Arrow pass, numpy fold inside the worker,
+    two-float state, one output row per user (operators/forecast.py has
+    the full scale contract). Rows-only driver row; bit-exact numpy
+    replay, determinism, and single-point degenerate tests in
+    tests/test_forecast.py.
+    """
+    from ..operators.forecast import holt_linear
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return holt_linear(
+        ev, key="user_id", ts_col="ts", value_col="value", order_col="event_id"
+    ).orderBy("user_id")

@@ -208,6 +208,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_cohort_ltv",
     "sql_ch_top_per_type",
     "x_active_users_rolling",
+    "x_holt_trend",
 )
 
 
