@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 
 from .dialect import DialectError, translate
 
-__all__ = ["DdlPlan", "translate_ddl"]
+__all__ = ["DdlPlan", "MvPlan", "map_type", "translate_ddl", "translate_mv"]
 
 
 # ---------------------------------------------------------------------------
@@ -322,4 +322,82 @@ def translate_ddl(sql: str) -> DdlPlan:
         partition_type=partition_type,
         ttl=ttl,
         dropped=dropped,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized views: ClickHouse's MV is an INSERT trigger that runs the
+# SELECT over each arriving block and appends to the target table — i.e.
+# exactly a Structured Streaming query over the source with a sink on the
+# target. The translation returns the Spark-SQL SELECT (via the dialect
+# shim) plus the sink strategy implied by the target engine.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MvPlan:
+    view: str
+    target: str | None           # TO table (None: inner table)
+    select_spark_sql: str        # dialect-translated SELECT
+    strategy: str                # sink recommendation
+    engine: str | None = None
+
+
+def translate_mv(sql: str) -> MvPlan:
+    """Parse ``CREATE MATERIALIZED VIEW [IF NOT EXISTS] name [TO target]
+    [ENGINE = ...] [POPULATE] AS SELECT ...`` and return the streaming
+    equivalent: the translated SELECT plus the sink strategy.
+
+    ``POPULATE`` (backfill at creation) maps to running the same SELECT
+    once in batch mode before attaching the stream — noted in the
+    strategy. An aggregating MV (GROUP BY in the SELECT) maps to the
+    rollup sinks; a plain projection MV maps to the upsert/append sink.
+    """
+    m = re.match(
+        r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"(?P<name>[\w.`\"]+)\s*(?:ON\s+CLUSTER\s+\S+\s*)?"
+        r"(?:TO\s+(?P<target>[\w.`\"]+)\s*)?"
+        r"(?:ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\([^)]*\))?\s*)?"
+        r"(?:ORDER\s+BY\s+.*?)?"
+        r"(?P<populate>POPULATE\s+)?"
+        r"AS\s+(?P<select>SELECT\b.*)$",
+        sql,
+        re.I | re.S,
+    )
+    if not m:
+        raise DialectError("not a CREATE MATERIALIZED VIEW ... AS SELECT")
+    view = m.group("name").strip("`\"").split(".")[-1]
+    target = m.group("target")
+    target = target.strip("`\"").split(".")[-1] if target else None
+    engine = m.group("engine")
+    select_sql = translate(m.group("select"))
+
+    base_engine = re.sub(r"^(Replicated|Shared)", "", engine) if engine else None
+    grouped = re.search(r"\bGROUP\s+BY\b", select_sql, re.I) is not None
+    if base_engine in ("SummingMergeTree", "AggregatingMergeTree") or grouped:
+        strategy = (
+            "streaming GROUP BY maintenance: foreachBatch into "
+            "streaming/retract_rollup.py RetractRollupSink (changelog "
+            "sources) or streaming/rollup_sink.py / parts_rollup.py "
+            "(append-only); sketch columns -> streaming/sketch_sink.py"
+        )
+    elif base_engine == "ReplacingMergeTree":
+        strategy = (
+            "keyed projection view: streaming/upsert_sink.py "
+            "ParquetUpsertSink keyed on the target's ORDER BY"
+        )
+    else:
+        strategy = (
+            "append projection view: readStream -> the translated SELECT "
+            "-> writeStream parquet append on the target path"
+        )
+    if m.group("populate"):
+        strategy += "; POPULATE -> run the same SELECT once in batch " \
+                    "mode before attaching the stream"
+    return MvPlan(
+        view=view,
+        target=target,
+        select_spark_sql=select_sql,
+        strategy=strategy,
+        engine=engine,
     )

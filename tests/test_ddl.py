@@ -131,3 +131,55 @@ def test_order_by_translates_functions_and_skips_empty_tuple():
     )
     assert plan.partition_col is None
     assert plan.order_by == ["date_trunc('day', ts)", "v"]
+
+
+# ---------------------------------------------------------------------------
+# Materialized views
+# ---------------------------------------------------------------------------
+
+from python_cdc_postgres_to_clickhouse_spark.ddl import translate_mv  # noqa: E402
+
+
+def test_mv_to_target_with_group_by_maps_to_rollup_sinks():
+    plan = translate_mv(
+        "CREATE MATERIALIZED VIEW analytics.mv_daily TO analytics.daily "
+        "AS SELECT toStartOfDay(ts) AS day, countIf(event_type = 'purchase') "
+        "AS p, uniqExact(user_id) AS u FROM events GROUP BY day"
+    )
+    assert plan.view == "mv_daily" and plan.target == "daily"
+    assert "RetractRollupSink" in plan.strategy
+    assert plan.select_spark_sql == (
+        "SELECT date_trunc('day', ts) AS day, count(*) FILTER "
+        "(WHERE event_type = 'purchase') AS p, count(DISTINCT user_id) AS u "
+        "FROM events GROUP BY day"
+    )
+
+
+def test_mv_projection_and_populate_and_engines():
+    plan = translate_mv(
+        "CREATE MATERIALIZED VIEW mv_flat TO flat AS "
+        "SELECT user_id, toStartOfDay(ts) AS day FROM events"
+    )
+    assert "append projection" in plan.strategy
+    plan = translate_mv(
+        "CREATE MATERIALIZED VIEW mv2 ENGINE = SummingMergeTree "
+        "ORDER BY (Amount, k) POPULATE AS "
+        "SELECT k, Amount, sum(v) AS s FROM t GROUP BY k, Amount"
+    )
+    assert plan.engine == "SummingMergeTree"
+    assert "POPULATE" in plan.strategy
+    assert plan.select_spark_sql.endswith("GROUP BY k, Amount")
+    with pytest.raises(DialectError, match="MATERIALIZED VIEW"):
+        translate_mv("CREATE VIEW v AS SELECT 1")
+
+
+def test_mv_translated_select_executes(spark):
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+    from .conftest import SF_SMOKE
+
+    load_tables(spark, SF_SMOKE)
+    plan = translate_mv(
+        "CREATE MATERIALIZED VIEW mv TO t AS SELECT toStartOfDay(ts) AS day, "
+        "count() AS n FROM events GROUP BY day"
+    )
+    assert spark.sql(plan.select_spark_sql).count() > 0
