@@ -170,6 +170,11 @@ def _strip_final_and_join_mods(toks: list[str]) -> list[str]:
                     )
                 i += 1
                 continue
+        if u == "GLOBAL" and i + 1 < len(toks) and _u(toks[i + 1]) in ("IN", "NOT"):
+            # GLOBAL IN / GLOBAL NOT IN: the distribution hint is a no-op
+            # here — Spark plans subquery IN itself.
+            i += 1
+            continue
         out.append(t)
         i += 1
     return out
@@ -752,6 +757,13 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "bitShiftLeft": _fn("shiftleft"),
     "bitShiftRight": _fn("shiftright"),
     "rand": lambda a: "cast(floor(rand() * 4294967296) as bigint)",
+    # -- table functions ---------------------------------------------------
+    # numbers(n) / numbers(offset, n): CH's integer-series table; Spark's
+    # range() names the column `id`, so wrap to keep CH's `number` name.
+    "numbers": lambda a: (
+        f"(SELECT id AS number FROM range({a[0]}))" if len(a) == 1
+        else f"(SELECT id AS number FROM range({a[0]}, ({a[0]}) + ({a[1]})))"
+    ),
     # -- URL ---------------------------------------------------------------
     "protocol": _tpl("parse_url({0}, 'PROTOCOL')"),
     "domain": _tpl("parse_url({0}, 'HOST')"),

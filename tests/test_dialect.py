@@ -181,6 +181,26 @@ def test_array_combinators_and_float_classification():
     )
 
 
+def test_global_in_hint_stripped():
+    assert translate("SELECT x FROM t WHERE k GLOBAL IN (SELECT k FROM d)") == (
+        "SELECT x FROM t WHERE k IN (SELECT k FROM d)"
+    )
+    assert translate("SELECT x FROM t WHERE k GLOBAL NOT IN (1, 2)") == (
+        "SELECT x FROM t WHERE k NOT IN (1, 2)"
+    )
+
+
+def test_numbers_table_function(spark):
+    out = translate("SELECT sum(number) AS s FROM numbers(100)")
+    assert out == (
+        "SELECT sum(number) AS s FROM (SELECT id AS number FROM range(100))"
+    )
+    assert spark.sql(out).collect()[0]["s"] == 4950
+    out2 = translate("SELECT count() AS n, min(number) AS lo FROM numbers(5, 10)")
+    r = spark.sql(out2).collect()[0]
+    assert (r["n"], r["lo"]) == (10, 5)
+
+
 def test_ansi_extract_passes_through():
     assert translate("SELECT EXTRACT(YEAR FROM ts) FROM t") == (
         "SELECT EXTRACT(YEAR FROM ts) FROM t"
