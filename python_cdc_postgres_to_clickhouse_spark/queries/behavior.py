@@ -821,6 +821,11 @@ def x_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers as conditional distinct counts (offset 0 / ≤6 / ≤29). The
     DuckDB oracle is the same explode written with generate_series — an
     independent formulation of the same closed form.
+
+    The 30× shuffle multiplier is the price of EXACT counts; when
+    approximate MAU suffices, the sketch path computes it with NO
+    multiplier — store one HLL per (day) and union 30 stored sketches per
+    serving-day (x_sketch_distinct_rollup / streaming/sketch_sink.py).
     """
     ev = load_tables(spark, sf_dir)["events"]
     days = ev.select(
