@@ -876,3 +876,42 @@ def x_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_linear(
         ev, key="user_id", ts_col="ts", value_col="value", order_col="event_id"
     ).orderBy("user_id")
+
+
+SEASONAL_SQL = """
+SELECT isodow(ts) AS dow, hour(ts) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+         AS purchases,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("x_seasonal_profile", oracle=SEASONAL_SQL, tags=("ext", "behavior"))
+def x_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heatmap source: activity, purchases, and cents
+    volume per (ISO day-of-week, hour-of-day) cell — 168 rows out.
+
+    ONE partial-aggregated hash exchange whose key space is fixed at 168
+    cells regardless of event volume (the ideal map-side combine case);
+    dow uses the Monday=1 ISO convention, computed with the same integer
+    expression the dialect shim uses for ``toDayOfWeek``.
+    """
+    ev = load_tables(spark, sf_dir)["events"].select("ts", "event_type", "value")
+    dow = (((F.dayofweek("ts") + 5) % 7) + 1).cast("long")
+    return (
+        ev.groupBy(dow.alias("dow"), F.hour("ts").cast("long").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "purchases"
+            ),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("dow", "hod")
+    )

@@ -209,6 +209,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_ch_top_per_type",
     "x_active_users_rolling",
     "x_holt_trend",
+    "x_seasonal_profile",
 )
 
 
