@@ -346,6 +346,86 @@ def _merge_prewhere(toks: list[str]) -> list[str]:
     return toks
 
 
+def _rewrite_scalar_with(toks: list[str]) -> list[str]:
+    """ClickHouse's reversed WITH: ``WITH <expr> AS name[, ...] SELECT ...``
+    binds named scalar constants (the opposite arg order from a standard
+    CTE). Rewritten by inline substitution: each later bare reference to
+    ``name`` becomes ``(expr)``. Standard CTEs (``WITH name AS (SELECT``)
+    pass through untouched; the two forms are distinguished by what
+    follows the AS — an identifier (scalar form) vs ``(`` (CTE form)."""
+    i = 0
+    while i < len(toks):
+        if _u(toks[i]) != "WITH":
+            i += 1
+            continue
+        # parse comma-separated `expr AS name` entries; bail to CTE handling
+        # if any entry has `name AS (`
+        j = i + 1
+        depth = 0
+        entries: list[tuple[list[str], str]] = []
+        cur: list[str] = []
+        name: str | None = None
+        ok = True
+        end = None
+        while j < len(toks):
+            t = toks[j]
+            if t == "(":
+                depth += 1
+                cur.append(t)
+            elif t == ")":
+                depth -= 1
+                cur.append(t)
+            elif depth == 0 and _u(t) == "AS":
+                if (
+                    j + 1 >= len(toks)
+                    or not _is_ident(toks[j + 1])
+                    or (j + 2 < len(toks) and toks[j + 2] == "(")
+                    or not cur
+                ):
+                    ok = False
+                    break
+                name = toks[j + 1]
+                j += 1
+            elif depth == 0 and t == "," and name is not None:
+                entries.append((cur, name))
+                cur, name = [], None
+            elif depth == 0 and _u(t) == "SELECT":
+                if name is None:
+                    ok = False
+                    break
+                entries.append((cur, name))
+                end = j
+                break
+            elif name is None:
+                cur.append(t)
+            else:
+                ok = False  # tokens after the alias name
+                break
+            j += 1
+        if not ok or end is None or not entries:
+            i += 1
+            continue
+        # substitute: every later bare reference to a name -> ( expr )
+        subs = {n: ["(", *e, ")"] for e, n in entries}
+        out = toks[:i]
+        k = end
+        while k < len(toks):
+            t = toks[k]
+            if (
+                t in subs
+                and (k + 1 >= len(toks) or toks[k + 1] != "(")
+                and (k == 0 or toks[k - 1] != ".")
+                and (k + 1 >= len(toks) or toks[k + 1] != ".")
+            ):
+                out.extend(subs[t])
+            else:
+                out.append(t)
+            k += 1
+        toks = out
+        i += 1
+    return toks
+
+
 def _rewrite_with_totals(toks: list[str]) -> list[str]:
     """``GROUP BY k1, k2 WITH TOTALS`` -> ``GROUP BY GROUPING SETS ((k1, k2),
     ())`` — the totals row is the empty grouping set (its group keys come
@@ -996,6 +1076,7 @@ def translate(sql: str) -> str:
     toks = _strip_final_and_join_mods(toks)
     toks = _rewrite_limit_by(toks)
     toks = _merge_prewhere(toks)
+    toks = _rewrite_scalar_with(toks)
     toks = _rewrite_with_totals(toks)
     toks = _rewrite_array_join(toks)
     toks = _rewrite_calls(toks)

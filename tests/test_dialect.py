@@ -181,6 +181,24 @@ def test_array_combinators_and_float_classification():
     )
 
 
+def test_scalar_with_substitutes_named_constants():
+    out = translate(
+        "WITH 100 AS cap, lower('X') AS tag "
+        "SELECT toInt64(cap) AS c FROM t WHERE v < cap AND s != tag"
+    )
+    assert out == (
+        "SELECT cast((100) as bigint) AS c FROM t "
+        "WHERE v <(100) AND s !=(lower('X'))"
+    )
+    # standard CTE form untouched
+    assert translate("WITH c AS (SELECT 1 AS a) SELECT a FROM c") == (
+        "WITH c AS (SELECT 1 AS a) SELECT a FROM c"
+    )
+    # qualified and call-position tokens are not substituted
+    out = translate("WITH 5 AS k SELECT t.k, k FROM t")
+    assert out == "SELECT t.k,(5) FROM t"
+
+
 def test_global_in_hint_stripped():
     assert translate("SELECT x FROM t WHERE k GLOBAL IN (SELECT k FROM d)") == (
         "SELECT x FROM t WHERE k IN (SELECT k FROM d)"

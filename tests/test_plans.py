@@ -741,3 +741,15 @@ def test_active_users_rolling_explode_not_range_join(spark):
     assert "Generate explode" in plan, plan
     cols = set(P.read_schema_columns(df))
     assert cols <= {"user_id", "ts"}, cols
+
+
+def test_seasonal_profile_single_fixed_key_exchange(spark):
+    """x_seasonal_profile: one partial-aggregated exchange over a fixed
+    168-cell key space; 3-column pruned scan, no joins or windows."""
+    df = _q(spark, "x_seasonal_profile")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert P.has_partial_aggregate(df), plan
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"ts", "event_type", "value"}, cols
