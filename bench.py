@@ -110,6 +110,9 @@ HEADLINE = [
     "x_rfm_segments",          # RFM quartile census, reduced-frame NTILEs
     "x_cohort_ltv",            # cohort LTV triangle, windowed cohorting
     "x_active_users_rolling",  # DAU/WAU/MAU via constant-fan-out explode
+    "sql_ch_top_per_type",     # LIMIT n BY via dialect -> WindowGroupLimit
+    "x_holt_trend",            # grouped Arrow fold, sequential recurrence
+    "x_seasonal_profile",      # fixed-168-cell census, pure map-side combine
 ]
 
 

@@ -5,30 +5,40 @@ The recurrence
     b_t = beta  * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
 is sequential in t — the one shape the relational surface genuinely cannot
 express (each step consumes the previous step's OUTPUT, unlike EWMA's
-fixed-weight form which unrolls to lag columns, x_ewma_trailing). This is
-the documented Arrow escape hatch done right:
+fixed-weight form which unrolls to lag columns, x_ewma_trailing).
 
-- ONE ``groupBy(keys).applyInPandas`` pass: Spark ships each key's rows as
-  a single Arrow batch; the fold is vectorized numpy inside the worker.
-- State per key is two floats — output is one row per key, so the shuffle
-  carries the event set once and returns |keys| rows.
-- At 100 TB the constraint is the largest single key's history must fit a
-  worker (same contract as any grouped-map op); the mitigations are the
-  standard ones — time-bound the window upstream, or checkpoint carried
-  (level, trend) state per key and fold increments (the streaming form).
+Execution shape — and why it is mapInPandas, not applyInPandas:
+``groupBy().applyInPandas`` invokes Python once PER GROUP; with many small
+keys the per-call pandas construction dominates (measured 7.0 s at sf0.1 /
+~2k users vs 1.x s for this form — at 10^8 keys it would be the whole job).
+Instead the input is hash-repartitioned on the key and sorted within
+partitions by (key, ts, order), then ONE ``mapInPandas`` pass folds each
+Arrow batch, detecting group boundaries vectorized and carrying the open
+group's two-float state across batch and iterator steps; a group's rows are
+contiguous within exactly one partition, so each key is emitted exactly
+once. Shuffle: the event set once; output: one row per key.
 
-Determinism: the fold runs in (ts, event_id) order after an explicit sort
-inside the group — layout/partitioning cannot reorder it. alpha/beta
-default to dyadic 0.5 so every step is exact IEEE arithmetic, making the
-numpy replay test bit-exact.
+At 100 TB the constraint is the largest single key's history must sort
+within its partition (Spark spills sorts; the Python side holds only one
+batch plus six scalars). The streaming form
+(streaming/stateful.py:running_user_trend) checkpoints the same state per
+key and folds increments — the recurrence is linear, so chunked folding is
+bit-identical to monolithic (pinned in tests/test_forecast.py).
 
-No SQL oracle (DuckDB has no recursive per-row fold over groups that maps
+Determinism: the fold consumes (ts, order)-sorted rows after an explicit
+sort — partition layout cannot reorder it. alpha/beta default to dyadic 0.5
+so every step is exact IEEE arithmetic, making the numpy replay bit-exact.
+
+No SQL oracle (DuckDB has no per-row recursive fold over groups that maps
 cleanly) — declared rows-only; tests replay the recurrence in plain
 numpy/pandas and pin determinism and the single-point degenerate case.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -54,25 +64,56 @@ def holt_linear(
     final level/trend and the one-step-ahead forecast."""
     ktype = dict(df.dtypes)[key]
     schema = _OUT_SCHEMA.format(key=key, ktype=ktype)
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
-        v = pdf[value_col].to_numpy(dtype="float64")
-        level = float(v[0])
-        trend = 0.0
-        for x in v[1:]:
-            prev = level
-            level = alpha * float(x) + (1.0 - alpha) * (level + trend)
-            trend = beta * (level - prev) + (1.0 - beta) * trend
-        return pd.DataFrame(
-            {
-                key: [pdf[key].iloc[0]],
-                "n_points": [len(v)],
-                "level": [level],
-                "trend": [trend],
-                "forecast_1": [level + trend],
-            }
-        )
+    def fold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = None
+        n, level, trend = 0, 0.0, 0.0
+        out: list[tuple] = []
 
-    cols = [key, ts_col, value_col, order_col]
-    return df.select(*cols).groupBy(key).applyInPandas(fold, schema=schema)
+        def close_group():
+            if cur_key is not None:
+                out.append((cur_key, n, level, trend, level + trend))
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf[key].to_numpy()
+            vals = pdf[value_col].to_numpy(dtype="float64")
+            # vectorized group boundaries over the sorted batch
+            starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+            ends = np.append(starts[1:], len(keys))
+            for s, e in zip(starts, ends):
+                k = keys[s]
+                if k != cur_key:
+                    close_group()
+                    cur_key, n, level, trend = k, 0, 0.0, 0.0
+                seg = vals[s:e]
+                i = 0
+                if n == 0:
+                    level, trend = float(seg[0]), 0.0
+                    n, i = 1, 1
+                for x in seg[i:].tolist():
+                    prev = level
+                    level = alpha * x + (1.0 - alpha) * (level + trend)
+                    trend = beta * (level - prev) + (1.0 - beta) * trend
+                n += e - s - i
+            if len(out) >= 1024:
+                yield pd.DataFrame(
+                    out, columns=[key, "n_points", "level", "trend", "forecast_1"]
+                )
+                out = []
+        close_group()
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key, "n_points", "level", "trend", "forecast_1"]
+            )
+
+    src = (
+        df.select(key, ts_col, value_col, order_col)
+        .repartition(n_part, key)
+        .sortWithinPartitions(key, ts_col, order_col)
+        .select(key, value_col)  # fold needs only these two past the sort
+    )
+    return src.mapInPandas(fold_partition, schema=schema)
