@@ -414,3 +414,103 @@ def test_dialect_scalar_plan_is_exchange_free(spark):
     plan = P.physical_plan(df)
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Property test: random well-typed CH expressions translate to Spark SQL
+# that ANALYZES (catches arg-order/arity/rendering bugs the example-based
+# tests miss). Strategies build type-correct trees over events columns.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _num(depth):
+    leaf = st.sampled_from(["value", "user_id", "3", "2.5"])
+    if depth <= 0:
+        return leaf
+    sub = _num(depth - 1)
+    return st.one_of(
+        leaf,
+        sub.map(lambda a: f"abs({a})"),
+        sub.map(lambda a: f"toInt64(round({a}))"),
+        sub.map(lambda a: f"roundBankers({a}, 2)"),
+        st.tuples(sub, sub).map(lambda t: f"plus({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"multiply({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"modulo(toInt64({t[0]}), 7)"),
+        _str(depth - 1).map(lambda s: f"lengthUTF8({s})"),
+    )
+
+
+def _str(depth):
+    leaf = st.sampled_from(["event_type", "props", "'ab'"])
+    if depth <= 0:
+        return leaf
+    sub = _str(depth - 1)
+    return st.one_of(
+        leaf,
+        sub.map(lambda s: f"lowerUTF8({s})"),
+        sub.map(lambda s: f"upperUTF8({s})"),
+        sub.map(lambda s: f"trimBoth({s})"),
+        sub.map(lambda s: f"substring({s}, 1, 4)"),
+        sub.map(lambda s: f"replaceAll({s}, 'a', 'b')"),
+        st.tuples(sub, sub).map(lambda t: f"concat({t[0]}, {t[1]})"),
+        _num(depth - 1).map(lambda a: f"toString({a})"),
+        sub.map(lambda s: f"JSONExtractString({s}, 'k')"),
+    )
+
+
+def _bool(depth):
+    n, s = _num(depth - 1), _str(depth - 1)
+    return st.one_of(
+        st.tuples(n, n).map(lambda t: f"{t[0]} > {t[1]}"),
+        s.map(lambda x: f"match({x}, 'a+')"),
+        s.map(lambda x: f"notEmpty({x})"),
+        s.map(lambda x: f"startsWith({x}, 'a')"),
+        s.map(lambda x: f"isNotNull({x})"),
+    )
+
+
+def _ts(depth):
+    leaf = st.just("ts")
+    if depth <= 0:
+        return leaf
+    sub = _ts(depth - 1)
+    return st.one_of(
+        leaf,
+        sub.map(lambda t: f"toStartOfDay({t})"),
+        sub.map(lambda t: f"toStartOfFifteenMinutes({t})"),
+        st.tuples(sub, _num(0)).map(lambda t: f"addHours({t[0]}, toInt64({t[1]}))"),
+    )
+
+
+def _expr(depth=3):
+    return st.one_of(
+        _num(depth),
+        _str(depth),
+        _ts(depth),
+        st.tuples(_bool(depth), _num(depth - 1), _num(depth - 1)).map(
+            lambda t: f"if({t[0]}, {t[1]}, {t[2]})"
+        ),
+        st.tuples(_bool(depth), _str(depth - 1), _str(depth - 1), _str(depth - 1)).map(
+            lambda t: f"multiIf({t[0]}, {t[1]}, {t[2]}, {t[3]})"
+        ),
+        _ts(depth).map(lambda t: f"toYYYYMM({t})"),
+        _ts(depth).map(lambda t: f"toDayOfWeek({t})"),
+        _ts(depth).map(lambda t: f"formatDateTime({t}, '%Y-%m-%d')"),
+    )
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=_expr())
+def test_random_typed_expressions_translate_and_analyze(spark, expr):
+    load_tables(spark, SF_SMOKE)
+    ch = f"SELECT {expr} AS x FROM events"
+    out = translate(ch)
+    # .schema forces full analysis of the translated text
+    assert spark.sql(out).schema is not None
