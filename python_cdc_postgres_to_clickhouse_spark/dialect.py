@@ -759,6 +759,12 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "arrayMax": _fn("array_max"),
     "arrayStringConcat": _fn("array_join"),
     "arrayEnumerate": _tpl("sequence(1, size({0}))"),
+    "arrayIntersect": _fn("array_intersect"),
+    "arrayPushBack": _tpl("concat({0}, array({1}))"),
+    "arrayPushFront": _tpl("concat(array({1}), {0})"),
+    "arrayPopBack": _tpl("slice({0}, 1, size({0}) - 1)"),
+    "arrayPopFront": _tpl("slice({0}, 2, size({0}) - 1)"),
+    "arrayAvg": _tpl("(aggregate({0}, 0D, (acc, x) -> acc + x) / size({0}))"),
     "range": _range,
     # -- JSON --------------------------------------------------------------
     "JSONExtractString": lambda a: f"get_json_object({a[0]}, {_json_path(a[1])})",
@@ -837,6 +843,13 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "bitShiftLeft": _fn("shiftleft"),
     "bitShiftRight": _fn("shiftright"),
     "rand": lambda a: "cast(floor(rand() * 4294967296) as bigint)",
+    "sign": _fn("signum"),
+    "exp2": _tpl("power(2, {0})"),
+    "exp10": _tpl("power(10, {0})"),
+    "toUnixTimestamp64Milli": _fn("unix_millis"),
+    "toUnixTimestamp64Micro": _fn("unix_micros"),
+    "fromUnixTimestamp64Milli": _fn("timestamp_millis"),
+    "fromUnixTimestamp64Micro": _fn("timestamp_micros"),
     # -- table functions ---------------------------------------------------
     # numbers(n) / numbers(offset, n): CH's integer-series table; Spark's
     # range() names the column `id`, so wrap to keep CH's `number` name.

@@ -156,3 +156,37 @@ def sql_ch_top_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group-heap-in-the-shuffle execution ClickHouse uses natively
     (plan-asserted in tests/test_dialect.py)."""
     return clickhouse_sql(spark, CH_TOP_PER_TYPE, sf_dir)
+
+
+CH_TOTALS_REPORT = """
+WITH 50 AS thr_cents
+SELECT event_type AS k,
+       count() AS n,
+       sumIf(toInt64(round(value * 100)),
+             toInt64(round(value * 100)) > thr_cents) AS big_cents
+FROM events
+GROUP BY event_type WITH TOTALS
+ORDER BY k
+"""
+
+TOTALS_REPORT_ORACLE = """
+SELECT event_type AS k,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN CAST(round(value * 100) AS BIGINT) > 50
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+         AS big_cents
+FROM events
+GROUP BY GROUPING SETS ((event_type), ())
+ORDER BY k
+"""
+
+
+@query("sql_ch_totals_report", oracle=TOTALS_REPORT_ORACLE, tags=("dialect", "agg"))
+def sql_ch_totals_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``WITH <expr> AS name`` scalar aliases plus ``GROUP BY …
+    WITH TOTALS`` end to end: the named constant inlines by substitution
+    and the totals row becomes the empty grouping set (its key comes back
+    NULL — the one documented convention difference vs CH's type-default
+    zeros). Same partial-aggregated single-exchange plan as any GROUPING
+    SETS rollup."""
+    return clickhouse_sql(spark, CH_TOTALS_REPORT, sf_dir)

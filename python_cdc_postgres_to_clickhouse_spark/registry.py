@@ -210,6 +210,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_active_users_rolling",
     "x_holt_trend",
     "x_seasonal_profile",
+    "sql_ch_totals_report",
 )
 
 

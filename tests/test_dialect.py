@@ -493,9 +493,10 @@ def _expr(depth=3):
         st.tuples(_bool(depth), _num(depth - 1), _num(depth - 1)).map(
             lambda t: f"if({t[0]}, {t[1]}, {t[2]})"
         ),
-        st.tuples(_bool(depth), _str(depth - 1), _str(depth - 1), _str(depth - 1)).map(
-            lambda t: f"multiIf({t[0]}, {t[1]}, {t[2]}, {t[3]})"
-        ),
+        st.tuples(
+            _bool(depth), _str(depth - 1), _bool(depth - 1),
+            _str(depth - 1), _str(depth - 1),
+        ).map(lambda t: f"multiIf({t[0]}, {t[1]}, {t[2]}, {t[3]}, {t[4]})"),
         _ts(depth).map(lambda t: f"toYYYYMM({t})"),
         _ts(depth).map(lambda t: f"toDayOfWeek({t})"),
         _ts(depth).map(lambda t: f"formatDateTime({t}, '%Y-%m-%d')"),
@@ -514,3 +515,18 @@ def test_random_typed_expressions_translate_and_analyze(spark, expr):
     out = translate(ch)
     # .schema forces full analysis of the translated text
     assert spark.sql(out).schema is not None
+
+
+def test_new_function_rules_translate():
+    assert translate("SELECT arrayIntersect(a, b) FROM t") == (
+        "SELECT array_intersect(a, b) FROM t"
+    )
+    assert translate("SELECT arrayPopBack(a) FROM t") == (
+        "SELECT slice(a, 1, size(a) - 1) FROM t"
+    )
+    assert translate("SELECT sign(x), exp2(x) FROM t") == (
+        "SELECT signum(x), power(2, x) FROM t"
+    )
+    assert translate("SELECT toUnixTimestamp64Milli(ts) FROM t") == (
+        "SELECT unix_millis(ts) FROM t"
+    )
