@@ -88,10 +88,10 @@ FROM t WHERE rn = 1 ORDER BY user_id
 def x_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``exponentialMovingAverage`` analog: per-user EWMA of
     ``value`` at the user's latest event, decay 0.5 per step over the
-    trailing {EWMA_K} events (the adjusted/weighted-mean form:
+    trailing 8 events (the adjusted/weighted-mean form:
     sum(v_j*0.5^j)/sum(0.5^j) over present lags).
 
-    The recurrence is unrolled to {EWMA_K} ``lag`` columns so the whole
+    The recurrence is unrolled to 8 ``lag`` columns so the whole
     computation is one user_id window shuffle + a same-key latest-row
     filter — no UDF, no iterative state; at 100 TB the per-user work is
     bounded by the user's own timeline and the exchange count is one.
