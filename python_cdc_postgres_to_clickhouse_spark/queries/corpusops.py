@@ -887,3 +887,100 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sym).cast("long").alias("n_bpe_tokens"),
         F.md5(F.concat_ws(" ", sym)).alias("enc_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X74: exact duplicated-span detection — the substring-level dedup signal
+# ("Deduplicating Training Data Makes Language Models Better", Lee et al.
+# 2022): find every maximal token span that appears (as an exact k-gram run)
+# more than once in the corpus. Passage dedup (X19) removes whole duplicate
+# chunks; this finds the *boundaries* of repeated material at token
+# granularity, intra- and inter-document, so a removal pass can cut
+# boilerplate without dropping the unique remainder of a document.
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 5
+
+DUP_SPAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[i:i+{DUP_SPAN_K - 1}], ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - {DUP_SPAN_K - 1})) AS i) s
+  WHERE len(t) >= {DUP_SPAN_K}
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+), p AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM g JOIN dup USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {DUP_SPAN_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM p
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {DUP_SPAN_K - 1} AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl
+GROUP BY doc_id, island
+"""
+
+
+@query("x_dup_span_detect", oracle=DUP_SPAN_SQL, tags=("ext", "dedup", "text"))
+def x_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74: maximal duplicated token spans. A position p carries the 5-gram
+    tokens[p..p+4]; a gram is duplicated when it occurs >= 2 times anywhere
+    in the corpus; overlapping/adjacent duplicated positions of one document
+    (gap <= 5) merge into one maximal span [span_start, span_end] (1-based,
+    inclusive), with the contributing gram count.
+
+    Scale shape: gram postings are built NARROW (transform + posexplode —
+    no shuffle); duplicated grams come from ONE partial-aggregated groupBy
+    on gram (map-side combine collapses each document's repeated boilerplate
+    before the exchange); membership is a LEFT SEMI join on the same gram
+    key (AQE skew-join splits any mega-hot gram); span assembly is one
+    doc-keyed window plus the (doc, island) rollup. No self-join and no
+    corpus-wide sort anywhere — the gram-dictionary shuffle is the cost,
+    the same bound as x_ngram_counts/x_ngram_novelty. The postings persist
+    because they feed both the duplicate census and the probe side."""
+    from ..tables import widen_small_scan
+
+    t = load_tables(spark, sf_dir)
+    k = DUP_SPAN_K
+    toks = TS.tokens()
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    g = (
+        widen_small_scan(t["documents"])
+        .filter(n >= k)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+        .persist()
+    )
+    dup = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).filter("cnt >= 2")
+    hits = g.join(dup.select("gram"), "gram", "left_semi")
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    marked = hits.withColumn("prev", F.lag("pos").over(wd)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), 1
+            ).otherwise(0)
+        ).over(wd),
+    )
+    return (
+        marked.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )

@@ -234,3 +234,63 @@ def test_bpe_encode_matches_python_replay(spark):
     # vs chars+EOW.
     n_chars = sum(sum(len(w) + 1 for w in toks) for _, toks in doc_toks)
     assert sum(v[1] for v in got.values()) < n_chars
+
+
+# ---------------------------------------------------------------------------
+# X30: duplicated-span detection
+# ---------------------------------------------------------------------------
+
+
+def _replay_dup_spans(texts, k):
+    """Brute-force Python replay of x_dup_span_detect's contract."""
+    import re
+
+    grams: dict[str, int] = {}
+    per_doc = {}
+    for doc_id, text in texts:
+        t = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        gs = [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
+        per_doc[doc_id] = gs
+        for g in gs:
+            grams[g] = grams.get(g, 0) + 1
+    spans = set()
+    for doc_id, gs in per_doc.items():
+        runs: list[list[int]] = []
+        for i, g in enumerate(gs):
+            if grams[g] < 2:
+                continue
+            p = i + 1
+            if runs and p - runs[-1][1] <= k:
+                runs[-1][1] = p
+                runs[-1][2] += 1
+            else:
+                runs.append([p, p, 1])
+        for s, e, n in runs:
+            spans.add((doc_id, s, e + k - 1, n))
+    return spans
+
+
+def test_dup_span_detect_matches_python_replay(spark):
+    from python_cdc_postgres_to_clickhouse_spark.queries.corpusops import DUP_SPAN_K
+
+    texts = [
+        (r["doc_id"], r["text"])
+        for r in load_tables(spark, SF_ORACLE)["documents"]
+        .select("doc_id", "text")
+        .collect()
+    ]
+    expected = _replay_dup_spans(texts, DUP_SPAN_K)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in _q(spark, "x_dup_span_detect").collect()
+    }
+    assert expected, "fixture should contain duplicated spans"
+    assert got == expected
+
+
+def test_dup_span_plan_semi_joins_without_cartesian(spark):
+    df = _q(spark, "x_dup_span_detect")
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan, "duplicate-gram membership must be a semi join"
+    assert P.has_partial_aggregate(df), "gram census must partial-aggregate"
