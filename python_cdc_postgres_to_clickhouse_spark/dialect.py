@@ -24,12 +24,20 @@ vocabulary and a handful of CH-only clauses, which are local token patterns:
   (streaming/upsert_sink.py is the ReplacingMergeTree+FINAL equivalent);
 - ``SETTINGS``/``FORMAT`` drop (engine/wire concerns, not semantics).
 
+``-State``/``-Merge`` combinators (the AggregatingMergeTree pattern)
+translate for the two families with faithful Spark algebra: the uniq
+family maps onto HLL sketches (``uniqState`` -> ``hll_sketch_agg``,
+``uniqMerge`` -> ``hll_sketch_estimate(hll_union_agg(...))``,
+``uniqMergeState`` -> ``hll_union_agg`` — the same associative
+register-max merge), and value-state aggregates map onto themselves
+(count/sum re-merge by ``sum``, min/max by ``min``/``max``).
+
 Constructs with no faithful SQL-level mapping raise ``DialectError`` naming
 the engine's native equivalent (``LIMIT n BY`` -> WindowGroupLimit pattern,
 ``topK`` -> x_heavy_hitters, ``windowFunnel`` -> x_window_funnel, sumMap ->
-operators/mapagg.py, ASOF JOIN -> operators/asof.py, ``-State/-Merge`` ->
-queries/sketches.py where partial aggregation IS the sketch merge) — a
-loud pointer beats a silent wrong answer.
+operators/mapagg.py, ASOF JOIN -> operators/asof.py, composite-state
+``avgState``/``quantileState`` -> store the components separately or use
+queries/sketches.py) — a loud pointer beats a silent wrong answer.
 
 Documented semantic divergences (value-level, not shape-level):
 - ``cityHash64``/``sipHash64`` map to ``xxhash64``: same role (stable
@@ -426,6 +434,101 @@ def _rewrite_scalar_with(toks: list[str]) -> list[str]:
     return toks
 
 
+_FILL_STOP = {"FROM", "TO", "STEP", "LIMIT", "INTERPOLATE"}
+
+
+def _rewrite_with_fill(toks: list[str]) -> list[str]:
+    """Top-level ``ORDER BY x WITH FILL [FROM a TO b [STEP s]] [STEP s]`` ->
+    a generated numeric spine FULL OUTER JOINed back over the query body.
+
+    CH semantics preserved: the fill range is [FROM, TO) (TO exclusive, CH
+    contract); with no FROM/TO the spine spans the data's own min..max;
+    existing rows are always kept. Convention difference (same as WITH
+    TOTALS): non-fill columns on inserted rows come back NULL rather than
+    CH's type-default zeros. Unsupported forms — DESC fill, INTERPOLATE,
+    multiple fill columns, expression fill keys, nested WITH FILL — fall
+    through to the loud error in _rewrite_with_totals."""
+    # Locate a depth-0 ORDER BY ... WITH FILL.
+    depth = 0
+    order_at = None
+    fill_at = None
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _u(t) == "ORDER" and i + 1 < len(toks) and _u(toks[i + 1]) == "BY":
+            order_at = i
+        elif (
+            depth == 0
+            and _u(t) == "WITH"
+            and i + 1 < len(toks)
+            and _u(toks[i + 1]) == "FILL"
+            and order_at is not None
+        ):
+            fill_at = i
+            break
+    if fill_at is None:
+        return toks
+    key = toks[order_at + 2:fill_at]
+    if len(key) == 2 and _u(key[1]) == "ASC":
+        key = key[:1]
+    if len(key) != 1 or not _is_ident(key[0]):
+        return toks  # expression/multi-column/DESC fill -> loud error later
+    x = key[0]
+    # Parse FROM / TO / STEP expression token runs after FILL.
+    i = fill_at + 2
+    bounds: dict[str, list[str]] = {}
+    while i < len(toks) and _u(toks[i]) in ("FROM", "TO", "STEP"):
+        kw = _u(toks[i])
+        i += 1
+        run: list[str] = []
+        d = 0
+        while i < len(toks):
+            t = toks[i]
+            if t == "(":
+                d += 1
+            elif t == ")":
+                d -= 1
+            elif d == 0 and _u(t) in _FILL_STOP:
+                break
+            run.append(t)
+            i += 1
+        if not run:
+            raise DialectError(f"WITH FILL {kw} needs an expression")
+        bounds[kw] = run
+    if i < len(toks) and _u(toks[i]) == "INTERPOLATE":
+        raise DialectError(
+            "WITH FILL … INTERPOLATE has no SQL-level mapping — use "
+            "x_interpolate_linear / x_gap_fill_locf"
+        )
+    if ("FROM" in bounds) != ("TO" in bounds):
+        raise DialectError(
+            "WITH FILL needs both FROM and TO (or neither, to span the "
+            "data's own min..max)"
+        )
+    tail = toks[i:]  # e.g. a trailing LIMIT
+    body = toks[:order_at]
+    step = bounds.get("STEP", ["1"])
+    if "FROM" in bounds:
+        spine = [
+            "SELECT", x, "FROM", "(", "SELECT", "explode", "(", "sequence",
+            "(", *bounds["FROM"], ",", *bounds["TO"], ",", *step, ")", ")",
+            "AS", x, ")", "WHERE", x, "<", *bounds["TO"],
+        ]
+    else:
+        spine = [
+            "SELECT", "explode", "(", "sequence", "(", "min", "(", x, ")",
+            ",", "max", "(", x, ")", ",", *step, ")", ")", "AS", x,
+            "FROM", "(", *body, ")",
+        ]
+    return [
+        "SELECT", "*", "FROM", "(", *spine, ")", "AS", "__fill_spine",
+        "FULL", "OUTER", "JOIN", "(", *body, ")", "AS", "__q",
+        "USING", "(", x, ")", "ORDER", "BY", x, *tail,
+    ]
+
+
 def _rewrite_with_totals(toks: list[str]) -> list[str]:
     """``GROUP BY k1, k2 WITH TOTALS`` -> ``GROUP BY GROUPING SETS ((k1, k2),
     ())`` — the totals row is the empty grouping set (its group keys come
@@ -437,7 +540,9 @@ def _rewrite_with_totals(toks: list[str]) -> list[str]:
             nxt = _u(toks[i + 1])
             if nxt == "FILL":
                 raise DialectError(
-                    "ORDER BY … WITH FILL has no Spark SQL clause — use the "
+                    "this WITH FILL form is unsupported (only a single "
+                    "ascending plain-column fill key rewrites to a spine "
+                    "join; DESC/expression/nested fills do not) — use the "
                     "date-spine + LOCF/interpolation queries "
                     "(x_gap_fill_locf, x_interpolate_linear, "
                     "sql_recursive_date_spine)"
@@ -921,6 +1026,51 @@ _IF_BASES = {
     "stddevSamp", "varPop", "varSamp",
 }
 
+# -State/-Merge combinators: ClickHouse's AggregatingMergeTree contract is
+# "store a mergeable partial state, re-merge it at read time". Two families
+# translate faithfully to Spark SQL:
+#   * the uniq family — a CH uniq state is an HLL-style register file merged
+#     by register-max; Spark's hll_sketch_agg / hll_union_agg /
+#     hll_sketch_estimate are the same algebra (associative, idempotent), so
+#     a two-level State->Merge rollup is bit-identical to aggregating once;
+#   * value-state aggregates — sum/count/min/max partial state IS the running
+#     value, merged by sum/sum/min/max respectively.
+# Composite states (avgState = (sum, count) pair, quantileState = a t-digest
+# Spark SQL cannot read) stay loud DialectErrors with the decomposition hint.
+_UNIQ_STATE_BASES = {"uniq", "uniqCombined", "uniqCombined64", "uniqHLL12"}
+_VALUE_STATE_MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _state_merge(name: str, args: list[str]) -> str | None:
+    for suffix in ("MergeState", "Merge", "State"):  # longest first
+        if name.endswith(suffix):
+            base = name[: -len(suffix)]
+            break
+    else:
+        return None
+    if base in _UNIQ_STATE_BASES:
+        if suffix == "State":
+            if len(args) != 1:
+                raise DialectError(
+                    f"{name}: exactly one argument translates to "
+                    "hll_sketch_agg (multi-column uniq states do not)"
+                )
+            return f"hll_sketch_agg({args[0]})"
+        if len(args) != 1:
+            raise DialectError(f"{name} takes exactly one state column")
+        if suffix == "MergeState":
+            return f"hll_union_agg({args[0]})"
+        return f"hll_sketch_estimate(hll_union_agg({args[0]}))"
+    if base in _VALUE_STATE_MERGE:
+        if suffix == "State":
+            # The partial state is the value itself: countState() -> count(*).
+            return _apply_function(base, args, None)
+        if len(args) != 1:
+            raise DialectError(f"{name} takes exactly one state column")
+        return f"{_VALUE_STATE_MERGE[base]}({args[0]})"
+    return None
+
+
 _UNSUPPORTED: dict[str, str] = {
     "topK": "no per-group heavy-hitter SQL aggregate — use x_heavy_hitters "
             "(freqItems candidates + exact semi-joined trim)",
@@ -960,10 +1110,16 @@ def _apply_function(name: str, rendered_args: list[str],
     if name in _UNSUPPORTED:
         raise DialectError(f"{name}: {_UNSUPPORTED[name]}")
     if name.endswith("State") or name.endswith("Merge"):
+        rewritten = _state_merge(name, rendered_args)
+        if rewritten is not None:
+            return rewritten
         raise DialectError(
-            f"{name}: -State/-Merge combinators are ClickHouse storage "
-            "artifacts — Spark's partial aggregation IS the sketch merge "
-            "(see queries/sketches.py, streaming/sketch_sink.py)"
+            f"{name}: only the uniq family (HLL) and value-state aggregates "
+            "(sum/count/min/max) translate as -State/-Merge — composite "
+            "states (avg, quantile, …) have no SQL-level Spark "
+            "representation; store their components separately "
+            "(e.g. sumState + countState) or use queries/sketches.py / "
+            "streaming/sketch_sink.py"
         )
     if name in PARAM_RULES:
         return PARAM_RULES[name](params, rendered_args)
@@ -1090,6 +1246,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_limit_by(toks)
     toks = _merge_prewhere(toks)
     toks = _rewrite_scalar_with(toks)
+    toks = _rewrite_with_fill(toks)
     toks = _rewrite_with_totals(toks)
     toks = _rewrite_array_join(toks)
     toks = _rewrite_calls(toks)

@@ -190,3 +190,85 @@ def sql_ch_totals_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     zeros). Same partial-aggregated single-exchange plan as any GROUPING
     SETS rollup."""
     return clickhouse_sql(spark, CH_TOTALS_REPORT, sf_dir)
+
+
+CH_STATE_MERGE_ROLLUP = """
+SELECT event_type,
+       uniqMerge(u) AS uniq_users,
+       countMerge(n) AS n_events,
+       minMerge(mn) AS min_cents,
+       maxMerge(mx) AS max_cents,
+       sumMerge(cents) AS sum_cents
+FROM (
+    SELECT event_type, toStartOfHour(ts) AS h,
+           uniqState(user_id) AS u,
+           countState() AS n,
+           minState(toInt64(round(value * 100))) AS mn,
+           maxState(toInt64(round(value * 100))) AS mx,
+           sumState(toInt64(round(value * 100))) AS cents
+    FROM events
+    GROUP BY event_type, h
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+CH_FILL_HOURS = """
+SELECT toHour(ts) AS h, count() AS n,
+       sum(toInt64(round(value * 100))) AS cents
+FROM events
+WHERE event_type = 'purchase' AND value > 300
+GROUP BY h
+ORDER BY h WITH FILL FROM 0 TO 24
+"""
+
+FILL_HOURS_ORACLE = """
+WITH q AS (
+  SELECT CAST(hour(ts) AS INT) AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND value > 300
+  GROUP BY 1
+), spine AS (
+  SELECT CAST(unnest(generate_series(0, 23)) AS INT) AS h
+)
+SELECT COALESCE(spine.h, q.h) AS h, q.n, q.cents
+FROM spine FULL OUTER JOIN q ON spine.h = q.h
+ORDER BY 1
+"""
+
+
+@query("sql_ch_fill_hours", oracle=FILL_HOURS_ORACLE, tags=("dialect", "timeseries"))
+def sql_ch_fill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY … WITH FILL FROM a TO b`` end to end: an hourly census of
+    high-value purchases whose empty hours come back as explicit rows. The
+    dialect rewrites the fill clause to a generated numeric spine
+    (``explode(sequence(a, b, step))``, TO-exclusive — the CH range
+    contract) FULL OUTER JOINed over the aggregate, so existing rows are
+    always kept and inserted rows carry NULL measures (the documented
+    divergence from CH's type-default zeros, same convention as WITH
+    TOTALS). Scale: the spine is a literal ≤(b−a)/step-row relation —
+    Spark broadcasts it; the fill costs no extra exchange over the
+    aggregate itself."""
+    return clickhouse_sql(spark, CH_FILL_HOURS, sf_dir)
+
+
+@query("sql_ch_state_merge_rollup", tags=("dialect", "sketch", "agg"))
+def sql_ch_state_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AggregatingMergeTree pattern end to end: hourly ``-State``
+    partials re-merged to a per-type report with ``-Merge``, written in
+    ClickHouse SQL. The dialect maps the uniq family onto Spark's HLL
+    sketch algebra (``uniqState`` -> ``hll_sketch_agg``, ``uniqMerge`` ->
+    ``hll_sketch_estimate(hll_union_agg(...))`` — the same associative
+    register-max merge CH uses, so the two-level rollup is bit-identical
+    to aggregating once) and value-state aggregates onto themselves
+    (count/sum merge by sum, min/max by min/max). Rows-only driver row:
+    ``uniq_users`` is a deterministic HLL estimate DuckDB cannot replay;
+    exactness of every other column and the 5%-relative-error +
+    associativity properties of the estimate are asserted in
+    tests/test_dialect.py. Scale: two partial-aggregated hash exchanges
+    (hour then type) carrying KB sketch states — the plan AggregatingMergeTree
+    itself would pick."""
+    return clickhouse_sql(spark, CH_STATE_MERGE_ROLLUP, sf_dir)

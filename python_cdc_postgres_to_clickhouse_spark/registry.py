@@ -211,6 +211,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_holt_trend",
     "x_seasonal_profile",
     "sql_ch_totals_report",
+    # Round-6 additions (same lead commitment as the queue above).
+    "sql_ch_state_merge_rollup",
+    "x_dup_span_detect",
+    "sql_ch_fill_hours",
 )
 
 

@@ -59,6 +59,16 @@ from .oracle_harness import canon_rows, run_oracle
         ("multiIf(c1, v1, c2, v2, v3)",
          "CASE WHEN c1 THEN v1 WHEN c2 THEN v2 ELSE v3 END"),
         ("range(5)", "sequence(0, 5 - 1)"),
+        ("uniqState(x)", "hll_sketch_agg(x)"),
+        ("uniqHLL12State(x)", "hll_sketch_agg(x)"),
+        ("uniqMerge(s)", "hll_sketch_estimate(hll_union_agg(s))"),
+        ("uniqMergeState(s)", "hll_union_agg(s)"),
+        ("countState()", "count(*)"),
+        ("countMerge(n)", "sum(n)"),
+        ("sumState(x)", "sum(x)"),
+        ("sumMerge(s)", "sum(s)"),
+        ("minMerge(s)", "min(s)"),
+        ("maxMerge(s)", "max(s)"),
     ],
 )
 def test_translate_expressions(ch, expect):
@@ -166,9 +176,32 @@ def test_with_totals_becomes_grouping_sets():
     assert translate("WITH c AS (SELECT 1 AS a) SELECT * FROM c").startswith("WITH c AS")
 
 
-def test_with_fill_raises_with_hint():
+def test_with_fill_rewrites_to_spine_join():
+    # Bounded fill: explicit [FROM, TO) spine, existing rows kept via FULL OUTER.
+    out = translate("SELECT h, n FROM t ORDER BY h WITH FILL FROM 0 TO 24")
+    assert "sequence(0, 24, 1)" in out
+    assert "FULL OUTER JOIN" in out and "USING (h)" in out
+    assert out.rstrip().endswith("ORDER BY h")
+    # STEP and a trailing LIMIT survive.
+    out = translate(
+        "SELECT h FROM t ORDER BY h WITH FILL FROM 0 TO 10 STEP 2 LIMIT 3"
+    )
+    assert "sequence(0, 10, 2)" in out and out.rstrip().endswith("LIMIT 3")
+    # Unbounded fill spans the data's own min..max.
+    out = translate("SELECT h, n FROM t GROUP BY h ORDER BY h WITH FILL")
+    assert "min(h)" in out and "max(h)" in out
+
+
+def test_with_fill_unsupported_forms_raise():
+    with pytest.raises(DialectError, match="x_interpolate_linear"):
+        translate(
+            "SELECT d, v FROM t ORDER BY d WITH FILL FROM 0 TO 5 "
+            "INTERPOLATE (v)"
+        )
     with pytest.raises(DialectError, match="x_gap_fill_locf"):
-        translate("SELECT d FROM t ORDER BY d WITH FILL")
+        translate("SELECT d FROM t ORDER BY d DESC WITH FILL")
+    with pytest.raises(DialectError, match="FROM and TO"):
+        translate("SELECT d FROM t ORDER BY d WITH FILL FROM 0")
 
 
 def test_array_combinators_and_float_classification():
@@ -240,8 +273,8 @@ def test_qualified_and_quoted_names_untouched():
         ("SELECT sumMap(m) FROM t", "mapagg"),
         ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "x_window_funnel"),
         ("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k", "asof"),
-        ("SELECT sumState(x) FROM t", "sketch"),
-        ("SELECT uniqMerge(x) FROM t", "sketch"),
+        ("SELECT avgState(x) FROM t", "components separately"),
+        ("SELECT quantileMerge(s) FROM t", "components separately"),
         ("SELECT exponentialMovingAverage(1)(v, ts) FROM t", "x_ewma_trailing"),
     ],
 )
@@ -380,6 +413,43 @@ def test_translated_runs_that_cannot_be_value_compared(spark):
         "anyLast(event_type) AS al FROM events GROUP BY h",
     )
     assert df.count() > 0
+
+
+def test_state_merge_rollup_semantics(spark):
+    """The AggregatingMergeTree pattern: every value-state column of the
+    two-level State->Merge rollup is EXACT (equal to aggregating once), and
+    the HLL estimate is (a) bit-identical to a single-level sketch — the
+    register-max merge is associative — and (b) within 5% of exact."""
+    load_tables(spark, SF_SMOKE)
+    from python_cdc_postgres_to_clickhouse_spark.queries.chsql import (
+        CH_STATE_MERGE_ROLLUP,
+    )
+
+    two = {r["event_type"]: r for r in clickhouse_sql(
+        spark, CH_STATE_MERGE_ROLLUP).collect()}
+    one = {r["event_type"]: r for r in spark.sql(
+        "SELECT event_type, "
+        "hll_sketch_estimate(hll_sketch_agg(user_id)) AS uniq_users, "
+        "count(*) AS n_events, "
+        "min(cast(round(value * 100) as bigint)) AS min_cents, "
+        "max(cast(round(value * 100) as bigint)) AS max_cents, "
+        "sum(cast(round(value * 100) as bigint)) AS sum_cents "
+        "FROM events GROUP BY event_type",
+    ).collect()}
+    exact = {r["event_type"]: r["d"] for r in clickhouse_sql(
+        spark,
+        "SELECT event_type, uniqExact(user_id) AS d FROM events "
+        "GROUP BY event_type",
+    ).collect()}
+    assert set(two) == set(one) and len(two) > 0
+    for k, t in two.items():
+        o = one[k]
+        for c in ("n_events", "min_cents", "max_cents", "sum_cents"):
+            assert t[c] == o[c], (k, c, t[c], o[c])
+        assert t["uniq_users"] == o["uniq_users"], (
+            "HLL two-level merge not associative-identical", k)
+        assert abs(t["uniq_users"] - exact[k]) <= max(2, 0.05 * exact[k]), (
+            k, t["uniq_users"], exact[k])
 
 
 # ---------------------------------------------------------------------------
