@@ -188,6 +188,125 @@ def _strip_final_and_join_mods(toks: list[str]) -> list[str]:
     return out
 
 
+_NUM_RE = re.compile(r"^(\d+\.\d*|\.\d+|\d+)$")
+
+
+def _pop_primary(out: list[str]) -> list[str]:
+    """Pop the trailing primary expression (a balanced call/paren group with
+    its function name, or a dotted identifier chain) off ``out``."""
+    toks: list[str] = []
+    if out and out[-1] == ")":
+        depth = 0
+        while out:
+            tk = out.pop()
+            toks.append(tk)
+            if tk == ")":
+                depth += 1
+            elif tk == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        if out and _is_ident(out[-1]) and _u(out[-1]) not in _KEYWORDS_NOT_CALLS:
+            toks.append(out.pop())
+    else:
+        while out and _is_ident(out[-1]) and _u(out[-1]) not in _KEYWORDS_NOT_CALLS:
+            toks.append(out.pop())
+            if out and out[-1] == ".":
+                toks.append(out.pop())
+            else:
+                break
+    if not toks:
+        raise DialectError("subscript [..] with no preceding expression")
+    return list(reversed(toks))
+
+
+def _rewrite_brackets(toks: list[str]) -> list[str]:
+    """CH bracket syntax → Spark calls.
+
+    ``[a, b]`` array literals become ``array(a, b)`` (Spark has no bare
+    bracket literal). ``expr[i]`` subscripts become ``try_element_at(expr,
+    i)`` — 1-based and negative-from-end like CH's arrayElement, NULL out of
+    range (CH yields the type default for non-Nullable elements; NULL is
+    this shim's documented convention, same as WITH FILL / WITH TOTALS)."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "[":
+            depth = 1
+            j = i + 1
+            inner: list[str] = []
+            while j < len(toks) and depth:
+                if toks[j] == "[":
+                    depth += 1
+                elif toks[j] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                inner.append(toks[j])
+                j += 1
+            if depth:
+                raise DialectError("unbalanced [ ] brackets")
+            inner = _rewrite_brackets(inner)
+            is_subscript = bool(out) and (
+                out[-1] == ")"
+                or (_is_ident(out[-1]) and _u(out[-1]) not in _KEYWORDS_NOT_CALLS)
+            )
+            if is_subscript:
+                primary = _pop_primary(out)
+                out.extend(["try_element_at", "(", *primary, ",", *inner, ")"])
+            elif out and _u(out[-1]) == "IN":
+                # CH allows IN <array literal>; Spark wants a plain IN list.
+                out.extend(["(", *inner, ")"])
+            else:
+                out.extend(["array", "(", *inner, ")"])
+            i = j + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _rewrite_sample(toks: list[str]) -> list[str]:
+    """``FROM t SAMPLE k`` → ``FROM t TABLESAMPLE (…)``: fractional k becomes
+    a PERCENT sample, integral k a ROWS sample. Role-equivalent, not
+    row-identical — CH samples deterministically by the table's declared
+    sample key, Spark TABLESAMPLE is seeded-random per scan (documented
+    divergence). ``SAMPLE … OFFSET`` (deterministic subrange handoff) has no
+    Spark counterpart and stays loud."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            _u(t) == "SAMPLE"
+            and out
+            and (_is_ident(out[-1]) or out[-1] == ")")
+            and i + 1 < len(toks)
+            and _NUM_RE.match(toks[i + 1])
+            and any(_u(p) == "FROM" for p in out)
+        ):
+            k = toks[i + 1]
+            if i + 2 < len(toks) and _u(toks[i + 2]) == "OFFSET":
+                raise DialectError(
+                    "SAMPLE … OFFSET has no Spark TABLESAMPLE equivalent — "
+                    "use x_hash_split / x_det_sample for deterministic "
+                    "disjoint subsets"
+                )
+            if "." in k:
+                pct = float(k) * 100
+                if not 0 < pct <= 100:
+                    raise DialectError(f"SAMPLE fraction {k} out of (0, 1]")
+                out.extend(["TABLESAMPLE", "(", f"{pct:g}", "PERCENT", ")"])
+            else:
+                out.extend(["TABLESAMPLE", "(", k, "ROWS", ")"])
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _find_limit_by(toks: list[str]) -> tuple[int, int, int] | None:
     """Locate a ``LIMIT <n> BY`` clause; returns (limit_at, by_at, depth)."""
     depth = 0
@@ -743,6 +862,64 @@ def _range(a: list[str]) -> str:
     return f"sequence({a[0]}, {a[1]} - 1)"
 
 
+def _ch_transform(a: list[str]) -> str:
+    """ClickHouse's lookup ``transform(x, from, to[, default])`` (NOT Spark's
+    higher-order transform): a map lookup with a default. ``try_element_at``
+    keeps missing keys NULL under ANSI mode; 3-arg form falls back to x."""
+    if len(a) == 4:
+        return (f"coalesce(try_element_at(map_from_arrays({a[1]}, {a[2]}), "
+                f"{a[0]}), {a[3]})")
+    if len(a) == 3:
+        return (f"coalesce(try_element_at(map_from_arrays({a[1]}, {a[2]}), "
+                f"{a[0]}), {a[0]})")
+    raise DialectError("transform takes 3 or 4 arguments")
+
+
+def _retention(a: list[str]) -> str:
+    """retention(c1, …, cN) aggregate: r[1] = c1 ever held; r[i] = c1 AND ci
+    ever held — expanded to plain max-flag aggregates (CH returns UInt8)."""
+    if not a:
+        raise DialectError("retention needs at least one condition")
+    first = f"max(if({a[0]}, 1, 0))"
+    parts = [first] + [f"({first} * max(if({c}, 1, 0)))" for c in a[1:]]
+    return f"array({', '.join(parts)})"
+
+
+def _tuple_element(a: list[str]) -> str:
+    if len(a) != 2:
+        raise DialectError("tupleElement takes (tuple, index-or-name)")
+    idx = a[1]
+    if _is_str_lit(idx):
+        return f"{a[0]}.{_unquote(idx)}"
+    if idx.isdigit():
+        return f"{a[0]}._{idx}"
+    raise DialectError(
+        "tupleElement needs a literal index or field name — dynamic tuple "
+        "indexing has no Spark struct equivalent"
+    )
+
+
+def _tuple(a: list[str]) -> str:
+    fields = ", ".join(f"'_{i + 1}', {arg}" for i, arg in enumerate(a))
+    return f"named_struct({fields})"
+
+
+def _haversine(a: list[str]) -> str:
+    """greatCircleDistance/geoDistance(lon1, lat1, lon2, lat2) → metres via
+    the haversine formula (CH's historical sphere radius 6372797.560856 m;
+    CH's newer geoDistance uses an ellipsoid correction — documented
+    divergence, same role)."""
+    if len(a) != 4:
+        raise DialectError("greatCircleDistance takes (lon1, lat1, lon2, lat2)")
+    lon1, lat1, lon2, lat2 = a
+    return (
+        f"(2 * 6372797.560856D * asin(sqrt("
+        f"power(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"power(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+    )
+
+
 RULES: dict[str, Callable[[list[str]], str]] = {
     # -- date/time ---------------------------------------------------------
     "toDate": _fn("to_date"),
@@ -840,7 +1017,9 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "has": _fn("array_contains"),
     "hasAny": _fn("arrays_overlap"),
     "indexOf": _fn("array_position"),
-    "arrayElement": _fn("element_at"),
+    # try_: CH arrayElement is total (type default out of range); element_at
+    # would throw under ANSI. NULL-for-missing is the shim convention.
+    "arrayElement": _fn("try_element_at"),
     "arrayConcat": _fn("concat"),
     "arraySlice": _array_slice,
     "arrayDistinct": _fn("array_distinct"),
@@ -870,7 +1049,31 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "arrayPopBack": _tpl("slice({0}, 1, size({0}) - 1)"),
     "arrayPopFront": _tpl("slice({0}, 2, size({0}) - 1)"),
     "arrayAvg": _tpl("(aggregate({0}, 0D, (acc, x) -> acc + x) / size({0}))"),
+    # Array calculus: type-preserving (the accumulator starts from an element,
+    # never a literal, so int arrays stay int and float arrays stay float).
+    # greatest(i, 1) keeps the untaken element_at branch ANSI-safe at i = 0.
+    "arrayDifference": _tpl(
+        "transform({0}, (v, i) -> "
+        "if(i = 0, v - v, v - element_at({0}, greatest(i, 1))))"
+    ),
+    "arrayCumSum": _tpl(
+        "transform({0}, (v, i) -> "
+        "aggregate(slice({0}, 1, i), v, (acc, x) -> acc + x))"
+    ),
+    # Consecutive-duplicate removal; <=> keeps NULL runs collapsing like CH.
+    "arrayCompact": _tpl(
+        "filter({0}, (v, i) -> "
+        "i = 0 OR NOT (v <=> element_at({0}, greatest(i, 1))))"
+    ),
+    "countEqual": _tpl("size(filter({0}, v -> v <=> {1}))"),
     "range": _range,
+    # -- tuples --------------------------------------------------------------
+    # CH tuples are positional; Spark structs are named, so tuple() generates
+    # stable _1.._n names and tupleElement resolves literal positions/names.
+    "tuple": _tuple,
+    "tupleElement": _tuple_element,
+    # -- lookup transform ----------------------------------------------------
+    "transform": _ch_transform,
     # -- JSON --------------------------------------------------------------
     "JSONExtractString": lambda a: f"get_json_object({a[0]}, {_json_path(a[1])})",
     "JSONExtractInt": lambda a: (
@@ -947,6 +1150,8 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "bitNot": _tpl("(~ {0})"),
     "bitShiftLeft": _fn("shiftleft"),
     "bitShiftRight": _fn("shiftright"),
+    "bitCount": _fn("bit_count"),
+    "bitTest": _tpl("(shiftright({0}, {1}) & 1)"),
     "rand": lambda a: "cast(floor(rand() * 4294967296) as bigint)",
     "sign": _fn("signum"),
     "exp2": _tpl("power(2, {0})"),
@@ -968,6 +1173,31 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "path": _tpl("parse_url({0}, 'PATH')"),
     "queryString": _tpl("parse_url({0}, 'QUERY')"),
     "extractURLParameter": _tpl("parse_url({0}, 'QUERY', {1})"),
+    "topLevelDomain": _tpl(
+        "regexp_extract(parse_url({0}, 'HOST'), '\\\\.([^.]+)$', 1)"
+    ),
+    "cutQueryString": _tpl("regexp_replace({0}, '\\\\?.*$', '')"),
+    "cutFragment": _tpl("regexp_replace({0}, '#.*$', '')"),
+    # -- IPv4 ----------------------------------------------------------------
+    "IPv4NumToString": _tpl(
+        "concat(cast(({0} div 16777216) % 256 as string), '.', "
+        "cast(({0} div 65536) % 256 as string), '.', "
+        "cast(({0} div 256) % 256 as string), '.', "
+        "cast({0} % 256 as string))"
+    ),
+    "IPv4StringToNum": _tpl(
+        "aggregate(transform(split({0}, '\\\\.'), x -> cast(x as bigint)), "
+        "0L, (acc, x) -> acc * 256 + x)"
+    ),
+    # -- geo -----------------------------------------------------------------
+    "greatCircleDistance": _haversine,
+    "geoDistance": _haversine,
+    # -- aggregates (round-6 batch) -------------------------------------------
+    "retention": _retention,
+    # CH arg order is (x, y); Spark's regr_* take (y, x). Tuple fields (k, b).
+    "simpleLinearRegression": _tpl(
+        "named_struct('k', regr_slope({1}, {0}), 'b', regr_intercept({1}, {0}))"
+    ),
 }
 
 # Parametric aggregates: fn(params)(args).
@@ -1023,7 +1253,16 @@ PARAM_RULES: dict[str, ParamRule] = {
 _IF_BASES = {
     "count", "sum", "avg", "min", "max", "any", "anyLast", "argMax", "argMin",
     "uniq", "median", "groupArray", "groupUniqArray", "stddevPop",
-    "stddevSamp", "varPop", "varSamp",
+    "stddevSamp", "varPop", "varSamp", "corr", "covarPop", "covarSamp",
+}
+
+# Aggregates whose Spark translation already yields NULL over empty/all-null
+# input, so the -OrNull combinator is the identity. Count-like bases are
+# excluded on purpose: Spark count/count-distinct return 0, not NULL.
+_OR_NULL_BASES = {
+    "sum", "avg", "min", "max", "any", "anyLast", "argMax", "argMin",
+    "median", "stddevPop", "stddevSamp", "varPop", "varSamp", "corr",
+    "covarPop", "covarSamp",
 }
 
 # -State/-Merge combinators: ClickHouse's AggregatingMergeTree contract is
@@ -1079,7 +1318,6 @@ _UNSUPPORTED: dict[str, str] = {
     "minMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "maxMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "windowFunnel": "use x_window_funnel (sorted-step linear fold)",
-    "retention": "use x_retention_flags (per-user flag aggregate)",
     "sequenceMatch": "use x_sequence_match (greedy subsequence fold)",
     "sequenceCount": "use x_sequence_count (closed-form greedy pairing)",
     "histogram": "use m_histogram (width_bucket-style exact binning)",
@@ -1087,6 +1325,12 @@ _UNSUPPORTED: dict[str, str] = {
     "runningAccumulate": "use a running-sum window (w_running_sum)",
     "largestTriangleThreeBuckets": "use x_lttb_downsample",
     "exponentialMovingAverage": "use x_ewma_trailing",
+    "entropy": "no single-expression Shannon entropy — two-level aggregate: "
+               "count per value, then -sum(p * log2(p)) over the counts",
+    "dictGet": "use x_dict_enrich (broadcast dictionary join)",
+    "uniqTheta": "use x_sketch_theta_setops (DataSketches theta algebra)",
+    "arrayEnumerateUniq": "no per-occurrence rank expression — explode and "
+                          "row_number() OVER (PARTITION BY doc, value)",
 }
 
 
@@ -1127,9 +1371,21 @@ def _apply_function(name: str, rendered_args: list[str],
         raise DialectError(f"{name}: unexpected parametric call")
     if name in RULES:
         return RULES[name](rendered_args)
+    # -OrNull combinator: identity for bases that are already NULL-on-empty
+    # in Spark. Composes with -If in either spelling (fooOrNullIf, fooIfOrNull).
+    if name.endswith("OrNull"):
+        base = name[:-6]
+        if base in _OR_NULL_BASES or (
+            base.endswith("If") and base[:-2] in _OR_NULL_BASES
+        ):
+            return _apply_function(base, rendered_args, None)
+    if name.endswith("OrNullIf") and name[:-8] in _OR_NULL_BASES:
+        return _apply_function(name[:-8] + "If", rendered_args, None)
     # -If combinator: fooIf(args..., cond) -> foo(args) FILTER (WHERE cond)
     if name.endswith("If") and len(name) > 2:
         base = name[:-2]
+        if base.endswith("OrNull") and base[:-6] in _OR_NULL_BASES:
+            base = base[:-6]
         if base in _IF_BASES or base in ("uniqExact",):
             if not rendered_args:
                 raise DialectError(f"{name} needs a condition argument")
@@ -1153,6 +1409,7 @@ def _parse_args(toks: list[str], open_at: int) -> tuple[list[list[str]], int]:
     args: list[list[str]] = []
     cur: list[str] = []
     depth = 1
+    brackets = 0  # [...] array literals must not split at their commas
     i = open_at + 1
     while i < len(toks):
         t = toks[i]
@@ -1166,7 +1423,13 @@ def _parse_args(toks: list[str], open_at: int) -> tuple[list[list[str]], int]:
                     args.append(cur)
                 return args, i + 1
             cur.append(t)
-        elif t == "," and depth == 1:
+        elif t == "[":
+            brackets += 1
+            cur.append(t)
+        elif t == "]":
+            brackets -= 1
+            cur.append(t)
+        elif t == "," and depth == 1 and brackets == 0:
             args.append(cur)
             cur = []
         else:
@@ -1243,12 +1506,14 @@ def translate(sql: str) -> str:
     toks = _tokenize(sql)
     toks = _strip_format_settings(toks)
     toks = _strip_final_and_join_mods(toks)
+    toks = _rewrite_sample(toks)
     toks = _rewrite_limit_by(toks)
     toks = _merge_prewhere(toks)
     toks = _rewrite_scalar_with(toks)
     toks = _rewrite_with_fill(toks)
     toks = _rewrite_with_totals(toks)
     toks = _rewrite_array_join(toks)
+    toks = _rewrite_brackets(toks)
     toks = _rewrite_calls(toks)
     return _render(toks)
 

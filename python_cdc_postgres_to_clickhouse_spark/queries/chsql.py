@@ -272,3 +272,57 @@ def sql_ch_state_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hour then type) carrying KB sketch states — the plan AggregatingMergeTree
     itself would pick."""
     return clickhouse_sql(spark, CH_STATE_MERGE_ROLLUP, sf_dir)
+
+
+CH_RETENTION_REPORT = """
+SELECT transform(toString(user_id % 3), ['0', '1'], ['new', 'core'], 'other')
+           AS segment,
+       sum(r[1]) AS d1,
+       sum(r[2]) AS d1_and_d2,
+       sum(r[3]) AS d1_and_d3,
+       count() AS users
+FROM (
+    SELECT user_id,
+           retention(toDayOfWeek(ts) = 1,
+                     toDayOfWeek(ts) = 2,
+                     toDayOfWeek(ts) = 3) AS r
+    FROM events
+    GROUP BY user_id
+) AS per_user
+GROUP BY segment
+ORDER BY segment
+"""
+
+RETENTION_REPORT_ORACLE = """
+SELECT CASE CAST(user_id % 3 AS VARCHAR)
+            WHEN '0' THEN 'new' WHEN '1' THEN 'core' ELSE 'other' END AS segment,
+       CAST(SUM(f1) AS BIGINT) AS d1,
+       CAST(SUM(f1 * f2) AS BIGINT) AS d1_and_d2,
+       CAST(SUM(f1 * f3) AS BIGINT) AS d1_and_d3,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM (
+    SELECT user_id,
+           MAX(CASE WHEN isodow(ts) = 1 THEN 1 ELSE 0 END) AS f1,
+           MAX(CASE WHEN isodow(ts) = 2 THEN 1 ELSE 0 END) AS f2,
+           MAX(CASE WHEN isodow(ts) = 3 THEN 1 ELSE 0 END) AS f3
+    FROM events
+    GROUP BY user_id
+) per_user
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("sql_ch_retention_report", oracle=RETENTION_REPORT_ORACLE,
+       tags=("dialect", "behavior", "agg"))
+def sql_ch_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``retention()`` end to end in ClickHouse SQL: per-user
+    Monday/Tuesday/Wednesday activity flags (r[i] = cond1 AND condi — the
+    dialect expands the aggregate to plain max-flag products, so no UDF is
+    involved), indexed with CH 1-based subscripts (``r[1]`` ->
+    ``try_element_at``) and bucketed by the CH lookup ``transform`` (->
+    map literal + ``try_element_at`` with a default). Scale: two
+    partial-aggregated hash exchanges (user, then a 3-value segment key) —
+    identical shape to CH's own two-level GROUP BY; the flag array never
+    exceeds the condition count."""
+    return clickhouse_sql(spark, CH_RETENTION_REPORT, sf_dir)

@@ -34,7 +34,9 @@ def _run_stream(spark, src, ckpt, table):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow terminates on its own; returning False here means the
+    # batches are still running and the memory table would be read partial.
+    assert q.awaitTermination(600), "admission stream did not finish in 600s"
 
 
 def test_admission_cap_and_batch_precedence(spark, tmp_path):
@@ -98,7 +100,7 @@ def test_admission_restart_admits_nothing_new(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "admission stream did not finish in 600s"
 
     run()
     n_first = spark.read.parquet(out).count()

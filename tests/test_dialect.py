@@ -380,6 +380,37 @@ _SEMANTIC_CASES = [
         "GROUP BY GROUPING SETS ((event_type), ()) ORDER BY k",
     ),
     (
+        "retention_and_subscripts",
+        "SELECT sum(r[1]) AS r1, sum(r[2]) AS r2 FROM "
+        "(SELECT user_id, retention(value > 1, value > 2) AS r "
+        "FROM events GROUP BY user_id) AS per_user",
+        "SELECT CAST(SUM(f1) AS BIGINT) AS r1, "
+        "CAST(SUM(f1 * f2) AS BIGINT) AS r2 FROM "
+        "(SELECT user_id, "
+        "MAX(CASE WHEN value > 1 THEN 1 ELSE 0 END) AS f1, "
+        "MAX(CASE WHEN value > 2 THEN 1 ELSE 0 END) AS f2 "
+        "FROM events GROUP BY user_id) per_user",
+    ),
+    (
+        "lookup_transform_buckets",
+        "SELECT transform(lang, ['en', 'de'], ['english', 'german'], 'other') "
+        "AS l, count() AS n FROM documents GROUP BY l ORDER BY l",
+        "SELECT CASE lang WHEN 'en' THEN 'english' WHEN 'de' THEN 'german' "
+        "ELSE 'other' END AS l, COUNT(*) AS n "
+        "FROM documents GROUP BY 1 ORDER BY 1",
+    ),
+    (
+        "array_calculus_telescoping",
+        "SELECT doc_id, "
+        "arraySum(arrayDifference(arrayMap(w -> length(w), "
+        "splitByChar(' ', text)))) AS sd "
+        "FROM documents ORDER BY doc_id",
+        # sum of consecutive differences telescopes to last - first
+        "SELECT doc_id, CAST(length(string_split(text, ' ')[-1]) "
+        "- length(string_split(text, ' ')[1]) AS DOUBLE) AS sd "
+        "FROM documents ORDER BY doc_id",
+    ),
+    (
         "uniq_up_to_and_group_limits",
         "SELECT source, uniqUpTo(2)(lang) AS lang_cap, uniqExact(doc_id) AS docs "
         "FROM documents GROUP BY source ORDER BY source",
@@ -600,3 +631,97 @@ def test_new_function_rules_translate():
     assert translate("SELECT toUnixTimestamp64Milli(ts) FROM t") == (
         "SELECT unix_millis(ts) FROM t"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch: retention, array calculus, brackets, tuples, lookup
+# transform, -OrNull, SAMPLE, IPv4/geo/regression
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    ("ch", "expect"),
+    [
+        ("retention(a, b)",
+         "array(max(if(a, 1, 0)), (max(if(a, 1, 0)) * max(if(b, 1, 0))))"),
+        ("arrayCumSum(a)",
+         "transform(a, (v, i) -> aggregate(slice(a, 1, i), v, (acc, x) -> acc + x))"),
+        ("arrayDifference(a)",
+         "transform(a, (v, i) -> if(i = 0, v - v, v - element_at(a, greatest(i, 1))))"),
+        ("arrayCompact(a)",
+         "filter(a, (v, i) -> i = 0 OR NOT (v <=> element_at(a, greatest(i, 1))))"),
+        ("countEqual(a, 2)", "size(filter(a, v -> v <=> 2))"),
+        ("tuple(x, y)", "named_struct('_1', x, '_2', y)"),
+        ("tupleElement(p, 2)", "p._2"),
+        ("tupleElement(p, 'k')", "p.k"),
+        ("transform(c, ['a'], [1], 0)",
+         "coalesce(try_element_at(map_from_arrays(array('a'), array(1)), c), 0)"),
+        ("transform(c, ['a'], [1])",
+         "coalesce(try_element_at(map_from_arrays(array('a'), array(1)), c), c)"),
+        ("sumOrNull(x)", "sum(x)"),
+        ("avgOrNullIf(x, c)", "avg(x) FILTER (WHERE c)"),
+        ("maxIfOrNull(x, c)", "max(x) FILTER (WHERE c)"),
+        ("corrIf(x, y, c)", "corr(x, y) FILTER (WHERE c)"),
+        ("arrayElement(a, 9)", "try_element_at(a, 9)"),
+        ("bitCount(x)", "bit_count(x)"),
+        ("bitTest(x, 3)", "(shiftright(x, 3) & 1)"),
+        ("simpleLinearRegression(x, y)",
+         "named_struct('k', regr_slope(y, x), 'b', regr_intercept(y, x))"),
+        ("cutQueryString(u)", "regexp_replace(u, '\\\\?.*$', '')"),
+    ],
+)
+def test_round6_rules_translate(ch, expect):
+    assert translate(f"SELECT {ch} FROM t") == f"SELECT {expect} FROM t"
+
+
+def test_bracket_literals_and_subscripts_translate():
+    assert translate("SELECT [1, 2][1] FROM t") == (
+        "SELECT try_element_at(array(1, 2), 1) FROM t"
+    )
+    assert translate("SELECT t.arr[2], splitByChar(' ', s)[1] FROM t") == (
+        "SELECT try_element_at(t.arr, 2), "
+        "try_element_at(split(s, '\\ '), 1) FROM t"
+    )
+    # IN <array literal> becomes a plain IN list, not an array expression.
+    assert translate("SELECT x IN [1, 2] FROM t") == "SELECT x IN (1, 2) FROM t"
+    # Commas inside bracket literals never split enclosing call arguments.
+    assert translate("SELECT has([1, 2], x) FROM t") == (
+        "SELECT array_contains(array(1, 2), x) FROM t"
+    )
+
+
+def test_sample_clause_translates_and_runs(spark):
+    assert translate("SELECT * FROM events SAMPLE 0.5") == (
+        "SELECT * FROM events TABLESAMPLE(50 PERCENT)"
+    )
+    assert translate("SELECT * FROM events SAMPLE 100") == (
+        "SELECT * FROM events TABLESAMPLE(100 ROWS)"
+    )
+    load_tables(spark, SF_SMOKE)
+    total = spark.table("events").count()
+    n_rows = clickhouse_sql(spark, "SELECT * FROM events SAMPLE 100").count()
+    assert n_rows == min(100, total)
+    n_pct = clickhouse_sql(spark, "SELECT * FROM events SAMPLE 0.5").count()
+    assert 0 < n_pct < total  # Bernoulli sample: strictly between empty & all
+
+
+def test_ipv4_roundtrip_and_geo(spark):
+    row = spark.sql(translate(
+        "SELECT IPv4StringToNum('1.2.3.4') AS n, "
+        "IPv4NumToString(16909060) AS s, "
+        "greatCircleDistance(0.0, 0.0, 1.0, 1.0) AS d"
+    )).collect()[0]
+    assert row["n"] == 16909060
+    assert row["s"] == "1.2.3.4"
+    # haversine (R = 6372797.560856) for (0,0)->(1,1) is ~157.4 km
+    assert abs(row["d"] - 157_425) < 200
+
+
+def test_round6_unsupported_raise():
+    with pytest.raises(DialectError, match="two-level aggregate"):
+        translate("SELECT entropy(x) FROM t")
+    with pytest.raises(DialectError, match="x_dict_enrich"):
+        translate("SELECT dictGet('d', 'attr', k) FROM t")
+    with pytest.raises(DialectError, match="x_det_sample"):
+        translate("SELECT * FROM events SAMPLE 0.5 OFFSET 0.5")
+    with pytest.raises(DialectError, match="dynamic tuple"):
+        translate("SELECT tupleElement(p, i) FROM t")
