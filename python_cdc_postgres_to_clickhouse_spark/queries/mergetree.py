@@ -836,3 +836,56 @@ def x_retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(2, n + 1)
     ]
     return out.select("r1", *[f"r{k}" for k in range(2, n + 1)], *ratios)
+
+
+PROJECTION_ROUTE_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / COUNT(*)
+           AS avg_cents
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("x_projection_route", oracle=PROJECTION_ROUTE_SQL,
+       tags=("mergetree", "layout", "agg"))
+def x_projection_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeTree PROJECTION read path (`operators/projection.py`): a
+    (event_type, day)-keyed pre-aggregate answers the coarser per-type
+    report by re-merging its states — counts re-merge by sum, sums by sum,
+    min/max by themselves, and avg derives from the (sum, count) state
+    pair, exactly ClickHouse's AggregateFunction decomposition. Declared
+    in-memory (build + answer = a two-level partial-aggregated hash
+    aggregate, no extra exchange class); the materialized path — parquet
+    projection scanned INSTEAD of the base, incremental `updated()`
+    maintenance, fall-back routing — is pinned in tests/test_projection.py.
+    Scale: a routed query reads |distinct keys| rows however large the
+    base; maintenance is one map-side-combined exchange per chunk."""
+    from ..operators.projection import build_projection
+
+    events = load_tables(spark, sf_dir)["events"]
+    proj = build_projection(
+        events,
+        keys={"event_type": F.col("event_type"), "day": F.to_date("ts")},
+        measures={
+            "n": ("count", F.lit(1)),
+            "cents": ("sum", F.round(F.col("value") * 100).cast("bigint")),
+            "mn": ("min", F.col("value")),
+            "mx": ("max", F.col("value")),
+        },
+    )
+    return proj.answer(
+        ["event_type"],
+        {
+            "n_events": ("count", "n"),
+            "total_cents": ("sum", "cents"),
+            "min_value": ("min", "mn"),
+            "max_value": ("max", "mx"),
+            "avg_cents": ("avg", "cents", "n"),
+        },
+    ).orderBy("event_type")

@@ -215,6 +215,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_ch_state_merge_rollup",
     "x_dup_span_detect",
     "sql_ch_fill_hours",
+    "sql_ch_retention_report",
+    "x_projection_route",
 )
 
 
