@@ -160,6 +160,112 @@ _ENGINE_STRATEGY = {
 }
 
 
+_PROJ_AGG_RE = re.compile(
+    r"^(count|sum|min|max|uniq|uniqExact|avg)\s*\((.*)\)$", re.I | re.S
+)
+
+
+def _state_name(prefix: str, raw: str) -> str:
+    inner = re.sub(r"\W+", "_", raw).strip("_").lower()
+    return f"{prefix}_{inner}" if inner else prefix
+
+
+@dataclass
+class ProjectionSpec:
+    """A parsed MergeTree PROJECTION, machine-readable for
+    ``operators/projection.py``.
+
+    ``kind='aggregate'``: keys are (name, spark expr string) pairs, measures
+    map state name -> (measure kind, spark expr string or None for count());
+    ``avg(x)`` decomposes into its (sum, count-of-x) state pair plus a
+    ``derived`` entry, exactly how the operator re-derives it at read time.
+    ``kind='reorder'``: an alternate sort order — maps to a clustered copy
+    (operators/layout.py), carried in ``order_by``.
+    """
+
+    name: str
+    kind: str                                   # "aggregate" | "reorder"
+    keys: list[tuple[str, str]] = field(default_factory=list)
+    measures: dict[str, tuple[str, str | None]] = field(default_factory=dict)
+    derived: dict[str, tuple[str, str, str]] = field(default_factory=dict)
+    order_by: list[str] = field(default_factory=list)
+
+    def to_operator_args(self):
+        """(keys, measures) ready for projection.build_projection."""
+        from pyspark.sql import functions as F
+
+        keys = {n: F.expr(e) for n, e in self.keys}
+        measures = {
+            s: (k, F.expr(e) if e is not None else F.lit(1))
+            for s, (k, e) in self.measures.items()
+        }
+        return keys, measures
+
+
+def _parse_projection(raw: str) -> ProjectionSpec:
+    m = re.match(r"^PROJECTION\s+([\w`\"]+)\s*\((.*)\)\s*$", raw, re.I | re.S)
+    if not m:
+        raise DialectError(f"cannot parse projection {raw!r}")
+    name = m.group(1).strip("`\"")
+    body = m.group(2).strip()
+    sm = re.match(
+        r"^SELECT\s+(.*?)(?:\s+GROUP\s+BY\s+(.*)|\s+ORDER\s+BY\s+(.*))?$",
+        body, re.I | re.S,
+    )
+    if not sm:
+        raise DialectError(f"projection {name}: body is not a SELECT")
+    select_raw, group_raw, order_raw = sm.group(1), sm.group(2), sm.group(3)
+
+    if group_raw is None:
+        # reorder projection: alternate physical order, no aggregation
+        order = [
+            translate(f"SELECT {k} FROM t")[7:-7]
+            for k in _split_top_list(order_raw or "")
+        ] if order_raw else []
+        return ProjectionSpec(name=name, kind="reorder", order_by=order)
+
+    keys: list[tuple[str, str]] = []
+    key_raws: list[str] = []
+    for k in _split_top_list(group_raw):
+        kname = k if k.isidentifier() else _state_name("k", k)
+        keys.append((kname, translate(f"SELECT {k} FROM t")[7:-7]))
+        key_raws.append(re.sub(r"\s+", "", k).lower())
+
+    measures: dict[str, tuple[str, str | None]] = {}
+    derived: dict[str, tuple[str, str, str]] = {}
+    for item in _split_top_list(select_raw):
+        if re.sub(r"\s+", "", item).lower() in key_raws:
+            continue  # the key re-stated in the select list
+        am = _PROJ_AGG_RE.match(item)
+        if not am:
+            raise DialectError(
+                f"projection {name}: {item!r} is neither a GROUP BY key nor "
+                "a re-mergeable aggregate (count/sum/min/max/uniq/avg) — "
+                "quantile-family states need queries/sketches.py"
+            )
+        fn, arg = am.group(1), am.group(2).strip()
+        arg_sql = (
+            translate(f"SELECT {arg} FROM t")[7:-7] if arg else None
+        )
+        if fn.lower() == "count":
+            measures[_state_name("n", arg)] = ("count", arg_sql)
+        elif fn.lower() in ("uniq", "uniqexact"):
+            measures[_state_name("uniq", arg)] = ("uniq", arg_sql)
+        elif fn.lower() == "avg":
+            # ClickHouse's avg state IS a (sum, count) pair — store both,
+            # re-derive at read time (null-skipping: count(x), not count()).
+            s, c = _state_name("sum", arg), _state_name("n", arg)
+            measures[s] = ("sum", arg_sql)
+            measures[c] = ("count", arg_sql)
+            derived[_state_name("avg", arg)] = ("avg", s, c)
+        else:
+            measures[_state_name(fn.lower(), arg)] = (fn.lower(), arg_sql)
+    return ProjectionSpec(
+        name=name, kind="aggregate", keys=keys,
+        measures=measures, derived=derived,
+    )
+
+
 @dataclass
 class DdlPlan:
     table: str
@@ -172,6 +278,7 @@ class DdlPlan:
     partition_type: str = "INT"             # derived column's Spark type
     ttl: str | None = None                  # translated TTL expression
     dropped: list[str] = field(default_factory=list)    # MATERIALIZED/ALIAS
+    projections: list[ProjectionSpec] = field(default_factory=list)
 
     @property
     def spark_ddl(self) -> str:
@@ -254,8 +361,12 @@ def translate_ddl(sql: str) -> DdlPlan:
 
     columns: list[tuple[str, str]] = []
     dropped: list[str] = []
+    projections: list[ProjectionSpec] = []
     for raw in _split_top_list(col_block):
-        if not raw or re.match(r"^(INDEX|CONSTRAINT|PROJECTION)\b", raw, re.I):
+        if raw and re.match(r"^PROJECTION\b", raw, re.I):
+            projections.append(_parse_projection(raw))
+            continue
+        if not raw or re.match(r"^(INDEX|CONSTRAINT)\b", raw, re.I):
             dropped.append(raw.split()[1] if len(raw.split()) > 1 else raw)
             continue
         cm = re.match(r"^([\w`\"]+)\s+(.*)$", raw, re.S)
@@ -322,6 +433,7 @@ def translate_ddl(sql: str) -> DdlPlan:
         partition_type=partition_type,
         ttl=ttl,
         dropped=dropped,
+        projections=projections,
     )
 
 

@@ -183,3 +183,93 @@ def test_mv_translated_select_executes(spark):
         "count() AS n FROM events GROUP BY day"
     )
     assert spark.sql(plan.select_spark_sql).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# PROJECTION entries: parsed to machine-readable specs (round 6)
+# ---------------------------------------------------------------------------
+
+PROJ_DDL = """
+CREATE TABLE metrics (
+    user_id UInt64,
+    event_type String,
+    ts DateTime,
+    value Float64,
+    PROJECTION p_daily (
+        SELECT event_type, toStartOfDay(ts), count(), sum(value),
+               uniq(user_id), avg(value)
+        GROUP BY event_type, toStartOfDay(ts)
+    ),
+    PROJECTION p_by_user (SELECT * ORDER BY user_id, ts)
+) ENGINE = MergeTree ORDER BY (event_type, ts)
+"""
+
+
+def test_projection_specs_parse():
+    plan = translate_ddl(PROJ_DDL)
+    assert [c[0] for c in plan.columns] == ["user_id", "event_type", "ts", "value"]
+    agg, reorder = plan.projections
+    assert agg.name == "p_daily" and agg.kind == "aggregate"
+    assert agg.keys == [
+        ("event_type", "event_type"),
+        ("k_tostartofday_ts", "date_trunc('day', ts)"),
+    ]
+    assert agg.measures == {
+        "n": ("count", None),
+        "sum_value": ("sum", "value"),
+        "uniq_user_id": ("uniq", "user_id"),
+        "n_value": ("count", "value"),
+    }
+    # avg decomposes into its (sum, count) state pair + a derived entry
+    assert agg.derived == {"avg_value": ("avg", "sum_value", "n_value")}
+    assert reorder.name == "p_by_user" and reorder.kind == "reorder"
+    assert reorder.order_by == ["user_id", "ts"]
+
+
+def test_projection_unsupported_aggregate_is_loud():
+    bad = PROJ_DDL.replace("sum(value)", "quantile(0.9)(value)")
+    with pytest.raises(DialectError, match="sketches"):
+        translate_ddl(bad)
+
+
+def test_projection_spec_builds_and_answers(spark):
+    """The parsed spec drives operators/projection.py end to end: build
+    from the DDL's own key/measure exprs, answer at the coarser key, match
+    a direct aggregate over the base bit-for-bit (plus HLL ≈ exact)."""
+    from pyspark.sql import functions as F
+
+    from python_cdc_postgres_to_clickhouse_spark.operators.projection import (
+        build_projection,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+    from .conftest import SF_SMOKE
+
+    events = load_tables(spark, SF_SMOKE)["events"]
+    spec = translate_ddl(PROJ_DDL).projections[0]
+    keys, measures = spec.to_operator_args()
+    proj = build_projection(events, keys, measures)
+    asked = {
+        "n": ("count", "n"),
+        "sum_value": ("sum", "sum_value"),
+        "uniq_user_id": ("uniq", "uniq_user_id"),
+    }
+    asked.update(spec.derived)
+    got = {r["event_type"]: r
+           for r in proj.answer(["event_type"], asked).collect()}
+    want = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.count_distinct("user_id").alias("exact_u"),
+            F.avg("value").alias("avg_value"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, g in got.items():
+        w = want[k]
+        assert g["n"] == w["n"]
+        assert g["sum_value"] == pytest.approx(w["sum_value"])
+        assert g["avg_value"] == pytest.approx(w["avg_value"])
+        assert abs(g["uniq_user_id"] - w["exact_u"]) <= max(4, 0.07 * w["exact_u"])
