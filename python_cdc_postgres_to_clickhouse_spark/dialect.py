@@ -154,6 +154,96 @@ def _strip_format_settings(toks: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_any_join(toks: list[str]) -> list[str]:
+    """``ANY [LEFT|INNER] JOIN ref [AS a] USING (k…)``: CH's one-right-row-
+    per-key join. Silently stripping ANY (pre-round-6 behavior) fans out
+    on duplicate right keys — a silent divergence — so the right side now
+    rewrites to an explicit one-row-per-key pick:
+    ``(SELECT * EXCEPT (__rn) FROM (…, row_number() OVER (PARTITION BY k…
+    ORDER BY k…) AS __rn FROM ref) WHERE __rn = 1)``. Among duplicate-key
+    rows the pick is arbitrary — exactly CH ANY's own contract; rows that
+    are identical in the selected columns stay deterministic. The ON form
+    (keys implicit in an expression) and RIGHT/FULL variants (they dedup
+    the OTHER side) stay loud."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if _u(toks[i]) == "ANY":
+            j = i + 1
+            while j < len(toks) and _u(toks[j]) in _JOIN_KINDS:
+                j += 1
+            if j < len(toks) and _u(toks[j]) == "JOIN":
+                kinds = [_u(t) for t in toks[i + 1:j]]
+                if any(k in ("RIGHT", "FULL", "CROSS") for k in kinds):
+                    raise DialectError(
+                        "ANY RIGHT/FULL JOIN deduplicates the LEFT side — "
+                        "apply a latest-by-key / LIMIT 1 BY pick to that "
+                        "side explicitly"
+                    )
+                k = j + 1
+                ref: list[str] = []
+                if k < len(toks) and toks[k] == "(":
+                    depth = 0
+                    while k < len(toks):
+                        ref.append(toks[k])
+                        if toks[k] == "(":
+                            depth += 1
+                        elif toks[k] == ")":
+                            depth -= 1
+                            if depth == 0:
+                                k += 1
+                                break
+                        k += 1
+                else:
+                    while k < len(toks) and (
+                        toks[k] == "." or (
+                            _is_ident(toks[k])
+                            and _u(toks[k]) not in ("AS", "USING", "ON")
+                        )
+                    ):
+                        ref.append(toks[k])
+                        k += 1
+                alias: str | None = None
+                if k < len(toks) and _u(toks[k]) == "AS":
+                    alias = toks[k + 1]
+                    k += 2
+                if not (k < len(toks) and _u(toks[k]) == "USING"):
+                    raise DialectError(
+                        "ANY JOIN with ON: the one-row-per-key pick needs "
+                        "explicit key columns — use USING (…) or "
+                        "deduplicate that side first (latest-by-key upsert "
+                        "/ LIMIT 1 BY)"
+                    )
+                if toks[k + 1] != "(":
+                    raise DialectError("USING needs a parenthesized column list")
+                cols: list[str] = []
+                m = k + 2
+                while m < len(toks) and toks[m] != ")":
+                    if toks[m] != ",":
+                        cols.append(toks[m])
+                    m += 1
+                keylist = ", ".join(cols)
+                ref_sql = _render(_rewrite_calls(ref))
+                dedup = (
+                    f"(SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() "
+                    f"OVER (PARTITION BY {keylist} ORDER BY {keylist}) AS "
+                    f"__rn FROM {ref_sql}) WHERE __rn = 1)"
+                )
+                out.extend(toks[i + 1:j + 1])  # join kind(s) + JOIN, ANY gone
+                out.append(dedup)
+                if alias is not None:
+                    out.extend(["AS", alias])
+                using_toks: list[str] = []
+                for c in cols:
+                    using_toks.extend([c, ","])
+                out.extend(["USING", "(", *using_toks[:-1], ")"])
+                i = m + 1
+                continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _strip_final_and_join_mods(toks: list[str]) -> list[str]:
     out: list[str] = []
     i = 0
@@ -165,7 +255,7 @@ def _strip_final_and_join_mods(toks: list[str]) -> list[str]:
         ):
             i += 1
             continue
-        if u in ("ANY", "GLOBAL", "ALL", "ASOF"):
+        if u in ("GLOBAL", "ALL", "ASOF"):  # ANY handled by _rewrite_any_join
             j = i + 1
             while j < len(toks) and _u(toks[j]) in _JOIN_KINDS:
                 j += 1
@@ -1505,6 +1595,7 @@ def translate(sql: str) -> str:
     """Translate a ClickHouse SQL string into Spark SQL."""
     toks = _tokenize(sql)
     toks = _strip_format_settings(toks)
+    toks = _rewrite_any_join(toks)
     toks = _strip_final_and_join_mods(toks)
     toks = _rewrite_sample(toks)
     toks = _rewrite_limit_by(toks)

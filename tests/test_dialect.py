@@ -125,9 +125,18 @@ def test_format_and_settings_stripped():
 
 
 def test_join_modifiers_stripped_but_union_all_kept():
+    # ANY JOIN is NOT a no-op modifier: CH picks one right row per key, so
+    # stripping it would fan out on duplicate keys. USING form rewrites to
+    # an explicit one-row-per-key pick; ON form stays loud.
     assert translate("SELECT * FROM a ANY LEFT JOIN b USING (k)") == (
-        "SELECT * FROM a LEFT JOIN b USING (k)"
+        "SELECT * FROM a LEFT JOIN (SELECT * EXCEPT (__rn) FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY k ORDER BY k) AS __rn "
+        "FROM b) WHERE __rn = 1) USING (k)"
     )
+    with pytest.raises(DialectError, match="one-row-per-key"):
+        translate("SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k")
+    with pytest.raises(DialectError, match="LEFT side"):
+        translate("SELECT * FROM a ANY RIGHT JOIN b USING (k)")
     assert translate("SELECT * FROM a GLOBAL INNER JOIN b ON a.k = b.k") == (
         "SELECT * FROM a INNER JOIN b ON a.k = b.k"
     )
@@ -409,6 +418,17 @@ _SEMANTIC_CASES = [
         "SELECT doc_id, CAST(length(string_split(text, ' ')[-1]) "
         "- length(string_split(text, ' ')[1]) AS DOUBLE) AS sd "
         "FROM documents ORDER BY doc_id",
+    ),
+    (
+        "any_join_one_row_per_key",
+        # right side holds ~hundreds of duplicate rows per key, identical in
+        # the selected columns — ANY must keep |documents| rows, not fan out
+        "SELECT doc_id, tag FROM documents "
+        "ANY LEFT JOIN (SELECT user_id % 50 AS doc_id, 'x' AS tag "
+        "FROM events) AS e USING (doc_id) ORDER BY doc_id",
+        "SELECT d.doc_id, e.tag FROM documents d LEFT JOIN "
+        "(SELECT DISTINCT CAST(user_id % 50 AS BIGINT) AS doc_id, 'x' AS tag "
+        "FROM events) e USING (doc_id) ORDER BY d.doc_id",
     ),
     (
         "uniq_up_to_and_group_limits",
