@@ -868,6 +868,28 @@ def _time_floor(seconds: int) -> Callable[[list[str]], str]:
     )
 
 
+def _to_start_of_interval(a: list[str]) -> str:
+    """toStartOfInterval(ts, INTERVAL n UNIT): sub-day units floor on the
+    epoch grid (CH's own alignment origin for them); multi-unit calendar
+    intervals have no closed-form Spark expression and stay loud."""
+    if len(a) != 2:
+        raise DialectError("toStartOfInterval takes (ts, INTERVAL n UNIT)")
+    m = re.match(r"(?i)^INTERVAL\s+(\d+)\s+(\w+?)S?$", a[1].strip())
+    if not m:
+        raise DialectError("toStartOfInterval needs a literal INTERVAL n UNIT")
+    n, unit = int(m.group(1)), m.group(2).upper()
+    secs = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}.get(unit)
+    if secs:
+        w = n * secs
+        return f"timestamp_seconds(floor(unix_timestamp({a[0]}) / {w}) * {w})"
+    if n == 1 and unit in ("WEEK", "MONTH", "QUARTER", "YEAR"):
+        return f"date_trunc('{unit.lower()}', {a[0]})"
+    raise DialectError(
+        f"toStartOfInterval: INTERVAL {n} {unit} has no Spark closed form — "
+        "use date_trunc granularities or a sub-day width"
+    )
+
+
 def _timestampadd(unit: str) -> Callable[[list[str]], str]:
     return lambda a: f"timestampadd({unit}, {a[1]}, {a[0]})"
 
@@ -1040,6 +1062,18 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "toYYYYMMDD": _tpl("cast(date_format({0}, 'yyyyMMdd') as int)"),
     "toUnixTimestamp": _fn("unix_timestamp"),
     "fromUnixTimestamp": _fn("from_unixtime"),
+    "toISOWeek": _fn("weekofyear"),
+    "toWeek": lambda a: f"weekofyear({a[0]})",  # mode arg ignored (ISO)
+    "toISOYear": _tpl("year(date_trunc('week', {0}))"),
+    "toLastDayOfMonth": _fn("last_day"),
+    "monthName": _tpl("date_format({0}, 'MMMM')"),
+    "toDaysSinceYearZero": _tpl("(datediff({0}, DATE '1970-01-01') + 719528)"),
+    "toRelativeDayNum": _tpl("datediff({0}, DATE '1970-01-01')"),
+    "toTime": _tpl(
+        "to_timestamp(concat('1970-01-02 ', date_format({0}, 'HH:mm:ss')))"
+    ),
+    "timeSlot": _time_floor(1800),
+    "toStartOfInterval": _to_start_of_interval,
     "now": _fn("now"),
     "today": lambda a: "current_date()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
@@ -1102,6 +1136,10 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "ilike": _tpl("({0} ILIKE {1})"),
     "leftPad": _fn("lpad"),
     "rightPad": _fn("rpad"),
+    "reverseUTF8": _fn("reverse"),
+    "base64Encode": _fn("base64"),
+    "base64Decode": _tpl("cast(unbase64({0}) as string)"),
+    "tryBase64Decode": _tpl("cast(try_to_binary({0}, 'base64') as string)"),
     # -- arrays ------------------------------------------------------------
     "arrayJoin": _fn("explode"),
     "has": _fn("array_contains"),

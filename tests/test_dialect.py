@@ -745,3 +745,26 @@ def test_round6_unsupported_raise():
         translate("SELECT * FROM events SAMPLE 0.5 OFFSET 0.5")
     with pytest.raises(DialectError, match="dynamic tuple"):
         translate("SELECT tupleElement(p, i) FROM t")
+
+
+def test_round6_datetime_batch_translates():
+    assert translate("SELECT toStartOfInterval(ts, INTERVAL 5 MINUTE) FROM t") == (
+        "SELECT timestamp_seconds(floor(unix_timestamp(ts) / 300) * 300) FROM t"
+    )
+    assert translate("SELECT toStartOfInterval(ts, INTERVAL 1 MONTH) FROM t") == (
+        "SELECT date_trunc('month', ts) FROM t"
+    )
+    with pytest.raises(DialectError, match="closed form"):
+        translate("SELECT toStartOfInterval(ts, INTERVAL 3 MONTH) FROM t")
+    assert translate("SELECT toISOWeek(ts), toLastDayOfMonth(d) FROM t") == (
+        "SELECT weekofyear(ts), last_day(d) FROM t"
+    )
+    assert translate("SELECT monthName(ts) FROM t") == (
+        "SELECT date_format(ts, 'MMMM') FROM t"
+    )
+    assert translate("SELECT timeSlot(ts) FROM t") == (
+        "SELECT timestamp_seconds(floor(unix_timestamp(ts) / 1800) * 1800) FROM t"
+    )
+    assert translate("SELECT base64Decode(base64Encode(s)) FROM t") == (
+        "SELECT cast(unbase64(base64(s)) as string) FROM t"
+    )
