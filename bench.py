@@ -113,6 +113,11 @@ HEADLINE = [
     "sql_ch_top_per_type",     # LIMIT n BY via dialect -> WindowGroupLimit
     "x_holt_trend",            # grouped Arrow fold, sequential recurrence
     "x_seasonal_profile",      # fixed-168-cell census, pure map-side combine
+    # Added round 6 (earlier entries unchanged — like-for-like holds).
+    "x_dup_span_detect",       # gram census + semi join + gaps-and-islands
+    "sql_ch_state_merge_rollup",  # -State/-Merge HLL algebra via dialect
+    "sql_ch_retention_report",    # retention() + subscripts via dialect
+    "x_projection_route",      # PROJECTION build + state re-merge answer
 ]
 
 

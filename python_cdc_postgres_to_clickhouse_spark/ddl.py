@@ -279,6 +279,10 @@ class DdlPlan:
     ttl: str | None = None                  # translated TTL expression
     dropped: list[str] = field(default_factory=list)    # MATERIALIZED/ALIAS
     projections: list[ProjectionSpec] = field(default_factory=list)
+    # SAMPLE BY expression (translated): CH samples deterministically on
+    # this key — the Spark equivalent is the salted-hash bucket projection
+    # (operators/sampling.py, x_det_sample), NOT seeded-random TABLESAMPLE.
+    sample_by: str | None = None
 
     @property
     def spark_ddl(self) -> str:
@@ -422,6 +426,11 @@ def translate_ddl(sql: str) -> DdlPlan:
     ttl_raw = _extract_clause(tail, "TTL")
     ttl = translate(f"SELECT {ttl_raw} FROM t")[7:-7] if ttl_raw else None
 
+    sample_raw = _extract_clause(tail, "SAMPLE\\s+BY")
+    sample_by = (
+        translate(f"SELECT {sample_raw} FROM t")[7:-7] if sample_raw else None
+    )
+
     return DdlPlan(
         table=table,
         columns=columns,
@@ -434,6 +443,7 @@ def translate_ddl(sql: str) -> DdlPlan:
         ttl=ttl,
         dropped=dropped,
         projections=projections,
+        sample_by=sample_by,
     )
 
 

@@ -273,3 +273,14 @@ def test_projection_spec_builds_and_answers(spark):
         assert g["sum_value"] == pytest.approx(w["sum_value"])
         assert g["avg_value"] == pytest.approx(w["avg_value"])
         assert abs(g["uniq_user_id"] - w["exact_u"]) <= max(4, 0.07 * w["exact_u"])
+
+
+def test_sample_by_recorded():
+    plan = translate_ddl(
+        "CREATE TABLE t (user_id UInt64, ts DateTime) ENGINE = MergeTree "
+        "ORDER BY (user_id) SAMPLE BY cityHash64(user_id)"
+    )
+    assert plan.sample_by == "xxhash64(user_id)"
+    assert translate_ddl(
+        "CREATE TABLE t (x UInt64) ENGINE = MergeTree ORDER BY x"
+    ).sample_by is None
