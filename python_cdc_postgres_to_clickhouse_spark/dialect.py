@@ -502,6 +502,28 @@ def _rewrite_limit_by(toks: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_limit_offset(toks: list[str]) -> list[str]:
+    """CH ``LIMIT offset, count`` → Spark ``LIMIT count OFFSET offset``.
+    Runs after the LIMIT-BY pass, which already rejects the combined
+    ``LIMIT o, n BY k`` form."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if (
+            _u(toks[i]) == "LIMIT"
+            and i + 3 < len(toks)
+            and _NUM_RE.match(toks[i + 1])
+            and toks[i + 2] == ","
+            and _NUM_RE.match(toks[i + 3])
+        ):
+            out.extend(["LIMIT", toks[i + 3], "OFFSET", toks[i + 1]])
+            i += 4
+            continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _merge_prewhere(toks: list[str]) -> list[str]:
     """``PREWHERE a [WHERE b]`` -> ``WHERE (a) AND (b)`` per scope."""
     i = 0
@@ -1637,6 +1659,7 @@ def translate(sql: str) -> str:
     toks = _strip_final_and_join_mods(toks)
     toks = _rewrite_sample(toks)
     toks = _rewrite_limit_by(toks)
+    toks = _rewrite_limit_offset(toks)
     toks = _merge_prewhere(toks)
     toks = _rewrite_scalar_with(toks)
     toks = _rewrite_with_fill(toks)

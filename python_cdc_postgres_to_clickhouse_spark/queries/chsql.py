@@ -326,3 +326,36 @@ def sql_ch_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical shape to CH's own two-level GROUP BY; the flag array never
     exceeds the condition count."""
     return clickhouse_sql(spark, CH_RETENTION_REPORT, sf_dir)
+
+
+CH_ANY_ENRICH = """
+SELECT doc_id, lang, tag
+FROM documents
+ANY LEFT JOIN (
+    SELECT user_id % 40 AS doc_id, 'seen' AS tag FROM events
+) AS e USING (doc_id)
+ORDER BY doc_id
+"""
+
+ANY_ENRICH_ORACLE = """
+SELECT d.doc_id, d.lang, e.tag
+FROM documents d
+LEFT JOIN (
+    SELECT DISTINCT CAST(user_id % 40 AS BIGINT) AS doc_id, 'seen' AS tag
+    FROM events
+) e USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@query("sql_ch_any_enrich", oracle=ANY_ENRICH_ORACLE, tags=("dialect", "join"))
+def sql_ch_any_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANY LEFT JOIN … USING`` end to end: enrich documents with an
+    activity tag where the right side holds hundreds of duplicate rows per
+    key. The dialect rewrites the right side to an explicit one-row-per-key
+    pick (row_number over the USING keys) instead of silently stripping
+    ANY — output cardinality is exactly |documents|, never a fan-out.
+    Scale: the pick is a WindowGroupLimit-shaped filter BELOW the join, so
+    the join's build side shrinks to |distinct keys| and AQE typically
+    broadcasts it — strictly better than joining the raw right side."""
+    return clickhouse_sql(spark, CH_ANY_ENRICH, sf_dir)

@@ -217,6 +217,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_ch_fill_hours",
     "sql_ch_retention_report",
     "x_projection_route",
+    "sql_ch_any_enrich",
 )
 
 

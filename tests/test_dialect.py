@@ -768,3 +768,11 @@ def test_round6_datetime_batch_translates():
     assert translate("SELECT base64Decode(base64Encode(s)) FROM t") == (
         "SELECT cast(unbase64(base64(s)) as string) FROM t"
     )
+
+
+def test_limit_offset_form_translates():
+    assert translate("SELECT x FROM t ORDER BY x LIMIT 5, 10") == (
+        "SELECT x FROM t ORDER BY x LIMIT 10 OFFSET 5"
+    )
+    # plain LIMIT untouched
+    assert translate("SELECT x FROM t LIMIT 7") == "SELECT x FROM t LIMIT 7"

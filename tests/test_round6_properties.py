@@ -92,6 +92,19 @@ def test_bracket_and_retention_constant_semantics(spark):
     assert tuple(row) == (10, 30, None, 6, 4, 1, 2)
 
 
+def test_limit_offset_runs_on_spark(spark):
+    """Spark must accept the LIMIT n OFFSET m rewrite at runtime and skip
+    exactly m rows of the total order."""
+    load_tables(spark, SF_SMOKE)
+    full = [r[0] for r in spark.sql(
+        "SELECT doc_id FROM documents ORDER BY doc_id LIMIT 15"
+    ).collect()]
+    page = [r[0] for r in clickhouse_sql(
+        spark, "SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5, 10"
+    ).collect()]
+    assert page == full[5:15]
+
+
 def test_interval_floor_matches_named_shorthand(spark):
     """toStartOfInterval(ts, INTERVAL 5 MINUTE) ≡ toStartOfFiveMinutes(ts)
     on real data — the two rules must share one alignment grid."""
