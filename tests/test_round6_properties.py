@@ -13,8 +13,9 @@ from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
 
 from .conftest import SF_SMOKE
 
-KEYS = {"event_type": F.col("event_type")}
-MEASURES = {
+# Column exprs need an active SparkContext — build lazily inside tests.
+KEYS = lambda: {"event_type": F.col("event_type")}  # noqa: E731
+MEASURES = lambda: {  # noqa: E731
     "n": ("count", F.lit(1)),
     "cents": ("sum", F.round(F.col("value") * 100).cast("bigint")),
     "mn": ("min", F.col("value")),
@@ -46,12 +47,12 @@ def test_projection_merge_is_associative_and_order_free(spark):
         events.filter(F.crc32(F.col("event_id").cast("string")) % 3 == i)
         for i in range(3)
     ]
-    p0, p1, p2 = (build_projection(p, KEYS, MEASURES) for p in parts)
+    p0, p1, p2 = (build_projection(p, KEYS(), MEASURES()) for p in parts)
     # two different merge orders + a nested tree + the monolithic build
     order_a = p0.updated(p1).updated(p2)
     order_b = p2.updated(p0).updated(p1)
     tree = p1.updated(p2.updated(p0))
-    mono = build_projection(events, KEYS, MEASURES)
+    mono = build_projection(events, KEYS(), MEASURES())
     assert _rows(order_a) == _rows(order_b) == _rows(tree) == _rows(mono)
 
 
