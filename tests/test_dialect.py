@@ -606,11 +606,47 @@ def _ts(depth):
     )
 
 
+def _arrnum(depth):
+    leaf = st.sampled_from(["[1, 2, 3]", "[10, 20]", "range(4)"])
+    if depth <= 0:
+        return leaf
+    sub = _arrnum(depth - 1)
+    return st.one_of(
+        leaf,
+        sub.map(lambda a: f"arrayCumSum({a})"),
+        sub.map(lambda a: f"arrayDifference({a})"),
+        sub.map(lambda a: f"arrayCompact({a})"),
+        st.tuples(sub, _num(0)).map(
+            lambda t: f"arrayPushBack({t[0]}, toInt64({t[1]}))"
+        ),
+        sub.map(lambda a: f"arraySort({a})"),
+    )
+
+
 def _expr(depth=3):
     return st.one_of(
         _num(depth),
         _str(depth),
         _ts(depth),
+        # round-6 surface: brackets/subscripts, array calculus, tuples,
+        # lookup transform, interval floors
+        st.tuples(_arrnum(depth - 1), st.integers(-3, 4)).map(
+            # CH subscripts are 1-based; skip 0 (invalid on both engines)
+            lambda t: f"{t[0]}[{t[1] if t[1] >= 1 else t[1] - 1}]"
+        ),
+        _arrnum(depth - 1).map(lambda a: f"arraySum({a})"),
+        st.tuples(_arrnum(depth - 1), _num(0)).map(
+            lambda t: f"countEqual({t[0]}, toInt64({t[1]}))"
+        ),
+        st.tuples(_num(depth - 1), _str(depth - 1)).map(
+            lambda t: f"tupleElement(tuple({t[0]}, {t[1]}), 2)"
+        ),
+        _str(depth - 1).map(
+            lambda s: f"transform({s}, ['a', 'b'], ['x', 'y'], 'z')"
+        ),
+        _ts(depth - 1).map(
+            lambda t: f"toStartOfInterval({t}, INTERVAL 10 MINUTE)"
+        ),
         st.tuples(_bool(depth), _num(depth - 1), _num(depth - 1)).map(
             lambda t: f"if({t[0]}, {t[1]}, {t[2]})"
         ),
