@@ -812,3 +812,18 @@ def test_limit_offset_form_translates():
     )
     # plain LIMIT untouched
     assert translate("SELECT x FROM t LIMIT 7") == "SELECT x FROM t LIMIT 7"
+
+
+def test_any_join_plans_dedup_below_join(spark):
+    """The ANY JOIN rewrite must plan the one-row-per-key pick UNDER the
+    join (WindowGroupLimit pushes the rn=1 heap into the right side), so
+    the join's build side is |distinct keys|-sized."""
+    load_tables(spark, SF_SMOKE)
+    df = clickhouse_sql(
+        spark,
+        "SELECT doc_id, tag FROM documents ANY LEFT JOIN "
+        "(SELECT user_id % 40 AS doc_id, 'x' AS tag FROM events) AS e "
+        "USING (doc_id)",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

@@ -137,3 +137,28 @@ def test_rejects_partition_key_outside_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="not a key"):
         ProjectionSink.from_spec(spark, str(tmp_path / "s"), spec,
                                  partition_key="user_id")
+
+
+def test_restart_on_same_checkpoint_adds_nothing(spark, tmp_path):
+    """Re-attaching over the same files + checkpoint must leave the state
+    byte-identical: the stream replays no batches, and even a crash-replay
+    of the last batch is marker-guarded."""
+    events = _events(spark)
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        sink = _sink(spark, tmp_path)
+        q = sink.attach(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+        assert q.awaitTermination(600)
+        return sink
+
+    sink = run()
+    before = sorted(tuple(r) for r in sink.serve(["event_type"], ASKED).collect())
+    sink = run()  # no new files: zero batches fire
+    after = sorted(tuple(r) for r in sink.serve(["event_type"], ASKED).collect())
+    assert before == after
