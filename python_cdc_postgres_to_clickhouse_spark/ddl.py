@@ -35,7 +35,9 @@ from dataclasses import dataclass, field
 
 from .dialect import DialectError, translate
 
-__all__ = ["DdlPlan", "MvPlan", "map_type", "translate_ddl", "translate_mv"]
+__all__ = ["DdlPlan", "MvPlan", "MaintenancePlan", "ProjectionSpec",
+           "map_type", "translate_ddl", "translate_mv",
+           "translate_maintenance"]
 
 
 # ---------------------------------------------------------------------------
@@ -522,4 +524,112 @@ def translate_mv(sql: str) -> MvPlan:
         select_spark_sql=select_sql,
         strategy=strategy,
         engine=engine,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maintenance commands: the operational verbs a ClickHouse deployment runs
+# against its tables. Each maps to an engine routine, so a reference user's
+# runbooks port alongside their DDL and query text.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MaintenancePlan:
+    op: str                     # optimize | truncate | delete | update | drop_partition
+    table: str
+    strategy: str               # the engine routine replacing the command
+    predicate: str | None = None    # translated WHERE (delete/update)
+    assignments: list[tuple[str, str]] = field(default_factory=list)
+    partition: str | None = None
+
+
+def translate_maintenance(sql: str) -> MaintenancePlan:
+    """Map ClickHouse maintenance statements to engine routines.
+
+    - ``OPTIMIZE TABLE t [FINAL]`` → the sink's compaction/materialization
+      (`ParquetUpsertSink.compact()`; FINAL read = `current_state()`).
+      ClickHouse's background merge is on-demand here, same contract.
+    - ``TRUNCATE TABLE t`` → overwrite with an empty frame of the schema.
+    - ``ALTER TABLE t DELETE WHERE p`` → one filtered rewrite of the
+      affected partitions (`WHERE NOT (p)` kept) — exactly the rewrite
+      cost model of a CH mutation.
+    - ``ALTER TABLE t UPDATE c = e, … WHERE p`` → read-modify-write:
+      ``withColumn(c, when(p, e).otherwise(c))`` per assignment, partition-
+      scoped like DELETE. Expressions/predicates go through the dialect.
+    - ``ALTER TABLE t DROP PARTITION 'v'`` → delete that partition
+      directory (metadata-only, as in CH).
+    """
+    s = sql.strip().rstrip(";")
+
+    m = re.match(
+        r"(?i)^OPTIMIZE\s+TABLE\s+([\w.`\"]+)(?:\s+ON\s+CLUSTER\s+\S+)?"
+        r"(\s+FINAL)?$", s)
+    if m:
+        table = m.group(1).strip("`\"").split(".")[-1]
+        strat = ("ParquetUpsertSink.compact(horizon=now) — merge parts, drop "
+                 "tombstones past the horizon")
+        if m.group(2):
+            strat += "; FINAL semantics are the sink's current_state() read"
+        return MaintenancePlan(op="optimize", table=table, strategy=strat)
+
+    m = re.match(r"(?i)^TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`\"]+)$", s)
+    if m:
+        table = m.group(1).strip("`\"").split(".")[-1]
+        return MaintenancePlan(
+            op="truncate", table=table,
+            strategy="overwrite the table path with an empty frame of the "
+                     "same schema (spark.createDataFrame([], schema))",
+        )
+
+    m = re.match(
+        r"(?i)^ALTER\s+TABLE\s+([\w.`\"]+)(?:\s+ON\s+CLUSTER\s+\S+)?\s+"
+        r"DROP\s+PARTITION\s+(.+)$", s)
+    if m:
+        table = m.group(1).strip("`\"").split(".")[-1]
+        part = m.group(2).strip().strip("'\"")
+        return MaintenancePlan(
+            op="drop_partition", table=table, partition=part,
+            strategy=f"delete the {part!r} partition directory — metadata-"
+                     "only, the same O(1) cost CH promises",
+        )
+
+    m = re.match(
+        r"(?i)^ALTER\s+TABLE\s+([\w.`\"]+)(?:\s+ON\s+CLUSTER\s+\S+)?\s+"
+        r"DELETE\s+WHERE\s+(.+)$", s)
+    if m:
+        table = m.group(1).strip("`\"").split(".")[-1]
+        pred = translate(f"SELECT 1 FROM t WHERE {m.group(2)}")
+        pred = pred[pred.upper().index("WHERE") + 6:]
+        return MaintenancePlan(
+            op="delete", table=table, predicate=pred,
+            strategy="filtered rewrite of the affected partitions: keep "
+                     f"WHERE NOT ({pred}) — the CH mutation cost model",
+        )
+
+    m = re.match(
+        r"(?i)^ALTER\s+TABLE\s+([\w.`\"]+)(?:\s+ON\s+CLUSTER\s+\S+)?\s+"
+        r"UPDATE\s+(.+?)\s+WHERE\s+(.+)$", s)
+    if m:
+        table = m.group(1).strip("`\"").split(".")[-1]
+        pred = translate(f"SELECT 1 FROM t WHERE {m.group(3)}")
+        pred = pred[pred.upper().index("WHERE") + 6:]
+        assignments: list[tuple[str, str]] = []
+        for item in _split_top_list(m.group(2)):
+            am = re.match(r"^([\w`\"]+)\s*=\s*(.+)$", item, re.S)
+            if not am:
+                raise DialectError(f"cannot parse UPDATE assignment {item!r}")
+            expr = translate(f"SELECT {am.group(2)} FROM t")[7:-7]
+            assignments.append((am.group(1).strip("`\""), expr))
+        return MaintenancePlan(
+            op="update", table=table, predicate=pred,
+            assignments=assignments,
+            strategy="read-modify-write of the affected partitions: "
+                     "withColumn(c, when(pred, expr).otherwise(c)) per "
+                     "assignment",
+        )
+
+    raise DialectError(
+        "not a supported maintenance statement — OPTIMIZE TABLE, TRUNCATE "
+        "TABLE, ALTER TABLE … DELETE/UPDATE WHERE, ALTER TABLE … DROP "
+        "PARTITION translate; schema ALTERs map to Spark DDL directly"
     )

@@ -284,3 +284,42 @@ def test_sample_by_recorded():
     assert translate_ddl(
         "CREATE TABLE t (x UInt64) ENGINE = MergeTree ORDER BY x"
     ).sample_by is None
+
+
+# ---------------------------------------------------------------------------
+# Maintenance commands (round 6)
+# ---------------------------------------------------------------------------
+
+from python_cdc_postgres_to_clickhouse_spark.ddl import (  # noqa: E402
+    translate_maintenance,
+)
+
+
+def test_maintenance_commands_translate():
+    p = translate_maintenance("OPTIMIZE TABLE analytics.users FINAL")
+    assert p.op == "optimize" and p.table == "users"
+    assert "current_state" in p.strategy
+
+    p = translate_maintenance("TRUNCATE TABLE t")
+    assert p.op == "truncate" and "empty frame" in p.strategy
+
+    p = translate_maintenance("ALTER TABLE t DROP PARTITION '202601'")
+    assert p.op == "drop_partition" and p.partition == "202601"
+
+    p = translate_maintenance(
+        "ALTER TABLE events DELETE WHERE toYYYYMM(ts) = 202601"
+    )
+    assert p.op == "delete"
+    assert p.predicate == "cast(date_format(ts, 'yyyyMM') as int) = 202601"
+
+    p = translate_maintenance(
+        "ALTER TABLE events UPDATE value = value * 2, "
+        "kind = upperUTF8(kind) WHERE user_id = 7"
+    )
+    assert p.op == "update" and p.predicate == "user_id = 7"
+    assert p.assignments == [
+        ("value", "value * 2"), ("kind", "upper(kind)"),
+    ]
+
+    with pytest.raises(DialectError, match="maintenance"):
+        translate_maintenance("ALTER TABLE t ADD COLUMN x Int64")
