@@ -827,3 +827,19 @@ def test_any_join_plans_dedup_below_join(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_rollup_cube_pass_through_and_run(spark):
+    """CH `GROUP BY k WITH ROLLUP/CUBE` is ANSI-shaped in Spark too — the
+    shim must pass it through unmangled (the WITH TOTALS pass must not eat
+    it) and it must run."""
+    out = translate("SELECT k, count() AS n FROM t GROUP BY k WITH ROLLUP")
+    assert out == "SELECT k, count(*) AS n FROM t GROUP BY k WITH ROLLUP"
+    load_tables(spark, SF_SMOKE)
+    rows = clickhouse_sql(
+        spark,
+        "SELECT event_type, count() AS n FROM events "
+        "GROUP BY event_type WITH ROLLUP",
+    ).collect()
+    types = {r["event_type"] for r in rows}
+    assert None in types and len(types) > 1  # grand-total row present
