@@ -285,6 +285,9 @@ class DdlPlan:
     # this key — the Spark equivalent is the salted-hash bucket projection
     # (operators/sampling.py, x_det_sample), NOT seeded-random TABLESAMPLE.
     sample_by: str | None = None
+    # CH `INDEX … TYPE bloom_filter` on plain columns → parquet row-group
+    # bloom filters (pass to layout.cluster_write(bloom_cols=…)).
+    bloom_index_cols: list[str] = field(default_factory=list)
 
     @property
     def spark_ddl(self) -> str:
@@ -368,9 +371,21 @@ def translate_ddl(sql: str) -> DdlPlan:
     columns: list[tuple[str, str]] = []
     dropped: list[str] = []
     projections: list[ProjectionSpec] = []
+    bloom_index_cols: list[str] = []
     for raw in _split_top_list(col_block):
         if raw and re.match(r"^PROJECTION\b", raw, re.I):
             projections.append(_parse_projection(raw))
+            continue
+        im = re.match(
+            r"^INDEX\s+[\w`\"]+\s+([\w`\"]+)\s+TYPE\s+bloom_filter\b",
+            raw, re.I,
+        ) if raw else None
+        if im:
+            # CH bloom_filter skip index on a plain column → parquet
+            # row-group bloom filters (cluster_write's bloom_cols).
+            # Expression/tokenbf/ngrambf indexes have no parquet analog
+            # and stay dropped-with-a-record below.
+            bloom_index_cols.append(im.group(1).strip("`\""))
             continue
         if not raw or re.match(r"^(INDEX|CONSTRAINT)\b", raw, re.I):
             dropped.append(raw.split()[1] if len(raw.split()) > 1 else raw)
@@ -446,6 +461,7 @@ def translate_ddl(sql: str) -> DdlPlan:
         dropped=dropped,
         projections=projections,
         sample_by=sample_by,
+        bloom_index_cols=bloom_index_cols,
     )
 
 

@@ -36,15 +36,33 @@ def cluster_write(
     cols: list[str],
     n_files: int = 16,
     mode: str = "overwrite",
+    bloom_cols: list[str] | None = None,
+    bloom_ndv: int = 100_000,
 ) -> None:
     """Write ``df`` as parquet clustered on ``cols`` (ClickHouse ORDER BY
-    analog): disjoint per-file key ranges + sorted row groups."""
-    (
+    analog): disjoint per-file key ranges + sorted row groups.
+
+    ``bloom_cols`` is the ClickHouse ``INDEX … TYPE bloom_filter`` analog:
+    parquet row-group bloom filters on high-cardinality columns that are
+    NOT the cluster key, so equality probes skip row groups where min/max
+    stats cannot help (a clustered layout only prunes on its own keys).
+    Any parquet reader honoring blooms (Spark, Trino, Impala) gets the
+    skipping; cost is ~(ndv-sized) filter bytes per row group per column.
+    parquet-mr adaptively OMITS the bloom for column chunks that stay fully
+    dictionary-encoded (the dictionary is already an exact membership
+    filter) — so low-cardinality columns cost nothing and genuinely
+    high-cardinality ones (where CH users reach for bloom_filter indexes)
+    get real filters."""
+    w = (
         df.repartitionByRange(n_files, *[F.col(c) for c in cols])
         .sortWithinPartitions(*cols)
         .write.mode(mode)
-        .parquet(path)
     )
+    for c in bloom_cols or []:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+        )
+    w.parquet(path)
 
 
 def _scale_to_bits(col: Column, lo: Column, hi: Column, bits: int) -> Column:

@@ -73,8 +73,10 @@ def test_replacing_merge_tree_full_plan():
     assert ("balance", "DECIMAL(18, 2)") in plan.columns
     assert ("tags", "ARRAY<STRING>") in plan.columns
     assert ("updated_at", "TIMESTAMP") in plan.columns
-    # MATERIALIZED column and the INDEX are dropped with a record
-    assert "day_key" in plan.dropped and "email_idx" in plan.dropped
+    # MATERIALIZED column dropped with a record; the bloom_filter INDEX is
+    # captured as a parquet-bloom column, not dropped
+    assert "day_key" in plan.dropped and "email_idx" not in plan.dropped
+    assert plan.bloom_index_cols == ["email"]
     assert plan.engine == "ReplacingMergeTree"
     assert "ParquetUpsertSink" in plan.strategy
     assert plan.order_by == ["user_id", "updated_at"]
@@ -323,3 +325,17 @@ def test_maintenance_commands_translate():
 
     with pytest.raises(DialectError, match="maintenance"):
         translate_maintenance("ALTER TABLE t ADD COLUMN x Int64")
+
+
+def test_skip_indexes_bloom_vs_dropped():
+    plan = translate_ddl(
+        "CREATE TABLE t (a UInt64, b String, c String, "
+        "INDEX bi b TYPE bloom_filter GRANULARITY 2, "
+        "INDEX ti c TYPE tokenbf_v1(256, 2, 0) GRANULARITY 4, "
+        "INDEX mi a TYPE minmax) "
+        "ENGINE = MergeTree ORDER BY a"
+    )
+    assert plan.bloom_index_cols == ["b"]
+    # tokenbf/minmax have no parquet analog (minmax is free via footer
+    # stats on the clustered layout) — recorded as dropped
+    assert "ti" in plan.dropped and "mi" in plan.dropped

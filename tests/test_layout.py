@@ -110,3 +110,40 @@ def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
         qlo, qhi = g[0] + 0.4 * span, g[0] + 0.6 * span
         touched = sum(1 for lo, hi in stats if hi >= qlo and lo <= qhi)
         assert touched < len(stats), "no pruning on one dimension"
+
+
+def test_bloom_cols_write_filters_and_preserve_reads(spark, tmp_path):
+    """bloom_cols must actually emit parquet bloom filters (file size grows
+    by the filter bytes — pyarrow exposes no bloom accessor, so size is the
+    observable) and must not change read results. The column must be
+    HIGH-cardinality: parquet-mr adaptively skips blooms for fully
+    dictionary-encoded chunks (the dictionary is already exact), which is
+    also why the CH bloom_filter-index use case is high-cardinality keys."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from python_cdc_postgres_to_clickhouse_spark.operators.layout import (
+        cluster_write,
+    )
+
+    df = spark.range(200_000).select(
+        F.col("id"), (F.col("id") % 50_000).alias("k")
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    cluster_write(df, plain, ["id"], n_files=1)
+    cluster_write(df, bloomed, ["id"], n_files=1,
+                  bloom_cols=["k"], bloom_ndv=50_000)
+
+    def total(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p) if f.endswith(".parquet")
+        )
+
+    # NDV 50k → ~65 KB of filter bytes per row group; data is identical
+    assert total(bloomed) > total(plain) + 30_000
+    probe = sorted(r["id"] for r in spark.read.parquet(bloomed)
+                   .filter(F.col("k") == 42).collect())
+    assert probe == sorted(r["id"] for r in df.filter("k = 42").collect())
+    assert len(probe) == 4  # 200k / 50k occurrences of each key
