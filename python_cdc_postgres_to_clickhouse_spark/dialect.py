@@ -1063,7 +1063,14 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "toStartOfYear": _trunc("year"),
     "toStartOfQuarter": _trunc("quarter"),
     "toStartOfMonth": _trunc("month"),
-    "toStartOfWeek": lambda a: f"date_trunc('week', {a[0]})",  # mode ignored
+    # CH default mode 0 starts weeks on SUNDAY (dayofweek: Sunday=1);
+    # modes 1/3 are Monday-start = Spark's date_trunc('week'). Returns Date
+    # like CH. Mode must be a literal — it picks the expression shape.
+    "toStartOfWeek": lambda a: (
+        f"date_sub(cast({a[0]} as date), dayofweek({a[0]}) - 1)"
+        if len(a) < 2 or a[1].strip() in ("0", "2")
+        else f"to_date(date_trunc('week', {a[0]}))"
+    ),
     "toMonday": _tpl("to_date(date_trunc('week', {0}))"),
     "toStartOfDay": _trunc("day"),
     "toStartOfHour": _trunc("hour"),

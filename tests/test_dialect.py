@@ -843,3 +843,35 @@ def test_rollup_cube_pass_through_and_run(spark):
     ).collect()
     types = {r["event_type"] for r in rows}
     assert None in types and len(types) > 1  # grand-total row present
+
+
+def test_to_start_of_week_sunday_default(spark):
+    """CH toStartOfWeek defaults to SUNDAY-start weeks (mode 0) — mapping it
+    to date_trunc('week') (Monday) silently shifted six days of every week;
+    mode 1/3 keep the Monday form. Verified against DuckDB ground truth."""
+    assert translate("SELECT toStartOfWeek(ts) FROM t") == (
+        "SELECT date_sub(cast(ts as date), dayofweek(ts) - 1) FROM t"
+    )
+    assert translate("SELECT toStartOfWeek(ts, 1) FROM t") == (
+        "SELECT to_date(date_trunc('week', ts)) FROM t"
+    )
+    load_tables(spark, SF_SMOKE)
+    got = {
+        (r["w"], r["n"]) for r in clickhouse_sql(
+            spark,
+            "SELECT toStartOfWeek(ts) AS w, count() AS n "
+            "FROM events GROUP BY w",
+        ).collect()
+    }
+    oracle = run_oracle(
+        "SELECT CAST(ts AS DATE) - CAST(dayofweek(ts) AS INT) AS w, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1",
+        SF_SMOKE,
+    )
+    want = {
+        (r.w.date() if hasattr(r.w, "date") else r.w, r.n)
+        for r in oracle.itertuples(index=False, name="R")
+    }
+    assert got == want
+    # every returned week start is a Sunday
+    assert all(w.isoweekday() == 7 for w, _ in got)
