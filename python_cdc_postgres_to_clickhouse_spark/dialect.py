@@ -45,8 +45,9 @@ Documented semantic divergences (value-level, not shape-level):
   for cross-system hash equality.
 - ``quantileExact`` maps to ``percentile`` (Spark interpolates between
   order statistics; CH picks one) — ranks differ by at most one element.
-- ``toStartOfWeek`` ignores the CH ``mode`` argument (Spark weeks start
-  Monday).
+- ``toStartOfWeek`` honors CH's Sunday-start default (mode 0/2) and the
+  Monday modes (1/3); ``toWeek`` translates only its ISO mode (3) — the
+  MySQL-style 0..53 numbering modes raise instead of silently shifting.
 - ``anyLast``/``any`` keep their "some value" contract; which value is
   engine-dependent in both systems.
 """
@@ -1038,6 +1039,19 @@ def _tuple(a: list[str]) -> str:
     return f"named_struct({fields})"
 
 
+def _to_week(a: list[str]) -> str:
+    """toWeek's default mode 0 is MySQL-style Sunday-based 0..53 numbering —
+    NOT Spark's ISO weekofyear; only the ISO mode (3) translates
+    faithfully, everything else stays loud."""
+    if len(a) > 1 and a[1].strip() == "3":
+        return f"weekofyear({a[0]})"
+    raise DialectError(
+        "toWeek: only mode 3 (ISO) maps to weekofyear — mode-0/1/2 "
+        "Sunday-based 0..53 numbering has no Spark builtin; use toISOWeek "
+        "or toStartOfWeek buckets instead"
+    )
+
+
 def _haversine(a: list[str]) -> str:
     """greatCircleDistance/geoDistance(lon1, lat1, lon2, lat2) → metres via
     the haversine formula (CH's historical sphere radius 6372797.560856 m;
@@ -1092,7 +1106,7 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "toUnixTimestamp": _fn("unix_timestamp"),
     "fromUnixTimestamp": _fn("from_unixtime"),
     "toISOWeek": _fn("weekofyear"),
-    "toWeek": lambda a: f"weekofyear({a[0]})",  # mode arg ignored (ISO)
+    "toWeek": _to_week,
     "toISOYear": _tpl("year(date_trunc('week', {0}))"),
     "toLastDayOfMonth": _fn("last_day"),
     "monthName": _tpl("date_format({0}, 'MMMM')"),

@@ -875,3 +875,11 @@ def test_to_start_of_week_sunday_default(spark):
     assert got == want
     # every returned week start is a Sunday
     assert all(w.isoweekday() == 7 for w, _ in got)
+
+
+def test_to_week_iso_only():
+    assert translate("SELECT toWeek(ts, 3) FROM t") == (
+        "SELECT weekofyear(ts) FROM t"
+    )
+    with pytest.raises(DialectError, match="mode 3"):
+        translate("SELECT toWeek(ts) FROM t")
