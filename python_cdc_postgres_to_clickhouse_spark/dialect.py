@@ -45,6 +45,8 @@ Documented semantic divergences (value-level, not shape-level):
   for cross-system hash equality.
 - ``quantileExact`` maps to ``percentile`` (Spark interpolates between
   order statistics; CH picks one) — ranks differ by at most one element.
+  ``quantileExactLow``/``quantileExactHigh`` ARE faithful: they map to
+  ``percentile_disc`` element selection (ascending / mirrored descending).
 - ``toStartOfWeek`` honors CH's Sunday-start default (mode 0/2) and the
   Monday modes (1/3); ``toWeek`` translates only its ISO mode (3) — the
   MySQL-style 0..53 numbering modes raise instead of silently shifting.
@@ -1406,14 +1408,30 @@ def _uniq_up_to(params: Sequence[str] | None, args: list[str]) -> str:
     return f"least(count(DISTINCT {', '.join(args)}), {params[0]} + 1)"
 
 
+def _quantile_disc_low(params: Sequence[str] | None, args: list[str]) -> str:
+    """CH quantileExactLow picks the order statistic at ceil(p·n) (python
+    median_low) — exactly Spark's percentile_disc contract."""
+    p = params[0] if params else "0.5"
+    return f"percentile_disc({p}) WITHIN GROUP (ORDER BY {args[0]})"
+
+
+def _quantile_disc_high(params: Sequence[str] | None, args: list[str]) -> str:
+    """quantileExactHigh is the mirror pick (median_high): the same
+    selection over the DESCENDING order at level 1-p."""
+    p = params[0] if params else "0.5"
+    return (
+        f"percentile_disc(1 - ({p})) WITHIN GROUP (ORDER BY {args[0]} DESC)"
+    )
+
+
 PARAM_RULES: dict[str, ParamRule] = {
     "quantile": _quantile_approx,
     "quantileTDigest": _quantile_approx,
     "quantileTiming": _quantile_approx,
     "quantileDeterministic": _quantile_approx,
     "quantileExact": _quantile_exact,
-    "quantileExactLow": _quantile_exact,
-    "quantileExactHigh": _quantile_exact,
+    "quantileExactLow": _quantile_disc_low,
+    "quantileExactHigh": _quantile_disc_high,
     "quantiles": _quantiles(exact=False),
     "quantilesExact": _quantiles(exact=True),
     "groupArray": _group_array,

@@ -883,3 +883,18 @@ def test_to_week_iso_only():
     )
     with pytest.raises(DialectError, match="mode 3"):
         translate("SELECT toWeek(ts) FROM t")
+
+
+def test_quantile_exact_low_high_pick_elements(spark):
+    """quantileExactLow/High must pick actual order statistics (python
+    median_low/median_high), not interpolate — pinned on an even-count set
+    where interpolation would return 2.5."""
+    assert translate("SELECT quantileExactLow(0.5)(x) FROM t") == (
+        "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x) FROM t"
+    )
+    row = spark.sql(translate(
+        "SELECT quantileExactLow(0.5)(x) AS lo, "
+        "quantileExactHigh(0.5)(x) AS hi "
+        "FROM VALUES (1.0),(2.0),(3.0),(10.0) AS t(x)"
+    )).collect()[0]
+    assert (row["lo"], row["hi"]) == (2.0, 3.0)
