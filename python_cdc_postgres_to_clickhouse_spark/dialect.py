@@ -198,18 +198,28 @@ def _rewrite_any_join(toks: list[str]) -> list[str]:
                                 break
                         k += 1
                 else:
-                    while k < len(toks) and (
-                        toks[k] == "." or (
-                            _is_ident(toks[k])
-                            and _u(toks[k]) not in ("AS", "USING", "ON")
-                        )
-                    ):
+                    # one dotted table name: ident(.ident)* — a SECOND bare
+                    # ident after it is an alias, not part of the name
+                    if k < len(toks) and _is_ident(toks[k]) and _u(
+                        toks[k]
+                    ) not in ("AS", "USING", "ON"):
                         ref.append(toks[k])
                         k += 1
+                        while (
+                            k + 1 < len(toks) and toks[k] == "."
+                            and _is_ident(toks[k + 1])
+                        ):
+                            ref.extend([toks[k], toks[k + 1]])
+                            k += 2
                 alias: str | None = None
                 if k < len(toks) and _u(toks[k]) == "AS":
                     alias = toks[k + 1]
                     k += 2
+                elif k < len(toks) and _is_ident(toks[k]) and _u(
+                    toks[k]
+                ) not in ("USING", "ON"):
+                    alias = toks[k]
+                    k += 1
                 if not (k < len(toks) and _u(toks[k]) == "USING"):
                     raise DialectError(
                         "ANY JOIN with ON: the one-row-per-key pick needs "
