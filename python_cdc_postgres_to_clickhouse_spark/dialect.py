@@ -400,9 +400,23 @@ def _rewrite_sample(toks: list[str]) -> list[str]:
                 pct = float(k) * 100
                 if not 0 < pct <= 100:
                     raise DialectError(f"SAMPLE fraction {k} out of (0, 1]")
-                out.extend(["TABLESAMPLE", "(", f"{pct:g}", "PERCENT", ")"])
+                ts = ["TABLESAMPLE", "(", f"{pct:g}", "PERCENT", ")"]
             else:
-                out.extend(["TABLESAMPLE", "(", k, "ROWS", ")"])
+                ts = ["TABLESAMPLE", "(", k, "ROWS", ")"]
+            # Spark grammar: TABLESAMPLE comes BEFORE the table alias —
+            # CH puts SAMPLE after it, so hop back over `AS a` / bare `a`.
+            at = len(out)
+            if at >= 2 and _u(out[-2]) == "AS" and _is_ident(out[-1]):
+                at -= 2
+            elif (
+                at >= 3
+                and _is_ident(out[-1]) and _is_ident(out[-2])
+                and out[-3] != "."
+                and _u(out[-1]) not in _KEYWORDS_NOT_CALLS
+                and _u(out[-2]) not in _KEYWORDS_NOT_CALLS
+            ):
+                at -= 1
+            out[at:at] = ts
             i += 2
             continue
         out.append(t)

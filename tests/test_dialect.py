@@ -898,3 +898,12 @@ def test_quantile_exact_low_high_pick_elements(spark):
         "FROM VALUES (1.0),(2.0),(3.0),(10.0) AS t(x)"
     )).collect()[0]
     assert (row["lo"], row["hi"]) == (2.0, 3.0)
+
+
+def test_sample_hops_before_alias():
+    assert translate("SELECT e.x FROM events AS e SAMPLE 100") == (
+        "SELECT e.x FROM events TABLESAMPLE(100 ROWS) AS e"
+    )
+    assert translate("SELECT e.x FROM events e SAMPLE 0.5") == (
+        "SELECT e.x FROM events TABLESAMPLE(50 PERCENT) e"
+    )
