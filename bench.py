@@ -118,6 +118,7 @@ HEADLINE = [
     "sql_ch_state_merge_rollup",  # -State/-Merge HLL algebra via dialect
     "sql_ch_retention_report",    # retention() + subscripts via dialect
     "x_projection_route",      # PROJECTION build + state re-merge answer
+    "sql_ch_any_enrich",       # ANY JOIN -> one-row-per-key pick + join
 ]
 
 

@@ -753,3 +753,16 @@ def test_seasonal_profile_single_fixed_key_exchange(spark):
     assert P.has_partial_aggregate(df), plan
     cols = set(P.read_schema_columns(df))
     assert cols <= {"ts", "event_type", "value"}, cols
+
+
+def test_projection_route_two_level_partial_agg(spark):
+    """x_projection_route: build + answer is exactly two partial-aggregated
+    hash aggregates (fine keys then coarse re-merge) over a pruned scan —
+    no joins, no windows, no extra exchange class."""
+    df = _q(spark, "x_projection_route")
+    plan = P.physical_plan(df)
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert P.has_partial_aggregate(df), plan
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"event_type", "ts", "value"}, cols
