@@ -98,7 +98,7 @@ def test_stream_reads_in_bounded_batches_and_resumes(registered, tmp_path):
             .trigger(processingTime="200 milliseconds")
             .start()
         )
-        deadline = time.time() + 120
+        deadline = time.time() + 300  # generous: suite-load contention
         while time.time() < deadline and len(out) < expect:
             time.sleep(0.5)
         q.stop()
@@ -155,7 +155,7 @@ def test_segmented_stream_reads_all_segments_in_parallel_and_resumes(
             .trigger(processingTime="200 milliseconds")
             .start()
         )
-        deadline = time.time() + 120
+        deadline = time.time() + 300  # generous: suite-load contention
         while time.time() < deadline and len(out) < expect:
             time.sleep(0.5)
         q.stop()
