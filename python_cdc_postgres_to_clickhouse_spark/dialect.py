@@ -949,23 +949,47 @@ def _date_diff(a: list[str]) -> str:
     return f"timestampdiff({_unquote(a[0]).upper()}, {a[1]}, {a[2]})"
 
 
-_FMT_MAP = [
-    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
-    ("%I", "hh"), ("%M", "mm"), ("%S", "ss"), ("%F", "yyyy-MM-dd"),
-    ("%T", "HH:mm:ss"), ("%e", "d"), ("%j", "DDD"), ("%p", "a"), ("%%", "%"),
-]
+_FMT_MAP = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "MM", "%d": "dd",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
+    "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%e": "d", "%j": "DDD",
+    "%p": "a", "%a": "EEE", "%W": "EEEE", "%b": "MMM", "%%": "%",
+}
 
 
 def _format_datetime(a: list[str]) -> str:
+    """Scan the CH strftime-style pattern char-by-char: %-specifiers map to
+    Java pattern letters; literal LETTER runs are single-quoted (Java
+    reserves every letter — '%Y-%m-%dT%H' would otherwise throw on the T)."""
     if not _is_str_lit(a[1]):
         raise DialectError("formatDateTime requires a literal format string")
     fmt = _unquote(a[1])
-    out = fmt
-    for ch, sp in _FMT_MAP:
-        out = out.replace(ch, sp)
-    if "%" in out:
-        raise DialectError(f"formatDateTime: unsupported specifier in {fmt!r}")
-    return f"date_format({a[0]}, '{out}')"
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            tok = fmt[i:i + 2]
+            if tok not in _FMT_MAP:
+                raise DialectError(
+                    f"formatDateTime: unsupported specifier {tok!r} in {fmt!r}"
+                )
+            out.append(_FMT_MAP[tok])
+            i += 2
+        elif ch.isalpha():
+            j = i
+            while j < len(fmt) and fmt[j].isalpha():
+                j += 1
+            out.append(f"'{fmt[i:j]}'")
+            i = j
+        elif ch == "'":
+            out.append("''")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    pattern = "".join(out).replace("'", "\\'")
+    return f"date_format({a[0]}, '{pattern}')"
 
 
 def _split_by_char(a: list[str]) -> str:

@@ -907,3 +907,18 @@ def test_sample_hops_before_alias():
     assert translate("SELECT e.x FROM events e SAMPLE 0.5") == (
         "SELECT e.x FROM events TABLESAMPLE(50 PERCENT) e"
     )
+
+
+def test_format_datetime_quotes_literal_letters(spark):
+    """Literal letters in the pattern (ISO 'T', suffixes) must be quoted —
+    Java reserves every pattern letter, so the old substitution threw at
+    runtime on '%Y-%m-%dT%H'."""
+    out = translate("SELECT formatDateTime(ts, '%Y-%m-%dT%H:%M:%S') FROM t")
+    assert "date_format" in out and "T" in out
+    row = spark.sql(translate(
+        "SELECT formatDateTime(toDateTime('2026-03-05 07:08:09'), "
+        "'%Y-%m-%dT%H:%M:%S') AS s, "
+        "formatDateTime(toDateTime('2026-03-05 07:08:09'), '%a %b') AS wd"
+    )).collect()[0]
+    assert row["s"] == "2026-03-05T07:08:09"
+    assert row["wd"] == "Thu Mar"
