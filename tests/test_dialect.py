@@ -922,3 +922,32 @@ def test_format_datetime_quotes_literal_letters(spark):
     )).collect()[0]
     assert row["s"] == "2026-03-05T07:08:09"
     assert row["wd"] == "Thu Mar"
+
+
+def test_insert_and_create_view_statements_run(spark, tmp_path):
+    """The shim is statement-agnostic: CH INSERT INTO … SELECT and CREATE
+    VIEW … AS SELECT (with camelCase bodies) translate and execute — the
+    write-side command surface a warehouse user ports along with queries."""
+    load_tables(spark, SF_SMOKE)
+    spark.sql("DROP TABLE IF EXISTS daily_rollup")
+    spark.sql(
+        "CREATE TABLE daily_rollup (day TIMESTAMP, n BIGINT) USING parquet "
+        f"LOCATION '{tmp_path / 'daily_rollup'}'"
+    )
+    try:
+        clickhouse_sql(
+            spark,
+            "INSERT INTO daily_rollup SELECT toStartOfDay(ts) AS day, "
+            "count() AS n FROM events GROUP BY day",
+        )
+        n = spark.table("daily_rollup").count()
+        assert n > 0
+        clickhouse_sql(
+            spark,
+            "CREATE OR REPLACE TEMPORARY VIEW v_busy AS "
+            "SELECT day, n FROM daily_rollup WHERE n >= 1",
+        )
+        assert spark.table("v_busy").count() == n
+    finally:
+        spark.sql("DROP TABLE IF EXISTS daily_rollup")
+        spark.sql("DROP VIEW IF EXISTS v_busy")
