@@ -3,10 +3,15 @@
 The reference pipeline (main.py:1-58) delivers CDC rows into ClickHouse and
 its users query that warehouse in ClickHouse SQL. ``translate()`` rewrites
 the practical subset of that dialect — camelCase functions, parametric
-aggregates (``quantile(0.9)(x)``), ``-If`` combinators, ``PREWHERE``,
-``FINAL``, ``ARRAY JOIN``, ``SETTINGS``/``FORMAT`` clauses — into Spark SQL,
-and ``clickhouse_sql()`` executes the result against the engine's tables, so
-existing dashboards port by string substitution instead of a rewrite.
+aggregates (``quantile(0.9)(x)``), ``-If``/``-OrNull``/``-State``/``-Merge``
+combinators, ``PREWHERE``, ``FINAL``, ``ARRAY JOIN``, ``ANY JOIN``,
+``SETTINGS``/``FORMAT`` clauses, ``LIMIT n BY`` / ``LIMIT o, n``,
+``WITH TOTALS`` / ``WITH FILL``, ``SAMPLE``, bracket array literals and
+1-based subscripts, tuples, the lookup ``transform``, and ``retention()`` —
+into Spark SQL, and ``clickhouse_sql()`` executes the result against the
+engine's tables, so existing dashboards port by string substitution instead
+of a rewrite. The pass is statement-agnostic: INSERT INTO … SELECT and
+CREATE VIEW bodies translate the same way (test-pinned).
 
 Design: a token-level source-to-source pass, not a full parser. SQL clause
 structure (SELECT/FROM/GROUP BY/CTEs/subqueries/window specs) is shared
