@@ -119,6 +119,7 @@ HEADLINE = [
     "sql_ch_retention_report",    # retention() + subscripts via dialect
     "x_projection_route",      # PROJECTION build + state re-merge answer
     "sql_ch_any_enrich",       # ANY JOIN -> one-row-per-key pick + join
+    "x_active_users_sketch",   # rolling MAU via day-sketch unions (no fan-out of events)
 ]
 
 

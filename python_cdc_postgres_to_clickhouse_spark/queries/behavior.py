@@ -857,6 +857,53 @@ def x_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_active_users_sketch",
+    tags=("ext", "behavior", "sketch", "timeseries"),
+)
+def x_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate rolling DAU/WAU/MAU — the no-multiplier path
+    x_active_users_rolling's docstring promises for 100 TB: the event log
+    shuffles ONCE into |days| HLL sketches (KB register files), and the
+    rolling window fans out only those |days|x30 SKETCH rows — a
+    broadcast-scale frame — never the events. Per serving day, DAU/WAU/MAU
+    are register-max unions of the <=1/7/30 contributing day-sketches;
+    associativity makes each union bit-identical to sketching that window
+    directly, so accuracy equals a direct HLL estimate (~1.6% typical at
+    the default lgK, bound pinned vs the exact query in
+    tests/test_round6_properties.py). Rows-only driver row: the estimates
+    are engine-internal sketch values DuckDB cannot replay."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    mx = daily.agg(F.max("day").alias("max_day"))
+    fan = (
+        daily.select(
+            "day", "sk",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("o"),
+        )
+        .withColumn("cday", F.expr("timestampadd(DAY, o, day)"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("cday") <= F.col("max_day"))
+    )
+    return (
+        fan.groupBy(F.col("cday").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.when(F.col("o") == 0, F.col("sk")))
+            ).alias("dau_est"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.when(F.col("o") <= 6, F.col("sk")))
+            ).alias("wau_est"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("mau_est"),
+        )
+        .orderBy("day")
+    )
+
+
 @query("x_holt_trend", tags=("ext", "behavior", "timeseries", "iterative"))
 def x_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Holt linear trend (double exponential smoothing) over the

@@ -218,6 +218,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_ch_retention_report",
     "x_projection_route",
     "sql_ch_any_enrich",
+    "x_active_users_sketch",
 )
 
 

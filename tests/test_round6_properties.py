@@ -116,3 +116,20 @@ def test_interval_floor_matches_named_shorthand(spark):
         "toStartOfInterval(ts, INTERVAL 5 MINUTE) != toStartOfFiveMinutes(ts)",
     ).collect()[0]["bad"]
     assert n == 0
+
+
+def test_sketch_rolling_mau_tracks_exact(spark):
+    """x_active_users_sketch: every DAU/WAU/MAU estimate within HLL error
+    of the exact rolling counts, same day set."""
+    from python_cdc_postgres_to_clickhouse_spark.queries.behavior import (
+        x_active_users_rolling,
+        x_active_users_sketch,
+    )
+
+    exact = {r["day"]: r for r in x_active_users_rolling(spark, SF_SMOKE).collect()}
+    est = {r["day"]: r for r in x_active_users_sketch(spark, SF_SMOKE).collect()}
+    assert set(exact) == set(est)
+    for day, e in exact.items():
+        s = est[day]
+        for a, b in (("dau", "dau_est"), ("wau", "wau_est"), ("mau", "mau_est")):
+            assert abs(s[b] - e[a]) <= max(4, 0.05 * e[a]), (day, a, e[a], s[b])
