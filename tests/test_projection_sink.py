@@ -162,3 +162,16 @@ def test_restart_on_same_checkpoint_adds_nothing(spark, tmp_path):
     sink = run()  # no new files: zero batches fire
     after = sorted(tuple(r) for r in sink.serve(["event_type"], ASKED).collect())
     assert before == after
+
+
+def test_served_key_filter_prunes_state_partitions(spark, tmp_path):
+    """A key-filtered read of the maintained state must prune to that key's
+    partition directory — the state layout exists so serve-time reads scale
+    with the asked keys, not the full state."""
+    events = _events(spark)
+    sink = _sink(spark, tmp_path)
+    sink.process_batch(events, 0)
+    one = sink.projection().df.filter(F.col("event_type") == "purchase")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    assert one.count() > 0
