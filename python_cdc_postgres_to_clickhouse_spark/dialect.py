@@ -1094,6 +1094,31 @@ def _tuple(a: list[str]) -> str:
     return f"named_struct({fields})"
 
 
+_ARRAY_REDUCE_MAP = {
+    "sum": "aggregate({0}, 0D, (acc, x) -> acc + x)",
+    "min": "array_min({0})",
+    "max": "array_max({0})",
+    "avg": "(aggregate({0}, 0D, (acc, x) -> acc + x) / size({0}))",
+    "count": "size({0})",
+    "uniqExact": "size(array_distinct({0}))",
+}
+
+
+def _array_reduce(a: list[str]) -> str:
+    """arrayReduce('agg', arr): the aggregate name is a literal — map the
+    common ones onto array expressions; anything else stays loud."""
+    if not a or not _is_str_lit(a[0]):
+        raise DialectError("arrayReduce needs a literal aggregate name")
+    name = _unquote(a[0])
+    tpl = _ARRAY_REDUCE_MAP.get(name)
+    if tpl is None or len(a) != 2:
+        raise DialectError(
+            f"arrayReduce({name!r}): only sum/min/max/avg/count/uniqExact "
+            "over one array translate — explode + GROUP BY for the rest"
+        )
+    return tpl.format(a[1])
+
+
 def _to_week(a: list[str]) -> str:
     """toWeek's default mode 0 is MySQL-style Sunday-based 0..53 numbering —
     NOT Spark's ISO weekofyear; only the ISO mode (3) translates
@@ -1144,6 +1169,7 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "toStartOfDay": _trunc("day"),
     "toStartOfHour": _trunc("hour"),
     "toStartOfMinute": _trunc("minute"),
+    "toStartOfSecond": _trunc("second"),
     "toStartOfFiveMinutes": _time_floor(300),
     "toStartOfTenMinutes": _time_floor(600),
     "toStartOfFifteenMinutes": _time_floor(900),
@@ -1219,6 +1245,11 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "positionCaseInsensitive": lambda a: f"locate(lower({a[1]}), lower({a[0]}))",
     "splitByChar": _split_by_char,
     "splitByString": _split_by_char,
+    "splitByWhitespace": _tpl("split(trim({0}), '\\\\s+')"),
+    "countSubstrings": _tpl(
+        "((length({0}) - length(replace({0}, {1}, ''))) div length({1}))"
+    ),
+    "positionUTF8": _swap("locate"),
     "concatWithSeparator": _fn("concat_ws"),
     "startsWith": _fn("startswith"),
     "endsWith": _fn("endswith"),
@@ -1267,7 +1298,15 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "arraySum": _tpl("aggregate({0}, 0D, (acc, x) -> acc + x)"),
     "arrayMin": _fn("array_min"),
     "arrayMax": _fn("array_max"),
-    "arrayStringConcat": _fn("array_join"),
+    # CH's default separator is '' — Spark's array_join has no default
+    "arrayStringConcat": lambda a: (
+        f"array_join({a[0]}, '')" if len(a) == 1
+        else f"array_join({', '.join(a)})"
+    ),
+    # arrayFold(λ(acc, x), arr, init) — Spark aggregate's arg order differs
+    "arrayFold": lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})",
+    "arrayReduce": _array_reduce,
+    "hasAll": _tpl("forall({1}, x -> array_contains({0}, x))"),
     "arrayEnumerate": _tpl("sequence(1, size({0}))"),
     "arrayIntersect": _fn("array_intersect"),
     "arrayPushBack": _tpl("concat({0}, array({1}))"),

@@ -951,3 +951,23 @@ def test_insert_and_create_view_statements_run(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS daily_rollup")
         spark.sql("DROP VIEW IF EXISTS v_busy")
+
+
+def test_array_fold_reduce_and_friends(spark):
+    assert translate(
+        "SELECT arrayFold((acc, x) -> acc + x, a, toInt64(0)) FROM t"
+    ) == "SELECT aggregate(a, cast(0 as bigint), (acc, x) -> acc + x) FROM t"
+    assert translate("SELECT arrayReduce('max', a) FROM t") == (
+        "SELECT array_max(a) FROM t"
+    )
+    with pytest.raises(DialectError, match="explode"):
+        translate("SELECT arrayReduce('median', a) FROM t")
+    row = spark.sql(translate(
+        "SELECT arrayReduce('sum', [1, 2, 3]) AS s, "
+        "hasAll([1, 2, 3], [1, 3]) AS h, "
+        "countSubstrings('abcabcab', 'ab') AS c, "
+        "splitByWhitespace('  a  b c ') AS w, "
+        "arrayStringConcat(['x', 'y']) AS j"
+    )).collect()[0]
+    assert row["s"] == 6.0 and row["h"] is True and row["c"] == 3
+    assert row["w"] == ["a", "b", "c"] and row["j"] == "xy"
