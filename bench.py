@@ -120,6 +120,8 @@ HEADLINE = [
     "x_projection_route",      # PROJECTION build + state re-merge answer
     "sql_ch_any_enrich",       # ANY JOIN -> one-row-per-key pick + join
     "x_active_users_sketch",   # rolling MAU via day-sketch unions (no fan-out of events)
+    # Added round 7 (earlier entries unchanged — like-for-like holds).
+    "sql_ch_dict_lookup",      # dictGet family -> broadcast scalar-subquery joins
 ]
 
 

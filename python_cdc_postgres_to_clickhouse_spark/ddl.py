@@ -36,6 +36,7 @@ from dataclasses import dataclass, field
 from .dialect import DialectError, translate
 
 __all__ = ["DdlPlan", "MvPlan", "MaintenancePlan", "ProjectionSpec",
+           "DictionaryPlan", "translate_dictionary",
            "map_type", "translate_ddl", "translate_mv",
            "translate_maintenance"]
 
@@ -648,4 +649,115 @@ def translate_maintenance(sql: str) -> MaintenancePlan:
         "not a supported maintenance statement — OPTIMIZE TABLE, TRUNCATE "
         "TABLE, ALTER TABLE … DELETE/UPDATE WHERE, ALTER TABLE … DROP "
         "PARTITION translate; schema ALTERs map to Spark DDL directly"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CREATE DICTIONARY (dialect.py dictGet family's provisioning side)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DictionaryPlan:
+    """A parsed ``CREATE DICTIONARY`` statement.
+
+    CH dictionaries are host-side lookup maps refreshed from a source table;
+    the engine analog is the source table/view itself, registered with
+    ``dialect.register_dictionary`` so every ``dictGet('<name>', …)`` call
+    translates to a correlated scalar subquery (Catalyst plans it as a
+    broadcast left join — the same build-side-hash-map execution CH's
+    dictionary engine performs). LIFETIME refresh is meaningless here: the
+    view always reads the current table state, which is *fresher* than CH's
+    staleness-bounded cache.
+    """
+
+    name: str
+    key: str
+    columns: list[tuple[str, str]] = field(default_factory=list)
+    source_table: str | None = None
+    source_kind: str | None = None
+    layout: str | None = None
+    lifetime_max_s: int | None = None
+
+    def register(self, view: str | None = None):
+        """Register with the dialect; ``view`` overrides the SOURCE table
+        (needed when the source is not a CLICKHOUSE table)."""
+        from .dialect import register_dictionary
+
+        target = view or self.source_table
+        if target is None:
+            raise DialectError(
+                f"dictionary {self.name!r}: SOURCE({self.source_kind or '?'}"
+                ") names no table — pass the Spark view explicitly"
+            )
+        return register_dictionary(self.name, target, self.key)
+
+
+def translate_dictionary(sql: str) -> DictionaryPlan:
+    """Parse a ClickHouse ``CREATE DICTIONARY`` statement."""
+    head = re.match(
+        r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?DICTIONARY\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"(?P<name>[\w.`\"]+)\s*(?:ON\s+CLUSTER\s+\S+\s*)?\(",
+        sql, re.I,
+    )
+    if not head:
+        raise DialectError("not a CREATE DICTIONARY statement")
+    name = head.group("name").strip("`\"").split(".")[-1]
+    depth, i = 1, head.end()
+    start = i
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    col_block, tail = sql[start:i - 1], sql[i:]
+
+    columns: list[tuple[str, str]] = []
+    for raw in _split_top_list(col_block):
+        cm = re.match(r"^([\w`\"]+)\s+(.*)$", raw.strip(), re.S)
+        if not cm:
+            raise DialectError(f"cannot parse dictionary attribute {raw!r}")
+        rest = re.match(
+            r"^(.*?)(?:\s+(?:DEFAULT|EXPRESSION|HIERARCHICAL|INJECTIVE|"
+            r"IS_OBJECT_ID)\b.*)?$",
+            cm.group(2).strip(), re.S,
+        )
+        columns.append((cm.group(1).strip("`\""), map_type(rest.group(1))))
+
+    pk = re.search(r"\bPRIMARY\s+KEY\s+([^()]+?)(?=\b(?:SOURCE|LAYOUT|"
+                   r"LIFETIME|SETTINGS|COMMENT)\b|$)", tail, re.I)
+    if not pk:
+        raise DialectError("CREATE DICTIONARY needs PRIMARY KEY")
+    keys = [k.strip().strip("`\"") for k in pk.group(1).split(",") if k.strip()]
+    if len(keys) != 1:
+        raise DialectError(
+            "composite dictionary keys have no scalar-subquery equality "
+            "form — pre-concat the key columns into one on both sides"
+        )
+
+    sm = re.search(r"\bSOURCE\s*\(\s*(\w+)\s*\((.*?)\)\s*\)", tail, re.I | re.S)
+    source_kind = source_table = None
+    if sm:
+        source_kind = sm.group(1).upper()
+        tm = re.search(r"\bTABLE\s+'([^']+)'", sm.group(2), re.I)
+        if tm:
+            source_table = tm.group(1)
+
+    lm = re.search(r"\bLAYOUT\s*\(\s*(\w+)", tail, re.I)
+    layout = lm.group(1).upper() if lm else None
+    if layout and layout.startswith("COMPLEX_KEY"):
+        raise DialectError(
+            "COMPLEX_KEY layouts imply composite keys — pre-concat the key "
+            "columns into one on both sides"
+        )
+
+    lt = re.search(r"\bLIFETIME\s*\(\s*(?:MIN\s+\d+\s+MAX\s+(\d+)|(\d+))\s*\)",
+                   tail, re.I)
+    lifetime = int(lt.group(1) or lt.group(2)) if lt else None
+
+    return DictionaryPlan(
+        name=name, key=keys[0], columns=columns,
+        source_table=source_table, source_kind=source_kind,
+        layout=layout, lifetime_max_s=lifetime,
     )

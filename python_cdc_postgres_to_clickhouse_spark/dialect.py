@@ -29,6 +29,14 @@ vocabulary and a handful of CH-only clauses, which are local token patterns:
   (streaming/upsert_sink.py is the ReplacingMergeTree+FINAL equivalent);
 - ``SETTINGS``/``FORMAT`` drop (engine/wire concerns, not semantics).
 
+External dictionaries: register one (``register_dictionary(name, view,
+key)`` or ``ddl.translate_dictionary``) and the ``dictGet`` family —
+``dictGet``/``dictGetOrDefault``/``dictGet<T>``/``dictHas`` — translates to
+correlated scalar subqueries that Catalyst rewrites into broadcast left
+joins, the same build-side hash map CH's dictionary engine keeps host-side.
+Misses yield NULL (plain ``dictGet``; CH yields the attribute type's
+default — use ``dictGetOrDefault`` for portable text).
+
 ``-State``/``-Merge`` combinators (the AggregatingMergeTree pattern)
 translate for the two families with faithful Spark algebra: the uniq
 family maps onto HLL sketches (``uniqState`` -> ``hll_sketch_agg``,
@@ -63,8 +71,10 @@ from __future__ import annotations
 
 import re
 from collections.abc import Callable, Sequence
+from dataclasses import dataclass
 
-__all__ = ["DialectError", "translate", "clickhouse_sql"]
+__all__ = ["DialectError", "translate", "clickhouse_sql",
+           "register_dictionary", "unregister_dictionary"]
 
 
 class DialectError(ValueError):
@@ -241,7 +251,15 @@ def _rewrite_any_join(toks: list[str]) -> list[str]:
                         cols.append(toks[m])
                     m += 1
                 keylist = ", ".join(cols)
-                ref_sql = _render(_rewrite_calls(ref))
+                if ref and ref[0] == "(" and ref[-1] == ")":
+                    # A subquery right side may itself use any CH construct
+                    # (PREWHERE, subscripts, FINAL, LIMIT BY, …) — run the
+                    # FULL translation pipeline on it, not just the call
+                    # rewriter; the result re-enters this stream as one
+                    # opaque token that later passes leave alone.
+                    ref_sql = "(" + translate(_render(ref[1:-1])) + ")"
+                else:
+                    ref_sql = _render(_rewrite_calls(ref))
                 dedup = (
                     f"(SELECT * EXCEPT (__rn) FROM (SELECT *, row_number() "
                     f"OVER (PARTITION BY {keylist} ORDER BY {keylist}) AS "
@@ -376,8 +394,10 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
 
 
 def _rewrite_sample(toks: list[str]) -> list[str]:
-    """``FROM t SAMPLE k`` → ``FROM t TABLESAMPLE (…)``: fractional k becomes
-    a PERCENT sample, integral k a ROWS sample. Role-equivalent, not
+    """``FROM t SAMPLE k`` → ``FROM t TABLESAMPLE (…)``: fractional k
+    (``0.1``, ``1/10``, and the whole-table/empty literals ``1``/``0`` —
+    CH reads dot-free 0 and 1 as FRACTIONS, not row counts) becomes a
+    PERCENT sample; an integer k > 1 a ROWS sample. Role-equivalent, not
     row-identical — CH samples deterministically by the table's declared
     sample key, Spark TABLESAMPLE is seeded-random per scan (documented
     divergence). ``SAMPLE … OFFSET`` (deterministic subrange handoff) has no
@@ -395,16 +415,30 @@ def _rewrite_sample(toks: list[str]) -> list[str]:
             and any(_u(p) == "FROM" for p in out)
         ):
             k = toks[i + 1]
-            if i + 2 < len(toks) and _u(toks[i + 2]) == "OFFSET":
+            nxt = i + 2
+            frac: float | None = None
+            if (
+                nxt + 1 < len(toks)
+                and toks[nxt] == "/"
+                and _NUM_RE.match(toks[nxt + 1])
+            ):
+                den = float(toks[nxt + 1])
+                if den == 0:
+                    raise DialectError(f"SAMPLE {k}/{toks[nxt + 1]}: zero denominator")
+                frac = float(k) / den
+                nxt += 2
+            elif "." in k or k in ("0", "1"):
+                frac = float(k)
+            if nxt < len(toks) and _u(toks[nxt]) == "OFFSET":
                 raise DialectError(
                     "SAMPLE … OFFSET has no Spark TABLESAMPLE equivalent — "
                     "use x_hash_split / x_det_sample for deterministic "
                     "disjoint subsets"
                 )
-            if "." in k:
-                pct = float(k) * 100
-                if not 0 < pct <= 100:
-                    raise DialectError(f"SAMPLE fraction {k} out of (0, 1]")
+            if frac is not None:
+                pct = frac * 100
+                if not 0 <= pct <= 100:
+                    raise DialectError(f"SAMPLE fraction {frac!r} out of [0, 1]")
                 ts = ["TABLESAMPLE", "(", f"{pct:g}", "PERCENT", ")"]
             else:
                 ts = ["TABLESAMPLE", "(", k, "ROWS", ")"]
@@ -422,7 +456,7 @@ def _rewrite_sample(toks: list[str]) -> list[str]:
             ):
                 at -= 1
             out[at:at] = ts
-            i += 2
+            i = nxt
             continue
         out.append(t)
         i += 1
@@ -1132,6 +1166,226 @@ def _to_week(a: list[str]) -> str:
     )
 
 
+def _to_start_of_week(a: list[str]) -> str:
+    """Sunday-start for CH modes 0/2, Monday-start for 1/3. The mode picks
+    the expression shape at translation time, so it must be one of those
+    four literals — a column or computed mode cannot be translated and
+    stays loud rather than silently defaulting."""
+    if len(a) >= 2:
+        mode = a[1].strip()
+        if mode not in ("0", "1", "2", "3"):
+            raise DialectError(
+                f"toStartOfWeek: mode must be a literal 0/1/2/3 (got "
+                f"{mode!r}) — it selects Sunday- vs Monday-start at "
+                "translation time"
+            )
+    else:
+        mode = "0"
+    if mode in ("0", "2"):
+        return f"date_sub(cast({a[0]} as date), dayofweek({a[0]}) - 1)"
+    return f"to_date(date_trunc('week', {a[0]}))"
+
+
+# ---------------------------------------------------------------------------
+# External dictionaries: CH's dictGet family over registered lookup tables.
+#
+# ClickHouse dictionaries are host-side hash maps loaded from a source table;
+# ``dictGet('d', 'attr', k)`` is a point lookup usable in any expression.
+# The Spark-faithful analog is a correlated scalar subquery against the
+# registered view — Catalyst rewrites it into a left outer join (broadcast
+# when the dictionary is small), which is EXACTLY the CH execution shape: the
+# fact side streams, the dictionary is the build side. Registration carries
+# the key column (CH's PRIMARY KEY), so the call sites stay verbatim.
+#
+# Documented divergences: a miss yields NULL (CH plain dictGet yields the
+# attribute type's default value — use dictGetOrDefault for portable text;
+# NULL-on-miss is this shim's standing convention, same as try_element_at /
+# WITH FILL); duplicate keys resolve via max() (CH dictionaries enforce key
+# uniqueness at load, so this is unobservable on well-formed sources).
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DictionarySpec:
+    name: str   # name used in CH SQL: dictGet('<name>', ...)
+    view: str   # Spark table/temp-view holding the dictionary rows
+    key: str    # key column (CH PRIMARY KEY); single-column only
+
+
+_DICTIONARIES: dict[str, DictionarySpec] = {}
+
+
+def register_dictionary(name: str, view: str, key: str) -> DictionarySpec:
+    """Register a dictionary so ``dictGet('<name>', …)`` translates.
+
+    ``view`` must resolve in the SparkSession that runs the translated SQL
+    (a table or temp view); ``key`` is the single key column. Composite
+    (tuple) keys have no scalar-subquery equality form here — pre-concat
+    them into one column on both sides.
+    """
+    spec = DictionarySpec(name=name, view=view, key=key)
+    _DICTIONARIES[name] = spec
+    return spec
+
+
+def unregister_dictionary(name: str) -> None:
+    _DICTIONARIES.pop(name, None)
+
+
+_STRLIT_RE = re.compile(r"\s*'((?:[^'\\]|\\.|'')*)'\s*$")
+
+
+def _dict_spec(arg: str) -> DictionarySpec:
+    m = _STRLIT_RE.match(arg)
+    if not m:
+        raise DialectError(
+            "dictGet family: the dictionary name must be a string literal"
+        )
+    name = m.group(1)
+    spec = _DICTIONARIES.get(name)
+    if spec is None:
+        raise DialectError(
+            f"dictionary {name!r} is not registered — call "
+            "dialect.register_dictionary(name, view, key) or feed the "
+            "CREATE DICTIONARY DDL through ddl.translate_dictionary(); "
+            f"registered: {sorted(_DICTIONARIES) or '(none)'}"
+        )
+    return spec
+
+
+def _dict_attr(arg: str) -> str:
+    m = _STRLIT_RE.match(arg)
+    if not m or not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", m.group(1)):
+        raise DialectError(
+            "dictGet family: the attribute must be a string-literal "
+            "column name"
+        )
+    return m.group(1)
+
+
+def _dict_subquery(a: list[str], cast_to: str | None = None) -> str:
+    if len(a) < 3:
+        raise DialectError("dictGet takes (dict, attr, key_expr)")
+    spec, attr = _dict_spec(a[0]), _dict_attr(a[1])
+    expr = "max(__dict_val)"
+    if cast_to is not None:
+        expr = f"cast({expr} as {cast_to})"
+    # The inner derived table exposes ONLY __dict_key/__dict_val: the key
+    # expression is the caller's OUTER-scope expression, and SQL resolves
+    # unqualified names inner-first — without the rename, a dictionary key
+    # column sharing the fact column's name would silently turn the
+    # correlation into a tautology.
+    return (
+        f"(SELECT {expr} FROM (SELECT {spec.key} AS __dict_key, "
+        f"{attr} AS __dict_val FROM {spec.view}) "
+        f"WHERE __dict_key = ({a[2]}))"
+    )
+
+
+def _dict_has(a: list[str]) -> str:
+    if len(a) != 2:
+        raise DialectError("dictHas takes (dict, key_expr)")
+    spec = _dict_spec(a[0])
+    return (
+        f"((SELECT count(1) FROM (SELECT {spec.key} AS __dict_key "
+        f"FROM {spec.view}) WHERE __dict_key = ({a[1]})) > 0)"
+    )
+
+
+# Typed dictGet<T> variants cast the looked-up attribute.
+_DICT_GET_TYPES = {
+    "Int8": "tinyint", "Int16": "smallint", "Int32": "int", "Int64": "bigint",
+    "UInt8": "smallint", "UInt16": "int", "UInt32": "bigint",
+    "UInt64": "bigint",
+    "Float32": "float", "Float64": "double", "String": "string",
+    "Date": "date", "DateTime": "timestamp",
+}
+
+
+def _install_dict_rules(rules: dict[str, Callable[[list[str]], str]]) -> None:
+    rules["dictGet"] = lambda a: _dict_subquery(a)
+    rules["dictGetOrNull"] = lambda a: _dict_subquery(a)
+    rules["dictGetOrDefault"] = lambda a: (
+        f"coalesce({_dict_subquery(a)}, {a[3]})" if len(a) == 4
+        else _raise(DialectError("dictGetOrDefault takes (dict, attr, key, default)"))
+    )
+    rules["dictHas"] = _dict_has
+    for cht, spark_t in _DICT_GET_TYPES.items():
+        rules[f"dictGet{cht}"] = (
+            lambda a, t=spark_t: _dict_subquery(a, cast_to=t)
+        )
+        rules[f"dictGet{cht}OrDefault"] = (
+            lambda a, t=spark_t: f"coalesce({_dict_subquery(a[:3], cast_to=t)}, {a[3]})"
+        )
+
+
+def _raise(exc: Exception):  # expression-position raise helper
+    raise exc
+
+
+def _format_readable_size(a: list[str]) -> str:
+    """formatReadableSize(bytes) → '1.00 KiB'-style strings, binary units,
+    two decimals — same shape as CH's output (no thousands separators)."""
+    x = f"cast({a[0]} as double)"
+    branches = []
+    for i, unit in enumerate(["B", "KiB", "MiB", "GiB", "TiB", "PiB"]):
+        bound = f"{float(2 ** (10 * (i + 1))):.0f}"
+        branches.append(
+            f"WHEN abs({x}) < {bound}D THEN "
+            f"concat(format_string('%.2f', {x} / {float(2 ** (10 * i)):.0f}D), ' {unit}')"
+        )
+    return (
+        "(CASE " + " ".join(branches)
+        + f" ELSE concat(format_string('%.2f', {x} / {float(2 ** 60):.0f}D), ' EiB') END)"
+    )
+
+
+def _extract_all(a: list[str]) -> str:
+    """extractAll picks group 1 when the (literal) pattern has a capturing
+    subpattern, the whole match otherwise — CH's own contract. Non-literal
+    patterns default to whole-match."""
+    m = _STRLIT_RE.match(a[1]) if len(a) > 1 else None
+    grp = 1 if m and re.search(r"(?<!\\)\((?!\?)", m.group(1)) else 0
+    return f"regexp_extract_all({a[0]}, {a[1]}, {grp})"
+
+
+_DATE_NAME_PARTS = {
+    "year": "cast(year({0}) as string)",
+    "quarter": "cast(quarter({0}) as string)",
+    "month": "date_format({0}, 'MMMM')",
+    "week": "cast(weekofyear({0}) as string)",
+    "dayofyear": "cast(dayofyear({0}) as string)",
+    "day": "cast(day({0}) as string)",
+    "weekday": "date_format({0}, 'EEEE')",
+    "hour": "cast(hour({0}) as string)",
+    "minute": "cast(minute({0}) as string)",
+    "second": "cast(second({0}) as string)",
+}
+
+
+def _date_name(a: list[str]) -> str:
+    m = _STRLIT_RE.match(a[0]) if a else None
+    part = m.group(1).lower() if m else None
+    if part not in _DATE_NAME_PARTS:
+        raise DialectError(
+            "dateName: the part must be a literal out of "
+            f"{sorted(_DATE_NAME_PARTS)}"
+        )
+    return _DATE_NAME_PARTS[part].format(a[1])
+
+
+def _array_resize(a: list[str]) -> str:
+    if len(a) < 3:
+        raise DialectError(
+            "arrayResize: pass the pad value explicitly (CH pads with the "
+            "element type's default, which is not knowable at translation "
+            "time)"
+        )
+    return (
+        f"if({a[1]} <= size({a[0]}), slice({a[0]}, 1, {a[1]}), "
+        f"concat({a[0]}, array_repeat({a[2]}, {a[1]} - size({a[0]}))))"
+    )
+
+
 def _haversine(a: list[str]) -> str:
     """greatCircleDistance/geoDistance(lon1, lat1, lon2, lat2) → metres via
     the haversine formula (CH's historical sphere radius 6372797.560856 m;
@@ -1160,11 +1414,7 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     # CH default mode 0 starts weeks on SUNDAY (dayofweek: Sunday=1);
     # modes 1/3 are Monday-start = Spark's date_trunc('week'). Returns Date
     # like CH. Mode must be a literal — it picks the expression shape.
-    "toStartOfWeek": lambda a: (
-        f"date_sub(cast({a[0]} as date), dayofweek({a[0]}) - 1)"
-        if len(a) < 2 or a[1].strip() in ("0", "2")
-        else f"to_date(date_trunc('week', {a[0]}))"
-    ),
+    "toStartOfWeek": _to_start_of_week,
     "toMonday": _tpl("to_date(date_trunc('week', {0}))"),
     "toStartOfDay": _trunc("day"),
     "toStartOfHour": _trunc("hour"),
@@ -1188,7 +1438,11 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "fromUnixTimestamp": _fn("from_unixtime"),
     "toISOWeek": _fn("weekofyear"),
     "toWeek": _to_week,
-    "toISOYear": _tpl("year(date_trunc('week', {0}))"),
+    # ISO week-numbering year = calendar year of the ISO week's THURSDAY
+    # (Monday-truncate + 3 days). year(date_trunc('week', x)) alone is wrong
+    # for dates in weeks straddling a year boundary: 2026-01-01 lies in ISO
+    # week 1 of 2026 but its Monday is 2025-12-29.
+    "toISOYear": _tpl("year(date_add(date_trunc('week', {0}), 3))"),
     "toLastDayOfMonth": _fn("last_day"),
     "monthName": _tpl("date_format({0}, 'MMMM')"),
     "toDaysSinceYearZero": _tpl("(datediff({0}, DATE '1970-01-01') + 719528)"),
@@ -1463,7 +1717,71 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "simpleLinearRegression": _tpl(
         "named_struct('k', regr_slope({1}, {0}), 'b', regr_intercept({1}, {0}))"
     ),
+    # -- round-7 batch -------------------------------------------------------
+    # ISO year start: the Monday of the week containing Jan 4 of the ISO
+    # year (itself the Thursday-anchored year of toISOYear).
+    "toStartOfISOYear": _tpl(
+        "to_date(date_trunc('week', make_date("
+        "year(date_add(date_trunc('week', {0}), 3)), 1, 4)))"
+    ),
+    # Modified Julian Day epoch is 1858-11-17.
+    "toModifiedJulianDay": _tpl("datediff({0}, DATE '1858-11-17')"),
+    "fromModifiedJulianDay": _tpl("date_add(DATE '1858-11-17', {0})"),
+    # Documented divergence: Spark's to_timestamp parses the ISO-8601
+    # subset, not CH's full best-effort grammar (RFC dates etc. -> error /
+    # NULL for the OrNull form).
+    "parseDateTimeBestEffort": _fn("to_timestamp"),
+    "parseDateTimeBestEffortOrNull": _fn("try_to_timestamp"),
+    "dateName": _date_name,
+    "lcase": _fn("lower"),
+    "ucase": _fn("upper"),
+    # CH tokens(): split on runs of non-alphanumeric ASCII, no empties.
+    "tokens": _tpl("filter(split({0}, '[^a-zA-Z0-9]+'), t -> t != '')"),
+    # Character n-grams; guard short strings (Spark sequence(1, 0) would
+    # DESCEND, not return empty).
+    "ngrams": _tpl(
+        "if(length({0}) < {1}, array(), "
+        "transform(sequence(1, length({0}) - {1} + 1), "
+        "i -> substring({0}, i, {1})))"
+    ),
+    "countMatches": _tpl("size(regexp_extract_all({0}, {1}, 0))"),
+    "extractAll": _extract_all,
+    "formatReadableSize": _format_readable_size,
+    # First-occurrence replace: Spark replace() is replace-all, so compose
+    # locate + substring (exact, no regex escaping hazards).
+    "replaceOne": _tpl(
+        "if(locate({1}, {0}) > 0, "
+        "concat(substring({0}, 1, locate({1}, {0}) - 1), {2}, "
+        "substring({0}, locate({1}, {0}) + length({1}))), {0})"
+    ),
+    # Per-element occurrence rank (1-based): count equal values in the
+    # prefix up to and including the element. O(len^2) per array — arrays
+    # are row-local, never a shuffle concern.
+    "arrayEnumerateUniq": _tpl(
+        "transform({0}, (v, i) -> "
+        "size(filter(slice({0}, 1, i + 1), e -> e <=> v)))"
+    ),
+    # Dense first-occurrence id: position in the distinct array.
+    "arrayEnumerateDense": _tpl(
+        "transform({0}, v -> cast(array_position(array_distinct({0}), v) as int))"
+    ),
+    "arrayFirstIndex": lambda a: (
+        f"cast(coalesce(array_position(transform({a[1]}, {a[0]}), true), 0) as int)"
+    ),
+    "arrayLast": lambda a: f"element_at(filter({a[1]}, {a[0]}), -1)",
+    "arrayResize": _array_resize,
+    "mapKeys": _fn("map_keys"),
+    "mapValues": _fn("map_values"),
+    "mapContains": _fn("map_contains_key"),
+    "mapFromArrays": _fn("map_from_arrays"),
+    "generateUUIDv4": lambda a: "uuid()",
+    "randCanonical": lambda a: "rand()",
+    "toInt64OrZero": _tpl("coalesce(try_cast({0} as bigint), 0L)"),
+    "toInt32OrZero": _tpl("coalesce(try_cast({0} as int), 0)"),
+    "toFloat64OrZero": _tpl("coalesce(try_cast({0} as double), 0D)"),
 }
+
+_install_dict_rules(RULES)
 
 # Parametric aggregates: fn(params)(args).
 ParamRule = Callable[[Sequence[str] | None, list[str]], str]
@@ -1604,14 +1922,13 @@ _UNSUPPORTED: dict[str, str] = {
     "histogram": "use m_histogram (width_bucket-style exact binning)",
     "neighbor": "use lag()/lead() window functions over an explicit ordering",
     "runningAccumulate": "use a running-sum window (w_running_sum)",
+    "runningDifference": "use a lag() window over an explicit ordering "
+                         "(x_counter_rate for the reset-aware rate form)",
     "largestTriangleThreeBuckets": "use x_lttb_downsample",
     "exponentialMovingAverage": "use x_ewma_trailing",
     "entropy": "no single-expression Shannon entropy — two-level aggregate: "
                "count per value, then -sum(p * log2(p)) over the counts",
-    "dictGet": "use x_dict_enrich (broadcast dictionary join)",
     "uniqTheta": "use x_sketch_theta_setops (DataSketches theta algebra)",
-    "arrayEnumerateUniq": "no per-occurrence rank expression — explode and "
-                          "row_number() OVER (PARTITION BY doc, value)",
 }
 
 

@@ -359,3 +359,56 @@ def sql_ch_any_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join's build side shrinks to |distinct keys| and AQE typically
     broadcasts it — strictly better than joining the raw right side."""
     return clickhouse_sql(spark, CH_ANY_ENRICH, sf_dir)
+
+
+CH_DICT_LOOKUP = """
+SELECT nation, count() AS n, countIf(known) AS known
+FROM (
+    SELECT dictGetOrDefault('cust_nation', 'nation', o_custkey, 'UNKNOWN') AS nation,
+           dictHas('cust_nation', o_custkey) AS known
+    FROM orders
+)
+GROUP BY nation
+ORDER BY nation
+"""
+
+DICT_LOOKUP_ORACLE = """
+WITH d AS (
+    SELECT c_custkey, n_name AS nation
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0
+)
+SELECT coalesce(d.nation, 'UNKNOWN') AS nation,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(d.c_custkey) AS BIGINT) AS known
+FROM orders o LEFT JOIN d ON o.o_custkey = d.c_custkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("sql_ch_dict_lookup", oracle=DICT_LOOKUP_ORACLE, tags=("dialect", "join"))
+def sql_ch_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``dictGet`` family end to end: a CH external dictionary
+    (positive-balance customer -> nation name) is registered once, then
+    ``dictGetOrDefault`` / ``dictHas`` calls in verbatim CH SQL translate to
+    correlated scalar subqueries against the registered view. Catalyst
+    rewrites each subquery into a left outer join with the dictionary as the
+    build side — exactly the hash-map lookup CH's dictionary engine performs
+    host-side — and broadcasts it at any realistic dictionary size. Misses
+    surface as the supplied default ('UNKNOWN'), exercising both the hit and
+    miss paths. Scale: the fact table streams through unshuffled; two calls
+    mean two broadcast probes, same as two dictGet calls in CH."""
+    from ..dialect import register_dictionary
+    from ..tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    (
+        t["customer"]
+        .where("c_acctbal > 0")
+        .join(t["nation"], t["customer"].c_nationkey == t["nation"].n_nationkey)
+        .selectExpr("c_custkey", "n_name AS nation")
+        .createOrReplaceTempView("dim_cust_nation")
+    )
+    register_dictionary("cust_nation", "dim_cust_nation", "c_custkey")
+    return clickhouse_sql(spark, CH_DICT_LOOKUP, sf_dir)

@@ -775,7 +775,7 @@ def test_ipv4_roundtrip_and_geo(spark):
 def test_round6_unsupported_raise():
     with pytest.raises(DialectError, match="two-level aggregate"):
         translate("SELECT entropy(x) FROM t")
-    with pytest.raises(DialectError, match="x_dict_enrich"):
+    with pytest.raises(DialectError, match="not registered"):
         translate("SELECT dictGet('d', 'attr', k) FROM t")
     with pytest.raises(DialectError, match="x_det_sample"):
         translate("SELECT * FROM events SAMPLE 0.5 OFFSET 0.5")
@@ -971,3 +971,239 @@ def test_array_fold_reduce_and_friends(spark):
     )).collect()[0]
     assert row["s"] == 6.0 and row["h"] is True and row["c"] == 3
     assert row["w"] == ["a", "b", "c"] and row["j"] == "xy"
+
+
+# ---------------------------------------------------------------------------
+# Round-7 advisor fixes: ISO year boundary, SAMPLE fraction forms,
+# ANY-JOIN subquery full translation, non-literal week mode loudness.
+# ---------------------------------------------------------------------------
+
+def test_to_iso_year_week_straddling_year_boundary(spark):
+    # 2025-12-29 (Mon) and 2026-01-01 (Thu) both lie in ISO week 1 of 2026;
+    # 2026-12-28 (Mon) opens ISO week 53 of 2026 even though 2027-01-01
+    # falls inside it. The ISO year is the calendar year of the week's
+    # THURSDAY — year(date_trunc('week', x)) alone reports the Monday's year.
+    row = spark.sql(translate(
+        "SELECT toISOYear(toDate('2025-12-29')) AS a, "
+        "toISOYear(toDate('2026-01-01')) AS b, "
+        "toISOYear(toDate('2027-01-01')) AS c, "
+        "toISOYear(toDate('2026-06-15')) AS d"
+    )).collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (2026, 2026, 2026, 2026)
+    # Plain mid-year sanity for the neighboring years.
+    row = spark.sql(translate(
+        "SELECT toISOYear(toDate('2025-06-15')) AS a, "
+        "toISOYear(toDate('2027-06-15')) AS b"
+    )).collect()[0]
+    assert (row["a"], row["b"]) == (2025, 2027)
+
+
+def test_sample_fraction_literals_and_ratio_form(spark):
+    # CH reads dot-free 0 and 1 as FRACTIONS (empty / whole table), never
+    # as row counts; a/b is the explicit fraction form.
+    assert translate("SELECT * FROM events SAMPLE 1") == (
+        "SELECT * FROM events TABLESAMPLE(100 PERCENT)"
+    )
+    assert translate("SELECT * FROM events SAMPLE 0") == (
+        "SELECT * FROM events TABLESAMPLE(0 PERCENT)"
+    )
+    assert translate("SELECT * FROM events SAMPLE 1/10") == (
+        "SELECT * FROM events TABLESAMPLE(10 PERCENT)"
+    )
+    assert translate("SELECT * FROM events SAMPLE 3/4") == (
+        "SELECT * FROM events TABLESAMPLE(75 PERCENT)"
+    )
+    # Integers > 1 are genuine row-count samples.
+    assert translate("SELECT * FROM events SAMPLE 2") == (
+        "SELECT * FROM events TABLESAMPLE(2 ROWS)"
+    )
+    with pytest.raises(DialectError, match="zero denominator"):
+        translate("SELECT * FROM events SAMPLE 1/0")
+    with pytest.raises(DialectError, match="out of"):
+        translate("SELECT * FROM events SAMPLE 5/4")
+    load_tables(spark, SF_SMOKE)
+    total = spark.table("events").count()
+    assert clickhouse_sql(spark, "SELECT * FROM events SAMPLE 1").count() == total
+    assert clickhouse_sql(spark, "SELECT * FROM events SAMPLE 0").count() == 0
+
+
+def test_any_join_subquery_right_side_gets_full_pipeline(spark):
+    # CH-only constructs INSIDE an ANY-joined subquery (PREWHERE, bracket
+    # subscripts) must go through the full translation pipeline, not just
+    # the call rewriter.
+    out = translate(
+        "SELECT * FROM t ANY LEFT JOIN "
+        "(SELECT k, v[1] AS x FROM u PREWHERE p > 1) USING (k)"
+    )
+    assert "PREWHERE" not in out
+    assert "try_element_at(v, 1)" in out
+    assert "[" not in out
+    # And it must actually parse + run.
+    load_tables(spark, SF_SMOKE)
+    n = clickhouse_sql(
+        spark,
+        "SELECT d.doc_id FROM documents AS d ANY LEFT JOIN "
+        "(SELECT doc_id, splitByChar(' ', text)[1] AS w FROM documents "
+        "PREWHERE length(text) > 0) USING (doc_id)",
+    ).count()
+    assert n == spark.table("documents").count()
+
+
+def test_to_start_of_week_non_literal_mode_raises():
+    with pytest.raises(DialectError, match="literal 0/1/2/3"):
+        translate("SELECT toStartOfWeek(ts, m) FROM t")
+    with pytest.raises(DialectError, match="literal 0/1/2/3"):
+        translate("SELECT toStartOfWeek(ts, 1 + 1) FROM t")
+
+
+# ---------------------------------------------------------------------------
+# Round-7: external dictionaries (dictGet family + CREATE DICTIONARY)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def user_dict(spark):
+    from python_cdc_postgres_to_clickhouse_spark.dialect import (
+        register_dictionary,
+        unregister_dictionary,
+    )
+
+    spark.createDataFrame(
+        [(1, "alpha", 10), (2, "beta", 20), (3, "gamma", 30)],
+        "user_id bigint, label string, score bigint",
+    ).createOrReplaceTempView("dim_user_labels")
+    register_dictionary("users", "dim_user_labels", "user_id")
+    yield
+    unregister_dictionary("users")
+    spark.catalog.dropTempView("dim_user_labels")
+
+
+def test_dict_get_translates_to_scalar_subquery(user_dict):
+    out = translate("SELECT dictGet('users', 'label', uid) FROM t")
+    assert "SELECT max(__dict_val) FROM" in out and "dim_user_labels" in out
+    out = translate(
+        "SELECT dictGetOrDefault('users', 'label', uid, 'none') FROM t"
+    )
+    assert out.startswith("SELECT coalesce((SELECT")
+    out = translate("SELECT dictGetInt64('users', 'score', uid) FROM t")
+    assert "cast(max(__dict_val) as bigint)" in out
+    with pytest.raises(DialectError, match="string literal"):
+        translate("SELECT dictGet(d, 'label', uid) FROM t")
+    with pytest.raises(DialectError, match="column name"):
+        translate("SELECT dictGet('users', 'a || b', uid) FROM t")
+
+
+def test_dict_get_runs_and_shields_key_name_collision(spark, user_dict):
+    # The FACT side's key column is ALSO named user_id — without the inner
+    # __dict_key rename the correlation would collapse to a tautology and
+    # every row would get the same (max-over-all) label.
+    spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "user_id bigint"
+    ).createOrReplaceTempView("fact_rows")
+    rows = clickhouse_sql(
+        spark,
+        "SELECT user_id, "
+        "dictGetOrDefault('users', 'label', user_id, 'miss') AS label, "
+        "dictHas('users', user_id) AS known "
+        "FROM fact_rows ORDER BY user_id",
+    ).collect()
+    assert [(r["user_id"], r["label"], r["known"]) for r in rows] == [
+        (1, "alpha", True), (2, "beta", True),
+        (3, "gamma", True), (4, "miss", False),
+    ]
+    spark.catalog.dropTempView("fact_rows")
+
+
+def test_create_dictionary_ddl_parses_and_registers():
+    from python_cdc_postgres_to_clickhouse_spark.ddl import translate_dictionary
+    from python_cdc_postgres_to_clickhouse_spark.dialect import (
+        _DICTIONARIES,
+        unregister_dictionary,
+    )
+
+    plan = translate_dictionary(
+        "CREATE DICTIONARY IF NOT EXISTS db.user_dict ("
+        "  user_id UInt64, nation String DEFAULT 'UNKNOWN', bal Float64"
+        ") PRIMARY KEY user_id "
+        "SOURCE(CLICKHOUSE(TABLE 'dim_users' DB 'default')) "
+        "LAYOUT(HASHED()) LIFETIME(MIN 0 MAX 300)"
+    )
+    assert plan.name == "user_dict" and plan.key == "user_id"
+    assert plan.columns == [
+        ("user_id", "BIGINT"), ("nation", "STRING"), ("bal", "DOUBLE")
+    ]
+    assert plan.source_table == "dim_users" and plan.lifetime_max_s == 300
+    spec = plan.register()
+    assert _DICTIONARIES["user_dict"].view == "dim_users"
+    unregister_dictionary("user_dict")
+
+    with pytest.raises(DialectError, match="pre-concat"):
+        translate_dictionary(
+            "CREATE DICTIONARY d (a UInt64, b UInt64, v String) "
+            "PRIMARY KEY a, b SOURCE(CLICKHOUSE(TABLE 't')) "
+            "LAYOUT(COMPLEX_KEY_HASHED())"
+        )
+
+
+def test_dict_lookup_declared_query_matches_oracle(spark):
+    from python_cdc_postgres_to_clickhouse_spark.queries.chsql import (
+        DICT_LOOKUP_ORACLE,
+        sql_ch_dict_lookup,
+    )
+
+    got = sql_ch_dict_lookup(spark, SF_SMOKE).toPandas()
+    want = run_oracle(DICT_LOOKUP_ORACLE, SF_SMOKE)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert canon_rows(got) == canon_rows(want)
+
+
+def test_round7_function_batch(spark):
+    # string-level spot checks
+    assert translate("SELECT mapKeys(m) FROM t") == "SELECT map_keys(m) FROM t"
+    assert translate("SELECT generateUUIDv4() FROM t") == "SELECT uuid() FROM t"
+    with pytest.raises(DialectError, match="pad value"):
+        translate("SELECT arrayResize(a, 5) FROM t")
+    with pytest.raises(DialectError, match="lag"):
+        translate("SELECT runningDifference(x) FROM t")
+    with pytest.raises(DialectError, match="literal"):
+        translate("SELECT dateName(p, ts) FROM t")
+    # executed semantics
+    row = spark.sql(translate(
+        "SELECT arrayEnumerateUniq([10, 20, 10, 10]) AS u, "
+        "arrayEnumerateDense([30, 10, 30, 20]) AS d, "
+        "arrayFirstIndex(x -> x > 15, [10, 20, 30]) AS fi, "
+        "arrayFirstIndex(x -> x > 99, [10, 20, 30]) AS fi0, "
+        "arrayLast(x -> x < 25, [10, 20, 30]) AS la, "
+        "arrayResize([1, 2, 3], 2, 0) AS shrink, "
+        "arrayResize([1, 2], 4, 0) AS grow, "
+        "tokens('a-b  c,,d') AS tk, "
+        "ngrams('abcd', 2) AS ng, "
+        "ngrams('ab', 3) AS ng_short, "
+        "countMatches('a1b22c333', '[0-9]+') AS cm, "
+        "extractAll('k=1,k=22', 'k=([0-9]+)') AS ea_grp, "
+        "extractAll('ab12cd34', '[0-9]+') AS ea_whole, "
+        "replaceOne('aXbXc', 'X', '_') AS r1, "
+        "replaceOne('abc', 'X', '_') AS r1_miss, "
+        "formatReadableSize(1536) AS sz_k, "
+        "formatReadableSize(10) AS sz_b, "
+        "toInt64OrZero('12x') AS z, "
+        "dateName('month', DATE '2026-03-07') AS mn, "
+        "dateName('weekday', DATE '2026-03-07') AS wd, "
+        "toStartOfISOYear(toDate('2026-01-01')) AS iso_start, "
+        "toModifiedJulianDay(DATE '1858-11-18') AS mjd, "
+        "fromModifiedJulianDay(1) AS from_mjd"
+    )).collect()[0]
+    assert row["u"] == [1, 1, 2, 3]
+    assert row["d"] == [1, 2, 1, 3]
+    assert row["fi"] == 2 and row["fi0"] == 0
+    assert row["la"] == 20
+    assert row["shrink"] == [1, 2] and row["grow"] == [1, 2, 0, 0]
+    assert row["tk"] == ["a", "b", "c", "d"]
+    assert row["ng"] == ["ab", "bc", "cd"] and row["ng_short"] == []
+    assert row["cm"] == 3
+    assert row["ea_grp"] == ["1", "22"] and row["ea_whole"] == ["12", "34"]
+    assert row["r1"] == "a_bXc" and row["r1_miss"] == "abc"
+    assert row["sz_k"] == "1.50 KiB" and row["sz_b"] == "10.00 B"
+    assert row["z"] == 0
+    assert row["mn"] == "March" and row["wd"] == "Saturday"
+    assert str(row["iso_start"]) == "2025-12-29"
+    assert row["mjd"] == 1 and str(row["from_mjd"]) == "1858-11-18"
