@@ -122,6 +122,7 @@ HEADLINE = [
     "x_active_users_sketch",   # rolling MAU via day-sketch unions (no fan-out of events)
     # Added round 7 (earlier entries unchanged — like-for-like holds).
     "sql_ch_dict_lookup",      # dictGet family -> broadcast scalar-subquery joins
+    "sql_ch_asof_enrich",      # ASOF JOIN -> interval-ized equi-join, one match per probe
 ]
 
 

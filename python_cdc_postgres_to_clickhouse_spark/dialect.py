@@ -45,12 +45,17 @@ family maps onto HLL sketches (``uniqState`` -> ``hll_sketch_agg``,
 register-max merge), and value-state aggregates map onto themselves
 (count/sum re-merge by ``sum``, min/max by ``min``/``max``).
 
+``ASOF JOIN`` (ON form, qualified columns) translates by interval-izing
+the right side — ``lead(t)`` bounds per row make the join an equi-join
+with exactly one match per probe (see ``_rewrite_asof_join``).
+
 Constructs with no faithful SQL-level mapping raise ``DialectError`` naming
 the engine's native equivalent (``LIMIT n BY`` -> WindowGroupLimit pattern,
 ``topK`` -> x_heavy_hitters, ``windowFunnel`` -> x_window_funnel, sumMap ->
-operators/mapagg.py, ASOF JOIN -> operators/asof.py, composite-state
-``avgState``/``quantileState`` -> store the components separately or use
-queries/sketches.py) — a loud pointer beats a silent wrong answer.
+operators/mapagg.py, ASOF JOIN's USING form -> operators/asof.py,
+composite-state ``avgState``/``quantileState`` -> store the components
+separately or use queries/sketches.py) — a loud pointer beats a silent
+wrong answer.
 
 Documented semantic divergences (value-level, not shape-level):
 - ``cityHash64``/``sipHash64`` map to ``xxhash64``: same role (stable
@@ -280,6 +285,254 @@ def _rewrite_any_join(toks: list[str]) -> list[str]:
     return out
 
 
+def _split_top_and(toks: list[str]) -> list[list[str]]:
+    """Split a condition token list on top-level ANDs (outer parens
+    stripped first when they wrap the whole condition)."""
+    while toks and toks[0] == "(" and toks[-1] == ")":
+        depth = 0
+        wraps = True
+        for x, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0 and x != len(toks) - 1:
+                    wraps = False
+                    break
+        if not wraps:
+            break
+        toks = toks[1:-1]
+    parts: list[list[str]] = []
+    cur: list[str] = []
+    depth = 0
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and _u(t) == "AND":
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+def _capture_join_ref(
+    toks: list[str], k: int
+) -> tuple[list[str], str | None, int]:
+    """Capture a join-side reference at ``toks[k]`` — a parenthesized
+    subquery or a dotted identifier chain — plus an optional alias
+    (``AS a`` / bare ``a``; a trailing ``FINAL`` is consumed as the no-op
+    modifier, not an alias). Returns (ref_tokens, alias, next_index)."""
+    ref: list[str] = []
+    if k < len(toks) and toks[k] == "(":
+        depth = 0
+        while k < len(toks):
+            ref.append(toks[k])
+            if toks[k] == "(":
+                depth += 1
+            elif toks[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    k += 1
+                    break
+            k += 1
+    elif (
+        k < len(toks)
+        and _is_ident(toks[k])
+        and _u(toks[k]) not in ("AS", "USING", "ON", "FINAL")
+    ):
+        ref.append(toks[k])
+        k += 1
+        while k + 1 < len(toks) and toks[k] == "." and _is_ident(toks[k + 1]):
+            ref.extend([toks[k], toks[k + 1]])
+            k += 2
+    if k < len(toks) and _u(toks[k]) == "FINAL":
+        k += 1
+    alias: str | None = None
+    if k < len(toks) and _u(toks[k]) == "AS":
+        alias = toks[k + 1]
+        k += 2
+    elif (
+        k < len(toks)
+        and _is_ident(toks[k])
+        and _u(toks[k]) not in ("USING", "ON", "FINAL")
+    ):
+        alias = toks[k]
+        k += 1
+    if k < len(toks) and _u(toks[k]) == "FINAL":
+        k += 1
+    return ref, alias, k
+
+
+# Tokens that end a JOIN's ON clause at depth 0.
+_ASOF_CLAUSE_END = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "INTERSECT",
+    "EXCEPT", "SETTINGS", "FORMAT", "WINDOW", "INNER", "LEFT", "RIGHT",
+    "FULL", "CROSS", "JOIN", "ANY", "ASOF", "GLOBAL", "SEMI", "ANTI",
+}
+
+_ASOF_FLIP = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
+# Interval-upper-bound check per (normalized) asof operator.
+_ASOF_BOUND = {">=": "<", ">": "<=", "<=": ">", "<": ">="}
+
+
+def _rewrite_asof_join(toks: list[str]) -> list[str]:
+    """``a ASOF [LEFT|INNER] JOIN b ON a.k = b.k AND a.t >= b.t`` — CH's
+    closest-match temporal join — rewritten by INTERVAL-IZING the right
+    side: each right row gains ``__asof_end = lead(t)`` over (keys, order
+    t), after collapsing duplicate (keys, t) rows, so the match condition
+    ``a.t >= b.t AND (b.__asof_end IS NULL OR a.t < b.__asof_end)`` selects
+    EXACTLY ONE right row per probe. The join stays at the same syntactic
+    level (outer column references keep resolving), and the plan is an
+    equi-join on the keys with two residual comparisons — no fan-out, no
+    per-probe window, no all-pairs. All four asof operators translate
+    (>= / > pick the latest earlier row, <= / < the earliest later row,
+    via a DESC lead). Scale: the lead/lag pair shares ONE (keys) exchange
+    + sort on the right side only — the probe side never shuffles beyond
+    the join itself; this is strictly cheaper than CH's per-key sorted
+    array build because it streams.
+
+    Contract kept loud: the ON form with qualified ``alias.column``
+    references is required (USING's merged-column form and unqualified
+    names raise, naming the fix); ``SELECT *`` outputs include the helper
+    ``__asof_end`` column — project explicitly (CH users typically do).
+    Reference: the ClickHouse ASOF JOIN the warehouse half provisions;
+    operators/asof.py is the DataFrame-level equivalent."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        if _u(toks[i]) == "ASOF":
+            j = i + 1
+            while j < len(toks) and _u(toks[j]) in _JOIN_KINDS:
+                j += 1
+            if j < len(toks) and _u(toks[j]) == "JOIN":
+                kinds = [_u(t) for t in toks[i + 1:j]]
+                if any(kk not in ("LEFT", "INNER") for kk in kinds):
+                    raise DialectError(
+                        "ASOF JOIN translates for the LEFT/INNER forms only"
+                    )
+                ref, alias, k = _capture_join_ref(toks, j + 1)
+                if not ref:
+                    raise DialectError("ASOF JOIN: cannot parse the right side")
+                if k < len(toks) and _u(toks[k]) == "USING":
+                    raise DialectError(
+                        "ASOF JOIN … USING merges columns implicitly — "
+                        "write the ON form (a.k = b.k AND a.t >= b.t) or "
+                        "use operators/asof.py"
+                    )
+                if k >= len(toks) or _u(toks[k]) != "ON":
+                    raise DialectError("ASOF JOIN needs an ON condition")
+                if alias is None:
+                    if ref[-1] == ")":
+                        raise DialectError(
+                            "ASOF JOIN: alias the subquery right side"
+                        )
+                    alias = ref[-1]
+                cond: list[str] = []
+                m = k + 1
+                depth = 0
+                while m < len(toks):
+                    t = toks[m]
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0 and _u(t) in _ASOF_CLAUSE_END:
+                        break
+                    cond.append(t)
+                    m += 1
+
+                def b_col(side: list[str]) -> str | None:
+                    if (
+                        len(side) == 3 and side[0] == alias
+                        and side[1] == "." and _is_ident(side[2])
+                    ):
+                        return side[2]
+                    return None
+
+                eqs: list[list[str]] = []
+                ineq: list[str] | None = None
+                for c in _split_top_and(cond):
+                    ops = [t for t in c if t in _ASOF_FLIP]
+                    if ops:
+                        if ineq is not None or len(ops) != 1:
+                            raise DialectError(
+                                "ASOF JOIN needs exactly one inequality "
+                                "conjunct"
+                            )
+                        ineq = c
+                    else:
+                        eqs.append(c)
+                if ineq is None or not eqs:
+                    raise DialectError(
+                        "ASOF JOIN needs at least one equality conjunct "
+                        "and exactly one inequality (a.k = b.k AND "
+                        "a.t >= b.t)"
+                    )
+                op_at = next(
+                    x for x, t in enumerate(ineq) if t in _ASOF_FLIP
+                )
+                lhs, op, rhs = ineq[:op_at], ineq[op_at], ineq[op_at + 1:]
+                if b_col(rhs) is not None:
+                    probe, tcol = lhs, b_col(rhs)
+                elif b_col(lhs) is not None:
+                    probe, tcol = rhs, b_col(lhs)
+                    op = _ASOF_FLIP[op]
+                else:
+                    raise DialectError(
+                        "ASOF JOIN: one side of the inequality must be a "
+                        f"plain {alias}.<column> — qualify the columns"
+                    )
+                keys: list[str] = []
+                for c in eqs:
+                    eq_at = [x for x, t in enumerate(c) if t == "="]
+                    if len(eq_at) != 1:
+                        raise DialectError(
+                            "ASOF JOIN: equality conjuncts must be simple "
+                            "<expr> = <expr>"
+                        )
+                    col = b_col(c[:eq_at[0]]) or b_col(c[eq_at[0] + 1:])
+                    if col is None:
+                        raise DialectError(
+                            "ASOF JOIN: each equality must reference a "
+                            f"plain {alias}.<column> — qualify the columns"
+                        )
+                    keys.append(col)
+                if ref and ref[0] == "(" and ref[-1] == ")":
+                    ref_sql = "(" + translate(_render(ref[1:-1])) + ")"
+                else:
+                    ref_sql = _render(ref)
+                order = tcol + (" DESC" if op in ("<=", "<") else "")
+                w = f"OVER (PARTITION BY {', '.join(keys)} ORDER BY {order})"
+                derived = (
+                    f"(SELECT * EXCEPT (__prev), lead({tcol}) {w} "
+                    f"AS __asof_end FROM (SELECT *, lag({tcol}) {w} "
+                    f"AS __prev FROM {ref_sql}) "
+                    f"WHERE NOT (__prev <=> {tcol}))"
+                )
+                out.extend(toks[i + 1:j + 1])  # join kind(s) + JOIN
+                out.append(derived)
+                out.extend(["AS", alias, "ON"])
+                for c in eqs:
+                    out.extend(c)
+                    out.append("AND")
+                out.extend([*probe, op, alias, ".", tcol, "AND", "(",
+                            alias, ".", "__asof_end", "IS", "NULL", "OR",
+                            *probe, _ASOF_BOUND[op], alias, ".",
+                            "__asof_end", ")"])
+                i = m
+                continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
 def _strip_final_and_join_mods(toks: list[str]) -> list[str]:
     out: list[str] = []
     i = 0
@@ -291,16 +544,16 @@ def _strip_final_and_join_mods(toks: list[str]) -> list[str]:
         ):
             i += 1
             continue
-        if u in ("GLOBAL", "ALL", "ASOF"):  # ANY handled by _rewrite_any_join
+        if u in ("GLOBAL", "ALL", "ASOF"):  # ANY/ASOF rewritten earlier
             j = i + 1
             while j < len(toks) and _u(toks[j]) in _JOIN_KINDS:
                 j += 1
             if j < len(toks) and _u(toks[j]) == "JOIN":
-                if u == "ASOF":
+                if u == "ASOF":  # only forms _rewrite_asof_join skipped
                     raise DialectError(
-                        "ASOF JOIN has no SQL-level mapping here — use "
-                        "operators/asof.py (asof_join: composition or "
-                        "cogrouped merge_asof, direction + tolerance)"
+                        "this ASOF JOIN form has no SQL-level mapping — "
+                        "write ON with qualified columns (handled by the "
+                        "interval-izing rewrite) or use operators/asof.py"
                     )
                 i += 1
                 continue
@@ -2104,6 +2357,7 @@ def translate(sql: str) -> str:
     toks = _tokenize(sql)
     toks = _strip_format_settings(toks)
     toks = _rewrite_any_join(toks)
+    toks = _rewrite_asof_join(toks)
     toks = _strip_final_and_join_mods(toks)
     toks = _rewrite_sample(toks)
     toks = _rewrite_limit_by(toks)

@@ -412,3 +412,55 @@ def sql_ch_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     register_dictionary("cust_nation", "dim_cust_nation", "c_custkey")
     return clickhouse_sql(spark, CH_DICT_LOOKUP, sf_dir)
+
+
+CH_ASOF_ENRICH = """
+SELECT e.event_type AS etype,
+       count() AS n,
+       countIf(p.pts IS NOT NULL) AS matched,
+       sum(if(p.pts IS NULL, 0, toUnixTimestamp(e.ts) - toUnixTimestamp(p.pts))) AS gap_s
+FROM events AS e
+ASOF LEFT JOIN (
+    SELECT user_id, ts AS pts
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+) AS p ON e.user_id = p.user_id AND e.ts >= p.pts
+GROUP BY etype
+ORDER BY etype
+"""
+
+ASOF_ENRICH_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts AS pts
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_type AS etype,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(p.pts) AS BIGINT) AS matched,
+       CAST(sum(CASE WHEN p.pts IS NULL THEN 0
+                ELSE CAST(floor(epoch(e.ts)) AS BIGINT)
+                     - CAST(floor(epoch(p.pts)) AS BIGINT) END) AS BIGINT) AS gap_s
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.pts
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("sql_ch_asof_enrich", oracle=ASOF_ENRICH_ORACLE, tags=("dialect", "join", "asof"))
+def sql_ch_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ASOF LEFT JOIN`` end to end: every event picks its user's latest
+    purchase at-or-before it, then seconds-since-purchase aggregate per
+    event type. The dialect interval-izes the right side (``lead(pts)``
+    over one (user_id) window after collapsing duplicate timestamps) so the
+    join is a plain equi-join on user_id with two residual comparisons —
+    exactly one match per probe, no fan-out, no per-probe window. The
+    oracle runs DuckDB's NATIVE ASOF JOIN — a fully independent
+    implementation of the closest-match semantics. Scale: one exchange +
+    sort on the (smaller) purchase side; the probe side shuffles only for
+    the join itself, and the gap sums are exact integer epoch
+    seconds (unix_timestamp floors on both engines; dateDiff would count
+    BOUNDARY CROSSINGS in DuckDB vs elapsed time in Spark's timestampdiff —
+    a sub-second divergence this query sidesteps)."""
+    return clickhouse_sql(spark, CH_ASOF_ENRICH, sf_dir)

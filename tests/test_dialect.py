@@ -281,7 +281,8 @@ def test_qualified_and_quoted_names_untouched():
         ("SELECT topK(5)(x) FROM t", "x_heavy_hitters"),
         ("SELECT sumMap(m) FROM t", "mapagg"),
         ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "x_window_funnel"),
-        ("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k", "asof"),
+        # no inequality conjunct: the interval-izing rewrite can't anchor
+        ("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k", "inequality"),
         ("SELECT avgState(x) FROM t", "components separately"),
         ("SELECT quantileMerge(s) FROM t", "components separately"),
         ("SELECT exponentialMovingAverage(1)(v, ts) FROM t", "x_ewma_trailing"),
@@ -1207,3 +1208,110 @@ def test_round7_function_batch(spark):
     assert row["mn"] == "March" and row["wd"] == "Saturday"
     assert str(row["iso_start"]) == "2025-12-29"
     assert row["mjd"] == 1 and str(row["from_mjd"]) == "1858-11-18"
+
+
+# ---------------------------------------------------------------------------
+# Round-7: ASOF JOIN interval-izing rewrite
+# ---------------------------------------------------------------------------
+
+def test_asof_join_rewrites_to_intervalized_equi_join():
+    out = translate(
+        "SELECT o.id, p.price FROM quotes o ASOF LEFT JOIN prices p "
+        "ON o.sym = p.sym AND o.ts >= p.ts"
+    )
+    assert "LEFT JOIN (SELECT * EXCEPT (__prev), lead(ts) OVER " in out
+    assert "PARTITION BY sym ORDER BY ts" in out
+    assert out.endswith(
+        "ON o.sym = p.sym AND o.ts >= p.ts "
+        "AND (p.__asof_end IS NULL OR o.ts < p.__asof_end)"
+    )
+    # reversed operand order normalizes; <= flips to a DESC lead
+    out = translate(
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND b.t <= a.ts"
+    )
+    assert "a.ts >= b.t" in out and "ORDER BY t)" in out
+    out = translate(
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts <= b.t"
+    )
+    assert "ORDER BY t DESC" in out and "OR a.ts > b.__asof_end" in out
+    # loud forms
+    with pytest.raises(DialectError, match="USING"):
+        translate("SELECT * FROM a ASOF JOIN b USING (k, t)")
+    with pytest.raises(DialectError, match="equality"):
+        translate("SELECT * FROM a ASOF JOIN b ON a.t >= b.t")
+    with pytest.raises(DialectError, match="qualify"):
+        translate("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND ts >= t")
+    with pytest.raises(DialectError, match="LEFT/INNER"):
+        translate("SELECT * FROM a ASOF RIGHT JOIN b ON a.k = b.k AND a.t >= b.t")
+
+
+def test_asof_join_semantics_on_constructed_frames(spark):
+    spark.createDataFrame(
+        [("s1", 10, "e1"), ("s1", 20, "e2"), ("s1", 25, "e3"),
+         ("s2", 5, "e4"), ("s2", 100, "e5")],
+        "sym string, ts bigint, eid string",
+    ).createOrReplaceTempView("asof_probe")
+    # duplicate (sym, ts) on the right: the rewrite collapses them to one
+    spark.createDataFrame(
+        [("s1", 10, 1.0), ("s1", 20, 2.0), ("s1", 20, 2.0), ("s1", 30, 3.0),
+         ("s2", 50, 5.0)],
+        "sym string, ts bigint, price double",
+    ).createOrReplaceTempView("asof_quotes")
+    rows = clickhouse_sql(
+        spark,
+        "SELECT p.eid AS eid, q.price AS price FROM asof_probe AS p "
+        "ASOF LEFT JOIN asof_quotes AS q "
+        "ON p.sym = q.sym AND p.ts >= q.ts ORDER BY eid",
+    ).collect()
+    got = {r["eid"]: r["price"] for r in rows}
+    # e1: ts=10 matches quote@10; e2: ts=20 matches quote@20 (once, despite
+    # the duplicate); e3: ts=25 still quote@20; e4: ts=5 precedes all ->
+    # NULL; e5: ts=100 matches quote@50.
+    assert got == {"e1": 1.0, "e2": 2.0, "e3": 2.0, "e4": None, "e5": 5.0}
+    assert len(rows) == 5  # exactly one row per probe, never a fan-out
+    # INNER form drops the unmatched probe
+    n = clickhouse_sql(
+        spark,
+        "SELECT p.eid FROM asof_probe AS p ASOF JOIN asof_quotes AS q "
+        "ON p.sym = q.sym AND p.ts >= q.ts",
+    ).count()
+    assert n == 4
+    # backward direction: earliest quote at-or-after the probe
+    rows = clickhouse_sql(
+        spark,
+        "SELECT p.eid AS eid, q.price AS price FROM asof_probe AS p "
+        "ASOF LEFT JOIN asof_quotes AS q "
+        "ON p.sym = q.sym AND p.ts <= q.ts ORDER BY eid",
+    ).collect()
+    got = {r["eid"]: r["price"] for r in rows}
+    assert got == {"e1": 1.0, "e2": 2.0, "e3": 3.0, "e4": 5.0, "e5": None}
+    spark.catalog.dropTempView("asof_probe")
+    spark.catalog.dropTempView("asof_quotes")
+
+
+def test_asof_declared_query_matches_duckdb_native_asof(spark):
+    from python_cdc_postgres_to_clickhouse_spark.queries.chsql import (
+        ASOF_ENRICH_ORACLE,
+        sql_ch_asof_enrich,
+    )
+
+    got = sql_ch_asof_enrich(spark, SF_SMOKE).toPandas()
+    want = run_oracle(ASOF_ENRICH_ORACLE, SF_SMOKE)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert canon_rows(got) == canon_rows(want)
+
+
+def test_asof_join_plan_is_single_equi_join(spark):
+    load_tables(spark, SF_SMOKE)
+    df = clickhouse_sql(
+        spark,
+        "SELECT e.user_id FROM events AS e ASOF LEFT JOIN "
+        "(SELECT user_id, ts AS pts FROM events WHERE event_type = "
+        "'purchase' GROUP BY user_id, ts) AS p "
+        "ON e.user_id = p.user_id AND e.ts >= p.pts",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # exactly one join, keyed on user_id
+    n_joins = plan.count("Join ")
+    assert n_joins == 1, plan
