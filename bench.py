@@ -123,6 +123,7 @@ HEADLINE = [
     # Added round 7 (earlier entries unchanged — like-for-like holds).
     "sql_ch_dict_lookup",      # dictGet family -> broadcast scalar-subquery joins
     "sql_ch_asof_enrich",      # ASOF JOIN -> interval-ized equi-join, one match per probe
+    "x_window_funnel_strict",  # strict_order funnel: full-timeline fold, one exchange
 ]
 
 

@@ -2169,7 +2169,8 @@ _UNSUPPORTED: dict[str, str] = {
     "sumMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "minMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "maxMap": "use operators/mapagg.py map_agg / a_map_combinators",
-    "windowFunnel": "use x_window_funnel (sorted-step linear fold)",
+    "windowFunnel": "use x_window_funnel (sorted-step linear fold; "
+                    "x_window_funnel_strict for the strict_order mode)",
     "sequenceMatch": "use x_sequence_match (greedy subsequence fold)",
     "sequenceCount": "use x_sequence_count (closed-form greedy pairing)",
     "histogram": "use m_histogram (width_bucket-style exact binning)",

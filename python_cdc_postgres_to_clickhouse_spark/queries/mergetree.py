@@ -889,3 +889,123 @@ def x_projection_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_cents": ("avg", "cents", "n"),
         },
     ).orderBy("event_type")
+
+
+# strict_order oracle: a depth-d chain's consecutive steps must be ADJACENT
+# in the user's full (ts, event_id) timeline — NOT EXISTS any event of any
+# type strictly between them. Window still anchors at the chain's signup.
+WINDOW_FUNNEL_STRICT_SQL = """
+WITH s AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'),
+d2 AS (
+  SELECT DISTINCT s.user_id
+  FROM s JOIN events v
+    ON v.user_id = s.user_id AND v.event_type = 'view'
+   AND (v.ts, v.event_id) > (s.ts, s.event_id)
+   AND v.ts <= s.ts + INTERVAL 1 HOUR
+  WHERE NOT EXISTS (
+    SELECT 1 FROM events x
+    WHERE x.user_id = s.user_id
+      AND (x.ts, x.event_id) > (s.ts, s.event_id)
+      AND (x.ts, x.event_id) < (v.ts, v.event_id))
+),
+d3 AS (
+  SELECT DISTINCT s.user_id
+  FROM s
+  JOIN events v
+    ON v.user_id = s.user_id AND v.event_type = 'view'
+   AND (v.ts, v.event_id) > (s.ts, s.event_id)
+   AND v.ts <= s.ts + INTERVAL 1 HOUR
+  JOIN events p
+    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+   AND (p.ts, p.event_id) > (v.ts, v.event_id)
+   AND p.ts <= s.ts + INTERVAL 1 HOUR
+  WHERE NOT EXISTS (
+    SELECT 1 FROM events x
+    WHERE x.user_id = s.user_id
+      AND (x.ts, x.event_id) > (s.ts, s.event_id)
+      AND (x.ts, x.event_id) < (v.ts, v.event_id))
+    AND NOT EXISTS (
+    SELECT 1 FROM events y
+    WHERE y.user_id = s.user_id
+      AND (y.ts, y.event_id) > (v.ts, v.event_id)
+      AND (y.ts, y.event_id) < (p.ts, p.event_id))
+)
+SELECT depth, COUNT(*) AS n_users FROM (
+  SELECT u.user_id,
+         CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+              WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+              ELSE 1 END AS depth
+  FROM (SELECT DISTINCT user_id FROM s) u) t
+GROUP BY depth
+"""
+
+
+@query(
+    "x_window_funnel_strict",
+    oracle=WINDOW_FUNNEL_STRICT_SQL,
+    tags=("behavior", "mergetree"),
+)
+def x_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(3600, 'strict_order')``: like
+    x_window_funnel, but NO other event may interleave between consecutive
+    chain steps — in A→B→D→C the D kills the A→B chain at depth 2 (CH's
+    own strict_order example). Steps must therefore be ADJACENT in the
+    user's full (ts, event_id) timeline.
+
+    Documented divergence from CH's scan: CH freezes processing at the
+    FIRST interruption; this query takes the max over ALL non-interleaved
+    runs (a later clean signup→view→purchase run still counts) — the
+    declarative reading, and the one a per-chain SQL oracle can verify
+    (adjacency = NOT EXISTS an event strictly between the steps).
+
+    The fold now consumes the user's FULL event array (interruption needs
+    to see every event, not just step events): state is one active run
+    (start, depth) + the frozen max — any event that is neither the
+    expected next step nor a fresh signup kills the active run. Still one
+    user_id shuffle, still O(events) per user, no self-join (the
+    EXISTS/NOT-EXISTS formulation is only the fixture-scale oracle).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    seq = (
+        ev.select("user_id", F.unix_micros("ts").alias("tus"), "event_id",
+                  "event_type")
+        .groupBy("user_id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("tus", "event_id", "event_type"))
+        ).alias("seq"))
+    )
+    w = F.lit(_FUNNEL_WINDOW_US)
+    init = F.struct(
+        F.lit(None).cast("long").alias("s"),   # active run's signup tus
+        F.lit(0).alias("c"),                    # active run depth
+        F.lit(0).alias("m"),                    # frozen max depth
+    )
+
+    def step(acc, e):
+        et = e["event_type"]
+        in_window = acc["s"].isNotNull() & (e["tus"] <= acc["s"] + w)
+        advance2 = (acc["c"] == 1) & (et == F.lit("view")) & in_window
+        advance3 = (acc["c"] == 2) & (et == F.lit("purchase")) & in_window
+        restart = et == F.lit("signup")
+        c = (
+            F.when(advance2, F.lit(2))
+            .when(advance3, F.lit(3))
+            .when(restart, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        s = F.when(restart & ~advance2 & ~advance3, e["tus"]).otherwise(
+            F.when(advance2 | advance3, acc["s"]).otherwise(
+                F.lit(None).cast("long")
+            )
+        )
+        return F.struct(
+            s.alias("s"), c.alias("c"), F.greatest(acc["m"], c).alias("m")
+        )
+
+    depth = F.aggregate(F.col("seq"), init, step)["m"]
+    return (
+        seq.select("user_id", depth.alias("depth"))
+        .filter(F.col("depth") >= 1)
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -163,3 +163,88 @@ def test_sequence_count_matches_greedy_simulation(spark):
         for r in all_queries()["x_sequence_count"].fn(spark, SF_ORACLE).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# strict_order windowFunnel (round 7)
+# ---------------------------------------------------------------------------
+
+def _brute_strict_order_funnel(rows):
+    """Max depth over ADJACENT runs in the user's full (ts, eid) timeline,
+    window anchored at each run's signup."""
+    by_user: dict = {}
+    for eid, ts, uid, etype, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, eid, etype))
+    hist: dict = {}
+    for _uid, evs in by_user.items():
+        evs.sort()
+        if not any(e[2] == "signup" for e in evs):
+            continue
+        best, c, s = 0, 0, None
+        for ts, _eid, etype in evs:
+            if c == 1 and etype == "view" and ts <= s + WINDOW:
+                c = 2
+            elif c == 2 and etype == "purchase" and ts <= s + WINDOW:
+                c = 3
+            elif etype == "signup":
+                c, s = 1, ts
+            else:
+                c, s = 0, None
+            best = max(best, c)
+        if best:
+            hist[best] = hist.get(best, 0) + 1
+    return hist
+
+
+def test_strict_order_funnel_matches_brute_force(spark, tmp_path):
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_window_funnel_strict,
+    )
+
+    for seed, spread in ((7, 60 * 24 * 10), (23, 60 * 12), (99, 60 * 48)):
+        rows = _random_events(seed, spread_min=spread)
+        sf = _write_and_point(spark, tmp_path, rows, f"wfs{seed}")
+        got = {
+            r["depth"]: r["n_users"]
+            for r in x_window_funnel_strict(spark, sf).collect()
+        }
+        assert got == _brute_strict_order_funnel(rows), (seed, spread)
+
+
+def test_strict_order_funnel_interleaving_kills_chain(spark, tmp_path):
+    """CH's own strict_order example: in signup→view→OTHER→purchase the
+    OTHER event interrupts at depth 2; the default funnel would reach 3.
+    A later clean run still counts (documented divergence from CH's
+    freeze-at-first-interruption scan)."""
+    base = dt.datetime(2024, 3, 1)
+    mins = lambda m: base + dt.timedelta(minutes=m)
+    rows = [
+        # user 1: A B D C -> strict depth 2
+        (1, mins(0), 1, "signup", 1.0, "{}"),
+        (2, mins(5), 1, "view", 1.0, "{}"),
+        (3, mins(10), 1, "click", 1.0, "{}"),
+        (4, mins(15), 1, "purchase", 1.0, "{}"),
+        # user 2: A B C adjacent -> strict depth 3
+        (5, mins(0), 2, "signup", 1.0, "{}"),
+        (6, mins(5), 2, "view", 1.0, "{}"),
+        (7, mins(10), 2, "purchase", 1.0, "{}"),
+        # user 3: dirty first run, clean later run -> still depth 3
+        (8, mins(0), 3, "signup", 1.0, "{}"),
+        (9, mins(2), 3, "click", 1.0, "{}"),
+        (10, mins(20), 3, "signup", 1.0, "{}"),
+        (11, mins(25), 3, "view", 1.0, "{}"),
+        (12, mins(30), 3, "purchase", 1.0, "{}"),
+    ]
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_window_funnel_strict,
+        x_window_funnel,
+    )
+
+    sf = _write_and_point(spark, tmp_path, rows, "wfs_doc")
+    strict = {
+        r["depth"]: r["n_users"]
+        for r in x_window_funnel_strict(spark, sf).collect()
+    }
+    assert strict == {2: 1, 3: 2}
+    dflt = {r["depth"]: r["n_users"] for r in x_window_funnel(spark, sf).collect()}
+    assert dflt == {3: 3}  # the default mode tolerates the interleavings
