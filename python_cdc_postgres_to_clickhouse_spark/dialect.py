@@ -51,11 +51,12 @@ with exactly one match per probe (see ``_rewrite_asof_join``).
 
 Constructs with no faithful SQL-level mapping raise ``DialectError`` naming
 the engine's native equivalent (``LIMIT n BY`` -> WindowGroupLimit pattern,
-``topK`` -> x_heavy_hitters, ``windowFunnel`` -> x_window_funnel, sumMap ->
-operators/mapagg.py, ASOF JOIN's USING form -> operators/asof.py,
+``topKWeighted`` -> x_heavy_hitters, ``windowFunnel`` -> x_window_funnel,
+sumMap -> operators/mapagg.py, ASOF JOIN's USING form -> operators/asof.py,
 composite-state ``avgState``/``quantileState`` -> store the components
 separately or use queries/sketches.py) — a loud pointer beats a silent
-wrong answer.
+wrong answer. ``topK(k)(x)`` maps to Spark's approx_top_k sketch (both
+approximate heavy-hitter structures).
 
 Documented semantic divergences (value-level, not shape-level):
 - ``cityHash64``/``sipHash64`` map to ``xxhash64``: same role (stable
@@ -2071,6 +2072,19 @@ def _uniq_up_to(params: Sequence[str] | None, args: list[str]) -> str:
     return f"least(count(DISTINCT {', '.join(args)}), {params[0]} + 1)"
 
 
+def _top_k(params: Sequence[str] | None, args: list[str]) -> str:
+    """topK(k)(x) → the k most frequent values, most-frequent first. Both
+    engines run a bounded-memory heavy-hitter sketch (CH: SpaceSaving;
+    Spark: approx_top_k) — approximate with the same shape of guarantee;
+    ties rank arbitrarily in both. Exact counts with the candidate set
+    bounded below the aggregate: x_heavy_hitters."""
+    if len(args) != 1:
+        raise DialectError("topK takes one argument (weighted form: "
+                           "x_heavy_hitters with a weight pre-aggregation)")
+    k = params[0] if params else "10"
+    return f"transform(approx_top_k({args[0]}, {k}), s -> s.item)"
+
+
 def _quantile_disc_low(params: Sequence[str] | None, args: list[str]) -> str:
     """CH quantileExactLow picks the order statistic at ceil(p·n) (python
     median_low) — exactly Spark's percentile_disc contract."""
@@ -2099,6 +2113,7 @@ PARAM_RULES: dict[str, ParamRule] = {
     "quantilesExact": _quantiles(exact=True),
     "groupArray": _group_array,
     "uniqUpTo": _uniq_up_to,
+    "topK": _top_k,
 }
 
 # Aggregate bases eligible for the -If combinator -> FILTER (WHERE ...).
@@ -2163,9 +2178,8 @@ def _state_merge(name: str, args: list[str]) -> str | None:
 
 
 _UNSUPPORTED: dict[str, str] = {
-    "topK": "no per-group heavy-hitter SQL aggregate — use x_heavy_hitters "
-            "(freqItems candidates + exact semi-joined trim)",
-    "topKWeighted": "use x_heavy_hitters with a weight pre-aggregation",
+    "topKWeighted": "use x_heavy_hitters with a weight pre-aggregation "
+                    "(approx_top_k has no weighted form)",
     "sumMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "minMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "maxMap": "use operators/mapagg.py map_agg / a_map_combinators",

@@ -278,7 +278,7 @@ def test_qualified_and_quoted_names_untouched():
         ("SELECT * FROM (SELECT x FROM t LIMIT 3 BY k)", "w_topk_per_group"),
         ("SELECT x FROM a UNION ALL SELECT x FROM b LIMIT 3 BY x", "subquery"),
         ("SELECT x FROM t LIMIT 3, 5 BY k", "offset form"),
-        ("SELECT topK(5)(x) FROM t", "x_heavy_hitters"),
+        ("SELECT topKWeighted(5)(x, w) FROM t", "x_heavy_hitters"),
         ("SELECT sumMap(m) FROM t", "mapagg"),
         ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "x_window_funnel"),
         # no inequality conjunct: the interval-izing rewrite can't anchor
@@ -1315,3 +1315,20 @@ def test_asof_join_plan_is_single_equi_join(spark):
     # exactly one join, keyed on user_id
     n_joins = plan.count("Join ")
     assert n_joins == 1, plan
+
+
+def test_topk_maps_to_approx_top_k(spark):
+    assert translate("SELECT topK(3)(x) FROM t") == (
+        "SELECT transform(approx_top_k(x, 3), s -> s.item) FROM t"
+    )
+    assert translate("SELECT topK(x) FROM t") == (
+        "SELECT transform(approx_top_k(x, 10), s -> s.item) FROM t"
+    )
+    # distinct frequencies -> the sketch is exact and the order determined
+    row = spark.sql(translate(
+        "SELECT topK(2)(x) AS t FROM VALUES "
+        "('a'),('a'),('a'),('b'),('b'),('c') v(x)"
+    )).collect()[0]
+    assert row["t"] == ["a", "b"]
+    with pytest.raises(DialectError, match="weight"):
+        translate("SELECT topKWeighted(5)(x, w) FROM t")
