@@ -124,6 +124,7 @@ HEADLINE = [
     "sql_ch_dict_lookup",      # dictGet family -> broadcast scalar-subquery joins
     "sql_ch_asof_enrich",      # ASOF JOIN -> interval-ized equi-join, one match per probe
     "x_window_funnel_strict",  # strict_order funnel: full-timeline fold, one exchange
+    "x_sequence_match_timed",  # gap-bounded sequenceMatch: latest-anchor fold
 ]
 
 

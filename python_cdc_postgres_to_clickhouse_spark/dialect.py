@@ -2185,7 +2185,8 @@ _UNSUPPORTED: dict[str, str] = {
     "maxMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "windowFunnel": "use x_window_funnel (sorted-step linear fold; "
                     "x_window_funnel_strict for the strict_order mode)",
-    "sequenceMatch": "use x_sequence_match (greedy subsequence fold)",
+    "sequenceMatch": "use x_sequence_match (greedy subsequence fold; "
+                     "x_sequence_match_timed for (?t<=n) gap bounds)",
     "sequenceCount": "use x_sequence_count (closed-form greedy pairing)",
     "histogram": "use m_histogram (width_bucket-style exact binning)",
     "neighbor": "use lag()/lead() window functions over an explicit ordering",

@@ -1009,3 +1009,121 @@ def x_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("depth")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# Timed sequenceMatch oracle: EXISTS-chains with per-gap time bounds.
+SEQUENCE_MATCH_TIMED_SQL = """
+WITH m2 AS (
+  SELECT DISTINCT a.user_id
+  FROM events a JOIN events b
+    ON b.user_id = a.user_id
+   AND a.event_type = 'signup' AND b.event_type = 'purchase'
+   AND (b.ts, b.event_id) > (a.ts, a.event_id)
+   AND b.ts <= a.ts + INTERVAL 4 HOUR),
+m3 AS (
+  SELECT DISTINCT a.user_id
+  FROM events a
+  JOIN events b
+    ON b.user_id = a.user_id AND b.event_type = 'click'
+   AND (b.ts, b.event_id) > (a.ts, a.event_id)
+   AND b.ts <= a.ts + INTERVAL 4 HOUR
+  JOIN events c
+    ON c.user_id = a.user_id AND c.event_type = 'purchase'
+   AND (c.ts, c.event_id) > (b.ts, b.event_id)
+   AND c.ts <= b.ts + INTERVAL 4 HOUR
+  WHERE a.event_type = 'signup')
+SELECT 'signup(?t<=14400)purchase' AS pattern,
+       CAST((SELECT COUNT(*) FROM m2) AS BIGINT) AS n_matched
+UNION ALL
+SELECT 'signup(?t<=14400)click(?t<=14400)purchase' AS pattern,
+       CAST((SELECT COUNT(*) FROM m3) AS BIGINT) AS n_matched
+"""
+
+_SEQ_GAP_US = 14_400_000_000  # 4 h, µs — wide enough that the
+# 3-step pattern has matches at sf0.01 (30 min gave n_matched = 0, a
+# non-discriminating driver check)
+
+
+@query(
+    "x_sequence_match_timed",
+    oracle=SEQUENCE_MATCH_TIMED_SQL,
+    tags=("behavior", "mergetree"),
+)
+def x_sequence_match_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1)(?t<=14400)(?2)')`` (and the 3-step
+    form): does the user's stream contain the pattern with EVERY gap
+    between consecutive matched steps at most 4 hours?
+
+    Greedy earliest-first matching (x_sequence_match) is NOT exact once
+    gaps are bounded — an early anchor can time out a chain a later anchor
+    completes. The exact linear rule: per pattern level, keep the LATEST
+    event that validly reaches that level (a later anchor strictly
+    shrinks the next gap, so it dominates — exchange argument). The fold
+    tracks one timestamp per level; compute stays O(user's step events)
+    with the same single user_id shuffle as the untimed query; the
+    EXISTS-chain joins remain oracle-only.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    steps = ev.filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    ).select("user_id", F.unix_micros("ts").alias("tus"), "event_id",
+             "event_type")
+    seq = steps.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("tus", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    g = F.lit(_SEQ_GAP_US)
+    # s1 = latest signup; p2 = flag for pattern-2 match; c2 = latest click
+    # within the gap of some earlier signup; p3 = flag for pattern-3 match.
+    init = F.struct(
+        F.lit(None).cast("long").alias("s1"),
+        F.lit(None).cast("long").alias("c2"),
+        F.lit(False).alias("p2"),
+        F.lit(False).alias("p3"),
+    )
+
+    def step(acc, e):
+        t, tus = e["event_type"], e["tus"]
+        is_signup = t == F.lit("signup")
+        click_ok = (
+            (t == F.lit("click"))
+            & acc["s1"].isNotNull() & (tus - acc["s1"] <= g)
+        )
+        purch2 = (
+            (t == F.lit("purchase"))
+            & acc["s1"].isNotNull() & (tus - acc["s1"] <= g)
+        )
+        purch3 = (
+            (t == F.lit("purchase"))
+            & acc["c2"].isNotNull() & (tus - acc["c2"] <= g)
+        )
+        return F.struct(
+            F.when(is_signup, F.greatest(acc["s1"], tus))
+            .otherwise(acc["s1"]).alias("s1"),
+            F.when(click_ok, F.greatest(acc["c2"], tus))
+            .otherwise(acc["c2"]).alias("c2"),
+            (acc["p2"] | purch2).alias("p2"),
+            (acc["p3"] | purch3).alias("p3"),
+        )
+
+    st = F.aggregate(F.col("seq"), init, step)
+    flags = seq.select(
+        st["p2"].cast("long").alias("m2"), st["p3"].cast("long").alias("m3")
+    )
+    tot = flags.agg(F.sum("m2").alias("n2"), F.sum("m3").alias("n3"))
+    return tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("signup(?t<=14400)purchase").alias("pattern"),
+                    F.col("n2").alias("n_matched"),
+                ),
+                F.struct(
+                    F.lit("signup(?t<=14400)click(?t<=14400)purchase")
+                    .alias("pattern"),
+                    F.col("n3").alias("n_matched"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.pattern", "r.n_matched")

@@ -248,3 +248,75 @@ def test_strict_order_funnel_interleaving_kills_chain(spark, tmp_path):
     assert strict == {2: 1, 3: 2}
     dflt = {r["depth"]: r["n_users"] for r in x_window_funnel(spark, sf).collect()}
     assert dflt == {3: 3}  # the default mode tolerates the interleavings
+
+
+# ---------------------------------------------------------------------------
+# timed sequenceMatch (round 7)
+# ---------------------------------------------------------------------------
+
+SEQ_GAP = dt.timedelta(hours=4)
+
+
+def _brute_timed_seq_match(rows):
+    by_user: dict = {}
+    for eid, ts, uid, etype, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, eid, etype))
+    n2 = n3 = 0
+    for _uid, evs in by_user.items():
+        evs.sort()
+        m2 = any(
+            a[2] == "signup" and b[2] == "purchase" and b[:2] > a[:2]
+            and b[0] <= a[0] + SEQ_GAP
+            for a in evs for b in evs
+        )
+        m3 = any(
+            a[2] == "signup" and b[2] == "click" and c[2] == "purchase"
+            and b[:2] > a[:2] and b[0] <= a[0] + SEQ_GAP
+            and c[:2] > b[:2] and c[0] <= b[0] + SEQ_GAP
+            for a in evs for b in evs for c in evs
+        )
+        n2 += m2
+        n3 += m3
+    return {"signup(?t<=14400)purchase": n2,
+            "signup(?t<=14400)click(?t<=14400)purchase": n3}
+
+
+def test_timed_sequence_match_matches_brute_force(spark, tmp_path):
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_sequence_match_timed,
+    )
+
+    for seed, spread in ((7, 60 * 24 * 10), (23, 60 * 12), (99, 60 * 48)):
+        rows = _random_events(seed, spread_min=spread)
+        sf = _write_and_point(spark, tmp_path, rows, f"sqt{seed}")
+        got = {
+            r["pattern"]: r["n_matched"]
+            for r in x_sequence_match_timed(spark, sf).collect()
+        }
+        assert got == _brute_timed_seq_match(rows), (seed, spread)
+
+
+def test_timed_sequence_match_needs_latest_anchor_not_greedy(spark, tmp_path):
+    """Greedy earliest-first matching is wrong under gap bounds: the first
+    signup times out before the purchase, but a LATER signup completes the
+    pattern. The fold must keep the latest anchor per level."""
+    base = dt.datetime(2024, 3, 1)
+    h = lambda x: base + dt.timedelta(hours=x)
+    rows = [
+        (1, h(0), 1, "signup", 1.0, "{}"),     # early anchor: times out
+        (2, h(5), 1, "signup", 1.0, "{}"),     # late anchor: in range
+        (3, h(7), 1, "purchase", 1.0, "{}"),   # 2h after the late signup
+        # user 2: only the early signup -> no match
+        (4, h(0), 2, "signup", 1.0, "{}"),
+        (5, h(7), 2, "purchase", 1.0, "{}"),
+    ]
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_sequence_match_timed,
+    )
+
+    sf = _write_and_point(spark, tmp_path, rows, "sqt_anchor")
+    got = {
+        r["pattern"]: r["n_matched"]
+        for r in x_sequence_match_timed(spark, sf).collect()
+    }
+    assert got["signup(?t<=14400)purchase"] == 1
