@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 
 from .dialect import DialectError, translate
 
-__all__ = ["DdlPlan", "MvPlan", "MaintenancePlan", "ProjectionSpec",
+__all__ = ["DdlPlan", "MvPlan", "MaintenancePlan", "ProjectionSpec", "KafkaEngineSpec",
            "DictionaryPlan", "translate_dictionary",
            "map_type", "translate_ddl", "translate_mv",
            "translate_maintenance"]
@@ -270,6 +270,44 @@ def _parse_projection(raw: str) -> ProjectionSpec:
 
 
 @dataclass
+class KafkaEngineSpec:
+    """A parsed ``ENGINE = Kafka`` definition — CH's standard streaming
+    ingestion table (paired with a MATERIALIZED VIEW that drains it; the
+    reference's Python consumers play exactly this role, main.py:12-58).
+
+    ``source_options()`` returns the ready-to-use Spark Kafka reader
+    options; the consumer group maps to ``kafka.group.id`` (informational —
+    Spark tracks offsets in the checkpoint, not the group), and the format
+    maps to the decode path: AvroConfluent → sources/avro.py
+    framing='confluent', Avro → framing='raw', JSONEachRow → from_json.
+    """
+
+    brokers: str
+    topics: list[str]
+    group: str | None = None
+    format: str | None = None
+
+    @property
+    def framing(self) -> str | None:
+        if self.format is None:
+            return None
+        f = self.format.lower()
+        if f == "avroconfluent":
+            return "confluent"
+        if f == "avro":
+            return "raw"
+        return None  # JSONEachRow etc. — not an Avro framing
+
+    def source_options(self) -> dict[str, str]:
+        from .sources.kafka import stream_options
+
+        opts = stream_options(self.brokers, topics=self.topics)
+        if self.group:
+            opts["kafka.group.id"] = self.group
+        return opts
+
+
+@dataclass
 class DdlPlan:
     table: str
     columns: list[tuple[str, str]]          # (name, spark_type)
@@ -289,6 +327,8 @@ class DdlPlan:
     # CH `INDEX … TYPE bloom_filter` on plain columns → parquet row-group
     # bloom filters (pass to layout.cluster_write(bloom_cols=…)).
     bloom_index_cols: list[str] = field(default_factory=list)
+    # ENGINE = Kafka: the parsed ingestion spec (None for storage engines).
+    kafka: KafkaEngineSpec | None = None
 
     @property
     def spark_ddl(self) -> str:
@@ -414,6 +454,7 @@ def translate_ddl(sql: str) -> DdlPlan:
             f"engine {engine} has no mapping — see MIGRATION.md for the "
             "supported MergeTree family"
         )
+    kafka_spec = _parse_kafka_engine(tail) if base_engine == "Kafka" else None
 
     order_by = [
         translate(f"SELECT {k} FROM t")[7:-7]
@@ -463,6 +504,36 @@ def translate_ddl(sql: str) -> DdlPlan:
         projections=projections,
         sample_by=sample_by,
         bloom_index_cols=bloom_index_cols,
+        kafka=kafka_spec,
+    )
+
+
+def _parse_kafka_engine(tail: str) -> KafkaEngineSpec:
+    """Both CH Kafka-engine spellings: positional
+    ``Kafka('brokers', 'topics', 'group', 'format')`` and the SETTINGS form
+    (``kafka_broker_list = '…'`` …). Positional args are string literals, so
+    the quote-aware extraction tolerates commas inside the topic list."""
+    m = re.search(r"\bENGINE\s*=\s*\w+\s*\(([^)]*)\)", tail, re.I)
+    args = re.findall(r"'([^']*)'", m.group(1)) if m else []
+
+    def setting(name: str) -> str | None:
+        sm = re.search(rf"\b{name}\s*=\s*'([^']*)'", tail, re.I)
+        return sm.group(1) if sm else None
+
+    brokers = (args[0] if len(args) > 0 else None) or setting("kafka_broker_list")
+    topics = (args[1] if len(args) > 1 else None) or setting("kafka_topic_list")
+    group = (args[2] if len(args) > 2 else None) or setting("kafka_group_name")
+    fmt = (args[3] if len(args) > 3 else None) or setting("kafka_format")
+    if not brokers or not topics:
+        raise DialectError(
+            "ENGINE = Kafka needs broker and topic lists — positional "
+            "args or kafka_broker_list / kafka_topic_list SETTINGS"
+        )
+    return KafkaEngineSpec(
+        brokers=brokers,
+        topics=[t.strip() for t in topics.split(",") if t.strip()],
+        group=group,
+        format=fmt,
     )
 
 

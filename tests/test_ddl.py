@@ -339,3 +339,50 @@ def test_skip_indexes_bloom_vs_dropped():
     # tokenbf/minmax have no parquet analog (minmax is free via footer
     # stats on the clustered layout) — recorded as dropped
     assert "ti" in plan.dropped and "mi" in plan.dropped
+
+
+# ---------------------------------------------------------------------------
+# Round-7: ENGINE = Kafka ingestion tables
+# ---------------------------------------------------------------------------
+
+def test_kafka_engine_positional_form_parses_to_source_options():
+    from python_cdc_postgres_to_clickhouse_spark.ddl import translate_ddl
+
+    plan = translate_ddl(
+        "CREATE TABLE queue (user_id UInt64, payload String) "
+        "ENGINE = Kafka('broker1:9092,broker2:9092', "
+        "'pg.public.users,pg.public.orders', 'cdc_group', 'AvroConfluent')"
+    )
+    k = plan.kafka
+    assert k is not None
+    assert k.brokers == "broker1:9092,broker2:9092"
+    assert k.topics == ["pg.public.users", "pg.public.orders"]
+    assert k.group == "cdc_group" and k.format == "AvroConfluent"
+    assert k.framing == "confluent"
+    opts = k.source_options()
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "pg.public.users,pg.public.orders"
+    assert opts["kafka.group.id"] == "cdc_group"
+
+
+def test_kafka_engine_settings_form_parses():
+    from python_cdc_postgres_to_clickhouse_spark.ddl import translate_ddl
+    from python_cdc_postgres_to_clickhouse_spark.dialect import DialectError
+    import pytest
+
+    plan = translate_ddl(
+        "CREATE TABLE queue (k String) ENGINE = Kafka "
+        "SETTINGS kafka_broker_list = 'b:9092', "
+        "kafka_topic_list = 'topic1', kafka_group_name = 'g1', "
+        "kafka_format = 'JSONEachRow'"
+    )
+    assert plan.kafka.brokers == "b:9092"
+    assert plan.kafka.topics == ["topic1"]
+    assert plan.kafka.framing is None  # JSON, not an Avro framing
+    with pytest.raises(DialectError, match="broker and topic"):
+        translate_ddl("CREATE TABLE q (k String) ENGINE = Kafka")
+    # storage engines carry no kafka spec
+    mt = translate_ddl(
+        "CREATE TABLE t (k String) ENGINE = MergeTree ORDER BY k"
+    )
+    assert mt.kafka is None
