@@ -1877,6 +1877,7 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "argMin": _fn("min_by"),
     "groupUniqArray": _fn("collect_set"),
     "median": _tpl("percentile({0}, 0.5)"),
+    "medianExactWeighted": _tpl("percentile({0}, 0.5, {1})"),
     "medianExact": _tpl("percentile({0}, 0.5)"),
     "stddevPop": _fn("stddev_pop"),
     "stddevSamp": _fn("stddev_samp"),
@@ -2114,6 +2115,16 @@ PARAM_RULES: dict[str, ParamRule] = {
     "groupArray": _group_array,
     "uniqUpTo": _uniq_up_to,
     "topK": _top_k,
+    # Weighted exact quantile: Spark's percentile takes a frequency third
+    # argument (weight-repeated rows). Same documented divergence as
+    # quantileExact → percentile: Spark interpolates between order
+    # statistics where CH picks one — ranks differ by at most one element.
+    "quantileExactWeighted": lambda params, args: (
+        f"percentile({args[0]}, {params[0] if params else '0.5'}, {args[1]})"
+    ),
+    "quantilesExactWeighted": lambda params, args: (
+        f"percentile({args[0]}, array({', '.join(params or ['0.5'])}), {args[1]})"
+    ),
 }
 
 # Aggregate bases eligible for the -If combinator -> FILTER (WHERE ...).

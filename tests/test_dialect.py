@@ -1332,3 +1332,18 @@ def test_topk_maps_to_approx_top_k(spark):
     assert row["t"] == ["a", "b"]
     with pytest.raises(DialectError, match="weight"):
         translate("SELECT topKWeighted(5)(x, w) FROM t")
+
+
+def test_weighted_quantiles_translate_and_run(spark):
+    assert translate("SELECT quantileExactWeighted(0.9)(x, w) FROM t") == (
+        "SELECT percentile(x, 0.9, w) FROM t"
+    )
+    assert translate("SELECT medianExactWeighted(x, w) FROM t") == (
+        "SELECT percentile(x, 0.5, w) FROM t"
+    )
+    row = spark.sql(translate(
+        "SELECT quantileExactWeighted(0.5)(x, w) AS p50, "
+        "quantilesExactWeighted(0.5, 0.9)(x, w) AS ps "
+        "FROM VALUES (1, 1), (2, 3), (10, 1) t(x, w)"
+    )).collect()[0]
+    assert row["p50"] == 2.0 and row["ps"][0] == 2.0

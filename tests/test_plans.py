@@ -766,3 +766,52 @@ def test_projection_route_two_level_partial_agg(spark):
     assert P.has_partial_aggregate(df), plan
     cols = set(P.read_schema_columns(df))
     assert cols <= {"event_type", "ts", "value"}, cols
+
+
+def test_strict_funnel_and_timed_seq_match_are_join_free(spark):
+    """The round-7 sequence modes keep the same plan contract as the
+    default funnel: one user_id fold exchange, no self-joins (the
+    EXISTS/NOT-EXISTS chains stay oracle-only), no Python."""
+    for name in ("x_window_funnel_strict", "x_sequence_match_timed"):
+        df = _q(spark, name)
+        plan = P.physical_plan(df)
+        for join in ("SortMergeJoin", "ShuffledHashJoin",
+                     "BroadcastHashJoin", "CartesianProduct"):
+            assert join not in plan, f"{join} in {name} plan:\n{plan}"
+        assert "Python" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 2, (name, plan)
+
+
+def test_dict_lookup_plans_broadcast_joins_no_fact_shuffle(spark):
+    """Each dictGet scalar subquery must execute as a broadcast join with
+    the dictionary as build side — the fact scan never hash-shuffles for
+    the lookup itself. The aggregated dict side has no size stats at static
+    planning time, so the conversion happens at AQE runtime: materialize,
+    then assert on the FINAL adaptive plan."""
+    df = _q(spark, "sql_ch_dict_lookup")
+    df.collect()
+    plan = P.physical_plan(df)
+    assert "isFinalPlan=true" in plan, plan
+    # the adaptive plan string appends the pre-AQE "Initial Plan" section —
+    # assert on the executed final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert "CartesianProduct" not in final
+    assert "SortMergeJoin" not in final, (
+        "dictionary lookups must broadcast, not sort-merge:\n" + final
+    )
+
+
+def test_asof_enrich_single_equi_join_one_right_side_window(spark):
+    """The ASOF rewrite's contract: ONE join (equi on user_id + residuals),
+    the lag/lead pair on the right side sharing ONE window exchange, no
+    fan-out artifacts (no row_number dedup above the join)."""
+    df = _q(spark, "sql_ch_asof_enrich")
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
+    # lag + lead over the same (user_id, pts) spec: exactly one Window node
+    # pair below the join, fed by one exchange+sort
+    assert plan.count("Window") <= 2, plan
