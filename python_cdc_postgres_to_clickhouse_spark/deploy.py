@@ -1,0 +1,161 @@
+"""Port a whole ClickHouse DDL script as one bound deployment plan.
+
+A reference-style ClickHouse ingestion setup is a SCRIPT, not one
+statement: a Kafka-engine queue table, a MergeTree destination, a
+MATERIALIZED VIEW draining the queue into it, dictionaries for enrichment
+(reference docker-compose.yml:155-174 provisions exactly this shape; the
+Python consumers in main.py play the MV's role by hand).
+``plan_deployment()`` parses the script with the per-statement translators
+(ddl.translate_ddl / translate_mv / translate_dictionary), registers the
+dictionaries, and BINDS the pieces: every MV whose FROM table is a
+Kafka-engine table becomes a ``StreamBinding`` carrying the ready Spark
+reader options, the Avro framing, the dialect-translated SELECT, and the
+destination's maintenance strategy.
+
+``apply_batch()`` is the MV trigger body as a pure function — register the
+decoded micro-batch under the queue table's name, run the translated
+SELECT — usable identically under ``foreachBatch`` against the real broker
+or against a static frame in tests (the broker is env-bound; the plan and
+the trigger body are not).
+
+Scale: everything here is driver-side string work; the produced plan runs
+the same partial-aggregated / broadcast-enriched shapes the per-statement
+translators are plan-tested for.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .ddl import (
+    DdlPlan,
+    DictionaryPlan,
+    MvPlan,
+    translate_ddl,
+    translate_dictionary,
+    translate_mv,
+)
+from .dialect import DialectError
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a SQL script on semicolons outside quotes/comments."""
+    out: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if script[j] == "'" and script[j - 1] != "\\":
+                    break
+                j += 1
+            cur.append(script[i:j + 1])
+            i = j + 1
+            continue
+        if script.startswith("--", i):
+            j = script.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if ch == ";":
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+@dataclass
+class StreamBinding:
+    """One MV draining a Kafka-engine queue into a destination table."""
+
+    mv: MvPlan
+    source: DdlPlan   # the Kafka-engine table (source.kafka is set)
+    dest: DdlPlan | None = None  # the TO target's plan, when in the script
+
+    @property
+    def reader_options(self) -> dict[str, str]:
+        return self.source.kafka.source_options()
+
+    @property
+    def framing(self) -> str | None:
+        return self.source.kafka.framing
+
+    @property
+    def sink_strategy(self) -> str:
+        """The MV's TO form names a target whose ENGINE lives on its own
+        CREATE TABLE — when the script defines it, the destination's
+        engine strategy (e.g. ReplacingMergeTree → ParquetUpsertSink)
+        overrides the MV's engine-less default."""
+        if self.dest is not None:
+            return self.dest.strategy
+        return self.mv.strategy
+
+
+@dataclass
+class Deployment:
+    tables: dict[str, DdlPlan] = field(default_factory=dict)
+    views: list[MvPlan] = field(default_factory=list)
+    dictionaries: list[DictionaryPlan] = field(default_factory=list)
+    bindings: list[StreamBinding] = field(default_factory=list)
+
+
+_MV_FROM_RE = re.compile(r"\bFROM\s+([\w.`\"]+)", re.I)
+
+
+def plan_deployment(script: str, register_dicts: bool = True) -> Deployment:
+    """Parse a ClickHouse DDL script and bind its pieces."""
+    dep = Deployment()
+    for stmt in split_statements(script):
+        head = stmt.lstrip().upper()
+        if head.startswith("CREATE DICTIONARY") or re.match(
+            r"CREATE\s+(OR\s+REPLACE\s+)?DICTIONARY", head
+        ):
+            plan = translate_dictionary(stmt)
+            dep.dictionaries.append(plan)
+            if register_dicts and plan.source_table:
+                plan.register()
+        elif re.match(r"CREATE\s+MATERIALIZED\s+VIEW", head):
+            dep.views.append(translate_mv(stmt))
+        elif head.startswith("CREATE TABLE"):
+            plan = translate_ddl(stmt)
+            dep.tables[plan.table] = plan
+        else:
+            raise DialectError(
+                f"unsupported statement in deployment script: {stmt[:60]!r}"
+            )
+    for mv in dep.views:
+        m = _MV_FROM_RE.search(mv.select_spark_sql)
+        if not m:
+            continue
+        src_name = m.group(1).strip("`\"").split(".")[-1]
+        src = dep.tables.get(src_name)
+        if src is not None and src.kafka is not None:
+            dep.bindings.append(
+                StreamBinding(
+                    mv=mv,
+                    source=src,
+                    dest=dep.tables.get(mv.target) if mv.target else None,
+                )
+            )
+    return dep
+
+
+def apply_batch(
+    spark: SparkSession, binding: StreamBinding, queue_df: DataFrame
+) -> DataFrame:
+    """The MV trigger body: run the translated SELECT over one decoded
+    micro-batch standing in for the queue table. Identical under a real
+    foreachBatch or a test's static frame."""
+    queue_df.createOrReplaceTempView(binding.source.table)
+    return spark.sql(binding.mv.select_spark_sql)

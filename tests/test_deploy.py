@@ -1,0 +1,92 @@
+"""plan_deployment: a whole CH ingestion script bound into stream specs."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_cdc_postgres_to_clickhouse_spark.deploy import (
+    apply_batch,
+    plan_deployment,
+    split_statements,
+)
+from python_cdc_postgres_to_clickhouse_spark.dialect import (
+    DialectError,
+    unregister_dictionary,
+)
+
+SCRIPT = """
+-- the queue: Debezium topic, registry-framed Avro
+CREATE TABLE users_queue (
+    id UInt64,
+    name String,
+    balance Float64
+) ENGINE = Kafka('broker:9092', 'pg.public.users', 'cdc', 'AvroConfluent');
+
+CREATE TABLE users_current (
+    id UInt64,
+    name String,
+    balance_cents Int64
+) ENGINE = ReplacingMergeTree ORDER BY id;
+
+CREATE MATERIALIZED VIEW users_mv TO users_current AS
+SELECT id, upper(name) AS name,
+       toInt64(round(balance * 100)) AS balance_cents
+FROM users_queue PREWHERE balance >= 0;
+
+CREATE DICTIONARY user_labels (
+    id UInt64, label String
+) PRIMARY KEY id SOURCE(CLICKHOUSE(TABLE 'dim_labels')) LAYOUT(FLAT())
+LIFETIME(300);
+"""
+
+
+def test_split_statements_respects_quotes_and_comments():
+    stmts = split_statements(
+        "CREATE TABLE a (s String DEFAULT 'x;y');\n-- note; with semicolon\n"
+        "CREATE TABLE b (k UInt64) ENGINE = MergeTree ORDER BY k"
+    )
+    assert len(stmts) == 2
+    assert "x;y" in stmts[0] and stmts[1].startswith("CREATE TABLE b")
+
+
+def test_deployment_binds_mv_to_kafka_queue():
+    dep = plan_deployment(SCRIPT)
+    try:
+        assert set(dep.tables) == {"users_queue", "users_current"}
+        assert [d.name for d in dep.dictionaries] == ["user_labels"]
+        assert len(dep.bindings) == 1
+        b = dep.bindings[0]
+        assert b.source.table == "users_queue"
+        assert b.dest is not None and b.dest.table == "users_current"
+        assert b.framing == "confluent"
+        opts = b.reader_options
+        assert opts["subscribe"] == "pg.public.users"
+        assert opts["kafka.bootstrap.servers"] == "broker:9092"
+        assert "ParquetUpsertSink" in b.sink_strategy
+        # the dictionary is registered and usable by dictGet
+        from python_cdc_postgres_to_clickhouse_spark.dialect import translate
+
+        assert "dim_labels" in translate(
+            "SELECT dictGet('user_labels', 'label', id) FROM t"
+        )
+    finally:
+        unregister_dictionary("user_labels")
+
+
+def test_apply_batch_runs_translated_mv_body(spark):
+    dep = plan_deployment(SCRIPT, register_dicts=False)
+    b = dep.bindings[0]
+    queue = spark.createDataFrame(
+        [(1, "ann", 1.25), (2, "bob", -5.0), (3, "cid", 2.0)],
+        "id bigint, name string, balance double",
+    )
+    rows = {r["id"]: (r["name"], r["balance_cents"])
+            for r in apply_batch(spark, b, queue).collect()}
+    # PREWHERE filtered the negative balance; CH functions translated
+    assert rows == {1: ("ANN", 125), 3: ("CID", 200)}
+    spark.catalog.dropTempView("users_queue")
+
+
+def test_unknown_statement_is_loud():
+    with pytest.raises(DialectError, match="unsupported statement"):
+        plan_deployment("DROP TABLE x")
