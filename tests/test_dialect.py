@@ -658,6 +658,33 @@ def _expr(depth=3):
         _ts(depth).map(lambda t: f"toYYYYMM({t})"),
         _ts(depth).map(lambda t: f"toDayOfWeek({t})"),
         _ts(depth).map(lambda t: f"formatDateTime({t}, '%Y-%m-%d')"),
+        # round-7 surface: enumerations, tokenizers, readable sizes,
+        # ISO-year anchors, MJD arithmetic, map constructors, OrZero casts
+        _arrnum(depth - 1).map(lambda a: f"arrayEnumerateUniq({a})"),
+        _arrnum(depth - 1).map(lambda a: f"arrayEnumerateDense({a})"),
+        _arrnum(depth - 1).map(
+            lambda a: f"arrayResize({a}, 4, toInt64(0))"
+        ),
+        _arrnum(depth - 1).map(
+            lambda a: f"arrayFirstIndex(x -> x > 1, {a})"
+        ),
+        _str(depth - 1).map(lambda s: f"tokens({s})"),
+        _str(depth - 1).map(lambda s: f"ngrams({s}, 2)"),
+        _str(depth - 1).map(lambda s: f"countMatches({s}, '[a-z]+')"),
+        _str(depth - 1).map(lambda s: f"extractAll({s}, '([a-z]+)')"),
+        _str(depth - 1).map(lambda s: f"replaceOne({s}, 'a', '_')"),
+        _num(depth - 1).map(lambda n: f"formatReadableSize({n})"),
+        _ts(depth - 1).map(lambda t: f"dateName('month', {t})"),
+        _ts(depth - 1).map(lambda t: f"toISOYear({t})"),
+        _ts(depth - 1).map(lambda t: f"toStartOfISOYear({t})"),
+        _ts(depth - 1).map(
+            lambda t: f"fromModifiedJulianDay(toModifiedJulianDay(toDate({t})))"
+        ),
+        _str(depth - 1).map(lambda s: f"toInt64OrZero({s})"),
+        st.just("mapKeys(mapFromArrays(['a', 'b'], [1, 2]))"),
+        st.tuples(_num(depth - 1), _num(depth - 1)).map(
+            lambda t: f"quantileExactWeighted(0.5)(toInt64({t[0]}), 1 + abs(toInt64({t[1]})) % 5)"
+        ),
     )
 
 
