@@ -125,6 +125,7 @@ HEADLINE = [
     "sql_ch_asof_enrich",      # ASOF JOIN -> interval-ized equi-join, one match per probe
     "x_window_funnel_strict",  # strict_order funnel: full-timeline fold, one exchange
     "x_sequence_match_timed",  # gap-bounded sequenceMatch: latest-anchor fold
+    "x_importance_resample",   # DSIR-style hashed-ratio scoring, TakeOrdered keep set
 ]
 
 

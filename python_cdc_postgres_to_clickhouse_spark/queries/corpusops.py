@@ -984,3 +984,121 @@ def x_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end", "n_grams")
     )
+
+
+# ---------------------------------------------------------------------------
+# X77: DSIR-style importance resampling — hashed-unigram likelihood-ratio
+# scoring of every document against a target domain, keep the top-K.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64      # hashed feature buckets
+_DSIR_K = 200     # documents kept
+# portable bucket: first 8 md5 hex chars as int, mod B (same md5-int trick
+# the split/minhash oracles use — DuckDB replays it bit-exactly)
+_SQL_DSIR_BUCKET = (
+    "CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT)"
+    f" % {_DSIR_B} AS BIGINT)"
+)
+
+IMPORTANCE_RESAMPLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split({SQL_NORM}, ' ')) AS token
+  FROM documents
+), tk AS (
+  SELECT doc_id, lang, {_SQL_DSIR_BUCKET} AS b
+  FROM tok WHERE token <> ''
+), cs AS (
+  SELECT b, COUNT(*) AS c FROM tk GROUP BY b
+), ct AS (
+  SELECT b, COUNT(*) AS c FROM tk WHERE lang = 'en' GROUP BY b
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM tk) AS ts,
+         (SELECT COUNT(*) FROM tk WHERE lang = 'en') AS tt
+), w AS (
+  SELECT cs.b,
+         CAST(round(CAST((coalesce(ct.c, 0) + 1) * (tot.ts + {_DSIR_B}) AS DOUBLE)
+                    / CAST((cs.c + 1) * (tot.tt + {_DSIR_B}) AS DOUBLE)
+                    * 1000) AS BIGINT) AS r
+  FROM cs LEFT JOIN ct USING (b) CROSS JOIN tot
+), dscore AS (
+  SELECT dc.doc_id, CAST(SUM(dc.cnt * w.r) AS BIGINT) AS score
+  FROM (SELECT doc_id, b, COUNT(*) AS cnt FROM tk GROUP BY doc_id, b) dc
+  JOIN w USING (b)
+  GROUP BY dc.doc_id
+)
+SELECT doc_id, score FROM dscore ORDER BY score DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
+@query(
+    "x_importance_resample",
+    oracle=IMPORTANCE_RESAMPLE_SQL,
+    tags=("ext", "corpus", "sampling"),
+)
+def x_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77: DSIR-style importance resampling (Xie et al.'s data-selection
+    recipe, reduced to its engine shape): score every document by hashed-
+    unigram likelihood ratio against a target domain (here lang='en' as
+    the in-domain corpus, the whole table as background), keep the top-K.
+
+    Exactness over log-weights: DSIR sums per-feature LOG ratios; this
+    query uses integer-quantized RAW ratios (round(1000·p_t/p_s) per
+    bucket, add-one smoothed) so every per-document score is an exact
+    BIGINT — the one division is exact-int / exact-int, which IEEE754
+    rounds identically on both engines, making the query fully
+    hash-checkable. Same monotone per-bucket evidence, documented
+    aggregation divergence from the paper. At real scale swap the weight
+    expression for log ratios and a threshold — the PLAN is unchanged.
+
+    Plan: one token explode → two bucket censuses (B=64 rows — the weight
+    table is broadcast), one (doc, bucket) count shuffle, one doc-score
+    aggregate riding the same key, TakeOrdered(K) for the keep set (never
+    a single-partition window). The per-doc score shuffle carries ≤B rows
+    per document."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    tk = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(TS.normalized(), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+                .cast("long") % _DSIR_B
+            ).alias("b"),
+        )
+        .persist()
+    )
+    cs = tk.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    ct = tk.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    tot = tk.agg(
+        F.count(F.lit(1)).alias("ts"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
+    )
+    w = (
+        cs.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                ((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                 * (F.col("ts") + _DSIR_B)).cast("double")
+                / ((F.col("cs") + 1) * (F.col("tt") + _DSIR_B)).cast("double")
+                * 1000
+            ).cast("long").alias("r"),
+        )
+    )
+    dc = tk.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    score = (
+        dc.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("r")).alias("score"))
+    )
+    return score.orderBy(F.desc("score"), "doc_id").limit(_DSIR_K)

@@ -815,3 +815,15 @@ def test_asof_enrich_single_equi_join_one_right_side_window(spark):
     # lag + lead over the same (user_id, pts) spec: exactly one Window node
     # pair below the join, fed by one exchange+sort
     assert plan.count("Window") <= 2, plan
+
+
+def test_importance_resample_broadcasts_weights_takeordered_keep(spark):
+    """DSIR scoring contract: the 64-row weight table broadcasts onto the
+    (doc, bucket) counts (the corpus never shuffles for the weighting),
+    and the keep set is TakeOrdered — never a single-partition window."""
+    df = _q(spark, "x_importance_resample")
+    plan = P.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
