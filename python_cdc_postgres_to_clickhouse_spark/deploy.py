@@ -156,6 +156,46 @@ def apply_batch(
 ) -> DataFrame:
     """The MV trigger body: run the translated SELECT over one decoded
     micro-batch standing in for the queue table. Identical under a real
-    foreachBatch or a test's static frame."""
+    foreachBatch or a test's static frame.
+
+    The SQL runs on the BATCH FRAME's own session, not the passed one —
+    under foreachBatch Spark hands each batch a cloned micro-batch
+    session, and temp views are session-scoped, so resolving through the
+    outer session would not see the just-registered view."""
+    sess = queue_df.sparkSession
     queue_df.createOrReplaceTempView(binding.source.table)
-    return spark.sql(binding.mv.select_spark_sql)
+    return sess.sql(binding.mv.select_spark_sql)
+
+
+def start_binding(
+    spark: SparkSession,
+    binding: StreamBinding,
+    decoded_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Attach the MV trigger to a decoded stream: each micro-batch runs the
+    translated SELECT (``apply_batch``) and appends to ``out_dir``.
+
+    ``decoded_stream`` is the caller's — against a live broker it is
+    ``spark.readStream.format("kafka").options(**binding.reader_options)``
+    plus the ``binding.framing`` Avro decode (sources/avro.py); in tests
+    any stand-in stream with the queue table's columns works identically
+    (the broker is the only env-bound piece). The append sink matches the
+    plain-projection strategy; Replacing/Summing targets route the same
+    batches into the upsert/rollup sinks instead (see
+    ``binding.sink_strategy``)."""
+
+    def _proc(batch_df: DataFrame, batch_id: int) -> None:
+        apply_batch(spark, binding, batch_df).write.mode("append").parquet(
+            out_dir
+        )
+
+    writer = (
+        decoded_stream.writeStream.foreachBatch(_proc)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -90,3 +90,37 @@ def test_apply_batch_runs_translated_mv_body(spark):
 def test_unknown_statement_is_loud():
     with pytest.raises(DialectError, match="unsupported statement"):
         plan_deployment("DROP TABLE x")
+
+
+def test_start_binding_drains_a_stream_through_the_mv(spark, tmp_path):
+    """End-to-end MV maintenance over a (stand-in) stream: the translated
+    SELECT runs per micro-batch and lands in the target path."""
+    dep = plan_deployment(SCRIPT, register_dicts=False)
+    b = dep.bindings[0]
+    src = tmp_path / "queue_stream"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "ann", 1.25), (2, "bob", -5.0)],
+        "id bigint, name string, balance double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b0.parquet"))
+    spark.createDataFrame(
+        [(3, "cid", 2.0)], "id bigint, name string, balance double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1.parquet"))
+
+    from python_cdc_postgres_to_clickhouse_spark.deploy import start_binding
+
+    stream = (
+        spark.readStream.schema("id bigint, name string, balance double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    q = start_binding(
+        spark, b, stream, str(tmp_path / "dest"), str(tmp_path / "ckpt")
+    )
+    assert q.awaitTermination(120)
+    rows = {
+        r["id"]: (r["name"], r["balance_cents"])
+        for r in spark.read.parquet(str(tmp_path / "dest")).collect()
+    }
+    assert rows == {1: ("ANN", 125), 3: ("CID", 200)}
+    spark.catalog.dropTempView("users_queue")
