@@ -126,6 +126,7 @@ HEADLINE = [
     "x_window_funnel_strict",  # strict_order funnel: full-timeline fold, one exchange
     "x_sequence_match_timed",  # gap-bounded sequenceMatch: latest-anchor fold
     "x_importance_resample",   # DSIR-style hashed-ratio scoring, TakeOrdered keep set
+    "sql_ch_token_report",     # round-7 string-function batch via dialect, codegen-only
 ]
 
 

@@ -464,3 +464,50 @@ def sql_ch_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOUNDARY CROSSINGS in DuckDB vs elapsed time in Spark's timestampdiff —
     a sub-second divergence this query sidesteps)."""
     return clickhouse_sql(spark, CH_ASOF_ENRICH, sf_dir)
+
+
+CH_TOKEN_REPORT = """
+SELECT lang,
+       count() AS n_docs,
+       sum(arrayCount(x -> x != '', tokens(text))) AS n_tokens,
+       sum(arrayCount(x -> x != '', ngrams(text, 3))) AS n_3grams,
+       sum(countMatches(text, '[aeiou]{2}')) AS n_vowel_pairs,
+       max(arrayStringConcat(arraySlice(tokens(text), 1, 2), '_')) AS max_head
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+TOKEN_REPORT_ORACLE = """
+WITH d AS (
+  SELECT lang, text,
+         list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN length(text) >= 3 THEN length(text) - 2
+                ELSE 0 END) AS BIGINT) AS n_3grams,
+       CAST(sum(len(regexp_extract_all(text, '[aeiou]{2}'))) AS BIGINT)
+         AS n_vowel_pairs,
+       max(array_to_string(tk[1:2], '_')) AS max_head
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("sql_ch_token_report", oracle=TOKEN_REPORT_ORACLE, tags=("dialect", "text"))
+def sql_ch_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 string-function batch end to end in CH SQL: ``tokens``
+    (non-alphanumeric split, no empties), character ``ngrams``,
+    ``countMatches``, ``arrayCount`` with a lambda, and 1-based
+    ``arraySlice`` — aggregated per language. The oracle recomputes each
+    from DuckDB primitives (regex splits, generate-series gram counts),
+    so the driver hash pins the batch's exact semantics, not just that it
+    parses. Plan: pure whole-stage-codegen scalar work over one pruned
+    scan + one partial-aggregated hash exchange — the per-row array work
+    never shuffles."""
+    return clickhouse_sql(spark, CH_TOKEN_REPORT, sf_dir)
