@@ -127,6 +127,7 @@ HEADLINE = [
     "x_sequence_match_timed",  # gap-bounded sequenceMatch: latest-anchor fold
     "x_importance_resample",   # DSIR-style hashed-ratio scoring, TakeOrdered keep set
     "sql_ch_token_report",     # round-7 string-function batch via dialect, codegen-only
+    "x_window_funnel_dedup",   # strict_deduplication funnel: step-repeat kills chain
 ]
 
 

@@ -1127,3 +1127,130 @@ def x_sequence_match_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.pattern", "r.n_matched")
+
+
+# strict_dedup oracle: a depth-d chain dies when an event REPEATS an
+# already-matched condition inside the active span — so between consecutive
+# chain steps there may be clicks/errors (unlike strict_order) but never
+# another signup or view. Purchases before their turn are no-ops.
+WINDOW_FUNNEL_DEDUP_SQL = """
+WITH s AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'),
+sv AS (SELECT user_id, ts, event_id FROM events
+       WHERE event_type IN ('signup', 'view')),
+d2 AS (
+  SELECT DISTINCT s.user_id
+  FROM s JOIN events v
+    ON v.user_id = s.user_id AND v.event_type = 'view'
+   AND (v.ts, v.event_id) > (s.ts, s.event_id)
+   AND v.ts <= s.ts + INTERVAL 1 HOUR
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sv x
+    WHERE x.user_id = s.user_id
+      AND (x.ts, x.event_id) > (s.ts, s.event_id)
+      AND (x.ts, x.event_id) < (v.ts, v.event_id))
+),
+d3 AS (
+  SELECT DISTINCT s.user_id
+  FROM s
+  JOIN events v
+    ON v.user_id = s.user_id AND v.event_type = 'view'
+   AND (v.ts, v.event_id) > (s.ts, s.event_id)
+   AND v.ts <= s.ts + INTERVAL 1 HOUR
+  JOIN events p
+    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+   AND (p.ts, p.event_id) > (v.ts, v.event_id)
+   AND p.ts <= s.ts + INTERVAL 1 HOUR
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sv x
+    WHERE x.user_id = s.user_id
+      AND (x.ts, x.event_id) > (s.ts, s.event_id)
+      AND (x.ts, x.event_id) < (v.ts, v.event_id))
+    AND NOT EXISTS (
+    SELECT 1 FROM sv y
+    WHERE y.user_id = s.user_id
+      AND (y.ts, y.event_id) > (v.ts, v.event_id)
+      AND (y.ts, y.event_id) < (p.ts, p.event_id))
+)
+SELECT depth, COUNT(*) AS n_users FROM (
+  SELECT u.user_id,
+         CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+              WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+              ELSE 1 END AS depth
+  FROM (SELECT DISTINCT user_id FROM s) u) t
+GROUP BY depth
+"""
+
+
+@query(
+    "x_window_funnel_dedup",
+    oracle=WINDOW_FUNNEL_DEDUP_SQL,
+    tags=("behavior", "mergetree"),
+)
+def x_window_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(3600, 'strict_deduplication')``: a repeat
+    of an ALREADY-MATCHED condition inside the active chain kills it — a
+    second view after the chain reached depth 2 interrupts, a second
+    signup restarts the chain at the newer anchor — while unrelated events
+    (clicks, errors) pass through freely, the middle ground between the
+    default mode (everything passes) and strict_order (nothing passes).
+    Unmatched later-step events (a purchase before any view) are no-ops.
+
+    Same documented divergence as x_window_funnel_strict: max over all
+    surviving chains rather than CH's freeze-at-first-interruption scan —
+    the declarative reading a per-chain SQL oracle can verify (NOT EXISTS
+    a signup/view strictly between consecutive steps).
+
+    Plan contract unchanged: the fold consumes the step-relevant events in
+    one sorted array per user — one user_id exchange, O(events) per user,
+    no self-joins."""
+    ev = load_tables(spark, sf_dir)["events"]
+    seq = (
+        ev.filter(F.col("event_type").isin("signup", "view", "purchase"))
+        .select("user_id", F.unix_micros("ts").alias("tus"), "event_id",
+                "event_type")
+        .groupBy("user_id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("tus", "event_id", "event_type"))
+        ).alias("seq"))
+    )
+    w = F.lit(_FUNNEL_WINDOW_US)
+    init = F.struct(
+        F.lit(None).cast("long").alias("s"),
+        F.lit(0).alias("c"),
+        F.lit(0).alias("m"),
+    )
+
+    def step(acc, e):
+        et = e["event_type"]
+        in_window = acc["s"].isNotNull() & (e["tus"] <= acc["s"] + w)
+        advance2 = (acc["c"] == 1) & (et == F.lit("view")) & in_window
+        advance3 = (acc["c"] == 2) & (et == F.lit("purchase")) & in_window
+        restart = et == F.lit("signup")  # dup of cond1 kills + re-anchors
+        dup_view = (et == F.lit("view")) & (acc["c"] >= 2)
+        c = (
+            F.when(advance2, F.lit(2))
+            .when(advance3, F.lit(0))       # chain completed and consumed
+            .when(restart, F.lit(1))
+            .when(dup_view, F.lit(0))
+            .otherwise(acc["c"])            # unrelated / unmatched: no-op
+        )
+        s = (
+            F.when(restart, e["tus"])
+            .when(advance2, acc["s"])
+            .when(advance3 | dup_view, F.lit(None).cast("long"))
+            .otherwise(acc["s"])
+        )
+        m = F.greatest(
+            acc["m"],
+            F.when(advance3, F.lit(3)).when(advance2, F.lit(2))
+            .when(restart, F.lit(1)).otherwise(F.lit(0)),
+        )
+        return F.struct(s.alias("s"), c.alias("c"), m.alias("m"))
+
+    depth = F.aggregate(F.col("seq"), init, step)["m"]
+    return (
+        seq.select("user_id", depth.alias("depth"))
+        .filter(F.col("depth") >= 1)
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

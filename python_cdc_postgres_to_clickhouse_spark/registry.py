@@ -122,14 +122,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_sequence_match_timed",
     "x_importance_resample",
     "sql_ch_token_report",
-    # (c) Round-3-stale refresh fill (their last driver row is r3; the
-    #     47-member r3 cohort minus these fills is committed to LEAD the
-    #     round-8 window, followed by the 47 r4-stale queries).
-    "j_theta_band",
+    "x_window_funnel_dedup",
+    # (c) Round-3-stale refresh fill: round-7 additions consumed every
+    #     fill slot — the WHOLE 47-member r3 cohort below is committed to
+    #     LEAD the round-8 window, followed by the 47 r4-stale queries.
     # ------------------------------------------------------------------
     # Positions 51+: the ROUND-8 QUEUE — the remaining 40 r3-stale
     # queries (last driver row round 3), then the 47 r4-stale ones.
     # ------------------------------------------------------------------
+    "j_theta_band",
     "a_grouping_sets",
     "w_range_frame",
     "sub_min_price_supplier",

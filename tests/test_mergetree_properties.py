@@ -320,3 +320,79 @@ def test_timed_sequence_match_needs_latest_anchor_not_greedy(spark, tmp_path):
         for r in x_sequence_match_timed(spark, sf).collect()
     }
     assert got["signup(?t<=14400)purchase"] == 1
+
+
+# ---------------------------------------------------------------------------
+# strict_deduplication windowFunnel (round 7)
+# ---------------------------------------------------------------------------
+
+def _brute_strict_dedup_funnel(rows):
+    by_user: dict = {}
+    for eid, ts, uid, etype, _v, _p in rows:
+        if etype in ("signup", "view", "purchase"):
+            by_user.setdefault(uid, []).append((ts, eid, etype))
+    hist: dict = {}
+    for _uid, evs in by_user.items():
+        evs.sort()
+        if not any(e[2] == "signup" for e in evs):
+            continue
+        best, c, s = 0, 0, None
+        for ts, _eid, etype in evs:
+            gained = 0
+            if c == 1 and etype == "view" and s is not None and ts <= s + WINDOW:
+                c, gained = 2, 2
+            elif c == 2 and etype == "purchase" and ts <= s + WINDOW:
+                c, s, gained = 0, None, 3
+            elif etype == "signup":
+                c, s, gained = 1, ts, 1
+            elif etype == "view" and c >= 2:
+                c, s = 0, None
+            best = max(best, gained)
+        if best:
+            hist[best] = hist.get(best, 0) + 1
+    return hist
+
+
+def test_strict_dedup_funnel_matches_brute_force(spark, tmp_path):
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_window_funnel_dedup,
+    )
+
+    for seed, spread in ((7, 60 * 24 * 10), (23, 60 * 12), (99, 60 * 48)):
+        rows = _random_events(seed, spread_min=spread)
+        sf = _write_and_point(spark, tmp_path, rows, f"wfd{seed}")
+        got = {
+            r["depth"]: r["n_users"]
+            for r in x_window_funnel_dedup(spark, sf).collect()
+        }
+        assert got == _brute_strict_dedup_funnel(rows), (seed, spread)
+
+
+def test_dedup_mode_sits_between_default_and_strict_order(spark, tmp_path):
+    base = dt.datetime(2024, 3, 1)
+    mins = lambda m: base + dt.timedelta(minutes=m)
+    rows = [
+        # user 1: signup view CLICK purchase — the click passes in dedup
+        # mode (depth 3) but kills strict_order (depth 2)
+        (1, mins(0), 1, "signup", 1.0, "{}"),
+        (2, mins(5), 1, "view", 1.0, "{}"),
+        (3, mins(10), 1, "click", 1.0, "{}"),
+        (4, mins(15), 1, "purchase", 1.0, "{}"),
+        # user 2: signup view VIEW purchase — the duplicate view kills
+        # dedup mode (depth 2) but passes the default funnel (depth 3)
+        (5, mins(0), 2, "signup", 1.0, "{}"),
+        (6, mins(5), 2, "view", 1.0, "{}"),
+        (7, mins(10), 2, "view", 1.0, "{}"),
+        (8, mins(15), 2, "purchase", 1.0, "{}"),
+    ]
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_window_funnel,
+        x_window_funnel_dedup,
+        x_window_funnel_strict,
+    )
+
+    sf = _write_and_point(spark, tmp_path, rows, "wfd_doc")
+    as_map = lambda df: {r["depth"]: r["n_users"] for r in df.collect()}
+    assert as_map(x_window_funnel(spark, sf)) == {3: 2}
+    assert as_map(x_window_funnel_dedup(spark, sf)) == {2: 1, 3: 1}
+    assert as_map(x_window_funnel_strict(spark, sf)) == {2: 2}
