@@ -1593,6 +1593,25 @@ def _format_readable_size(a: list[str]) -> str:
     )
 
 
+def _extract_groups(a: list[str]) -> str:
+    """extractGroups(s, re) → the capture groups of the FIRST match as an
+    array. Needs a literal pattern: the group count picks the expression
+    arity at translation time."""
+    m = _STRLIT_RE.match(a[1]) if len(a) > 1 else None
+    if not m:
+        raise DialectError(
+            "extractGroups: the pattern must be a string literal (the "
+            "capture-group count shapes the translation)"
+        )
+    n = len(re.findall(r"(?<!\\)\((?!\?)", m.group(1)))
+    if n == 0:
+        raise DialectError("extractGroups: the pattern has no capture groups")
+    parts = ", ".join(
+        f"regexp_extract({a[0]}, {a[1]}, {i})" for i in range(1, n + 1)
+    )
+    return f"array({parts})"
+
+
 def _extract_all(a: list[str]) -> str:
     """extractAll picks group 1 when the (literal) pattern has a capturing
     subpattern, the whole match otherwise — CH's own contract. Non-literal
@@ -2001,6 +2020,9 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     ),
     "countMatches": _tpl("size(regexp_extract_all({0}, {1}, 0))"),
     "extractAll": _extract_all,
+    "extractGroups": _extract_groups,
+    # CH arg order is (separator_regex, s); Spark split takes (s, regex).
+    "splitByRegexp": _tpl("split({1}, {0})"),
     "formatReadableSize": _format_readable_size,
     # First-occurrence replace: Spark replace() is replace-all, so compose
     # locate + substring (exact, no regex escaping hazards).

@@ -1374,3 +1374,19 @@ def test_weighted_quantiles_translate_and_run(spark):
         "FROM VALUES (1, 1), (2, 3), (10, 1) t(x, w)"
     )).collect()[0]
     assert row["p50"] == 2.0 and row["ps"][0] == 2.0
+
+
+def test_extract_groups_and_split_by_regexp(spark):
+    assert translate("SELECT splitByRegexp('[,;]', s) FROM t") == (
+        "SELECT split(s, '[,;]') FROM t"
+    )
+    row = spark.sql(translate(
+        "SELECT extractGroups('k=12, v=abc', '([a-z]+)=([0-9]+)') AS g, "
+        "splitByRegexp('[,;] ?', 'a,b; c') AS sp"
+    )).collect()[0]
+    assert row["g"] == ["k", "12"]
+    assert row["sp"] == ["a", "b", "c"]
+    with pytest.raises(DialectError, match="capture group"):
+        translate("SELECT extractGroups(s, 'nogroups') FROM t")
+    with pytest.raises(DialectError, match="literal"):
+        translate("SELECT extractGroups(s, p) FROM t")
