@@ -1904,8 +1904,13 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "varSamp": _fn("var_samp"),
     "covarPop": _fn("covar_pop"),
     "covarSamp": _fn("covar_samp"),
-    "skewPop": _fn("skewness"),
-    "kurtPop": _fn("kurtosis"),
+    "skewPop": _fn("skewness"),  # both are population g1 = m3 / m2^1.5
+    # CH kurtPop = m4/σ⁴ (NON-excess); Spark kurtosis returns EXCESS
+    # kurtosis (g2 = m4/σ⁴ - 3) — translate the convention, not the name.
+    "kurtPop": _tpl("(kurtosis({0}) + 3)"),
+    # avgWeighted(x, w) = Σxw / Σw (CH returns NaN on zero total weight;
+    # Spark division yields NULL — shim NULL convention).
+    "avgWeighted": _tpl("(sum(({0}) * ({1})) / sum({1}))"),
     "groupBitAnd": _fn("bit_and"),
     "groupBitOr": _fn("bit_or"),
     "groupBitXor": _fn("bit_xor"),
@@ -2146,6 +2151,15 @@ PARAM_RULES: dict[str, ParamRule] = {
     ),
     "quantilesExactWeighted": lambda params, args: (
         f"percentile({args[0]}, array({', '.join(params or ['0.5'])}), {args[1]})"
+    ),
+    # Timing/TDigest weighted variants: same weighted-percentile role; the
+    # exact form is the closest Spark aggregate (documented: CH's are
+    # approximate, this is exact — a strictly tighter answer).
+    "quantileTimingWeighted": lambda params, args: (
+        f"percentile({args[0]}, {params[0] if params else '0.5'}, {args[1]})"
+    ),
+    "quantileTDigestWeighted": lambda params, args: (
+        f"percentile({args[0]}, {params[0] if params else '0.5'}, {args[1]})"
     ),
 }
 

@@ -1390,3 +1390,21 @@ def test_extract_groups_and_split_by_regexp(spark):
         translate("SELECT extractGroups(s, 'nogroups') FROM t")
     with pytest.raises(DialectError, match="literal"):
         translate("SELECT extractGroups(s, p) FROM t")
+
+
+def test_kurtpop_is_non_excess_and_avg_weighted(spark):
+    # CH kurtPop = m4/sigma^4; Spark's kurtosis is EXCESS (minus 3).
+    row = spark.sql(translate(
+        "SELECT kurtPop(x) AS k, skewPop(x) AS s, "
+        "avgWeighted(x, w) AS aw, "
+        "quantileTimingWeighted(0.5)(x, w) AS qt "
+        "FROM VALUES (1.0, 1), (2.0, 3), (9.0, 1) t(x, w)"
+    )).collect()[0]
+    import math
+    xs = [1.0, 2.0, 2.0, 2.0, 9.0]  # weight-expanded only for aw/qt checks
+    m = sum([1.0, 2.0, 9.0]) / 3
+    m2 = sum((v - m) ** 2 for v in [1.0, 2.0, 9.0]) / 3
+    m4 = sum((v - m) ** 4 for v in [1.0, 2.0, 9.0]) / 3
+    assert abs(row["k"] - m4 / m2**2) < 1e-9
+    assert abs(float(row["aw"]) - sum(xs) / 5) < 1e-12
+    assert row["qt"] == 2.0
