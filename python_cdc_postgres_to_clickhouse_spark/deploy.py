@@ -110,7 +110,25 @@ class Deployment:
     bindings: list[StreamBinding] = field(default_factory=list)
 
 
-_MV_FROM_RE = re.compile(r"\bFROM\s+([\w.`\"]+)", re.I)
+def _main_from_table(sql: str) -> str | None:
+    """The top-level FROM table of a translated SELECT — a regex grab of
+    the FIRST 'FROM' would land inside a scalar subquery (dictGet expands
+    to one before the main clause), so scan at paren depth 0."""
+    from .dialect import _tokenize
+
+    toks = _tokenize(sql)
+    depth = 0
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.upper() == "FROM" and i + 1 < len(toks):
+            nxt = toks[i + 1]
+            if nxt != "(":
+                return nxt.strip("`\"").split(".")[-1]
+            return None  # derived-table FROM: no direct queue binding
+    return None
 
 
 def plan_deployment(script: str, register_dicts: bool = True) -> Deployment:
@@ -135,10 +153,9 @@ def plan_deployment(script: str, register_dicts: bool = True) -> Deployment:
                 f"unsupported statement in deployment script: {stmt[:60]!r}"
             )
     for mv in dep.views:
-        m = _MV_FROM_RE.search(mv.select_spark_sql)
-        if not m:
+        src_name = _main_from_table(mv.select_spark_sql)
+        if src_name is None:
             continue
-        src_name = m.group(1).strip("`\"").split(".")[-1]
         src = dep.tables.get(src_name)
         if src is not None and src.kafka is not None:
             dep.bindings.append(

@@ -124,3 +124,33 @@ def test_start_binding_drains_a_stream_through_the_mv(spark, tmp_path):
     }
     assert rows == {1: ("ANN", 125), 3: ("CID", 200)}
     spark.catalog.dropTempView("users_queue")
+
+
+def test_mv_body_with_dictget_enriches_through_apply_batch(spark):
+    """The full CH idiom in one script: the MV's SELECT enriches the queue
+    through a dictionary — dictGet inside the MV body translates to the
+    broadcast scalar-subquery and resolves against the registered view at
+    trigger time."""
+    script = SCRIPT + """
+;CREATE MATERIALIZED VIEW users_labeled_mv TO users_current AS
+SELECT id, dictGetOrDefault('user_labels', 'label', id, 'none') AS label
+FROM users_queue
+"""
+    spark.createDataFrame(
+        [(1, "vip")], "id bigint, label string"
+    ).createOrReplaceTempView("dim_labels")
+    dep = plan_deployment(script)
+    try:
+        labeled = [b for b in dep.bindings
+                   if b.mv.view == "users_labeled_mv"][0]
+        queue = spark.createDataFrame(
+            [(1, "ann", 1.0), (2, "bob", 2.0)],
+            "id bigint, name string, balance double",
+        )
+        rows = {r["id"]: r["label"]
+                for r in apply_batch(spark, labeled, queue).collect()}
+        assert rows == {1: "vip", 2: "none"}
+    finally:
+        unregister_dictionary("user_labels")
+        spark.catalog.dropTempView("dim_labels")
+        spark.catalog.dropTempView("users_queue")
