@@ -1408,3 +1408,28 @@ def test_kurtpop_is_non_excess_and_avg_weighted(spark):
     assert abs(row["k"] - m4 / m2**2) < 1e-9
     assert abs(float(row["aw"]) - sum(xs) / 5) < 1e-12
     assert row["qt"] == 2.0
+
+
+def test_asof_join_nests_in_subqueries_and_repeats():
+    out = translate(
+        "SELECT n FROM (SELECT count() AS n FROM a ASOF JOIN b "
+        "ON a.k = b.k AND a.t >= b.t) q"
+    )
+    assert "__asof_end" in out
+    out = translate(
+        "SELECT 1 FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.t >= b.t "
+        "WHERE a.x IN (SELECT x FROM c ASOF JOIN d "
+        "ON c.k = d.k AND c.t >= d.t)"
+    )
+    assert out.count("__asof_end") >= 4  # both joins rewritten
+    out = translate(
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t "
+        "WHERE a.x > 1 GROUP BY a.k"
+    )
+    assert out.endswith("WHERE a.x > 1 GROUP BY a.k")
+    # CH functions inside the eq conjuncts translate in place
+    out = translate(
+        "SELECT * FROM a ASOF LEFT JOIN b "
+        "ON toStartOfDay(a.ts) = b.day AND a.ts >= b.t"
+    )
+    assert "date_trunc('day', a.ts) = b.day" in out
