@@ -1908,6 +1908,16 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     # CH kurtPop = m4/σ⁴ (NON-excess); Spark kurtosis returns EXCESS
     # kurtosis (g2 = m4/σ⁴ - 3) — translate the convention, not the name.
     "kurtPop": _tpl("(kurtosis({0}) + 3)"),
+    # CH's Samp variants divide the POPULATION central moments by sample-
+    # variance powers (not the textbook G1/G2 corrections): m3/s³ and
+    # m4/s⁴. Recover them exactly from the Pop forms via the variance
+    # ratio: m3 = skewness·varPop^1.5, m4 = (kurtosis+3)·varPop².
+    "skewSamp": _tpl(
+        "(skewness({0}) * pow(var_pop({0}) / var_samp({0}), 1.5D))"
+    ),
+    "kurtSamp": _tpl(
+        "((kurtosis({0}) + 3) * pow(var_pop({0}) / var_samp({0}), 2D))"
+    ),
     # avgWeighted(x, w) = Σxw / Σw (CH returns NaN on zero total weight;
     # Spark division yields NULL — shim NULL convention).
     "avgWeighted": _tpl("(sum(({0}) * ({1})) / sum({1}))"),

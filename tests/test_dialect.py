@@ -1433,3 +1433,22 @@ def test_asof_join_nests_in_subqueries_and_repeats():
         "ON toStartOfDay(a.ts) = b.day AND a.ts >= b.t"
     )
     assert "date_trunc('day', a.ts) = b.day" in out
+
+
+def test_samp_moments_match_definitions(spark):
+    xs = [1.0, 2.0, 2.0, 9.0]
+    row = spark.sql(translate(
+        "SELECT skewSamp(x) AS ss, kurtSamp(x) AS ks, "
+        "skewPop(x) AS sp, kurtPop(x) AS kp "
+        "FROM VALUES (1.0), (2.0), (2.0), (9.0) t(x)"
+    )).collect()[0]
+    n = len(xs)
+    m = sum(xs) / n
+    m2 = sum((v - m) ** 2 for v in xs) / n          # population variance
+    m3 = sum((v - m) ** 3 for v in xs) / n
+    m4 = sum((v - m) ** 4 for v in xs) / n
+    s2 = sum((v - m) ** 2 for v in xs) / (n - 1)    # sample variance
+    assert abs(row["sp"] - m3 / m2**1.5) < 1e-9
+    assert abs(row["kp"] - m4 / m2**2) < 1e-9
+    assert abs(row["ss"] - m3 / s2**1.5) < 1e-9     # CH skewSamp = m3/s^3
+    assert abs(row["ks"] - m4 / s2**2) < 1e-9       # CH kurtSamp = m4/s^4
