@@ -110,10 +110,12 @@ class Deployment:
     bindings: list[StreamBinding] = field(default_factory=list)
 
 
-def _main_from_table(sql: str) -> str | None:
-    """The top-level FROM table of a translated SELECT — a regex grab of
-    the FIRST 'FROM' would land inside a scalar subquery (dictGet expands
-    to one before the main clause), so scan at paren depth 0."""
+def _main_from_table(sql: str) -> tuple[str | None, str | None]:
+    """(raw token, bare name) of the top-level FROM table of a translated
+    SELECT — a regex grab of the FIRST 'FROM' would land inside a scalar
+    subquery (dictGet expands to one before the main clause), so scan at
+    paren depth 0. The raw token keeps any ``db.`` qualifier/quoting so
+    the caller can rewrite the reference to the registered bare name."""
     from .dialect import _tokenize
 
     toks = _tokenize(sql)
@@ -124,16 +126,47 @@ def _main_from_table(sql: str) -> str | None:
         elif t == ")":
             depth -= 1
         elif depth == 0 and t.upper() == "FROM" and i + 1 < len(toks):
-            nxt = toks[i + 1]
-            if nxt != "(":
-                return nxt.strip("`\"").split(".")[-1]
-            return None  # derived-table FROM: no direct queue binding
-    return None
+            if toks[i + 1] == "(":
+                return None, None  # derived-table FROM: no queue binding
+            # The tokenizer splits `db.table` into ident '.' ident —
+            # reassemble the dotted reference.
+            parts = [toks[i + 1]]
+            j = i + 2
+            while j + 1 < len(toks) and toks[j] == ".":
+                parts.append(toks[j + 1])
+                j += 2
+            return ".".join(parts), parts[-1].strip("`\"")
+    return None, None
+
+
+def _rebase_table_ref(sql: str, raw: str, bare: str) -> str:
+    """Rewrite every standalone occurrence of the qualified table token
+    ``raw`` (e.g. ``db.queue``) in ``sql`` to the bare name the trigger
+    registers as a temp view. Whole-token match only: ``db.queue`` must
+    not rewrite inside ``otherdb.queue_archive`` or a string literal —
+    translated SELECTs carry table refs as bare tokens, never in strings."""
+    pat = re.compile(
+        r"(?<![\w.`\"])" + re.escape(raw) + r"(?![\w.`\"])"
+    )
+    return pat.sub(bare, sql)
+
+
+_CREATE_TABLE_NAME = re.compile(
+    r"\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.`\"]+)", re.I
+)
 
 
 def plan_deployment(script: str, register_dicts: bool = True) -> Deployment:
-    """Parse a ClickHouse DDL script and bind its pieces."""
+    """Parse a ClickHouse DDL script and bind its pieces.
+
+    Table names are registered BARE (``db.queue`` → ``queue``) because the
+    trigger body materializes micro-batches as session temp views, which
+    Spark cannot database-qualify; every reference inside a bound MV's
+    SELECT is rewritten to the same bare name (``_rebase_table_ref``).
+    Two same-named tables from different databases in ONE script would
+    collide under that convention, so that is a loud error here."""
     dep = Deployment()
+    qualified_seen: dict[str, str] = {}
     for stmt in split_statements(script):
         head = stmt.lstrip().upper()
         if head.startswith("CREATE DICTIONARY") or re.match(
@@ -147,17 +180,33 @@ def plan_deployment(script: str, register_dicts: bool = True) -> Deployment:
             dep.views.append(translate_mv(stmt))
         elif head.startswith("CREATE TABLE"):
             plan = translate_ddl(stmt)
+            m = _CREATE_TABLE_NAME.match(stmt)
+            raw_name = m.group("name").strip("`\"") if m else plan.table
+            prior = qualified_seen.setdefault(plan.table, raw_name)
+            if prior != raw_name:
+                raise DialectError(
+                    f"tables {prior!r} and {raw_name!r} collide on bare "
+                    f"name {plan.table!r}; one deployment script cannot "
+                    "hold same-named tables from different databases"
+                )
             dep.tables[plan.table] = plan
         else:
             raise DialectError(
                 f"unsupported statement in deployment script: {stmt[:60]!r}"
             )
     for mv in dep.views:
-        src_name = _main_from_table(mv.select_spark_sql)
+        raw, src_name = _main_from_table(mv.select_spark_sql)
         if src_name is None:
             continue
         src = dep.tables.get(src_name)
         if src is not None and src.kafka is not None:
+            if raw != src_name:
+                # The trigger registers the micro-batch as the BARE name;
+                # a db-qualified reference left in the SELECT would miss
+                # the temp view and resolve a real catalog table instead.
+                mv.select_spark_sql = _rebase_table_ref(
+                    mv.select_spark_sql, raw, src_name
+                )
             dep.bindings.append(
                 StreamBinding(
                     mv=mv,

@@ -374,6 +374,9 @@ _ASOF_CLAUSE_END = {
     "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "INTERSECT",
     "EXCEPT", "SETTINGS", "FORMAT", "WINDOW", "INNER", "LEFT", "RIGHT",
     "FULL", "CROSS", "JOIN", "ANY", "ASOF", "GLOBAL", "SEMI", "ANTI",
+    # Clause heads the pipeline translates elsewhere: without these the ON
+    # capture would swallow e.g. a trailing PREWHERE into the condition.
+    "PREWHERE", "WITH",
 }
 
 _ASOF_FLIP = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
@@ -1568,7 +1571,13 @@ def _install_dict_rules(rules: dict[str, Callable[[list[str]], str]]) -> None:
             lambda a, t=spark_t: _dict_subquery(a, cast_to=t)
         )
         rules[f"dictGet{cht}OrDefault"] = (
-            lambda a, t=spark_t: f"coalesce({_dict_subquery(a[:3], cast_to=t)}, {a[3]})"
+            lambda a, t=spark_t, n=cht: (
+                f"coalesce({_dict_subquery(a[:3], cast_to=t)}, {a[3]})"
+                if len(a) == 4
+                else _raise(DialectError(
+                    f"dictGet{n}OrDefault takes (dict, attr, key, default)"
+                ))
+            )
         )
 
 

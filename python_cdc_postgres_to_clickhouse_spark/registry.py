@@ -56,80 +56,19 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # have never had a driver row, then (b) queries new or semantically
 # changed this round, then (c) the oldest-driver-row cohort fills the
 # remaining slots; the displaced names are committed by comment to lead
-# the next round's window. State after round 6 (no round-5 driver run
-# happened): r6 checked 50, leaving 43 never-checked (round-6 additions),
-# 47 whose last row is r3, and 47 whose last row is r4.
+# the next round's window. State after round 7: every query has a driver
+# row; the staleness tail is 47 queries last checked in r3 and 47 in r4
+# (computed from the CORRECTNESS_r0*.json union — recompute, don't trust
+# this comment, when re-planning).
 # The union of rounds verifies the full registry (asserted in
 # tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND-7 WINDOW (the driver consumes exactly the first 50 names).
-    # (a) The 43 queries declared during round 6 that have NEVER had a
-    #     driver row (round 6's window was consumed by the round-5 queue;
-    #     the round-6 registry comment committed these the lead slots).
-    #     All are locally oracle-checked on every test run — the debt is
-    #     driver-row freshness only.
-    "cdc_scd2_history",
-    "cdc_versioned_collapse",
-    "cdc_reconciliation",
-    "x_counter_rate",
-    "x_downsample_tiers",
-    "x_doc_rarity",
-    "j_interval_overlap",
-    "x_sequence_count",
-    "x_pq_codes",
-    "a_map_combinators",
-    "x_sequence_match",
-    "a_weighted_quantiles",
-    "x_semantic_dedup",
-    "x_bpe_merges",
-    "x_bpe_encode",
-    "j_asof_forward_tolerance",
-    "x_keyword_bm25",
-    "x_embedding_quantize",
-    "x_retention_flags",
-    "x_ivfpq_topk",
-    "x_ewma_trailing",
-    "x_lttb_downsample",
-    "x_dict_enrich",
-    "c_multi_search",
-    # ClickHouse-dialect queries: declared in CH SQL, executed through
-    # dialect.translate() — the oracle checks the translation's semantics.
-    "sql_ch_events_rollup",
-    "sql_ch_docs_scalars",
-    "sql_ch_word_freq",
-    "x_outlier_mad",
-    "x_attribution_last_touch",
-    "x_rfm_segments",
-    "x_cohort_ltv",
-    "sql_ch_top_per_type",
-    "x_active_users_rolling",
-    "x_holt_trend",
-    "x_seasonal_profile",
-    "sql_ch_totals_report",
-    "sql_ch_state_merge_rollup",
-    "x_dup_span_detect",
-    "sql_ch_fill_hours",
-    "sql_ch_retention_report",
-    "x_projection_route",
-    "sql_ch_any_enrich",
-    "x_active_users_sketch",
-    # (b) NEW OR CHANGED in round 7 — grow this section as queries land;
-    #     every addition must displace one name from section (c) below
-    #     (into the round-8 lead set) to keep the window at exactly 50.
-    "sql_ch_dict_lookup",
-    "sql_ch_asof_enrich",
-    "x_window_funnel_strict",
-    "x_sequence_match_timed",
-    "x_importance_resample",
-    "sql_ch_token_report",
-    "x_window_funnel_dedup",
-    # (c) Round-3-stale refresh fill: round-7 additions consumed every
-    #     fill slot — the WHOLE 47-member r3 cohort below is committed to
-    #     LEAD the round-8 window, followed by the 47 r4-stale queries.
-    # ------------------------------------------------------------------
-    # Positions 51+: the ROUND-8 QUEUE — the remaining 40 r3-stale
-    # queries (last driver row round 3), then the 47 r4-stale ones.
-    # ------------------------------------------------------------------
+    # ROUND-8 WINDOW (the driver consumes exactly the first 50 names).
+    # (a) NEW OR CHANGED in round 8 — grow this section as queries land;
+    #     every addition must displace the LAST name of section (c)'s
+    #     r4-fill into the round-9 queue below to keep the window at 50.
+    # (b) The full 47-member round-3-stale cohort (last driver row r3),
+    #     committed to lead this window by the round-7 registry comment.
     "j_theta_band",
     "a_grouping_sets",
     "w_range_frame",
@@ -177,6 +116,59 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_ngram_counts",
     "x_vocab_build",
     "x_stratified_sample",
+    # (c) Round-4-stale fill: the first 3 of the 47-member r4 cohort.
+    "a_approx_distinct",
+    "a_approx_quantiles",
+    "a_percentile_disc",
+    # ------------------------------------------------------------------
+    # Positions 51+: the ROUND-9 QUEUE — the remaining 44 r4-stale
+    # queries (last driver row round 4). Everything else was last
+    # checked in rounds 6-7 and refreshes in round 10.
+    # ------------------------------------------------------------------
+    "c_datetime_funcs",
+    "c_explode_outer",
+    "c_struct_funcs",
+    "cdc_changes_per_key_topn",
+    "cdc_latest_by_key",
+    "cdc_op_routing",
+    "cdc_snapshot_union_changelog",
+    "j_asof_latest_event",
+    "j_star_broadcast",
+    "m_json_map",
+    "m_nation_volume",
+    "m_shipping_priority",
+    "q1_pricing_summary",
+    "s_intersect",
+    "s_union_all",
+    "s_union_distinct",
+    "t_session_window",
+    "t_sliding_window",
+    "t_tumbling_window",
+    "tpch_q10_returned_items",
+    "tpch_q11_value_share",
+    "tpch_q12_late_lines",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q18_large_orders",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_lapsed_customers",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "w_forward_fill",
+    "w_topk_per_group",
+    "x_cosine_topk",
+    "x_dedup_exact",
+    "x_embedding_near_dup",
+    "x_jaccard_near_dup",
+    "x_lsh_cosine_topk",
+    "x_passage_dedup",
+    "x_random_projection",
+    "x_sketch_distinct_rollup",
+    "x_sketch_quantiles",
+    "x_sketch_theta_setops",
 )
 
 

@@ -64,8 +64,14 @@ class InsertDedupSink:
     def _recent_hashes(self) -> list[str]:
         if not os.path.exists(self._hash_file):
             return []
-        with open(self._hash_file) as f:
-            return json.load(f)
+        try:
+            with open(self._hash_file) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # A torn/unreadable hash record must not wedge the sink: the
+            # data commits landed, only dedup memory is lost — treat as
+            # empty and accept the documented at-least-once residual.
+            return []
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         digest = block_hash(batch_df)
@@ -81,8 +87,12 @@ class InsertDedupSink:
         # LOSE the block on a crash, which is worse.
         recent.append(digest)
         os.makedirs(self.out_dir, exist_ok=True)
-        with open(self._hash_file, "w") as f:
+        # Atomic record: write-temp + os.replace so a crash mid-write can
+        # never leave corrupt JSON (which would fail every later batch).
+        tmp = self._hash_file + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(recent[-self.dedup_window:], f)
+        os.replace(tmp, self._hash_file)
 
     def current(self) -> DataFrame:
         return self.spark.read.parquet(self.out_dir)

@@ -154,3 +154,57 @@ FROM users_queue
         unregister_dictionary("user_labels")
         spark.catalog.dropTempView("dim_labels")
         spark.catalog.dropTempView("users_queue")
+
+
+DB_SCRIPT = """
+CREATE TABLE cdc.users_queue (
+    id UInt64,
+    name String,
+    balance Float64
+) ENGINE = Kafka('broker:9092', 'pg.public.users', 'cdc', 'AvroConfluent');
+
+CREATE TABLE cdc.users_current (
+    id UInt64,
+    name String,
+    balance_cents Int64
+) ENGINE = ReplacingMergeTree ORDER BY id;
+
+CREATE MATERIALIZED VIEW cdc.users_mv TO cdc.users_current AS
+SELECT id, upper(name) AS name,
+       toInt64(round(balance * 100)) AS balance_cents
+FROM cdc.users_queue WHERE balance >= 0;
+"""
+
+
+def test_db_qualified_script_binds_and_rebases_queue_reference():
+    """`FROM db.queue` must be rewritten to the bare name the trigger
+    registers as a temp view — otherwise the SELECT resolves a real
+    catalog table (or nothing) instead of the micro-batch."""
+    dep = plan_deployment(DB_SCRIPT)
+    assert set(dep.tables) == {"users_queue", "users_current"}
+    assert len(dep.bindings) == 1
+    b = dep.bindings[0]
+    assert "cdc.users_queue" not in b.mv.select_spark_sql
+    assert "users_queue" in b.mv.select_spark_sql
+
+
+def test_db_qualified_script_runs_through_apply_batch(spark):
+    dep = plan_deployment(DB_SCRIPT)
+    b = dep.bindings[0]
+    queue = spark.createDataFrame(
+        [(1, "ann", 1.25), (2, "bob", -5.0)],
+        "id bigint, name string, balance double",
+    )
+    rows = {r["id"]: (r["name"], r["balance_cents"])
+            for r in apply_batch(spark, b, queue).collect()}
+    assert rows == {1: ("ANN", 125)}
+    spark.catalog.dropTempView("users_queue")
+
+
+def test_same_bare_name_from_two_databases_is_loud():
+    script = """
+CREATE TABLE a.q (k UInt64) ENGINE = MergeTree ORDER BY k;
+CREATE TABLE b.q (k UInt64) ENGINE = MergeTree ORDER BY k;
+"""
+    with pytest.raises(DialectError, match="collide on bare name"):
+        plan_deployment(script)

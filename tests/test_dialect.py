@@ -1452,3 +1452,22 @@ def test_samp_moments_match_definitions(spark):
     assert abs(row["kp"] - m4 / m2**2) < 1e-9
     assert abs(row["ss"] - m3 / s2**1.5) < 1e-9     # CH skewSamp = m3/s^3
     assert abs(row["ks"] - m4 / s2**2) < 1e-9       # CH kurtSamp = m4/s^4
+
+
+def test_typed_dictget_ordefault_wrong_arity_is_loud():
+    """dictGetInt64OrDefault with 3 args must raise DialectError with the
+    expected signature, not IndexError (round-8 advice fix)."""
+    with pytest.raises(DialectError, match="dictGetInt64OrDefault takes"):
+        translate("SELECT dictGetInt64OrDefault('users', 'score', uid) FROM t")
+
+
+def test_asof_on_capture_stops_at_prewhere():
+    """ASOF JOIN followed by PREWHERE: the ON capture must stop at the
+    clause boundary so both constructs translate together (round-8 advice
+    fix: PREWHERE was missing from _ASOF_CLAUSE_END)."""
+    out = translate(
+        "SELECT a.id FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t "
+        "PREWHERE a.v > 1"
+    )
+    assert "WHERE" in out and "a.v > 1" in out
+    assert "__asof_end" in out

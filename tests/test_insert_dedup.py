@@ -56,3 +56,32 @@ def test_empty_batch_is_a_noop(spark, tmp_path):
     sink.process_batch(_df(spark, [(1, "a")]), 0)
     sink.process_batch(_df(spark, []), 1)
     assert sink.current().count() == 1
+
+
+def test_corrupt_hash_record_does_not_wedge_the_sink(spark, tmp_path):
+    """A crash mid-record-write may leave torn JSON; the sink must treat
+    it as an empty window (at-least-once residual), never raise."""
+    import os
+
+    sink = InsertDedupSink(spark, str(tmp_path / "c"))
+    sink.process_batch(_df(spark, [(1, "a")]), 0)
+    with open(sink._hash_file, "w") as f:
+        f.write('["abc", "de')  # torn mid-write
+    sink.process_batch(_df(spark, [(2, "b")]), 1)  # must not raise
+    assert sink.current().count() == 2
+    # the record is healed: dedup works again from here on
+    sink.process_batch(_df(spark, [(2, "b")]), 2)
+    assert sink.current().count() == 2
+
+
+def test_hash_record_write_is_atomic(spark, tmp_path):
+    """The record lands via temp-file + os.replace — no .tmp residue and
+    valid JSON after every batch."""
+    import json
+    import os
+
+    sink = InsertDedupSink(spark, str(tmp_path / "a"))
+    sink.process_batch(_df(spark, [(1, "a")]), 0)
+    assert not os.path.exists(sink._hash_file + ".tmp")
+    with open(sink._hash_file) as f:
+        assert isinstance(json.load(f), list)
