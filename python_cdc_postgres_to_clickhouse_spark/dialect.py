@@ -53,9 +53,10 @@ Constructs with no faithful SQL-level mapping raise ``DialectError`` naming
 the engine's native equivalent (``LIMIT n BY`` -> WindowGroupLimit pattern,
 ``topKWeighted`` -> x_heavy_hitters, ``windowFunnel`` -> x_window_funnel,
 sumMap -> operators/mapagg.py, ASOF JOIN's USING form -> operators/asof.py,
-composite-state ``avgState``/``quantileState`` -> store the components
-separately or use queries/sketches.py) — a loud pointer beats a silent
-wrong answer. ``topK(k)(x)`` maps to Spark's approx_top_k sketch (both
+composite-state ``quantileState`` -> store the components separately or
+use queries/sketches.py) — a loud pointer beats a silent wrong answer.
+``avgState``/``avgMerge`` DO translate: the state is CH's own (sum, count)
+pair as a struct column, re-merged by component sums. ``topK(k)(x)`` maps to Spark's approx_top_k sketch (both
 approximate heavy-hitter structures).
 
 Documented semantic divergences (value-level, not shape-level):
@@ -2240,6 +2241,30 @@ def _state_merge(name: str, args: list[str]) -> str | None:
         if len(args) != 1:
             raise DialectError(f"{name} takes exactly one state column")
         return f"{_VALUE_STATE_MERGE[base]}({args[0]})"
+    if base == "avg":
+        # CH's avg state is the (sum, count) pair — representable as a
+        # plain struct column, re-merged by summing each component. This
+        # is CH's own decomposition (AggregateFunction(avg, T) stores
+        # exactly these two numbers), so a two-level State->Merge rollup
+        # equals aggregating once whenever the sums are exact (integers /
+        # decimals; doubles differ only by float association, same as CH).
+        if suffix == "State":
+            if len(args) != 1:
+                raise DialectError("avgState takes exactly one argument")
+            return (
+                f"named_struct('sum', sum({args[0]}), "
+                f"'count', count({args[0]}))"
+            )
+        if len(args) != 1:
+            raise DialectError(f"{name} takes exactly one state column")
+        if suffix == "MergeState":
+            return (
+                f"named_struct('sum', sum({args[0]}.sum), "
+                f"'count', sum({args[0]}.count))"
+            )
+        # avgMerge: NULL on zero total count (Spark division semantics;
+        # CH returns nan there — a re-merged empty state is degenerate).
+        return f"(sum({args[0]}.sum) / sum({args[0]}.count))"
     return None
 
 
@@ -2250,7 +2275,9 @@ _UNSUPPORTED: dict[str, str] = {
     "minMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "maxMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "windowFunnel": "use x_window_funnel (sorted-step linear fold; "
-                    "x_window_funnel_strict for the strict_order mode)",
+                    "x_window_funnel_strict for the max-over-runs "
+                    "strict_order reading, x_window_funnel_freeze for "
+                    "CH's freeze-at-first-interruption parity)",
     "sequenceMatch": "use x_sequence_match (greedy subsequence fold; "
                      "x_sequence_match_timed for (?t<=n) gap bounds)",
     "sequenceCount": "use x_sequence_count (closed-form greedy pairing)",
@@ -2291,11 +2318,11 @@ def _apply_function(name: str, rendered_args: list[str],
         if rewritten is not None:
             return rewritten
         raise DialectError(
-            f"{name}: only the uniq family (HLL) and value-state aggregates "
-            "(sum/count/min/max) translate as -State/-Merge — composite "
-            "states (avg, quantile, …) have no SQL-level Spark "
-            "representation; store their components separately "
-            "(e.g. sumState + countState) or use queries/sketches.py / "
+            f"{name}: only the uniq family (HLL), value-state aggregates "
+            "(sum/count/min/max) and avg (a (sum,count) struct) translate "
+            "as -State/-Merge — other composite states (quantile, …) have "
+            "no SQL-level Spark representation; store their components "
+            "separately or use queries/sketches.py / "
             "streaming/sketch_sink.py"
         )
     if name in PARAM_RULES:

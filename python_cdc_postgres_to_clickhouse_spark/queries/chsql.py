@@ -511,3 +511,47 @@ def sql_ch_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + one partial-aggregated hash exchange — the per-row array work
     never shuffles."""
     return clickhouse_sql(spark, CH_TOKEN_REPORT, sf_dir)
+
+
+CH_AVG_STATE = """
+SELECT l_returnflag,
+       avgMerge(qty_st) AS avg_qty,
+       countMerge(n_st) AS n_lines
+FROM (
+    SELECT l_returnflag, l_suppkey,
+           avgState(l_quantity) AS qty_st,
+           countState() AS n_st
+    FROM lineitem
+    WHERE l_linenumber <= 4
+    GROUP BY l_returnflag, l_suppkey
+) AS partials
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+AVG_STATE_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_linenumber <= 4
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("sql_ch_avg_state", oracle=AVG_STATE_ORACLE, tags=("dialect", "agg"))
+def sql_ch_avg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The most common AggregatingMergeTree column a reference user ships:
+    ``avgState`` partials per fine key re-merged with ``avgMerge`` at a
+    coarser grain (reference ClickHouse provisioning; CH docs
+    AggregateFunction(avg, T)). The dialect stores CH's own decomposition —
+    the (sum, count) pair — as a struct column and re-merges it by
+    component sums, so the two-level rollup is EXACTLY the one-level
+    aggregate whenever the sums are exact (integer-valued l_quantity here);
+    the full-oracle driver row checks that equality against DuckDB's
+    one-level average bit for bit. ``countState``/``countMerge`` ride
+    along as the value-state case. Scale: two partial-aggregated hash
+    exchanges (fine key then coarse key) carrying 16-byte states — the
+    exact plan an AggregatingMergeTree materialized view pipeline runs."""
+    return clickhouse_sql(spark, CH_AVG_STATE, sf_dir)

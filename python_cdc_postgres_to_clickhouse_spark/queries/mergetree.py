@@ -956,7 +956,10 @@ def x_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST interruption; this query takes the max over ALL non-interleaved
     runs (a later clean signup→view→purchase run still counts) — the
     declarative reading, and the one a per-chain SQL oracle can verify
-    (adjacency = NOT EXISTS an event strictly between the steps).
+    (adjacency = NOT EXISTS an event strictly between the steps). For
+    bit-parity with CH's freeze behavior use x_window_funnel_freeze;
+    tests/test_mergetree_properties.py pins the exact frame the two
+    readings disagree on.
 
     The fold now consumes the user's FULL event array (interruption needs
     to see every event, not just step events): state is one active run
@@ -1248,6 +1251,106 @@ def x_window_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.struct(s.alias("s"), c.alias("c"), m.alias("m"))
 
     depth = F.aggregate(F.col("seq"), init, step)["m"]
+    return (
+        seq.select("user_id", depth.alias("depth"))
+        .filter(F.col("depth") >= 1)
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# Freeze-parity strict_order funnel: rank the user's FULL timeline, locate
+# the first signup, and read the depth off the two IMMEDIATELY FOLLOWING
+# events — CH stops scanning at the first interruption, so only they matter.
+WINDOW_FUNNEL_FREEZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+first_s AS (
+  SELECT user_id, MIN(rn) AS rn0
+  FROM o WHERE event_type = 'signup' GROUP BY user_id),
+j AS (
+  SELECT f.user_id, s.ts AS t0,
+         e1.event_type AS et1, e1.ts AS ts1,
+         e2.event_type AS et2, e2.ts AS ts2
+  FROM first_s f
+  JOIN o s ON s.user_id = f.user_id AND s.rn = f.rn0
+  LEFT JOIN o e1 ON e1.user_id = f.user_id AND e1.rn = f.rn0 + 1
+  LEFT JOIN o e2 ON e2.user_id = f.user_id AND e2.rn = f.rn0 + 2)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+  SELECT CASE WHEN et1 = 'view' AND ts1 <= t0 + INTERVAL 1 HOUR
+                   AND et2 = 'purchase' AND ts2 <= t0 + INTERVAL 1 HOUR
+              THEN 3
+              WHEN et1 = 'view' AND ts1 <= t0 + INTERVAL 1 HOUR THEN 2
+              ELSE 1 END AS depth
+  FROM j) t
+GROUP BY depth
+"""
+
+
+@query(
+    "x_window_funnel_freeze",
+    oracle=WINDOW_FUNNEL_FREEZE_SQL,
+    tags=("behavior", "mergetree"),
+)
+def x_window_funnel_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(3600, 'strict_order')`` with CH's exact
+    FREEZE semantics (AggregateFunctionWindowFunnel.h strict-order branch):
+    the scan stops at the FIRST interruption of the first started chain —
+    in A→B→D→C the D ends the search at depth 2, and a later clean
+    signup→view→purchase run does NOT count. This is the bit-parity
+    companion to x_window_funnel_strict, which keeps the (documented,
+    deliberately divergent) max-over-all-runs reading; a migrating CH user
+    picks by which contract they relied on.
+
+    The fold is x_window_funnel_strict's with one extra state bit: once a
+    started chain sees any event that is not its expected next step (or
+    sees it out of window), the state goes DEAD and nothing after changes
+    it. Events before the first signup cannot interrupt (no chain has
+    started — CH behaves identically). Same shape at scale: one user_id
+    exchange, O(events) fold per user, no self-join; the window-function
+    oracle is fixture-scale only.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    seq = (
+        ev.select("user_id", F.unix_micros("ts").alias("tus"), "event_id",
+                  "event_type")
+        .groupBy("user_id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("tus", "event_id", "event_type"))
+        ).alias("seq"))
+    )
+    w = F.lit(_FUNNEL_WINDOW_US)
+    init = F.struct(
+        F.lit(None).cast("long").alias("s"),   # chain start (signup tus)
+        F.lit(0).alias("c"),                    # chain depth
+        F.lit(False).alias("d"),                # dead: frozen at interrupt
+    )
+
+    def step(acc, e):
+        et = e["event_type"]
+        started = acc["c"] >= 1
+        complete = acc["c"] >= 3
+        in_window = acc["s"].isNotNull() & (e["tus"] <= acc["s"] + w)
+        advance2 = (acc["c"] == 1) & (et == F.lit("view")) & in_window
+        advance3 = (acc["c"] == 2) & (et == F.lit("purchase")) & in_window
+        start = (~started) & (et == F.lit("signup"))
+        interrupt = (
+            ~acc["d"] & started & ~complete & ~advance2 & ~advance3
+        )
+        frozen = acc["d"] | interrupt | complete
+        c = (
+            F.when(frozen, acc["c"])
+            .when(advance2, F.lit(2))
+            .when(advance3, F.lit(3))
+            .when(start, F.lit(1))
+            .otherwise(acc["c"])
+        )
+        s = F.when(start & ~acc["d"], e["tus"]).otherwise(acc["s"])
+        return F.struct(s.alias("s"), c.alias("c"), frozen.alias("d"))
+
+    depth = F.aggregate(F.col("seq"), init, step)["c"]
     return (
         seq.select("user_id", depth.alias("depth"))
         .filter(F.col("depth") >= 1)

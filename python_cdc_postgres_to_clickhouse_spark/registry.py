@@ -67,6 +67,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) NEW OR CHANGED in round 8 — grow this section as queries land;
     #     every addition must displace the LAST name of section (c)'s
     #     r4-fill into the round-9 queue below to keep the window at 50.
+    "sql_ch_avg_state",
+    "x_window_funnel_freeze",
     # (b) The full 47-member round-3-stale cohort (last driver row r3),
     #     committed to lead this window by the round-7 registry comment.
     "j_theta_band",
@@ -118,13 +120,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_stratified_sample",
     # (c) Round-4-stale fill: the first 3 of the 47-member r4 cohort.
     "a_approx_distinct",
-    "a_approx_quantiles",
-    "a_percentile_disc",
     # ------------------------------------------------------------------
-    # Positions 51+: the ROUND-9 QUEUE — the remaining 44 r4-stale
+    # Positions 51+: the ROUND-9 QUEUE — the remaining 46 r4-stale
     # queries (last driver row round 4). Everything else was last
     # checked in rounds 6-7 and refreshes in round 10.
     # ------------------------------------------------------------------
+    "a_approx_quantiles",
+    "a_percentile_disc",
     "c_datetime_funcs",
     "c_explode_outer",
     "c_struct_funcs",

@@ -283,7 +283,6 @@ def test_qualified_and_quoted_names_untouched():
         ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "x_window_funnel"),
         # no inequality conjunct: the interval-izing rewrite can't anchor
         ("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k", "inequality"),
-        ("SELECT avgState(x) FROM t", "components separately"),
         ("SELECT quantileMerge(s) FROM t", "components separately"),
         ("SELECT exponentialMovingAverage(1)(v, ts) FROM t", "x_ewma_trailing"),
     ],
@@ -1471,3 +1470,46 @@ def test_asof_on_capture_stops_at_prewhere():
     )
     assert "WHERE" in out and "a.v > 1" in out
     assert "__asof_end" in out
+
+
+# ---------------------------------------------------------------------------
+# Round-8: avgState/avgMerge via CH's own (sum, count) decomposition
+# ---------------------------------------------------------------------------
+
+def test_avg_state_merge_translates_to_struct_algebra():
+    out = translate("SELECT avgState(x) AS st FROM t GROUP BY k")
+    assert "named_struct('sum', sum(x), 'count', count(x))" in out
+    out = translate("SELECT avgMerge(st) FROM p")
+    assert "sum(st.sum) / sum(st.count)" in out
+    out = translate("SELECT avgMergeState(st) FROM p")
+    assert "named_struct('sum', sum(st.sum), 'count', sum(st.count))" in out
+    with pytest.raises(DialectError, match="avgState takes exactly one"):
+        translate("SELECT avgState(x, y) FROM t")
+    with pytest.raises(DialectError, match="state column"):
+        translate("SELECT avgMerge(a, b) FROM t")
+
+
+def test_avg_state_two_level_rollup_equals_one_level(spark):
+    """State->Merge over integer values must be EXACTLY the one-level avg
+    (the AggregatingMergeTree contract the translation claims)."""
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("a", 2, 40), ("b", 1, 7)],
+        "g string, sub int, v int",
+    ).createOrReplaceTempView("avg_probe")
+    two = spark.sql(translate(
+        "SELECT g, avgMerge(st) AS a FROM "
+        "(SELECT g, sub, avgState(v) AS st FROM avg_probe GROUP BY g, sub) "
+        "GROUP BY g"
+    )).collect()
+    one = spark.sql(
+        "SELECT g, avg(v) AS a FROM avg_probe GROUP BY g"
+    ).collect()
+    assert {r["g"]: r["a"] for r in two} == {r["g"]: r["a"] for r in one}
+    # three-level: MergeState in the middle re-merges losslessly
+    three = spark.sql(translate(
+        "SELECT avgMerge(st2) AS a FROM (SELECT g, avgMergeState(st) AS st2 "
+        "FROM (SELECT g, sub, avgState(v) AS st FROM avg_probe "
+        "GROUP BY g, sub) GROUP BY g)"
+    )).collect()
+    assert three[0]["a"] == sum([10, 20, 40, 7]) / 4
+    spark.catalog.dropTempView("avg_probe")

@@ -396,3 +396,77 @@ def test_dedup_mode_sits_between_default_and_strict_order(spark, tmp_path):
     assert as_map(x_window_funnel(spark, sf)) == {3: 2}
     assert as_map(x_window_funnel_dedup(spark, sf)) == {2: 1, 3: 1}
     assert as_map(x_window_funnel_strict(spark, sf)) == {2: 2}
+
+
+# ---------------------------------------------------------------------------
+# freeze-parity strict_order funnel (round 8)
+# ---------------------------------------------------------------------------
+
+def _brute_freeze_funnel(rows):
+    """CH strict_order with freeze-at-first-interruption, per user."""
+    by_user = {}
+    for eid, ts, uid, etype, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, eid, etype))
+    hist = {}
+    for evs in by_user.values():
+        evs.sort()
+        c, s, dead = 0, None, False
+        for ts, _eid, etype in evs:
+            if dead or c == 3:
+                break
+            if c == 1 and etype == "view" and ts <= s + WINDOW:
+                c = 2
+            elif c == 2 and etype == "purchase" and ts <= s + WINDOW:
+                c = 3
+            elif c == 0 and etype == "signup":
+                c, s = 1, ts
+            elif c >= 1:
+                dead = True
+        if c:
+            hist[c] = hist.get(c, 0) + 1
+    return hist
+
+
+def test_freeze_funnel_matches_brute_force(spark, tmp_path):
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_window_funnel_freeze,
+    )
+
+    for seed, spread in ((7, 60 * 24 * 10), (23, 60 * 12), (99, 60 * 48)):
+        rows = _random_events(seed, spread_min=spread)
+        sf = _write_and_point(spark, tmp_path, rows, f"wff{seed}")
+        got = {
+            r["depth"]: r["n_users"]
+            for r in x_window_funnel_freeze(spark, sf).collect()
+        }
+        assert got == _brute_freeze_funnel(rows), (seed, spread)
+
+
+def test_freeze_vs_strict_divergence_is_the_later_clean_run(spark, tmp_path):
+    """The exact case the two strict_order readings disagree on: a dirty
+    first chain followed by a clean full run. CH (freeze) stops at the
+    first interruption -> depth 1; the max-over-runs reading counts the
+    later run -> depth 3. Both must hold on the same frame."""
+    base = dt.datetime(2024, 3, 1)
+    mins = lambda m: base + dt.timedelta(minutes=m)
+    rows = [
+        (1, mins(0), 1, "signup", 1.0, "{}"),
+        (2, mins(2), 1, "click", 1.0, "{}"),     # interrupts at depth 1
+        (3, mins(20), 1, "signup", 1.0, "{}"),   # clean run: frozen scan
+        (4, mins(25), 1, "view", 1.0, "{}"),     #  never sees these
+        (5, mins(30), 1, "purchase", 1.0, "{}"),
+        # user 2: events BEFORE the first signup never interrupt
+        (6, mins(0), 2, "click", 1.0, "{}"),
+        (7, mins(5), 2, "signup", 1.0, "{}"),
+        (8, mins(10), 2, "view", 1.0, "{}"),
+        (9, mins(15), 2, "purchase", 1.0, "{}"),
+    ]
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_window_funnel_freeze,
+        x_window_funnel_strict,
+    )
+
+    sf = _write_and_point(spark, tmp_path, rows, "wff_doc")
+    as_map = lambda df: {r["depth"]: r["n_users"] for r in df.collect()}
+    assert as_map(x_window_funnel_freeze(spark, sf)) == {1: 1, 3: 1}
+    assert as_map(x_window_funnel_strict(spark, sf)) == {3: 2}
