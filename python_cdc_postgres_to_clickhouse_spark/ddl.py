@@ -329,6 +329,23 @@ class DdlPlan:
     bloom_index_cols: list[str] = field(default_factory=list)
     # ENGINE = Kafka: the parsed ingestion spec (None for storage engines).
     kafka: KafkaEngineSpec | None = None
+    # CH insert-block dedup: ON for Replicated* engines unless SETTINGS
+    # insert_deduplicate = 0; ON for plain engines only when SETTINGS
+    # non_replicated_deduplication_window > 0. The window maps straight to
+    # streaming/insert_dedup.InsertDedupSink(dedup_window=...).
+    insert_dedup: bool = False
+    dedup_window: int = 100  # CH *_deduplication_window default
+
+    def dedup_sink(self, spark, out_dir: str):
+        """The configured InsertDedupSink this table's settings imply."""
+        if not self.insert_dedup:
+            raise DialectError(
+                f"table {self.table} has insert dedup off "
+                "(no Replicated engine / deduplication-window setting)"
+            )
+        from .streaming.insert_dedup import InsertDedupSink
+
+        return InsertDedupSink(spark, out_dir, dedup_window=self.dedup_window)
 
     @property
     def spark_ddl(self) -> str:
@@ -490,6 +507,33 @@ def translate_ddl(sql: str) -> DdlPlan:
         translate(f"SELECT {sample_raw} FROM t")[7:-7] if sample_raw else None
     )
 
+    # SETTINGS → insert-block dedup contract. CH semantics: Replicated*
+    # engines deduplicate inserts by default (window =
+    # replicated_deduplication_window, default 100, 0 disables); plain
+    # engines only when non_replicated_deduplication_window > 0.
+    settings_raw = _extract_clause(tail, "SETTINGS") or ""
+    settings = {
+        m.group(1).lower(): m.group(2)
+        for m in re.finditer(r"(\w+)\s*=\s*'?([\w.]+)'?", settings_raw)
+    }
+    is_replicated = engine.startswith("Replicated")
+    window = int(
+        settings.get(
+            "replicated_deduplication_window"
+            if is_replicated
+            else "non_replicated_deduplication_window",
+            "100" if is_replicated else "0",
+        )
+    )
+    insert_dedup = (
+        settings.get("insert_deduplicate", "1") != "0" and window > 0
+    )
+    if insert_dedup:
+        strategy += (
+            f"; insert dedup window {window} -> "
+            "streaming/insert_dedup.py InsertDedupSink"
+        )
+
     return DdlPlan(
         table=table,
         columns=columns,
@@ -505,6 +549,8 @@ def translate_ddl(sql: str) -> DdlPlan:
         sample_by=sample_by,
         bloom_index_cols=bloom_index_cols,
         kafka=kafka_spec,
+        insert_dedup=insert_dedup,
+        dedup_window=window if insert_dedup else 100,
     )
 
 

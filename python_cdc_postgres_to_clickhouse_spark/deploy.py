@@ -227,7 +227,16 @@ def apply_batch(
     The SQL runs on the BATCH FRAME's own session, not the passed one —
     under foreachBatch Spark hands each batch a cloned micro-batch
     session, and temp views are session-scoped, so resolving through the
-    outer session would not see the just-registered view."""
+    outer session would not see the just-registered view.
+
+    Dictionary freshness: a ``dictGet`` inside the MV body expands to a
+    broadcast scalar-subquery over the dictionary's SOURCE TABLE, and the
+    plan is re-resolved and re-executed here on EVERY micro-batch — so
+    each trigger reads the source's CURRENT contents. That is strictly
+    fresher than ClickHouse, which serves a cached dictionary until its
+    ``LIFETIME`` expires (CH docs: dictionary updates); a CH user gets
+    at-most-LIFETIME-stale lookups, this trigger gets exactly-current
+    ones. Pinned by test_dictionary_updates_are_visible_next_batch."""
     sess = queue_df.sparkSession
     queue_df.createOrReplaceTempView(binding.source.table)
     return sess.sql(binding.mv.select_spark_sql)

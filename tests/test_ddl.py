@@ -386,3 +386,70 @@ def test_kafka_engine_settings_form_parses():
         "CREATE TABLE t (k String) ENGINE = MergeTree ORDER BY k"
     )
     assert mt.kafka is None
+
+
+# ---------------------------------------------------------------------------
+# round 8: SETTINGS insert_deduplicate -> InsertDedupSink contract
+# ---------------------------------------------------------------------------
+
+def test_replicated_engine_dedups_inserts_by_default():
+    plan = translate_ddl(
+        "CREATE TABLE t (k UInt64, v String) "
+        "ENGINE = ReplicatedMergeTree ORDER BY k"
+    )
+    assert plan.insert_dedup and plan.dedup_window == 100
+    assert "InsertDedupSink" in plan.strategy
+
+
+def test_replicated_window_setting_maps_to_sink_window():
+    plan = translate_ddl(
+        "CREATE TABLE t (k UInt64) ENGINE = ReplicatedMergeTree ORDER BY k "
+        "SETTINGS replicated_deduplication_window = 25"
+    )
+    assert plan.insert_dedup and plan.dedup_window == 25
+
+
+def test_insert_deduplicate_zero_disables():
+    plan = translate_ddl(
+        "CREATE TABLE t (k UInt64) ENGINE = ReplicatedMergeTree ORDER BY k "
+        "SETTINGS insert_deduplicate = 0"
+    )
+    assert not plan.insert_dedup
+    assert "InsertDedupSink" not in plan.strategy
+
+
+def test_plain_engine_needs_non_replicated_window():
+    off = translate_ddl(
+        "CREATE TABLE t (k UInt64) ENGINE = MergeTree ORDER BY k"
+    )
+    assert not off.insert_dedup
+    on = translate_ddl(
+        "CREATE TABLE t (k UInt64) ENGINE = MergeTree ORDER BY k "
+        "SETTINGS non_replicated_deduplication_window = 7"
+    )
+    assert on.insert_dedup and on.dedup_window == 7
+
+
+def test_dedup_sink_is_wired_with_the_ddl_window(spark, tmp_path):
+    """The full contract: DDL with the setting yields a working
+    InsertDedupSink carrying the mapped window."""
+    from python_cdc_postgres_to_clickhouse_spark.streaming.insert_dedup import (
+        InsertDedupSink,
+    )
+
+    plan = translate_ddl(
+        "CREATE TABLE t (k UInt64, v String) "
+        "ENGINE = ReplicatedMergeTree ORDER BY k "
+        "SETTINGS replicated_deduplication_window = 3"
+    )
+    sink = plan.dedup_sink(spark, str(tmp_path / "t"))
+    assert isinstance(sink, InsertDedupSink) and sink.dedup_window == 3
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    sink.process_batch(df, 0)
+    sink.process_batch(df, 1)  # producer resend under a new batch id
+    assert sink.current().count() == 1
+    plain = translate_ddl(
+        "CREATE TABLE p (k UInt64) ENGINE = MergeTree ORDER BY k"
+    )
+    with pytest.raises(DialectError, match="insert dedup off"):
+        plain.dedup_sink(spark, str(tmp_path / "p"))

@@ -208,3 +208,34 @@ CREATE TABLE b.q (k UInt64) ENGINE = MergeTree ORDER BY k;
 """
     with pytest.raises(DialectError, match="collide on bare name"):
         plan_deployment(script)
+
+
+def test_dictionary_updates_are_visible_next_batch(spark):
+    """Per-batch dictionary freshness (CH reloads on LIFETIME; the MV
+    trigger re-reads the source every micro-batch — strictly fresher):
+    a change to the dictionary's source table between triggers shows up
+    in the very next batch."""
+    script = SCRIPT + """
+;CREATE MATERIALIZED VIEW users_labeled2_mv TO users_current AS
+SELECT id, dictGetOrDefault('user_labels', 'label', id, 'none') AS label
+FROM users_queue
+"""
+    spark.createDataFrame(
+        [(1, "vip")], "id bigint, label string"
+    ).createOrReplaceTempView("dim_labels")
+    dep = plan_deployment(script)
+    try:
+        b = [x for x in dep.bindings if x.mv.view == "users_labeled2_mv"][0]
+        queue = spark.createDataFrame(
+            [(1, "ann", 1.0)], "id bigint, name string, balance double"
+        )
+        assert apply_batch(spark, b, queue).collect()[0]["label"] == "vip"
+        # the dimension changes between micro-batches
+        spark.createDataFrame(
+            [(1, "banned")], "id bigint, label string"
+        ).createOrReplaceTempView("dim_labels")
+        assert apply_batch(spark, b, queue).collect()[0]["label"] == "banned"
+    finally:
+        unregister_dictionary("user_labels")
+        spark.catalog.dropTempView("dim_labels")
+        spark.catalog.dropTempView("users_queue")
