@@ -131,6 +131,7 @@ HEADLINE = [
     # Added round 8 (earlier entries unchanged — like-for-like holds).
     "sql_ch_avg_state",        # avgState/avgMerge (sum,count) struct algebra
     "x_window_funnel_freeze",  # CH-parity freeze funnel, one user_id fold
+    "sql_ch_fill_interpolate", # DESC WITH FILL + INTERPOLATE LOCF via dialect
 ]
 
 

@@ -188,8 +188,10 @@ def _rewrite_any_join(toks: list[str]) -> list[str]:
     ORDER BY k…) AS __rn FROM ref) WHERE __rn = 1)``. Among duplicate-key
     rows the pick is arbitrary — exactly CH ANY's own contract; rows that
     are identical in the selected columns stay deterministic. The ON form
-    (keys implicit in an expression) and RIGHT/FULL variants (they dedup
-    the OTHER side) stay loud."""
+    (round 8) extracts the right side's key columns from its qualified
+    equality conjuncts, dedups on those, and keeps the condition verbatim;
+    non-equi conjuncts and RIGHT/FULL variants (they dedup the OTHER
+    side) stay loud."""
     out: list[str] = []
     i = 0
     while i < len(toks):
@@ -242,12 +244,83 @@ def _rewrite_any_join(toks: list[str]) -> list[str]:
                 ) not in ("USING", "ON"):
                     alias = toks[k]
                     k += 1
+                if k < len(toks) and _u(toks[k]) == "ON":
+                    # ON form (round 8): extract the right side's key
+                    # columns from the equality conjuncts, dedup the right
+                    # side on them, keep the condition verbatim. Every
+                    # conjunct must be a qualified equality with exactly
+                    # one side on the right alias — the same contract the
+                    # ASOF rewrite uses.
+                    m = k + 1
+                    depth_on = 0
+                    cond: list[str] = []
+                    while m < len(toks):
+                        t2 = toks[m]
+                        if t2 == "(":
+                            depth_on += 1
+                        elif t2 == ")":
+                            if depth_on == 0:
+                                break
+                            depth_on -= 1
+                        elif depth_on == 0 and _u(t2) in _ASOF_CLAUSE_END:
+                            break
+                        cond.append(t2)
+                        m += 1
+                    right_name = alias
+                    if right_name is None:
+                        if ref and ref[0] != "(":
+                            right_name = ref[-1].strip("`\"")
+                            alias = right_name
+                        else:
+                            raise DialectError(
+                                "ANY JOIN ON with a subquery right side "
+                                "needs an alias"
+                            )
+                    rn = right_name.strip("`\"")
+                    rkeys: list[str] = []
+                    for conj in _split_top_and(cond):
+                        ok = False
+                        if (
+                            len(conj) == 7 and conj[3] == "="
+                            and conj[1] == "." and conj[5] == "."
+                        ):
+                            sides = [
+                                (conj[0].strip("`\""), conj[2].strip("`\"")),
+                                (conj[4].strip("`\""), conj[6].strip("`\"")),
+                            ]
+                            hits = [c for q, c in sides if q == rn]
+                            if len(hits) == 1:
+                                rkeys.append(hits[0])
+                                ok = True
+                        if not ok:
+                            raise DialectError(
+                                "ANY JOIN ON: every conjunct must be an "
+                                f"equality between a {rn}.column and an "
+                                "outer column (qualify the columns); for "
+                                "other shapes deduplicate that side first "
+                                "(latest-by-key upsert / LIMIT 1 BY)"
+                            )
+                    keylist = ", ".join(dict.fromkeys(rkeys))
+                    if ref and ref[0] == "(" and ref[-1] == ")":
+                        ref_sql = "(" + translate(_render(ref[1:-1])) + ")"
+                    else:
+                        ref_sql = _render(_rewrite_calls(ref))
+                    dedup = (
+                        f"(SELECT * EXCEPT (__rn) FROM (SELECT *, "
+                        f"row_number() OVER (PARTITION BY {keylist} ORDER "
+                        f"BY {keylist}) AS __rn FROM {ref_sql}) "
+                        f"WHERE __rn = 1)"
+                    )
+                    out.extend(toks[i + 1:j + 1])  # join kind(s) + JOIN
+                    out.append(dedup)
+                    out.extend(["AS", alias, "ON", *cond])
+                    i = m
+                    continue
                 if not (k < len(toks) and _u(toks[k]) == "USING"):
                     raise DialectError(
-                        "ANY JOIN with ON: the one-row-per-key pick needs "
-                        "explicit key columns — use USING (…) or "
-                        "deduplicate that side first (latest-by-key upsert "
-                        "/ LIMIT 1 BY)"
+                        "ANY JOIN needs USING (…) or an equi ON condition "
+                        "— deduplicate that side first (latest-by-key "
+                        "upsert / LIMIT 1 BY) for other shapes"
                     )
                 if toks[k + 1] != "(":
                     raise DialectError("USING needs a parenthesized column list")
@@ -1000,9 +1073,17 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
     contract); with no FROM/TO the spine spans the data's own min..max;
     existing rows are always kept. Convention difference (same as WITH
     TOTALS): non-fill columns on inserted rows come back NULL rather than
-    CH's type-default zeros. Unsupported forms — DESC fill, INTERPOLATE,
-    multiple fill columns, expression fill keys, nested WITH FILL — fall
-    through to the loud error in _rewrite_with_totals."""
+    CH's type-default zeros. Round 8 adds the DESC fill (reversed spine,
+    ``WHERE x > TO`` exclusive bound, STEP defaults to -1) and the bare
+    ``INTERPOLATE (col, …)`` form — each listed column is carried forward
+    onto inserted rows from the last ORIGINAL row (LOCF over a struct so
+    genuinely-NULL originals carry as NULL; original rows are never
+    touched; listed columns move to the end of the output). The
+    INTERPOLATE window orders by the fill key globally — no worse than
+    the global sort the top-level ORDER BY already requests. Unsupported
+    forms — ``INTERPOLATE (c AS expr)`` (a per-gap recurrence), multiple
+    fill columns, expression fill keys, nested WITH FILL — fall through
+    to the loud error in _rewrite_with_totals."""
     # Locate a depth-0 ORDER BY ... WITH FILL.
     depth = 0
     order_at = None
@@ -1026,10 +1107,13 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
     if fill_at is None:
         return toks
     key = toks[order_at + 2:fill_at]
+    desc = False
     if len(key) == 2 and _u(key[1]) == "ASC":
         key = key[:1]
+    elif len(key) == 2 and _u(key[1]) == "DESC":
+        key, desc = key[:1], True
     if len(key) != 1 or not _is_ident(key[0]):
-        return toks  # expression/multi-column/DESC fill -> loud error later
+        return toks  # expression/multi-column fill -> loud error later
     x = key[0]
     # Parse FROM / TO / STEP expression token runs after FILL.
     i = fill_at + 2
@@ -1052,11 +1136,30 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
         if not run:
             raise DialectError(f"WITH FILL {kw} needs an expression")
         bounds[kw] = run
+    interp_cols: list[str] = []
     if i < len(toks) and _u(toks[i]) == "INTERPOLATE":
-        raise DialectError(
-            "WITH FILL … INTERPOLATE has no SQL-level mapping — use "
-            "x_interpolate_linear / x_gap_fill_locf"
-        )
+        if i + 1 >= len(toks) or toks[i + 1] != "(":
+            raise DialectError("INTERPOLATE needs a parenthesized column list")
+        m2 = i + 2
+        while m2 < len(toks) and toks[m2] != ")":
+            t2 = toks[m2]
+            if t2 == ",":
+                m2 += 1
+                continue
+            if _u(t2) == "AS" or not _is_ident(t2):
+                raise DialectError(
+                    "INTERPOLATE (col AS expr) is a per-gap recurrence "
+                    "with no SQL-level mapping — use x_interpolate_linear "
+                    "/ x_gap_fill_locf; the bare INTERPOLATE (col, …) "
+                    "carry-forward form translates"
+                )
+            interp_cols.append(t2)
+            m2 += 1
+        if m2 >= len(toks):
+            raise DialectError("INTERPOLATE list is not closed")
+        if not interp_cols:
+            raise DialectError("INTERPOLATE needs at least one column")
+        i = m2 + 1
     if ("FROM" in bounds) != ("TO" in bounds):
         raise DialectError(
             "WITH FILL needs both FROM and TO (or neither, to span the "
@@ -1064,24 +1167,60 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
         )
     tail = toks[i:]  # e.g. a trailing LIMIT
     body = toks[:order_at]
-    step = bounds.get("STEP", ["1"])
+    step = bounds.get("STEP", ["-1" if desc else "1"])
     if "FROM" in bounds:
+        bound_op = ">" if desc else "<"
         spine = [
             "SELECT", x, "FROM", "(", "SELECT", "explode", "(", "sequence",
             "(", *bounds["FROM"], ",", *bounds["TO"], ",", *step, ")", ")",
-            "AS", x, ")", "WHERE", x, "<", *bounds["TO"],
+            "AS", x, ")", "WHERE", x, bound_op, *bounds["TO"],
         ]
     else:
+        lo = ["min", "(", x, ")"]
+        hi = ["max", "(", x, ")"]
+        first, second = (hi, lo) if desc else (lo, hi)
         spine = [
-            "SELECT", "explode", "(", "sequence", "(", "min", "(", x, ")",
-            ",", "max", "(", x, ")", ",", *step, ")", ")", "AS", x,
+            "SELECT", "explode", "(", "sequence", "(", *first,
+            ",", *second, ",", *step, ")", ")", "AS", x,
             "FROM", "(", *body, ")",
         ]
-    return [
-        "SELECT", "*", "FROM", "(", *spine, ")", "AS", "__fill_spine",
-        "FULL", "OUTER", "JOIN", "(", *body, ")", "AS", "__q",
-        "USING", "(", x, ")", "ORDER", "BY", x, *tail,
+    order_tail = ["ORDER", "BY", x] + (["DESC"] if desc else [])
+    if not interp_cols:
+        return [
+            "SELECT", "*", "FROM", "(", *spine, ")", "AS", "__fill_spine",
+            "FULL", "OUTER", "JOIN", "(", *body, ")", "AS", "__q",
+            "USING", "(", x, ")", *order_tail, *tail,
+        ]
+    # INTERPOLATE: mark original rows, LOCF each listed column onto the
+    # inserted rows from the last original row (struct-carried so NULL
+    # originals carry as NULL); original rows pass through untouched.
+    marked_body = [
+        "(", "SELECT", "*", ",", "true", "AS", "__orig", "FROM",
+        "(", *body, ")", ")",
     ]
+    joined = [
+        "SELECT", "*", "FROM", "(", *spine, ")", "AS", "__fill_spine",
+        "FULL", "OUTER", "JOIN", *marked_body, "AS", "__q",
+        "USING", "(", x, ")",
+    ]
+    over = (
+        f"OVER (ORDER BY {x} {'DESC' if desc else 'ASC'} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    exprs: list[str] = []
+    for c in interp_cols:
+        exprs.append(
+            f"CASE WHEN __orig THEN {c} ELSE (last(CASE WHEN __orig THEN "
+            f"struct({c}) END, true) {over}).{c} END AS {c}"
+        )
+    except_list = ", ".join(["__orig", *interp_cols])
+    outer = (
+        f"SELECT * EXCEPT ({except_list}), " + ", ".join(exprs)
+    )
+    return (
+        _tokenize(outer)
+        + ["FROM", "(", *joined, ")", *order_tail, *tail]
+    )
 
 
 def _rewrite_with_totals(toks: list[str]) -> list[str]:

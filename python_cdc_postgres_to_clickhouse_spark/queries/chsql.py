@@ -555,3 +555,59 @@ def sql_ch_avg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges (fine key then coarse key) carrying 16-byte states — the
     exact plan an AggregatingMergeTree materialized view pipeline runs."""
     return clickhouse_sql(spark, CH_AVG_STATE, sf_dir)
+
+
+CH_FILL_INTERPOLATE = """
+SELECT toHour(ts) AS h, count() AS n,
+       max(toInt64(round(value * 100))) AS max_cents
+FROM events
+WHERE event_type = 'purchase' AND value > 250
+GROUP BY h
+ORDER BY h DESC WITH FILL FROM 23 TO -1 INTERPOLATE (max_cents)
+"""
+
+FILL_INTERPOLATE_ORACLE = """
+WITH q AS (
+  SELECT CAST(hour(ts) AS INT) AS h,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+  FROM events
+  WHERE event_type = 'purchase' AND value > 250
+  GROUP BY 1
+), spine AS (
+  SELECT CAST(unnest(generate_series(23, 0, -1)) AS INT) AS h
+), j AS (
+  SELECT COALESCE(spine.h, q.h) AS h, q.n, q.max_cents,
+         q.h IS NOT NULL AS orig
+  FROM spine FULL OUTER JOIN q ON spine.h = q.h
+)
+SELECT h, n,
+       CASE WHEN orig THEN max_cents
+            ELSE last_value(CASE WHEN orig THEN max_cents END IGNORE NULLS)
+                 OVER (ORDER BY h DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       END AS max_cents
+FROM j
+ORDER BY h DESC
+"""
+
+
+@query(
+    "sql_ch_fill_interpolate",
+    oracle=FILL_INTERPOLATE_ORACLE,
+    tags=("dialect", "timeseries"),
+)
+def sql_ch_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 WITH FILL extensions end to end: a DESC fill (reversed
+    spine, exclusive lower bound, STEP defaulting to -1) combined with the
+    bare ``INTERPOLATE (col)`` form — the listed measure carries forward
+    onto inserted rows from the last ORIGINAL row in output order, while
+    untouched measures stay NULL (the documented divergence from CH's
+    type-default zeros). The dialect marks original rows, LOCFs through a
+    struct (so genuinely-NULL originals carry as NULL), and leaves
+    original rows bit-untouched. Scale: the spine is a literal 24-row
+    relation; the LOCF window orders by the fill key globally — exactly
+    the global sort the top-level ORDER BY already demands, no extra
+    exchange (same shape as sql_ch_fill_hours plus one window over the
+    spine-sized frame)."""
+    return clickhouse_sql(spark, CH_FILL_INTERPOLATE, sf_dir)

@@ -69,6 +69,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #     r4-fill into the round-9 queue below to keep the window at 50.
     "sql_ch_avg_state",
     "x_window_funnel_freeze",
+    "sql_ch_fill_interpolate",
     # (b) The full 47-member round-3-stale cohort (last driver row r3),
     #     committed to lead this window by the round-7 registry comment.
     "j_theta_band",
@@ -118,13 +119,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_ngram_counts",
     "x_vocab_build",
     "x_stratified_sample",
-    # (c) Round-4-stale fill: the first 3 of the 47-member r4 cohort.
-    "a_approx_distinct",
+    # (c) Round-4-stale fill: consumed by round-8 additions above.
     # ------------------------------------------------------------------
-    # Positions 51+: the ROUND-9 QUEUE — the remaining 46 r4-stale
+    # Positions 51+: the ROUND-9 QUEUE — the full 47-member r4-stale cohort of
     # queries (last driver row round 4). Everything else was last
     # checked in rounds 6-7 and refreshes in round 10.
     # ------------------------------------------------------------------
+    "a_approx_distinct",
     "a_approx_quantiles",
     "a_percentile_disc",
     "c_datetime_funcs",

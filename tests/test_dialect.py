@@ -126,15 +126,15 @@ def test_format_and_settings_stripped():
 
 def test_join_modifiers_stripped_but_union_all_kept():
     # ANY JOIN is NOT a no-op modifier: CH picks one right row per key, so
-    # stripping it would fan out on duplicate keys. USING form rewrites to
-    # an explicit one-row-per-key pick; ON form stays loud.
+    # stripping it would fan out on duplicate keys. Both the USING form
+    # and (since round 8) the equi ON form rewrite to an explicit
+    # one-row-per-key pick.
     assert translate("SELECT * FROM a ANY LEFT JOIN b USING (k)") == (
         "SELECT * FROM a LEFT JOIN (SELECT * EXCEPT (__rn) FROM "
         "(SELECT *, row_number() OVER (PARTITION BY k ORDER BY k) AS __rn "
         "FROM b) WHERE __rn = 1) USING (k)"
     )
-    with pytest.raises(DialectError, match="one-row-per-key"):
-        translate("SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k")
+    assert "__rn = 1" in translate("SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k")
     with pytest.raises(DialectError, match="LEFT side"):
         translate("SELECT * FROM a ANY RIGHT JOIN b USING (k)")
     assert translate("SELECT * FROM a GLOBAL INNER JOIN b ON a.k = b.k") == (
@@ -202,13 +202,16 @@ def test_with_fill_rewrites_to_spine_join():
 
 
 def test_with_fill_unsupported_forms_raise():
+    # DESC and bare INTERPOLATE translate since round 8; the remaining
+    # loud forms are the AS-expr recurrence, expression fill keys, and
+    # half-specified bounds.
     with pytest.raises(DialectError, match="x_interpolate_linear"):
         translate(
             "SELECT d, v FROM t ORDER BY d WITH FILL FROM 0 TO 5 "
-            "INTERPOLATE (v)"
+            "INTERPOLATE (v AS v * 2)"
         )
     with pytest.raises(DialectError, match="x_gap_fill_locf"):
-        translate("SELECT d FROM t ORDER BY d DESC WITH FILL")
+        translate("SELECT d FROM t ORDER BY d + 1 WITH FILL")
     with pytest.raises(DialectError, match="FROM and TO"):
         translate("SELECT d FROM t ORDER BY d WITH FILL FROM 0")
 
@@ -1513,3 +1516,104 @@ def test_avg_state_two_level_rollup_equals_one_level(spark):
     )).collect()
     assert three[0]["a"] == sum([10, 20, 40, 7]) / 4
     spark.catalog.dropTempView("avg_probe")
+
+
+# ---------------------------------------------------------------------------
+# Round-8: ANY JOIN ON-form
+# ---------------------------------------------------------------------------
+
+def test_any_join_on_form_dedups_right_side_keys():
+    out = translate(
+        "SELECT o.id, d.name FROM orders o ANY LEFT JOIN dims d "
+        "ON o.k = d.k AND d.r = o.r WHERE o.id > 5"
+    )
+    assert "PARTITION BY k, r" in out and "__rn = 1" in out
+    assert "ON o.k = d.k AND d.r = o.r" in out
+    assert "ANY" not in out
+    # bare dotted table: the bare name becomes the alias the ON resolves
+    out = translate("SELECT o.id FROM orders o ANY INNER JOIN db.dims "
+                    "ON o.k = dims.k")
+    assert "AS dims ON o.k = dims.k" in out
+    # subquery right side goes through the full translate() pipeline
+    out = translate(
+        "SELECT o.id FROM orders o ANY LEFT JOIN "
+        "(SELECT k, name FROM dims PREWHERE k > 0) d ON o.k = d.k"
+    )
+    assert "WHERE (k > 0)" in out and "PARTITION BY k" in out
+
+
+def test_any_join_on_form_loud_cases():
+    with pytest.raises(DialectError, match="qualify the columns"):
+        translate("SELECT 1 FROM a ANY LEFT JOIN b ON a.k = b.k AND a.t > b.t")
+    with pytest.raises(DialectError, match="needs an alias"):
+        translate("SELECT 1 FROM a ANY LEFT JOIN (SELECT k FROM b) ON a.k = k")
+    with pytest.raises(DialectError, match="qualify the columns"):
+        translate("SELECT 1 FROM a ANY LEFT JOIN b ON k = j")
+
+
+def test_any_join_on_form_semantics(spark):
+    """One right row per key even with duplicate right keys; left rows
+    never fan out (CH ANY contract) — and the ON form agrees with the
+    USING form on the same frames."""
+    spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k bigint, lv string"
+    ).createOrReplaceTempView("any_l")
+    spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (2, "b")], "k bigint, rv string"
+    ).createOrReplaceTempView("any_r")
+    on = spark.sql(translate(
+        "SELECT l.k AS k, l.lv AS lv, r.rv AS rv FROM any_l l "
+        "ANY LEFT JOIN any_r r ON l.k = r.k ORDER BY l.k"
+    )).collect()
+    assert [r["k"] for r in on] == [1, 2, 3]  # no fan-out on k=1
+    assert on[0]["rv"] in ("a", "a2") and on[2]["rv"] is None
+    using = spark.sql(translate(
+        "SELECT k, lv, rv FROM any_l ANY LEFT JOIN any_r USING (k) "
+        "ORDER BY k"
+    )).collect()
+    assert [(r["k"], r["rv"]) for r in using] == [
+        (r["k"], r["rv"]) for r in on
+    ]
+    spark.catalog.dropTempView("any_l")
+    spark.catalog.dropTempView("any_r")
+
+
+# ---------------------------------------------------------------------------
+# Round-8: WITH FILL DESC + INTERPOLATE forms
+# ---------------------------------------------------------------------------
+
+def test_with_fill_desc_reverses_spine_and_bound():
+    out = translate("SELECT d, n FROM t ORDER BY d DESC WITH FILL "
+                    "FROM 10 TO 0 STEP -2")
+    assert "sequence(10, 0, - 2)" in out.replace("  ", " ")
+    assert "WHERE d > 0" in out
+    assert out.rstrip().endswith("ORDER BY d DESC")
+    # no bounds: spine spans max..min with default step -1
+    out = translate("SELECT d, n FROM t ORDER BY d DESC WITH FILL")
+    assert "sequence(max(d), min(d), -1" in out.replace("  ", " ")
+
+
+def test_with_fill_interpolate_carries_last_original(spark):
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (3, 30.0, "c"), (6, None, "f")],
+        "d int, v double, tag string",
+    ).createOrReplaceTempView("fill_t")
+    rows = spark.sql(translate(
+        "SELECT d, v, tag FROM fill_t ORDER BY d WITH FILL INTERPOLATE (v)"
+    )).collect()
+    got = {r["d"]: (r["v"], r["tag"]) for r in rows}
+    # inserted rows: v carried forward, non-listed tag stays NULL
+    assert got[2] == (10.0, None) and got[4] == (30.0, None)
+    assert got[5] == (30.0, None)
+    # original rows untouched — including the genuinely-NULL v at d=6
+    assert got[1] == (10.0, "a") and got[6] == (None, "f")
+    assert [r["d"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    spark.catalog.dropTempView("fill_t")
+
+
+def test_with_fill_interpolate_expr_form_is_loud():
+    with pytest.raises(DialectError, match="per-gap recurrence"):
+        translate("SELECT d, v FROM t ORDER BY d WITH FILL "
+                  "INTERPOLATE (v AS v + 1)")
+    with pytest.raises(DialectError, match="at least one column"):
+        translate("SELECT d, v FROM t ORDER BY d WITH FILL INTERPOLATE ()")
