@@ -296,7 +296,12 @@ class KafkaEngineSpec:
             return "confluent"
         if f == "avro":
             return "raw"
-        return None  # JSONEachRow etc. — not an Avro framing
+        if f == "jsoneachrow":
+            # newline-delimited JSON rows — decode via
+            # sources/jsonrows.decode_json_each_row against the queue
+            # table's own translated columns (DdlPlan.columns)
+            return "jsoneachrow"
+        return None  # other CH formats — caller supplies the decode
 
     def source_options(self) -> dict[str, str]:
         from .sources.kafka import stream_options

@@ -2380,6 +2380,22 @@ def _state_merge(name: str, args: list[str]) -> str | None:
         if len(args) != 1:
             raise DialectError(f"{name} takes exactly one state column")
         return f"{_VALUE_STATE_MERGE[base]}({args[0]})"
+    if base == "uniqExact":
+        # CH's uniqExact state is the exact value set; the Spark state is
+        # a collect_set array, re-merged by flatten + array_distinct —
+        # associative and idempotent like CH's hash-set union, so any
+        # rollup nesting equals counting once. State size is O(distinct),
+        # the same burden CH carries for uniqExact.
+        if len(args) != 1:
+            raise DialectError(f"{name} takes exactly one argument")
+        if suffix == "State":
+            return f"collect_set({args[0]})"
+        if suffix == "MergeState":
+            return f"array_distinct(flatten(collect_list({args[0]})))"
+        return (
+            f"cast(size(array_distinct(flatten(collect_list({args[0]})))) "
+            f"as bigint)"
+        )
     if base == "avg":
         # CH's avg state is the (sum, count) pair — representable as a
         # plain struct column, re-merged by summing each component. This

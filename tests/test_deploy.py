@@ -239,3 +239,44 @@ FROM users_queue
         unregister_dictionary("user_labels")
         spark.catalog.dropTempView("dim_labels")
         spark.catalog.dropTempView("users_queue")
+
+
+def test_json_each_row_queue_decodes_and_drains_through_mv(spark):
+    """ENGINE = Kafka(..., 'JSONEachRow') end to end: raw frames (several
+    newline-separated JSON rows per message, plus a malformed line) decode
+    against the queue table's OWN translated schema, dead letters split
+    off, and the MV body runs over the decoded batch."""
+    from python_cdc_postgres_to_clickhouse_spark.sources.jsonrows import (
+        decode_json_each_row,
+    )
+
+    script = """
+CREATE TABLE j_queue (
+    id UInt64,
+    name String,
+    balance Float64
+) ENGINE = Kafka('broker:9092', 'topic.j', 'g1', 'JSONEachRow');
+
+CREATE MATERIALIZED VIEW j_mv AS
+SELECT id, upper(name) AS name,
+       toInt64(round(balance * 100)) AS balance_cents
+FROM j_queue WHERE balance >= 0;
+"""
+    dep = plan_deployment(script)
+    b = dep.bindings[0]
+    assert b.framing == "jsoneachrow"
+    frames = spark.createDataFrame(
+        [
+            ('{"id": 1, "name": "ann", "balance": 1.25}\n'
+             '{"id": 2, "name": "bob", "balance": -5.0}',),
+            ('{"id": 3, "name": "cid", "balance": 2.0}',),
+            ("not json at all",),
+        ],
+        "value string",
+    )
+    rows, dead = decode_json_each_row(frames, b.source.columns)
+    assert dead.collect()[0]["raw_line"] == "not json at all"
+    out = {r["id"]: (r["name"], r["balance_cents"])
+           for r in apply_batch(spark, b, rows).collect()}
+    assert out == {1: ("ANN", 125), 3: ("CID", 200)}
+    spark.catalog.dropTempView("j_queue")

@@ -1617,3 +1617,26 @@ def test_with_fill_interpolate_expr_form_is_loud():
                   "INTERPOLATE (v AS v + 1)")
     with pytest.raises(DialectError, match="at least one column"):
         translate("SELECT d, v FROM t ORDER BY d WITH FILL INTERPOLATE ()")
+
+
+def test_uniq_exact_state_merge_equals_one_level(spark):
+    """uniqExactState -> collect_set; re-merge = flatten+distinct count —
+    any rollup nesting must equal the one-level exact distinct."""
+    out = translate("SELECT uniqExactState(x) FROM t GROUP BY k")
+    assert "collect_set(x)" in out
+    spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 10), ("a", 2, 10), ("a", 2, 20), ("b", 1, 7)],
+        "g string, sub int, v int",
+    ).createOrReplaceTempView("ue_probe")
+    two = spark.sql(translate(
+        "SELECT g, uniqExactMerge(st) AS u FROM (SELECT g, sub, "
+        "uniqExactState(v) AS st FROM ue_probe GROUP BY g, sub) GROUP BY g"
+    )).collect()
+    assert {r["g"]: r["u"] for r in two} == {"a": 2, "b": 1}
+    three = spark.sql(translate(
+        "SELECT uniqExactMerge(st2) AS u FROM (SELECT g, "
+        "uniqExactMergeState(st) AS st2 FROM (SELECT g, sub, "
+        "uniqExactState(v) AS st FROM ue_probe GROUP BY g, sub) GROUP BY g)"
+    )).collect()
+    assert three[0]["u"] == 3
+    spark.catalog.dropTempView("ue_probe")
