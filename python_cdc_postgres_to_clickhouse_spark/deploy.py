@@ -190,6 +190,11 @@ def plan_deployment(script: str, register_dicts: bool = True) -> Deployment:
                     "hold same-named tables from different databases"
                 )
             dep.tables[plan.table] = plan
+            if register_dicts and plan.sample_by:
+                # SAMPLE BY key → deterministic SAMPLE … OFFSET subranges
+                from .dialect import register_sample_key
+
+                register_sample_key(plan.table, plan.sample_by)
         else:
             raise DialectError(
                 f"unsupported statement in deployment script: {stmt[:60]!r}"

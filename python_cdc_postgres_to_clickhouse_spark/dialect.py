@@ -724,6 +724,22 @@ def _rewrite_brackets(toks: list[str]) -> list[str]:
     return out
 
 
+_SAMPLE_KEYS: dict[str, str] = {}
+_SAMPLE_L = 1_000_000  # hash-space granularity for OFFSET subranges
+
+
+def register_sample_key(table: str, key_expr: str) -> None:
+    """Declare a table's translated ``SAMPLE BY`` expression so
+    ``SAMPLE … OFFSET`` queries against it rewrite to deterministic
+    hash-subrange filters (plan_deployment does this for every CREATE
+    TABLE carrying a SAMPLE BY clause)."""
+    _SAMPLE_KEYS[table.split(".")[-1].strip("`\"")] = key_expr
+
+
+def unregister_sample_key(table: str) -> None:
+    _SAMPLE_KEYS.pop(table.split(".")[-1].strip("`\""), None)
+
+
 def _rewrite_sample(toks: list[str]) -> list[str]:
     """``FROM t SAMPLE k`` → ``FROM t TABLESAMPLE (…)``: fractional k
     (``0.1``, ``1/10``, and the whole-table/empty literals ``1``/``0`` —
@@ -731,8 +747,13 @@ def _rewrite_sample(toks: list[str]) -> list[str]:
     PERCENT sample; an integer k > 1 a ROWS sample. Role-equivalent, not
     row-identical — CH samples deterministically by the table's declared
     sample key, Spark TABLESAMPLE is seeded-random per scan (documented
-    divergence). ``SAMPLE … OFFSET`` (deterministic subrange handoff) has no
-    Spark counterpart and stays loud."""
+    divergence). ``SAMPLE a/b OFFSET c/d`` (round 8) IS deterministic —
+    like CH it needs the table's SAMPLE BY key, taken from the registry
+    ``register_sample_key`` fills (plan_deployment auto-registers): the
+    table rewrites to a subquery keeping rows whose key hash lands in
+    [c/d, c/d + a/b) of a 10^6-slot space, compared in exact integer
+    arithmetic — disjoint OFFSET ranges partition the table exactly as
+    CH's contract promises, and repeated queries see the same rows."""
     out: list[str] = []
     i = 0
     while i < len(toks):
@@ -761,11 +782,90 @@ def _rewrite_sample(toks: list[str]) -> list[str]:
             elif "." in k or k in ("0", "1"):
                 frac = float(k)
             if nxt < len(toks) and _u(toks[nxt]) == "OFFSET":
-                raise DialectError(
-                    "SAMPLE … OFFSET has no Spark TABLESAMPLE equivalent — "
-                    "use x_hash_split / x_det_sample for deterministic "
-                    "disjoint subsets"
+                from fractions import Fraction
+
+                if frac is None:
+                    raise DialectError(
+                        "SAMPLE n OFFSET: the offset form needs a "
+                        "FRACTIONAL sample (a/b or decimal), not a row "
+                        "count"
+                    )
+                # re-derive the sample fraction exactly (float frac is
+                # for the TABLESAMPLE path only)
+                if toks[i + 2] == "/":
+                    samp = Fraction(int(k), int(toks[i + 3]))
+                else:
+                    samp = Fraction(k)
+                onxt = nxt + 1
+                if onxt >= len(toks) or not _NUM_RE.match(toks[onxt]):
+                    raise DialectError("SAMPLE … OFFSET needs a fraction")
+                if (
+                    onxt + 2 < len(toks) and toks[onxt + 1] == "/"
+                    and _NUM_RE.match(toks[onxt + 2])
+                ):
+                    if int(toks[onxt + 2]) == 0:
+                        raise DialectError("OFFSET fraction: zero denominator")
+                    off = Fraction(int(toks[onxt]), int(toks[onxt + 2]))
+                    onxt += 3
+                else:
+                    off = Fraction(toks[onxt])
+                    onxt += 1
+                if not (0 <= off <= 1 and 0 <= off + samp <= 1):
+                    raise DialectError(
+                        "SAMPLE … OFFSET: the [offset, offset + fraction) "
+                        "range must stay inside [0, 1]"
+                    )
+                # locate the sampled table ref (walk back over the alias,
+                # then the dotted name)
+                at = len(out)
+                if at >= 2 and _u(out[-2]) == "AS" and _is_ident(out[-1]):
+                    at -= 2
+                elif (
+                    at >= 3
+                    and _is_ident(out[-1]) and _is_ident(out[-2])
+                    and out[-3] != "."
+                    and _u(out[-1]) not in _KEYWORDS_NOT_CALLS
+                    and _u(out[-2]) not in _KEYWORDS_NOT_CALLS
+                ):
+                    at -= 1
+                if at == 0 or not _is_ident(out[at - 1]):
+                    raise DialectError(
+                        "SAMPLE … OFFSET applies to a named table (its "
+                        "SAMPLE BY key must be registered)"
+                    )
+                tstart = at - 1
+                while (
+                    tstart >= 2 and out[tstart - 1] == "."
+                    and _is_ident(out[tstart - 2])
+                ):
+                    tstart -= 2
+                bare = out[at - 1].strip("`\"")
+                key_expr = _SAMPLE_KEYS.get(bare)
+                if key_expr is None:
+                    raise DialectError(
+                        f"SAMPLE … OFFSET on {bare!r}: no SAMPLE BY key "
+                        "registered — run the table's CREATE TABLE through "
+                        "plan_deployment / register_sample_key first "
+                        "(x_hash_split / x_det_sample are the query-level "
+                        "alternatives)"
+                    )
+                table_sql = _render(out[tstart:at])
+                h = f"pmod(cast({key_expr} as bigint), {_SAMPLE_L})"
+                hi = off + samp
+                cond = (
+                    f"{h} * {off.denominator} >= {off.numerator * _SAMPLE_L}"
+                    f" AND {h} * {hi.denominator} < "
+                    f"{hi.numerator * _SAMPLE_L}"
                 )
+                sub = _tokenize(
+                    f"(SELECT * FROM {table_sql} WHERE {cond})"
+                )
+                had_alias = at < len(out)
+                out[tstart:at] = sub
+                if not had_alias:
+                    out.extend(["AS", bare])
+                i = onxt
+                continue
             if frac is not None:
                 pct = frac * 100
                 if not 0 <= pct <= 100:

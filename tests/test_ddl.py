@@ -378,7 +378,7 @@ def test_kafka_engine_settings_form_parses():
     )
     assert plan.kafka.brokers == "b:9092"
     assert plan.kafka.topics == ["topic1"]
-    assert plan.kafka.framing is None  # JSON, not an Avro framing
+    assert plan.kafka.framing == "jsoneachrow"  # sources/jsonrows decode
     with pytest.raises(DialectError, match="broker and topic"):
         translate_ddl("CREATE TABLE q (k String) ENGINE = Kafka")
     # storage engines carry no kafka spec

@@ -280,3 +280,22 @@ FROM j_queue WHERE balance >= 0;
            for r in apply_batch(spark, b, rows).collect()}
     assert out == {1: ("ANN", 125), 3: ("CID", 200)}
     spark.catalog.dropTempView("j_queue")
+
+
+def test_deployment_registers_sample_by_key(spark):
+    from python_cdc_postgres_to_clickhouse_spark.dialect import (
+        translate,
+        unregister_sample_key,
+    )
+
+    script = """
+CREATE TABLE hits2 (
+    user_id UInt64, v Float64
+) ENGINE = MergeTree ORDER BY user_id SAMPLE BY cityHash64(user_id);
+"""
+    plan_deployment(script)
+    try:
+        out = translate("SELECT count() FROM hits2 SAMPLE 1/10 OFFSET 5/10")
+        assert "pmod" in out and "xxhash64(user_id)" in out
+    finally:
+        unregister_sample_key("hits2")

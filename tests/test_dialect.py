@@ -1640,3 +1640,59 @@ def test_uniq_exact_state_merge_equals_one_level(spark):
     )).collect()
     assert three[0]["u"] == 3
     spark.catalog.dropTempView("ue_probe")
+
+
+# ---------------------------------------------------------------------------
+# Round-8: SAMPLE ... OFFSET deterministic subranges
+# ---------------------------------------------------------------------------
+
+def test_sample_offset_partitions_the_table_exactly(spark):
+    from python_cdc_postgres_to_clickhouse_spark.dialect import (
+        register_sample_key,
+        unregister_sample_key,
+    )
+
+    spark.range(0, 400).selectExpr("id AS user_id", "id % 7 AS v") \
+        .createOrReplaceTempView("samp_t")
+    register_sample_key("samp_t", "xxhash64(user_id)")
+    try:
+        parts = [
+            {r["user_id"] for r in spark.sql(translate(
+                f"SELECT user_id FROM samp_t SAMPLE 1/4 OFFSET {k}/4"
+            )).collect()}
+            for k in range(4)
+        ]
+        allids = set().union(*parts)
+        assert allids == set(range(400))                    # cover
+        assert sum(len(p) for p in parts) == 400            # disjoint
+        # deterministic: the same query returns the same rows
+        again = {r["user_id"] for r in spark.sql(translate(
+            "SELECT user_id FROM samp_t SAMPLE 1/4 OFFSET 0/4"
+        )).collect()}
+        assert again == parts[0]
+        # decimal spelling agrees with the fraction spelling
+        dec = {r["user_id"] for r in spark.sql(translate(
+            "SELECT user_id FROM samp_t SAMPLE 0.25 OFFSET 0.25"
+        )).collect()}
+        assert dec == parts[1]
+    finally:
+        unregister_sample_key("samp_t")
+        spark.catalog.dropTempView("samp_t")
+
+
+def test_sample_offset_loud_cases():
+    from python_cdc_postgres_to_clickhouse_spark.dialect import (
+        register_sample_key,
+        unregister_sample_key,
+    )
+
+    with pytest.raises(DialectError, match="no SAMPLE BY key registered"):
+        translate("SELECT 1 FROM unk SAMPLE 1/10 OFFSET 5/10")
+    register_sample_key("st", "user_id")
+    try:
+        with pytest.raises(DialectError, match="row\\s?count|FRACTIONAL"):
+            translate("SELECT 1 FROM st SAMPLE 1000 OFFSET 1/2")
+        with pytest.raises(DialectError, match="inside \\[0, 1\\]"):
+            translate("SELECT 1 FROM st SAMPLE 3/4 OFFSET 1/2")
+    finally:
+        unregister_sample_key("st")

@@ -772,7 +772,8 @@ def test_strict_funnel_and_timed_seq_match_are_join_free(spark):
     """The round-7 sequence modes keep the same plan contract as the
     default funnel: one user_id fold exchange, no self-joins (the
     EXISTS/NOT-EXISTS chains stay oracle-only), no Python."""
-    for name in ("x_window_funnel_strict", "x_sequence_match_timed"):
+    for name in ("x_window_funnel_strict", "x_sequence_match_timed",
+                 "x_window_funnel_freeze"):
         df = _q(spark, name)
         plan = P.physical_plan(df)
         for join in ("SortMergeJoin", "ShuffledHashJoin",
