@@ -2372,6 +2372,29 @@ def _top_k(params: Sequence[str] | None, args: list[str]) -> str:
     return f"transform(approx_top_k({args[0]}, {k}), s -> s.item)"
 
 
+def _quantile_exact_merge(params: Sequence[str] | None, args: list[str]) -> str:
+    """quantileExactMerge(p)(st): sort the union of the exact value-array
+    states and interpolate at p with percentile's own formula
+    (lo + frac·(hi − lo)) — the State→Merge rollup then matches the
+    one-level quantileExact→percentile translation. The array binds once
+    as a lambda variable; empty merged states return NULL."""
+    # cast the level to double up front: a bare 0.9 literal is DECIMAL in
+    # Spark SQL and would propagate decimal arithmetic into the result,
+    # where percentile (the one-level convention) returns DOUBLE.
+    p = f"cast({params[0] if params else '0.5'} as double)"
+    arr = f"array_sort(flatten(collect_list({args[0]})))"
+    lo = f"cast(floor(({p}) * (size(a) - 1)) as int)"
+    frac = f"(({p}) * (size(a) - 1) - floor(({p}) * (size(a) - 1)))"
+    pick = (
+        f"element_at(a, {lo} + 1) + {frac} * "
+        f"(element_at(a, least({lo} + 2, size(a))) - element_at(a, {lo} + 1))"
+    )
+    return (
+        f"element_at(transform(array({arr}), a -> "
+        f"CASE WHEN size(a) = 0 THEN NULL ELSE {pick} END), 1)"
+    )
+
+
 def _quantile_disc_low(params: Sequence[str] | None, args: list[str]) -> str:
     """CH quantileExactLow picks the order statistic at ceil(p·n) (python
     median_low) — exactly Spark's percentile_disc contract."""
@@ -2396,6 +2419,11 @@ PARAM_RULES: dict[str, ParamRule] = {
     "quantileExact": _quantile_exact,
     "quantileExactLow": _quantile_disc_low,
     "quantileExactHigh": _quantile_disc_high,
+    # Parametric State/Merge spellings: the level rides the type on the
+    # State side (`quantileExactState(0.5)(x)`) and drives the pick on
+    # the Merge side (`quantileExactMerge(0.9)(st)`).
+    "quantileExactState": lambda params, args: f"collect_list({args[0]})",
+    "quantileExactMerge": _quantile_exact_merge,
     "quantiles": _quantiles(exact=False),
     "quantilesExact": _quantiles(exact=True),
     "groupArray": _group_array,
@@ -2480,6 +2508,27 @@ def _state_merge(name: str, args: list[str]) -> str | None:
         if len(args) != 1:
             raise DialectError(f"{name} takes exactly one state column")
         return f"{_VALUE_STATE_MERGE[base]}({args[0]})"
+    if base == "groupArray":
+        # The groupArray state IS the array; re-merge by concatenation.
+        # Element order across merged states is arbitrary — exactly CH's
+        # own groupArray contract under distributed aggregation.
+        if len(args) != 1:
+            raise DialectError(f"{name} takes exactly one argument")
+        if suffix == "State":
+            return f"collect_list({args[0]})"
+        return f"flatten(collect_list({args[0]}))"
+    if base == "quantileExact":
+        # State = the exact value array; Merge re-sorts the union and
+        # interpolates with Spark percentile's own formula (the same
+        # documented quantileExact→percentile convention the one-level
+        # translation uses). Default level 0.5 like CH.
+        if len(args) != 1:
+            raise DialectError(f"{name} takes exactly one argument")
+        if suffix == "State":
+            return f"collect_list({args[0]})"
+        if suffix == "MergeState":
+            return f"flatten(collect_list({args[0]}))"
+        return _quantile_exact_merge(None, args)
     if base == "uniqExact":
         # CH's uniqExact state is the exact value set; the Spark state is
         # a collect_set array, re-merged by flatten + array_distinct —
@@ -2569,16 +2618,21 @@ def _apply_function(name: str, rendered_args: list[str],
     if name in _UNSUPPORTED:
         raise DialectError(f"{name}: {_UNSUPPORTED[name]}")
     if name.endswith("State") or name.endswith("Merge"):
+        # Parametric spellings (quantileExactMerge(0.9)(st)) resolve
+        # through PARAM_RULES; plain spellings through _state_merge.
+        if params is not None and name in PARAM_RULES:
+            return PARAM_RULES[name](params, rendered_args)
         rewritten = _state_merge(name, rendered_args)
         if rewritten is not None:
             return rewritten
         raise DialectError(
-            f"{name}: only the uniq family (HLL), value-state aggregates "
-            "(sum/count/min/max) and avg (a (sum,count) struct) translate "
-            "as -State/-Merge — other composite states (quantile, …) have "
-            "no SQL-level Spark representation; store their components "
-            "separately or use queries/sketches.py / "
-            "streaming/sketch_sink.py"
+            f"{name}: only the uniq/uniqExact families, value-state "
+            "aggregates (sum/count/min/max), avg (a (sum,count) struct), "
+            "groupArray, and quantileExact (exact value arrays) translate "
+            "as -State/-Merge — other composite states (t-digest "
+            "quantile, topK, …) have no SQL-level Spark representation; "
+            "store their components separately or use queries/sketches.py "
+            "/ streaming/sketch_sink.py"
         )
     if name in PARAM_RULES:
         return PARAM_RULES[name](params, rendered_args)

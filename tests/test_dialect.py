@@ -1696,3 +1696,37 @@ def test_sample_offset_loud_cases():
             translate("SELECT 1 FROM st SAMPLE 3/4 OFFSET 1/2")
     finally:
         unregister_sample_key("st")
+
+
+def test_quantile_exact_and_group_array_states(spark):
+    """Round-8 composite states: quantileExactState (exact value arrays,
+    merge = sorted-union percentile with the one-level interpolation
+    convention) and groupArrayState (concatenation merge)."""
+    spark.createDataFrame(
+        [("a", 1, i) for i in range(1, 11)]
+        + [("a", 2, i) for i in range(11, 21)],
+        "g string, sub int, v int",
+    ).createOrReplaceTempView("qst_probe")
+    two = spark.sql(translate(
+        "SELECT g, quantileExactMerge(0.5)(st) AS q, "
+        "quantileExactMerge(0.9)(st) AS q9 FROM (SELECT g, sub, "
+        "quantileExactState(v) AS st FROM qst_probe GROUP BY g, sub) "
+        "GROUP BY g"
+    )).collect()
+    one = spark.sql(
+        "SELECT g, percentile(v, 0.5) AS q, percentile(v, 0.9) AS q9 "
+        "FROM qst_probe GROUP BY g"
+    ).collect()
+    assert (two[0]["q"], two[0]["q9"]) == (one[0]["q"], one[0]["q9"])
+    # non-parametric merge defaults to the median like CH
+    med = spark.sql(translate(
+        "SELECT quantileExactMerge(st) AS m FROM (SELECT sub, "
+        "quantileExactState(v) AS st FROM qst_probe GROUP BY sub)"
+    )).collect()
+    assert med[0]["m"] == 10.5
+    ga = spark.sql(translate(
+        "SELECT sort_array(groupArrayMerge(st)) AS a FROM (SELECT sub, "
+        "groupArrayState(v) AS st FROM qst_probe GROUP BY sub)"
+    )).collect()
+    assert ga[0]["a"] == list(range(1, 21))
+    spark.catalog.dropTempView("qst_probe")
