@@ -247,6 +247,25 @@ def apply_batch(
     return sess.sql(binding.mv.select_spark_sql)
 
 
+def decode_frames(binding: StreamBinding, frames: DataFrame):
+    """Decode raw Kafka frames (a ``value`` column) per the binding's
+    declared queue format. JSONEachRow decodes self-contained against the
+    queue table's own translated columns and returns ``(rows, dead)``;
+    the Avro framings need the (env-bound) schema/registry and stay with
+    sources/avro.py. Works identically on batch and streaming frames —
+    the decode is pure narrow column expressions."""
+    if binding.framing == "jsoneachrow":
+        from .sources.jsonrows import decode_json_each_row
+
+        return decode_json_each_row(frames, binding.source.columns)
+    raise DialectError(
+        f"format {binding.source.kafka.format!r} needs an external schema "
+        "— decode with sources/avro.py (framing="
+        f"{binding.framing!r}) and pass the decoded stream to "
+        "start_binding directly"
+    )
+
+
 def start_binding(
     spark: SparkSession,
     binding: StreamBinding,

@@ -299,3 +299,65 @@ CREATE TABLE hits2 (
         assert "pmod" in out and "xxhash64(user_id)" in out
     finally:
         unregister_sample_key("hits2")
+
+
+def test_json_each_row_streaming_leg(spark, tmp_path):
+    """The full JSONEachRow path under Structured Streaming: raw frames
+    arrive as a stream, decode_frames splits rows from dead letters with
+    pure column expressions, and the MV trigger drains into the target —
+    the broker is the only stand-in."""
+    from python_cdc_postgres_to_clickhouse_spark.deploy import (
+        decode_frames,
+        start_binding,
+    )
+
+    script = """
+CREATE TABLE js_queue (
+    id UInt64, name String, balance Float64
+) ENGINE = Kafka('b:9092', 't.js', 'g', 'JSONEachRow');
+
+CREATE MATERIALIZED VIEW js_mv AS
+SELECT id, upper(name) AS name,
+       toInt64(round(balance * 100)) AS balance_cents
+FROM js_queue WHERE balance >= 0;
+"""
+    dep = plan_deployment(script)
+    b = dep.bindings[0]
+    src = tmp_path / "frames"
+    src.mkdir()
+    spark.createDataFrame(
+        [('{"id": 1, "name": "ann", "balance": 1.25}\n'
+          '{"id": 2, "name": "bob", "balance": -5.0}',),
+         ("garbage line",)],
+        "value string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b0.parquet"))
+    spark.createDataFrame(
+        [('{"id": 3, "name": "cid", "balance": 2.0}',)], "value string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1.parquet"))
+
+    frames = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    rows, _dead = decode_frames(b, frames)
+    q = start_binding(
+        spark, b, rows, str(tmp_path / "js_dest"), str(tmp_path / "js_ckpt")
+    )
+    assert q.awaitTermination(120)
+    out = {
+        r["id"]: (r["name"], r["balance_cents"])
+        for r in spark.read.parquet(str(tmp_path / "js_dest")).collect()
+    }
+    assert out == {1: ("ANN", 125), 3: ("CID", 200)}
+    spark.catalog.dropTempView("js_queue")
+
+
+def test_decode_frames_avro_is_loud():
+    dep = plan_deployment(SCRIPT, register_dicts=False)
+    with pytest.raises(DialectError, match="sources/avro"):
+        from python_cdc_postgres_to_clickhouse_spark.deploy import (
+            decode_frames,
+        )
+
+        decode_frames(dep.bindings[0], None)
