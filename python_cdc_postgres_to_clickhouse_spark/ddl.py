@@ -286,6 +286,13 @@ class KafkaEngineSpec:
     topics: list[str]
     group: str | None = None
     format: str | None = None
+    # kafka_num_consumers → minPartitions (CH scales decode threads; Spark
+    # scales decode TASKS past the topic's partition count — same lever).
+    num_consumers: int | None = None
+    # kafka_max_block_size → maxOffsetsPerTrigger (CH bounds rows per
+    # poll block; Spark bounds offsets per micro-batch — same backpressure
+    # role, per-trigger instead of per-poll).
+    max_block_size: int | None = None
 
     @property
     def framing(self) -> str | None:
@@ -306,9 +313,14 @@ class KafkaEngineSpec:
     def source_options(self) -> dict[str, str]:
         from .sources.kafka import stream_options
 
-        opts = stream_options(self.brokers, topics=self.topics)
+        opts = stream_options(
+            self.brokers, topics=self.topics,
+            min_partitions=self.num_consumers,
+        )
         if self.group:
             opts["kafka.group.id"] = self.group
+        if self.max_block_size is not None:
+            opts["maxOffsetsPerTrigger"] = str(self.max_block_size)
         return opts
 
 
@@ -571,6 +583,10 @@ def _parse_kafka_engine(tail: str) -> KafkaEngineSpec:
         sm = re.search(rf"\b{name}\s*=\s*'([^']*)'", tail, re.I)
         return sm.group(1) if sm else None
 
+    def num_setting(name: str) -> int | None:
+        sm = re.search(rf"\b{name}\s*=\s*'?(\d+)'?", tail, re.I)
+        return int(sm.group(1)) if sm else None
+
     brokers = (args[0] if len(args) > 0 else None) or setting("kafka_broker_list")
     topics = (args[1] if len(args) > 1 else None) or setting("kafka_topic_list")
     group = (args[2] if len(args) > 2 else None) or setting("kafka_group_name")
@@ -585,6 +601,8 @@ def _parse_kafka_engine(tail: str) -> KafkaEngineSpec:
         topics=[t.strip() for t in topics.split(",") if t.strip()],
         group=group,
         format=fmt,
+        num_consumers=num_setting("kafka_num_consumers"),
+        max_block_size=num_setting("kafka_max_block_size"),
     )
 
 

@@ -453,3 +453,24 @@ def test_dedup_sink_is_wired_with_the_ddl_window(spark, tmp_path):
     )
     with pytest.raises(DialectError, match="insert dedup off"):
         plain.dedup_sink(spark, str(tmp_path / "p"))
+
+
+def test_kafka_tuning_settings_map_to_reader_options():
+    """kafka_num_consumers -> minPartitions (decode parallelism),
+    kafka_max_block_size -> maxOffsetsPerTrigger (per-trigger bound)."""
+    plan = translate_ddl(
+        "CREATE TABLE q (k String) ENGINE = Kafka "
+        "SETTINGS kafka_broker_list = 'b:9092', kafka_topic_list = 't1', "
+        "kafka_format = 'JSONEachRow', kafka_num_consumers = 4, "
+        "kafka_max_block_size = 65536"
+    )
+    opts = plan.kafka.source_options()
+    assert opts["minPartitions"] == "4"
+    assert opts["maxOffsetsPerTrigger"] == "65536"
+    # absent settings stay absent
+    plain = translate_ddl(
+        "CREATE TABLE q2 (k String) ENGINE = "
+        "Kafka('b:9092', 't1', 'g', 'Avro')"
+    )
+    o2 = plain.kafka.source_options()
+    assert "minPartitions" not in o2 and "maxOffsetsPerTrigger" not in o2
