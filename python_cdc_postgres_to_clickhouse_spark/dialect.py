@@ -2395,6 +2395,60 @@ def _quantile_exact_merge(params: Sequence[str] | None, args: list[str]) -> str:
     )
 
 
+def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
+    """``windowFunnel(W)(ts, c1, …, cN)`` (default mode, round 8): CH's own
+    sorted-scan algorithm generated as a SQL fold — collect the per-group
+    events as (t, c1…cN) structs, array_sort, then ``aggregate`` with the
+    latest-chain-start-per-depth state (later starts extend strictly more
+    easily, so max is lossless; the same fold x_window_funnel runs via the
+    DataFrame API). One ordinary partial-aggregated collect per group, no
+    join, no UDF. Mode arguments ('strict_order' …) change the fold and
+    stay loud → x_window_funnel_strict / _freeze / _dedup. Equal-timestamp
+    events order by their condition flags (false < true) — CH's own
+    equal-timestamp behavior is likewise unspecified."""
+    if not params or not re.fullmatch(r"\d+", params[0]):
+        raise DialectError(
+            "windowFunnel needs a literal window (seconds) parameter"
+        )
+    if len(params) > 1:
+        raise DialectError(
+            "windowFunnel modes: use x_window_funnel_strict (strict_order, "
+            "max-over-runs), x_window_funnel_freeze (CH freeze parity), "
+            "x_window_funnel_dedup (strict_deduplication)"
+        )
+    if len(args) < 2:
+        raise DialectError("windowFunnel takes (timestamp, cond1, …)")
+    w, ts, conds = params[0], args[0], args[1:]
+    n = len(conds)
+    fields = ", ".join(
+        [f"'t', cast({ts} as timestamp)"]
+        + [f"'c{i + 1}', ({c})" for i, c in enumerate(conds)]
+    )
+    arr = f"array_sort(collect_list(named_struct({fields})))"
+    init = ", ".join(
+        [f"'s{k}', cast(null as timestamp)" for k in range(1, n)]
+        + ["'d', 0"]
+    )
+    ok = {
+        k: (f"(e.c{k} AND a.s{k - 1} IS NOT NULL AND "
+            f"e.t <= a.s{k - 1} + INTERVAL '{w}' SECOND)")
+        for k in range(2, n + 1)
+    }
+    sets: list[str] = []
+    if n > 1:
+        sets.append("'s1', CASE WHEN e.c1 THEN greatest(a.s1, e.t) "
+                    "ELSE a.s1 END")
+    for k in range(2, n):
+        sets.append(f"'s{k}', CASE WHEN {ok[k]} THEN "
+                    f"greatest(a.s{k}, a.s{k - 1}) ELSE a.s{k} END")
+    whens = "".join(
+        f" WHEN {ok[k]} THEN {k}" for k in range(n, 1, -1)
+    ) + " WHEN e.c1 THEN 1"
+    sets.append(f"'d', greatest(a.d, CASE{whens} ELSE 0 END)")
+    lam = f"(a, e) -> named_struct({', '.join(sets)})"
+    return f"aggregate({arr}, named_struct({init}), {lam}).d"
+
+
 def _quantile_disc_low(params: Sequence[str] | None, args: list[str]) -> str:
     """CH quantileExactLow picks the order statistic at ceil(p·n) (python
     median_low) — exactly Spark's percentile_disc contract."""
@@ -2429,6 +2483,7 @@ PARAM_RULES: dict[str, ParamRule] = {
     "groupArray": _group_array,
     "uniqUpTo": _uniq_up_to,
     "topK": _top_k,
+    "windowFunnel": _window_funnel,
     # Weighted exact quantile: Spark's percentile takes a frequency third
     # argument (weight-repeated rows). Same documented divergence as
     # quantileExact → percentile: Spark interpolates between order
@@ -2578,10 +2633,6 @@ _UNSUPPORTED: dict[str, str] = {
     "sumMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "minMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "maxMap": "use operators/mapagg.py map_agg / a_map_combinators",
-    "windowFunnel": "use x_window_funnel (sorted-step linear fold; "
-                    "x_window_funnel_strict for the max-over-runs "
-                    "strict_order reading, x_window_funnel_freeze for "
-                    "CH's freeze-at-first-interruption parity)",
     "sequenceMatch": "use x_sequence_match (greedy subsequence fold; "
                      "x_sequence_match_timed for (?t<=n) gap bounds)",
     "sequenceCount": "use x_sequence_count (closed-form greedy pairing)",

@@ -611,3 +611,37 @@ def sql_ch_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange (same shape as sql_ch_fill_hours plus one window over the
     spine-sized frame)."""
     return clickhouse_sql(spark, CH_FILL_INTERPOLATE, sf_dir)
+
+
+CH_WINDOW_FUNNEL = """
+SELECT depth, count() AS n_users FROM (
+    SELECT user_id,
+           windowFunnel(3600)(ts, event_type = 'signup',
+                              event_type = 'view',
+                              event_type = 'purchase') AS depth
+    FROM events
+    GROUP BY user_id
+) AS per_user
+WHERE depth >= 1
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+# Share the independent EXISTS-chain oracle with x_window_funnel — the
+# dialect query must reproduce the same histogram.
+from .mergetree import WINDOW_FUNNEL_SQL as _WF_ORACLE  # noqa: E402
+
+
+@query("sql_ch_window_funnel", oracle=_WF_ORACLE, tags=("dialect", "behavior"))
+def sql_ch_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``windowFunnel(3600)(ts, cond…)`` written in ClickHouse SQL and
+    TRANSLATED (round 8): the dialect generates CH's own sorted-scan fold
+    as a SQL ``aggregate`` over collected (t, cond…) structs — the exact
+    algorithm x_window_funnel runs via the DataFrame API, so the two are
+    asserted equal in tests/test_dialect.py and this query shares
+    x_window_funnel's independent EXISTS-chain oracle below. One user_id
+    collect + fold, no join, no UDF; mode arguments stay loud with the
+    x_window_funnel_* pointers."""
+    return clickhouse_sql(spark, CH_WINDOW_FUNNEL, sf_dir)
+

@@ -125,6 +125,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # queries (last driver row round 4). Everything else was last
     # checked in rounds 6-7 and refreshes in round 10.
     # ------------------------------------------------------------------
+    # Round-8 additions past the 50-slot window (locally oracle-checked;
+    # driver rows land in round 9):
+    "sql_ch_window_funnel",
     "a_approx_distinct",
     "a_approx_quantiles",
     "a_percentile_disc",

@@ -283,7 +283,8 @@ def test_qualified_and_quoted_names_untouched():
         ("SELECT x FROM t LIMIT 3, 5 BY k", "offset form"),
         ("SELECT topKWeighted(5)(x, w) FROM t", "x_heavy_hitters"),
         ("SELECT sumMap(m) FROM t", "mapagg"),
-        ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "x_window_funnel"),
+        ("SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t",
+         "x_window_funnel_strict"),
         # no inequality conjunct: the interval-izing rewrite can't anchor
         ("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k", "inequality"),
         ("SELECT quantileMerge(s) FROM t", "components separately"),
@@ -1730,3 +1731,33 @@ def test_quantile_exact_and_group_array_states(spark):
     )).collect()
     assert ga[0]["a"] == list(range(1, 21))
     spark.catalog.dropTempView("qst_probe")
+
+
+def test_window_funnel_translates_and_matches_dataframe_fold(spark):
+    """The generated windowFunnel fold must equal x_window_funnel's
+    DataFrame fold (same algorithm) on the fixture."""
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_window_funnel,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+    from tests.conftest import SF_ORACLE as sf_dir
+
+    load_tables(spark, sf_dir)
+    got = {r["depth"]: r["n_users"] for r in spark.sql(translate(
+        "SELECT depth, count() AS n_users FROM (SELECT user_id, "
+        "windowFunnel(3600)(ts, event_type = 'signup', "
+        "event_type = 'view', event_type = 'purchase') AS depth "
+        "FROM events GROUP BY user_id) WHERE depth >= 1 GROUP BY depth"
+    )).collect()}
+    want = {r["depth"]: r["n_users"]
+            for r in x_window_funnel(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_window_funnel_bad_forms_are_loud():
+    with pytest.raises(DialectError, match="literal window"):
+        translate("SELECT windowFunnel(w)(ts, a) FROM t")
+    with pytest.raises(DialectError, match="x_window_funnel_strict"):
+        translate("SELECT windowFunnel(60, 'strict_order')(ts, a) FROM t")
+    with pytest.raises(DialectError, match="timestamp, cond1"):
+        translate("SELECT windowFunnel(60)(ts) FROM t")
