@@ -2449,6 +2449,110 @@ def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
     return f"aggregate({arr}, named_struct({init}), {lam}).d"
 
 
+_SEQ_PATTERN_RE = re.compile(r"\(\?(\d+)\)|\.\*|\(\?t[^)]*\)")
+
+
+def _parse_seq_pattern(params: Sequence[str] | None, fn: str) -> int:
+    """Validate an untimed ordered-subsequence pattern ('(?1)(?2)…', with
+    optional '.*' separators) and return the number of steps. Time-bound
+    operators stay loud → x_sequence_match_timed."""
+    if not params or not (params[0].startswith("'") and params[0].endswith("'")):
+        raise DialectError(f"{fn} needs a pattern string parameter")
+    pat = params[0][1:-1]
+    steps = 0
+    pos = 0
+    saw_gap = True  # start-of-pattern needs no separator
+    for m in _SEQ_PATTERN_RE.finditer(pat):
+        if m.start() != pos:
+            raise DialectError(f"{fn}: unsupported pattern {pat!r}")
+        pos = m.end()
+        tok = m.group(0)
+        if tok == ".*":
+            saw_gap = True
+            continue
+        if tok.startswith("(?t"):
+            raise DialectError(
+                f"{fn}: time-bound patterns — use x_sequence_match_timed "
+                "(latest-valid-anchor fold; greedy matching is wrong "
+                "under gap bounds)"
+            )
+        if not saw_gap:
+            # CH's bare (?1)(?2) adjacency constrains the NEXT raw event,
+            # a different (stricter) contract than the subsequence fold.
+            raise DialectError(
+                f"{fn}: adjacent refs without '.*' impose CH's "
+                "next-raw-event adjacency — write '(?1).*(?2)' for the "
+                "subsequence reading, or use the x_window_funnel_strict "
+                "shape for interleaving-sensitive chains"
+            )
+        saw_gap = False
+        steps += 1
+        if int(m.group(1)) != steps:
+            raise DialectError(
+                f"{fn}: pattern refs must be (?1)…(?N) in order"
+            )
+    if pos != len(pat) or steps == 0:
+        raise DialectError(f"{fn}: unsupported pattern {pat!r}")
+    return steps
+
+
+def _seq_sorted_structs(ts: str, conds: list[str]) -> str:
+    fields = ", ".join(
+        [f"'t', cast({ts} as timestamp)"]
+        + [f"'c{i + 1}', ({c})" for i, c in enumerate(conds)]
+    )
+    return f"array_sort(collect_list(named_struct({fields})))"
+
+
+def _sequence_match(params: Sequence[str] | None, args: list[str]) -> str:
+    """``sequenceMatch('(?1).*(?2)')(ts, c1, c2)`` (untimed, round 8):
+    ordered-subsequence existence per group. Greedy earliest-first is
+    EXACT for existence (x_sequence_match's argument), so the fold is a
+    single level counter over the sorted events — one collect per group,
+    no join, no UDF."""
+    n = _parse_seq_pattern(params, "sequenceMatch")
+    if len(args) != n + 1:
+        raise DialectError(
+            f"sequenceMatch: pattern has {n} steps, needs (timestamp, "
+            f"{n} conditions)"
+        )
+    arr = _seq_sorted_structs(args[0], args[1:])
+    case = "CASE a" + "".join(
+        f" WHEN {k - 1} THEN e.c{k}" for k in range(1, n + 1)
+    ) + " ELSE false END"
+    return (
+        f"(aggregate({arr}, 0, (a, e) -> CASE WHEN a < {n} AND ({case}) "
+        f"THEN a + 1 ELSE a END) = {n})"
+    )
+
+
+def _sequence_count(params: Sequence[str] | None, args: list[str]) -> str:
+    """``sequenceCount('(?1).*(?2)')(ts, c1, c2)`` (round 8): greedy
+    non-overlapping pair counting — each step-2 event redeems the oldest
+    open step-1 (parenthesis matching; the fold equals x_sequence_count's
+    closed form). Two-step patterns only; deeper patterns stay loud."""
+    n = _parse_seq_pattern(params, "sequenceCount")
+    if n != 2:
+        raise DialectError(
+            "sequenceCount: only the two-step '(?1).*(?2)' form has the "
+            "greedy-pairing fold; see x_sequence_count"
+        )
+    if len(args) != 3:
+        raise DialectError("sequenceCount takes (timestamp, cond1, cond2)")
+    arr = _seq_sorted_structs(args[0], args[1:])
+    step = (
+        "(a, e) -> named_struct("
+        "'o', CASE WHEN e.c1 THEN a.o + 1 "
+        "WHEN e.c2 AND a.o > 0 THEN a.o - 1 ELSE a.o END, "
+        "'m', CASE WHEN NOT coalesce(e.c1, false) AND e.c2 AND a.o > 0 "
+        "THEN a.m + 1 ELSE a.m END)"
+    )
+    return (
+        f"aggregate({arr}, named_struct('o', 0, 'm', cast(0 as bigint)), "
+        f"{step}).m"
+    )
+
+
 def _quantile_disc_low(params: Sequence[str] | None, args: list[str]) -> str:
     """CH quantileExactLow picks the order statistic at ceil(p·n) (python
     median_low) — exactly Spark's percentile_disc contract."""
@@ -2484,6 +2588,8 @@ PARAM_RULES: dict[str, ParamRule] = {
     "uniqUpTo": _uniq_up_to,
     "topK": _top_k,
     "windowFunnel": _window_funnel,
+    "sequenceMatch": _sequence_match,
+    "sequenceCount": _sequence_count,
     # Weighted exact quantile: Spark's percentile takes a frequency third
     # argument (weight-repeated rows). Same documented divergence as
     # quantileExact → percentile: Spark interpolates between order
@@ -2633,9 +2739,6 @@ _UNSUPPORTED: dict[str, str] = {
     "sumMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "minMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "maxMap": "use operators/mapagg.py map_agg / a_map_combinators",
-    "sequenceMatch": "use x_sequence_match (greedy subsequence fold; "
-                     "x_sequence_match_timed for (?t<=n) gap bounds)",
-    "sequenceCount": "use x_sequence_count (closed-form greedy pairing)",
     "histogram": "use m_histogram (width_bucket-style exact binning)",
     "neighbor": "use lag()/lead() window functions over an explicit ordering",
     "runningAccumulate": "use a running-sum window (w_running_sum)",

@@ -1761,3 +1761,50 @@ def test_window_funnel_bad_forms_are_loud():
         translate("SELECT windowFunnel(60, 'strict_order')(ts, a) FROM t")
     with pytest.raises(DialectError, match="timestamp, cond1"):
         translate("SELECT windowFunnel(60)(ts) FROM t")
+
+
+def test_sequence_match_and_count_translate(spark):
+    """Round-8 sequence folds: untimed sequenceMatch (subsequence
+    existence, greedy-exact) and two-step sequenceCount (greedy
+    non-overlapping pairing) — asserted against the engine's own
+    x_sequence_match / x_sequence_count on the oracle fixture."""
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_sequence_count,
+        x_sequence_match,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+    from tests.conftest import SF_ORACLE
+
+    load_tables(spark, SF_ORACLE)
+    got = spark.sql(translate(
+        "SELECT count() AS n FROM (SELECT user_id, "
+        "sequenceMatch('(?1).*(?2)')(ts, event_type = 'signup', "
+        "event_type = 'purchase') AS ok FROM events GROUP BY user_id) "
+        "WHERE ok"
+    )).collect()[0]["n"]
+    want = {r["pattern"]: r["n_matched"]
+            for r in x_sequence_match(spark, SF_ORACLE).collect()}
+    assert got == want["signup.*purchase"]
+    gotc = spark.sql(translate(
+        "SELECT sum(m) AS total FROM (SELECT user_id, "
+        "sequenceCount('(?1).*(?2)')(ts, event_type = 'signup', "
+        "event_type = 'purchase') AS m FROM events GROUP BY user_id)"
+    )).collect()[0]["total"]
+    wantc = x_sequence_count(spark, SF_ORACLE) \
+        .agg({"n_matched": "sum"}).collect()[0][0]
+    assert gotc == wantc
+
+
+def test_sequence_pattern_loud_cases():
+    with pytest.raises(DialectError, match="x_sequence_match_timed"):
+        translate("SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(ts, a, b) "
+                  "FROM t")
+    with pytest.raises(DialectError, match="next-raw-event adjacency"):
+        translate("SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t")
+    with pytest.raises(DialectError, match="refs must be"):
+        translate("SELECT sequenceMatch('(?2).*(?1)')(ts, a, b) FROM t")
+    with pytest.raises(DialectError, match="two-step"):
+        translate("SELECT sequenceCount('(?1).*(?2).*(?3)')(ts, a, b, c) "
+                  "FROM t")
+    with pytest.raises(DialectError, match="pattern has 2 steps"):
+        translate("SELECT sequenceMatch('(?1).*(?2)')(ts, a) FROM t")
