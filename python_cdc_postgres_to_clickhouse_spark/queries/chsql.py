@@ -645,3 +645,46 @@ def sql_ch_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_window_funnel_* pointers."""
     return clickhouse_sql(spark, CH_WINDOW_FUNNEL, sf_dir)
 
+
+
+CH_UNIQ_EXACT_ROLLUP = """
+SELECT event_type,
+       uniqExactMerge(u_st) AS uniq_users,
+       countMerge(n_st) AS n_events
+FROM (
+    SELECT event_type, toStartOfDay(ts) AS day,
+           uniqExactState(user_id) AS u_st,
+           countState() AS n_st
+    FROM events
+    GROUP BY event_type, day
+) AS daily
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+UNIQ_EXACT_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "sql_ch_uniq_exact_rollup",
+    oracle=UNIQ_EXACT_ROLLUP_ORACLE,
+    tags=("dialect", "agg"),
+)
+def sql_ch_uniq_exact_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT companion to sql_ch_state_merge_rollup: daily
+    ``uniqExactState`` partials re-merged per event type. The state is the
+    exact value set (collect_set), merged by flatten + distinct — the
+    same associative, idempotent hash-set union CH's uniqExact carries, so
+    the two-level rollup is provably EQUAL to counting once and the
+    driver row is a full oracle (unlike the HLL-estimate rollup, which is
+    rows-only by nature). Scale: state size is O(distinct users per
+    (type, day)) — the same burden CH's uniqExact pays; the bounded
+    alternative stays uniqState→HLL. Two partial-aggregated exchanges."""
+    return clickhouse_sql(spark, CH_UNIQ_EXACT_ROLLUP, sf_dir)

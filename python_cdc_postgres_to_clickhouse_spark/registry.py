@@ -128,6 +128,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-8 additions past the 50-slot window (locally oracle-checked;
     # driver rows land in round 9):
     "sql_ch_window_funnel",
+    "sql_ch_uniq_exact_rollup",
     "a_approx_distinct",
     "a_approx_quantiles",
     "a_percentile_disc",
