@@ -470,3 +470,30 @@ def test_freeze_vs_strict_divergence_is_the_later_clean_run(spark, tmp_path):
     as_map = lambda df: {r["depth"]: r["n_users"] for r in df.collect()}
     assert as_map(x_window_funnel_freeze(spark, sf)) == {1: 1, 3: 1}
     assert as_map(x_window_funnel_strict(spark, sf)) == {3: 2}
+
+
+def test_dialect_window_funnel_equals_dataframe_fold_on_random_frames(
+    spark, tmp_path
+):
+    """The round-8 dialect-generated windowFunnel fold and the DataFrame
+    fold are the same algorithm — random frames must agree exactly."""
+    from python_cdc_postgres_to_clickhouse_spark.dialect import translate
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_window_funnel,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+    sql = translate(
+        "SELECT depth, count() AS n_users FROM (SELECT user_id, "
+        "windowFunnel(3600)(ts, event_type = 'signup', "
+        "event_type = 'view', event_type = 'purchase') AS depth "
+        "FROM events GROUP BY user_id) WHERE depth >= 1 GROUP BY depth"
+    )
+    for seed, spread in ((5, 60 * 24), (31, 60 * 6), (77, 60 * 72)):
+        rows = _random_events(seed, spread_min=spread)
+        sf = _write_and_point(spark, tmp_path, rows, f"dwf{seed}")
+        load_tables(spark, sf)
+        got = {r["depth"]: r["n_users"] for r in spark.sql(sql).collect()}
+        want = {r["depth"]: r["n_users"]
+                for r in x_window_funnel(spark, sf).collect()}
+        assert got == want, (seed, spread)
