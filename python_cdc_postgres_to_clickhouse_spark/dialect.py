@@ -2449,34 +2449,43 @@ def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
     return f"aggregate({arr}, named_struct({init}), {lam}).d"
 
 
-_SEQ_PATTERN_RE = re.compile(r"\(\?(\d+)\)|\.\*|\(\?t[^)]*\)")
+_SEQ_PATTERN_RE = re.compile(r"\(\?(\d+)\)|\.\*|\(\?t\s*([<>]=?|==?)\s*(\d+)\)")
 
 
-def _parse_seq_pattern(params: Sequence[str] | None, fn: str) -> int:
-    """Validate an untimed ordered-subsequence pattern ('(?1)(?2)…', with
-    optional '.*' separators) and return the number of steps. Time-bound
-    operators stay loud → x_sequence_match_timed."""
+def _parse_seq_pattern(
+    params: Sequence[str] | None, fn: str
+) -> tuple[int, list[str | None]]:
+    """Validate a pattern of (?k) refs separated by '.*' or a single
+    '(?t<=n)' gap bound; return (steps, gaps) where gaps[k] is the
+    seconds bound between ref k+1 and ref k+2 (None = unbounded)."""
     if not params or not (params[0].startswith("'") and params[0].endswith("'")):
         raise DialectError(f"{fn} needs a pattern string parameter")
     pat = params[0][1:-1]
     steps = 0
     pos = 0
-    saw_gap = True  # start-of-pattern needs no separator
+    sep: str | None = "start"  # separator seen since the last ref
+    gaps: list[str | None] = []
     for m in _SEQ_PATTERN_RE.finditer(pat):
         if m.start() != pos:
             raise DialectError(f"{fn}: unsupported pattern {pat!r}")
         pos = m.end()
         tok = m.group(0)
         if tok == ".*":
-            saw_gap = True
+            sep = ".*" if sep is None else sep
             continue
         if tok.startswith("(?t"):
-            raise DialectError(
-                f"{fn}: time-bound patterns — use x_sequence_match_timed "
-                "(latest-valid-anchor fold; greedy matching is wrong "
-                "under gap bounds)"
-            )
-        if not saw_gap:
+            if m.group(2) != "<=":
+                raise DialectError(
+                    f"{fn}: only (?t<=n) upper gap bounds translate — "
+                    "strict/lower bounds have no latest-anchor fold"
+                )
+            if sep is not None and sep != "start":
+                raise DialectError(
+                    f"{fn}: one gap bound per step pair in {pat!r}"
+                )
+            sep = m.group(3)
+            continue
+        if sep is None:
             # CH's bare (?1)(?2) adjacency constrains the NEXT raw event,
             # a different (stricter) contract than the subsequence fold.
             raise DialectError(
@@ -2485,7 +2494,9 @@ def _parse_seq_pattern(params: Sequence[str] | None, fn: str) -> int:
                 "subsequence reading, or use the x_window_funnel_strict "
                 "shape for interleaving-sensitive chains"
             )
-        saw_gap = False
+        if steps > 0:
+            gaps.append(None if sep in (".*",) else sep)
+        sep = None
         steps += 1
         if int(m.group(1)) != steps:
             raise DialectError(
@@ -2493,7 +2504,7 @@ def _parse_seq_pattern(params: Sequence[str] | None, fn: str) -> int:
             )
     if pos != len(pat) or steps == 0:
         raise DialectError(f"{fn}: unsupported pattern {pat!r}")
-    return steps
+    return steps, gaps
 
 
 def _seq_sorted_structs(ts: str, conds: list[str]) -> str:
@@ -2505,24 +2516,50 @@ def _seq_sorted_structs(ts: str, conds: list[str]) -> str:
 
 
 def _sequence_match(params: Sequence[str] | None, args: list[str]) -> str:
-    """``sequenceMatch('(?1).*(?2)')(ts, c1, c2)`` (untimed, round 8):
-    ordered-subsequence existence per group. Greedy earliest-first is
-    EXACT for existence (x_sequence_match's argument), so the fold is a
-    single level counter over the sorted events — one collect per group,
-    no join, no UDF."""
-    n = _parse_seq_pattern(params, "sequenceMatch")
+    """``sequenceMatch('(?1).*(?2)')(ts, c1, c2)`` (round 8): ordered-
+    subsequence existence per group. Untimed patterns fold as a greedy
+    level counter (earliest-first is EXACT for existence —
+    x_sequence_match's argument). ``(?t<=n)`` gap bounds switch to the
+    latest-valid-anchor fold (x_sequence_match_timed's rule): state keeps
+    the LATEST timestamp reaching each level — all anchors precede the
+    probe event, so the latest one simultaneously maximizes the gap
+    budget, making the single-anchor state exact; greedy is provably
+    wrong there. One collect per group, no join, no UDF. Equal-timestamp
+    steps break ties by condition flags (timed chains require strictly
+    increasing timestamps, as CH does)."""
+    n, gaps = _parse_seq_pattern(params, "sequenceMatch")
     if len(args) != n + 1:
         raise DialectError(
             f"sequenceMatch: pattern has {n} steps, needs (timestamp, "
             f"{n} conditions)"
         )
     arr = _seq_sorted_structs(args[0], args[1:])
-    case = "CASE a" + "".join(
-        f" WHEN {k - 1} THEN e.c{k}" for k in range(1, n + 1)
-    ) + " ELSE false END"
+    if not any(g is not None for g in gaps):
+        case = "CASE a" + "".join(
+            f" WHEN {k - 1} THEN e.c{k}" for k in range(1, n + 1)
+        ) + " ELSE false END"
+        return (
+            f"(aggregate({arr}, 0, (a, e) -> CASE WHEN a < {n} AND ({case}) "
+            f"THEN a + 1 ELSE a END) = {n})"
+        )
+    init = ", ".join(
+        f"'t{k}', cast(null as timestamp)" for k in range(1, n + 1)
+    )
+    sets = ["'t1', CASE WHEN e.c1 THEN greatest(a.t1, e.t) ELSE a.t1 END"]
+    for k in range(2, n + 1):
+        g = gaps[k - 2]
+        bound = (
+            f" AND e.t <= a.t{k - 1} + INTERVAL '{g}' SECOND"
+            if g is not None else ""
+        )
+        sets.append(
+            f"'t{k}', CASE WHEN e.c{k} AND a.t{k - 1} IS NOT NULL AND "
+            f"e.t > a.t{k - 1}{bound} THEN greatest(a.t{k}, e.t) "
+            f"ELSE a.t{k} END"
+        )
+    lam = f"(a, e) -> named_struct({', '.join(sets)})"
     return (
-        f"(aggregate({arr}, 0, (a, e) -> CASE WHEN a < {n} AND ({case}) "
-        f"THEN a + 1 ELSE a END) = {n})"
+        f"(aggregate({arr}, named_struct({init}), {lam}).t{n} IS NOT NULL)"
     )
 
 
@@ -2531,8 +2568,8 @@ def _sequence_count(params: Sequence[str] | None, args: list[str]) -> str:
     non-overlapping pair counting — each step-2 event redeems the oldest
     open step-1 (parenthesis matching; the fold equals x_sequence_count's
     closed form). Two-step patterns only; deeper patterns stay loud."""
-    n = _parse_seq_pattern(params, "sequenceCount")
-    if n != 2:
+    n, gaps = _parse_seq_pattern(params, "sequenceCount")
+    if n != 2 or any(g is not None for g in gaps):
         raise DialectError(
             "sequenceCount: only the two-step '(?1).*(?2)' form has the "
             "greedy-pairing fold; see x_sequence_count"

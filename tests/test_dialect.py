@@ -1796,9 +1796,6 @@ def test_sequence_match_and_count_translate(spark):
 
 
 def test_sequence_pattern_loud_cases():
-    with pytest.raises(DialectError, match="x_sequence_match_timed"):
-        translate("SELECT sequenceMatch('(?1)(?t<=3600)(?2)')(ts, a, b) "
-                  "FROM t")
     with pytest.raises(DialectError, match="next-raw-event adjacency"):
         translate("SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t")
     with pytest.raises(DialectError, match="refs must be"):
@@ -1808,3 +1805,45 @@ def test_sequence_pattern_loud_cases():
                   "FROM t")
     with pytest.raises(DialectError, match="pattern has 2 steps"):
         translate("SELECT sequenceMatch('(?1).*(?2)')(ts, a) FROM t")
+
+
+def test_timed_sequence_match_translates_with_latest_anchor_fold(spark):
+    """(?t<=n) gap bounds: the dialect generates the latest-valid-anchor
+    fold — asserted equal to x_sequence_match_timed on the fixture for
+    both the 2-step and 3-step patterns."""
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_sequence_match_timed,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+    from tests.conftest import SF_ORACLE
+
+    load_tables(spark, SF_ORACLE)
+    want = {r["pattern"]: r["n_matched"]
+            for r in x_sequence_match_timed(spark, SF_ORACLE).collect()}
+    got2 = spark.sql(translate(
+        "SELECT count() AS n FROM (SELECT user_id, "
+        "sequenceMatch('(?1)(?t<=14400)(?2)')(ts, event_type = 'signup', "
+        "event_type = 'purchase') AS ok FROM events GROUP BY user_id) "
+        "WHERE ok"
+    )).collect()[0]["n"]
+    assert got2 == want["signup(?t<=14400)purchase"]
+    got3 = spark.sql(translate(
+        "SELECT count() AS n FROM (SELECT user_id, "
+        "sequenceMatch('(?1)(?t<=14400)(?2)(?t<=14400)(?3)')(ts, "
+        "event_type = 'signup', event_type = 'click', "
+        "event_type = 'purchase') AS ok FROM events GROUP BY user_id) "
+        "WHERE ok"
+    )).collect()[0]["n"]
+    assert got3 == want["signup(?t<=14400)click(?t<=14400)purchase"]
+    # a mixed pattern: bounded first hop, unbounded second
+    mixed = spark.sql(translate(
+        "SELECT count() AS n FROM (SELECT user_id, "
+        "sequenceMatch('(?1)(?t<=14400)(?2).*(?3)')(ts, "
+        "event_type = 'signup', event_type = 'click', "
+        "event_type = 'purchase') AS ok FROM events GROUP BY user_id) "
+        "WHERE ok"
+    )).collect()[0]["n"]
+    assert got3 <= mixed  # relaxing the second bound can only add users
+    with pytest.raises(DialectError, match="upper gap bounds"):
+        translate("SELECT sequenceMatch('(?1)(?t>600)(?2)')(ts, a, b) "
+                  "FROM t")
