@@ -1924,6 +1924,42 @@ def _haversine(a: list[str]) -> str:
     )
 
 
+def _map_combinator(op: str):
+    """``sumMap/minMap/maxMap`` (round 8): key-wise aggregation of map
+    columns per group, as a ``map_zip_with`` fold over the collected maps
+    (least/greatest skip NULLs; sums coalesce missing keys to 0). Both CH
+    spellings translate: ``sumMap(m)`` on a Map column and the classic
+    two-array ``sumMap(keys, values)`` form. The fold state is the
+    collected map list — fine at per-group map counts; the
+    partial-aggregation-friendly scale path stays operators/mapagg.py
+    (a_map_combinators), which shuffles one partial per (group, key)."""
+    merge = (
+        "coalesce(v1, 0) + coalesce(v2, 0)" if op == "+"
+        else f"{op}(v1, v2)"
+    )
+
+    def rule(args: list[str]) -> str:
+        if len(args) == 1:
+            coll = f"collect_list({args[0]})"
+        elif len(args) == 2:
+            coll = f"collect_list(map_from_arrays({args[0]}, {args[1]}))"
+        else:
+            raise DialectError(
+                "map combinators take a map column or (keys, values) arrays"
+            )
+        fold = (
+            "aggregate(slice(ms, 2, size(ms) - 1), element_at(ms, 1), "
+            f"(a, e) -> map_zip_with(a, e, (k, v1, v2) -> {merge}))"
+        )
+        return (
+            f"element_at(transform(array({coll}), ms -> "
+            f"CASE WHEN size(ms) = 0 THEN NULL ELSE {fold} END), 1)"
+        )
+
+    return rule
+
+
+
 RULES: dict[str, Callable[[list[str]], str]] = {
     # -- date/time ---------------------------------------------------------
     "toDate": _fn("to_date"),
@@ -2083,6 +2119,9 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "arrayFold": lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})",
     "arrayReduce": _array_reduce,
     "hasAll": _tpl("forall({1}, x -> array_contains({0}, x))"),
+    "sumMap": _map_combinator("+"),
+    "minMap": _map_combinator("least"),
+    "maxMap": _map_combinator("greatest"),
     "arrayEnumerate": _tpl("sequence(1, size({0}))"),
     "arrayIntersect": _fn("array_intersect"),
     "arrayPushBack": _tpl("concat({0}, array({1}))"),
@@ -2773,9 +2812,6 @@ def _state_merge(name: str, args: list[str]) -> str | None:
 _UNSUPPORTED: dict[str, str] = {
     "topKWeighted": "use x_heavy_hitters with a weight pre-aggregation "
                     "(approx_top_k has no weighted form)",
-    "sumMap": "use operators/mapagg.py map_agg / a_map_combinators",
-    "minMap": "use operators/mapagg.py map_agg / a_map_combinators",
-    "maxMap": "use operators/mapagg.py map_agg / a_map_combinators",
     "histogram": "use m_histogram (width_bucket-style exact binning)",
     "neighbor": "use lag()/lead() window functions over an explicit ordering",
     "runningAccumulate": "use a running-sum window (w_running_sum)",

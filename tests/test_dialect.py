@@ -282,7 +282,7 @@ def test_qualified_and_quoted_names_untouched():
         ("SELECT x FROM a UNION ALL SELECT x FROM b LIMIT 3 BY x", "subquery"),
         ("SELECT x FROM t LIMIT 3, 5 BY k", "offset form"),
         ("SELECT topKWeighted(5)(x, w) FROM t", "x_heavy_hitters"),
-        ("SELECT sumMap(m) FROM t", "mapagg"),
+        ("SELECT topKWeighted(5)(x, w) FROM t1", "x_heavy_hitters"),
         ("SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t",
          "x_window_funnel_strict"),
         # no inequality conjunct: the interval-izing rewrite can't anchor
@@ -1847,3 +1847,28 @@ def test_timed_sequence_match_translates_with_latest_anchor_fold(spark):
     with pytest.raises(DialectError, match="upper gap bounds"):
         translate("SELECT sequenceMatch('(?1)(?t>600)(?2)')(ts, a, b) "
                   "FROM t")
+
+
+def test_map_combinators_translate(spark):
+    """sumMap/minMap/maxMap as map_zip_with folds — both the Map-column
+    and the classic (keys, values) two-array spellings."""
+    spark.createDataFrame(
+        [("a", {"x": 1, "y": 2}), ("a", {"y": 5, "z": 3}), ("b", {"x": 7})],
+        "g string, m map<string,int>",
+    ).createOrReplaceTempView("mc_probe")
+    rows = spark.sql(translate(
+        "SELECT g, sumMap(m) AS sm, minMap(m) AS mn, maxMap(m) AS mx "
+        "FROM mc_probe GROUP BY g ORDER BY g"
+    )).collect()
+    assert dict(rows[0]["sm"]) == {"x": 1, "y": 7, "z": 3}
+    assert dict(rows[0]["mn"]) == {"x": 1, "y": 2, "z": 3}
+    assert dict(rows[0]["mx"]) == {"x": 1, "y": 5, "z": 3}
+    assert dict(rows[1]["sm"]) == {"x": 7}
+    r2 = spark.sql(translate(
+        "SELECT sumMap(ks, vs) AS sm FROM (SELECT array('a','b') AS ks, "
+        "array(1, 2) AS vs UNION ALL SELECT array('b'), array(10))"
+    )).collect()[0]
+    assert dict(r2["sm"]) == {"a": 1, "b": 12}
+    with pytest.raises(DialectError, match="map column or"):
+        translate("SELECT sumMap(a, b, c) FROM t")
+    spark.catalog.dropTempView("mc_probe")
