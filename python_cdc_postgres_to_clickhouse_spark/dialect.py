@@ -925,8 +925,9 @@ def _find_limit_by(toks: list[str]) -> tuple[int, int, int] | None:
 
 
 def _rewrite_limit_by(toks: list[str]) -> list[str]:
-    """Top-level ``[ORDER BY o] LIMIT n BY k [LIMIT m]`` -> a row_number
-    window wrapper: pick the first n rows per distinct k in the o order.
+    """Top-level ``[ORDER BY o] LIMIT [o,] n BY k [LIMIT m]`` -> a
+    row_number window wrapper: pick rows (o, o+n] per distinct k in the o
+    order (offset form since round 8).
 
     Spark plans the ``row_number() <= n`` filter as a WindowGroupLimit (the
     per-group heap pushes into the shuffle), so the translated query keeps
@@ -953,8 +954,14 @@ def _rewrite_limit_by(toks: list[str]) -> list[str]:
                 "compound in a subquery and apply row_number()<=n outside"
             )
     n_toks = toks[limit_at + 1:by_at]
+    off_toks: list[str] | None = None
     if "," in n_toks:
-        raise DialectError("LIMIT n, m BY (offset form) is not supported")
+        # CH ``LIMIT o, n BY k``: skip the first o rows per key, keep the
+        # next n — rn spans (o, o + n] (round 8; was loud before).
+        ci = n_toks.index(",")
+        off_toks, n_toks = n_toks[:ci], n_toks[ci + 1:]
+        if not off_toks or not n_toks or "," in n_toks:
+            raise DialectError("LIMIT o, n BY takes exactly two counts")
     # ORDER BY clause immediately preceding the LIMIT (CH clause order)
     order_at = None
     d0 = 0
@@ -993,6 +1000,11 @@ def _rewrite_limit_by(toks: list[str]) -> list[str]:
         "AS", "__rn", "FROM", "(", *pre, ")", "AS", "__q", ")",
         "WHERE", "__rn", "<=", *n_toks,
     ]
+    if off_toks is not None:
+        out[-(2 + len(n_toks)):] = [
+            "__rn", ">", *off_toks, "AND", "__rn", "<=", "(",
+            *off_toks, ")", "+", "(", *n_toks, ")",
+        ]
     if order_at is not None:
         out += ["ORDER", "BY", *order]
     out += trailing

@@ -280,7 +280,6 @@ def test_qualified_and_quoted_names_untouched():
     [
         ("SELECT * FROM (SELECT x FROM t LIMIT 3 BY k)", "w_topk_per_group"),
         ("SELECT x FROM a UNION ALL SELECT x FROM b LIMIT 3 BY x", "subquery"),
-        ("SELECT x FROM t LIMIT 3, 5 BY k", "offset form"),
         ("SELECT topKWeighted(5)(x, w) FROM t", "x_heavy_hitters"),
         ("SELECT topKWeighted(5)(x, w) FROM t1", "x_heavy_hitters"),
         ("SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t",
@@ -1872,3 +1871,22 @@ def test_map_combinators_translate(spark):
     with pytest.raises(DialectError, match="map column or"):
         translate("SELECT sumMap(a, b, c) FROM t")
     spark.catalog.dropTempView("mc_probe")
+
+
+def test_limit_offset_by_form(spark):
+    """CH ``LIMIT o, n BY k``: skip o rows per key, keep the next n."""
+    out = translate("SELECT x FROM t LIMIT 3, 5 BY k")
+    assert "__rn > 3" in out and "<=(3) +(5)" in out.replace("  ", " ")
+    spark.createDataFrame(
+        [("a", i) for i in range(1, 8)] + [("b", i) for i in range(1, 3)],
+        "k string, x int",
+    ).createOrReplaceTempView("lob_probe")
+    rows = spark.sql(translate(
+        "SELECT k, x FROM lob_probe ORDER BY x LIMIT 2, 3 BY k"
+    )).collect()
+    assert sorted((r["k"], r["x"]) for r in rows) == [
+        ("a", 3), ("a", 4), ("a", 5)
+    ]
+    with pytest.raises(DialectError, match="exactly two counts"):
+        translate("SELECT x FROM t LIMIT 1, 2, 3 BY k")
+    spark.catalog.dropTempView("lob_probe")
