@@ -2446,6 +2446,41 @@ def _quantile_exact_merge(params: Sequence[str] | None, args: list[str]) -> str:
     )
 
 
+def _window_funnel_strict_order(w: str, ts: str, conds: list[str]) -> str:
+    """``windowFunnel(W, 'strict_order')`` with CH's FREEZE semantics
+    (AggregateFunctionWindowFunnel.h strict-order branch, the same fold
+    x_window_funnel_freeze runs): once a started chain sees any event that
+    is not its expected next step — including out-of-window steps — the
+    scan goes dead and later clean runs do NOT count. Events before the
+    first step-1 match never interrupt. The fold consumes the group's
+    FULL timeline, so the collect is unfiltered by construction here."""
+    n = len(conds)
+    arr = _seq_sorted_structs(ts, conds)
+    init = (
+        "'s', cast(null as timestamp), '" + "c', 0, 'd', false"
+    )
+    adv = {
+        k: (f"(a.c = {k - 1} AND e.c{k} AND a.s IS NOT NULL AND "
+            f"e.t <= a.s + INTERVAL '{w}' SECOND)")
+        for k in range(2, n + 1)
+    }
+    any_adv = " OR ".join(adv.values()) if adv else "false"
+    start = "(a.c = 0 AND NOT a.d AND e.c1)"
+    interrupt = (
+        f"(NOT a.d AND a.c >= 1 AND a.c < {n} AND NOT ({any_adv}))"
+    )
+    frozen = f"(a.d OR {interrupt} OR a.c >= {n})"
+    c_whens = "".join(
+        f" WHEN {adv[k]} THEN {k}" for k in range(2, n + 1)
+    ) + f" WHEN {start} THEN 1"
+    c = f"CASE WHEN {frozen} THEN a.c{c_whens} ELSE a.c END"
+    s = f"CASE WHEN {start} AND NOT {frozen} THEN e.t ELSE a.s END"
+    lam = (
+        f"(a, e) -> named_struct('s', {s}, 'c', {c}, 'd', {frozen})"
+    )
+    return f"aggregate({arr}, named_struct({init}), {lam}).c"
+
+
 def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
     """``windowFunnel(W)(ts, c1, …, cN)`` (default mode, round 8): CH's own
     sorted-scan algorithm generated as a SQL fold — collect the per-group
@@ -2461,16 +2496,21 @@ def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
         raise DialectError(
             "windowFunnel needs a literal window (seconds) parameter"
         )
+    mode = None
     if len(params) > 1:
-        raise DialectError(
-            "windowFunnel modes: use x_window_funnel_strict (strict_order, "
-            "max-over-runs), x_window_funnel_freeze (CH freeze parity), "
-            "x_window_funnel_dedup (strict_deduplication)"
-        )
+        mode = params[1].strip("'\"")
+        if mode != "strict_order" or len(params) > 2:
+            raise DialectError(
+                "windowFunnel modes beyond 'strict_order': use "
+                "x_window_funnel_dedup (strict_deduplication) / "
+                "x_window_funnel_strict (the max-over-runs strict reading)"
+            )
     if len(args) < 2:
         raise DialectError("windowFunnel takes (timestamp, cond1, …)")
     w, ts, conds = params[0], args[0], args[1:]
     n = len(conds)
+    if mode == "strict_order":
+        return _window_funnel_strict_order(w, ts, conds)
     fields = ", ".join(
         [f"'t', cast({ts} as timestamp)"]
         + [f"'c{i + 1}', ({c})" for i, c in enumerate(conds)]

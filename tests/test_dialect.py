@@ -282,8 +282,8 @@ def test_qualified_and_quoted_names_untouched():
         ("SELECT x FROM a UNION ALL SELECT x FROM b LIMIT 3 BY x", "subquery"),
         ("SELECT topKWeighted(5)(x, w) FROM t", "x_heavy_hitters"),
         ("SELECT topKWeighted(5)(x, w) FROM t1", "x_heavy_hitters"),
-        ("SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t",
-         "x_window_funnel_strict"),
+        ("SELECT windowFunnel(60, 'strict_deduplication')(ts, a, b) FROM t",
+         "x_window_funnel_dedup"),
         # no inequality conjunct: the interval-izing rewrite can't anchor
         ("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k", "inequality"),
         ("SELECT quantileMerge(s) FROM t", "components separately"),
@@ -1756,8 +1756,8 @@ def test_window_funnel_translates_and_matches_dataframe_fold(spark):
 def test_window_funnel_bad_forms_are_loud():
     with pytest.raises(DialectError, match="literal window"):
         translate("SELECT windowFunnel(w)(ts, a) FROM t")
-    with pytest.raises(DialectError, match="x_window_funnel_strict"):
-        translate("SELECT windowFunnel(60, 'strict_order')(ts, a) FROM t")
+    with pytest.raises(DialectError, match="x_window_funnel_dedup"):
+        translate("SELECT windowFunnel(60, 'strict_increase')(ts, a) FROM t")
     with pytest.raises(DialectError, match="timestamp, cond1"):
         translate("SELECT windowFunnel(60)(ts) FROM t")
 
@@ -1890,3 +1890,24 @@ def test_limit_offset_by_form(spark):
     with pytest.raises(DialectError, match="exactly two counts"):
         translate("SELECT x FROM t LIMIT 1, 2, 3 BY k")
     spark.catalog.dropTempView("lob_probe")
+
+
+def test_window_funnel_strict_order_mode_is_ch_freeze(spark):
+    """windowFunnel(W, 'strict_order') generates CH's freeze fold —
+    asserted equal to x_window_funnel_freeze on the fixture."""
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_window_funnel_freeze,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+    from tests.conftest import SF_ORACLE
+
+    load_tables(spark, SF_ORACLE)
+    got = {r["depth"]: r["n"] for r in spark.sql(translate(
+        "SELECT depth, count() AS n FROM (SELECT user_id, "
+        "windowFunnel(3600, 'strict_order')(ts, event_type = 'signup', "
+        "event_type = 'view', event_type = 'purchase') AS depth "
+        "FROM events GROUP BY user_id) WHERE depth >= 1 GROUP BY depth"
+    )).collect()}
+    want = {r["depth"]: r["n_users"]
+            for r in x_window_funnel_freeze(spark, SF_ORACLE).collect()}
+    assert got == want
