@@ -132,6 +132,8 @@ HEADLINE = [
     "sql_ch_avg_state",        # avgState/avgMerge (sum,count) struct algebra
     "x_window_funnel_freeze",  # CH-parity freeze funnel, one user_id fold
     "sql_ch_fill_interpolate", # DESC WITH FILL + INTERPOLATE LOCF via dialect
+    "sql_ch_window_funnel",    # windowFunnel via generated SQL fold
+    "x_token_diversity",       # exact Simpson Σc²/n², zero-shuffle fold
 ]
 
 

@@ -241,3 +241,32 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_numbers.alias("n_numbers"),
         F.regexp_replace(no_email, NUMBER_REGEX, "<NUM>").alias("scrubbed"),
     )
+
+
+def collision_mass(text: str | Column = "text") -> Column:
+    """Σ c_t² over per-token counts — the exact Simpson-index numerator
+    (the rational-arithmetic diversity signal that replaces Shannon
+    entropy where cross-engine bit-parity matters: libm log() may not be
+    an output column, Σc²/n² is exact integer work plus one division).
+    Same shuffle-free shape as top_token_run_count: one left fold over
+    the sorted token array banking run² at each run boundary."""
+    s = F.array_sort(tokens(text))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("acc"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        cont = x == acc["prev"]
+        run = F.when(cont, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        banked = F.when(cont, acc["acc"]).otherwise(
+            acc["acc"] + acc["run"] * acc["run"]
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), banked.alias("acc")
+        )
+
+    return F.aggregate(
+        s, init, step, lambda a: a["acc"] + a["run"] * a["run"]
+    )

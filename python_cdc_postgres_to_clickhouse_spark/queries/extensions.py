@@ -1013,3 +1013,46 @@ def x_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     out = fuzzy_pairs(t["part"], "p_partkey", "p_name", max_distance=2)
     return out.withColumn("distance", F.col("distance").cast("int"))
+
+
+TOKEN_DIVERSITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents
+), cnt AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS INTEGER) AS n_tokens,
+       CAST(COUNT(*) AS INTEGER) AS n_distinct_tokens,
+       CAST(SUM(c * c) AS BIGINT) AS collision_mass,
+       CAST(SUM(c * c) AS DOUBLE) /
+           (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS simpson
+FROM cnt
+GROUP BY doc_id
+"""
+
+
+@query("x_token_diversity", oracle=TOKEN_DIVERSITY_SQL, tags=("ext", "text"))
+def x_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-diversity quality signal (round 8): the exact Simpson index
+    Σc²/n² per document — the engine-exact stand-in for Shannon-entropy
+    gibberish/repetition filters (low diversity = high Σc²/n²; rational
+    arithmetic end to end, so the driver hash is bit-stable where a
+    log-based entropy column could never be). Spark side is a ZERO-SHUFFLE
+    narrow projection: Σc² comes from one fold over the sorted token array
+    (operators/textstats.collision_mass), never the explode → double
+    groupBy that would shuffle the tokenized corpus; the DuckDB oracle
+    recomputes it relationally, hash-checking the fold per document. At
+    100 TB this is a pure map stage like the other textstats signals."""
+    t = load_tables(spark, sf_dir)
+    toks = TS.tokens("text")
+    n = F.size(toks)
+    mass = TS.collision_mass("text")
+    return t["documents"].select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        mass.alias("collision_mass"),
+        (mass.cast("double") / (n.cast("double") * n.cast("double")))
+        .alias("simpson"),
+    )

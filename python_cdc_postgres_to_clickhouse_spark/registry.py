@@ -129,6 +129,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # driver rows land in round 9):
     "sql_ch_window_funnel",
     "sql_ch_uniq_exact_rollup",
+    "x_token_diversity",
     "a_approx_distinct",
     "a_approx_quantiles",
     "a_percentile_disc",

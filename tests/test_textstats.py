@@ -73,3 +73,29 @@ def test_rolling_hashes_shingle_count(spark):
     ).collect()
     for r in out:
         assert r["n_shingles"] == max(r["n"] - 2, 1)
+
+
+def test_collision_mass_fold_matches_python(spark):
+    """Σc² fold vs a python Counter on constructed docs, including the
+    single-run and all-distinct edges."""
+    from collections import Counter
+
+    from python_cdc_postgres_to_clickhouse_spark.operators.textstats import (
+        collision_mass,
+        normalized,
+    )
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, "a a a a"),
+        (2, "a b c d"),
+        (3, "the the cat CAT  the"),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["m"] for r in
+           df.select("doc_id", collision_mass("text").alias("m")).collect()}
+    for doc_id, text in docs:
+        toks = " ".join(text.lower().split()).split(" ")
+        want = sum(c * c for c in Counter(toks).values())
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
