@@ -688,3 +688,57 @@ def sql_ch_uniq_exact_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, day)) — the same burden CH's uniqExact pays; the bounded
     alternative stays uniqState→HLL. Two partial-aggregated exchanges."""
     return clickhouse_sql(spark, CH_UNIQ_EXACT_ROLLUP, sf_dir)
+
+
+CH_SAMPLE_OFFSET = """
+SELECT o_orderstatus,
+       count() AS n,
+       sum(toInt64(round(o_totalprice * 100))) AS cents
+FROM orders SAMPLE 1/4 OFFSET 2/4
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+_SAMPLE_KEY_SQL = (
+    "(CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 1000000)"
+)
+
+SAMPLE_OFFSET_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+WHERE {_SAMPLE_KEY_SQL} * 2 >= 1000000
+  AND {_SAMPLE_KEY_SQL} * 4 < 3000000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "sql_ch_sample_offset",
+    oracle=SAMPLE_OFFSET_ORACLE,
+    tags=("dialect", "sampling"),
+)
+def sql_ch_sample_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SAMPLE 1/4 OFFSET 2/4`` end to end (round 8): the dialect rewrites
+    the sampled table to a deterministic hash-subrange filter on its
+    registered SAMPLE BY key — here the engine-portable salted-md5
+    integer of o_custkey (the md5_bucket construction from
+    operators/sampling.py; CH requires a uniformly-distributed SAMPLE BY
+    expression and so does this rewrite — a raw small-integer key lands
+    every row in the first hash slots), so the DuckDB oracle replays the
+    EXACT same arithmetic (pmod into a 10^6-slot space, rows kept in
+    [2/4, 3/4)) and the driver row is a full oracle. Disjoint offsets partition the table
+    exactly — CH's distributed-sampling handoff contract. The filter is a
+    narrow codegen predicate inside the scan stage: no shuffle, no sample
+    materialization."""
+    from ..dialect import register_sample_key
+
+    register_sample_key(
+        "orders",
+        "conv(substring(md5(cast(o_custkey as string)), 1, 8), 16, 10)",
+    )
+    return clickhouse_sql(spark, CH_SAMPLE_OFFSET, sf_dir)

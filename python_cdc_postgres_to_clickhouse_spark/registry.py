@@ -130,6 +130,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_ch_window_funnel",
     "sql_ch_uniq_exact_rollup",
     "x_token_diversity",
+    "sql_ch_sample_offset",
     "a_approx_distinct",
     "a_approx_quantiles",
     "a_percentile_disc",
