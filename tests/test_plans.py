@@ -828,3 +828,15 @@ def test_importance_resample_broadcasts_weights_takeordered_keep(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_diversity_is_a_pure_narrow_map(spark):
+    """x_token_diversity (round 8): the Σc² fold runs inside one
+    projection over the documents scan — a 100 TB quality-scoring pass
+    must add NO exchange and read only (doc_id, text)."""
+    df = _q(spark, "x_token_diversity")
+    plan = P.physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"doc_id", "text"}, cols
