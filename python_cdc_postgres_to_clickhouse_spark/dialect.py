@@ -2865,6 +2865,9 @@ _UNSUPPORTED: dict[str, str] = {
     "topKWeighted": "use x_heavy_hitters with a weight pre-aggregation "
                     "(approx_top_k has no weighted form)",
     "histogram": "use m_histogram (width_bucket-style exact binning)",
+    "sequenceNextNode": "use x_session_paths (in-session transition "
+                        "bigrams) or compose a sequenceMatch fold with a "
+                        "lead() window for next-event-after-pattern",
     "neighbor": "use lag()/lead() window functions over an explicit ordering",
     "runningAccumulate": "use a running-sum window (w_running_sum)",
     "runningDifference": "use a lag() window over an explicit ordering "
