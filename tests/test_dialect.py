@@ -1911,3 +1911,18 @@ def test_window_funnel_strict_order_mode_is_ch_freeze(spark):
     want = {r["depth"]: r["n_users"]
             for r in x_window_funnel_freeze(spark, SF_ORACLE).collect()}
     assert got == want
+
+
+def test_with_fill_interpolate_multiple_columns(spark):
+    spark.createDataFrame(
+        [(1, 10.0, 100), (4, 40.0, 400)],
+        "d int, v double, w int",
+    ).createOrReplaceTempView("fill_multi")
+    rows = spark.sql(translate(
+        "SELECT d, v, w FROM fill_multi ORDER BY d WITH FILL "
+        "INTERPOLATE (v, w)"
+    )).collect()
+    got = {r["d"]: (r["v"], r["w"]) for r in rows}
+    assert got[2] == (10.0, 100) and got[3] == (10.0, 100)
+    assert got[4] == (40.0, 400)
+    spark.catalog.dropTempView("fill_multi")
