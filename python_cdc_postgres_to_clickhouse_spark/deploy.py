@@ -284,12 +284,24 @@ def start_binding(
     (the broker is the only env-bound piece). The append sink matches the
     plain-projection strategy; Replacing/Summing targets route the same
     batches into the upsert/rollup sinks instead (see
-    ``binding.sink_strategy``)."""
+    ``binding.sink_strategy``). A destination whose SETTINGS enable
+    insert dedup (``insert_deduplicate`` / Replicated default) routes
+    each transformed batch through its configured InsertDedupSink, so a
+    producer-side resend of an identical block lands exactly once —
+    the MV trigger inherits the table's own dedup contract."""
 
-    def _proc(batch_df: DataFrame, batch_id: int) -> None:
-        apply_batch(spark, binding, batch_df).write.mode("append").parquet(
-            out_dir
-        )
+    if binding.dest is not None and binding.dest.insert_dedup:
+        sink = binding.dest.dedup_sink(spark, out_dir)
+
+        def _proc(batch_df: DataFrame, batch_id: int) -> None:
+            sink.process_batch(
+                apply_batch(spark, binding, batch_df), batch_id
+            )
+    else:
+        def _proc(batch_df: DataFrame, batch_id: int) -> None:
+            apply_batch(spark, binding, batch_df).write.mode(
+                "append"
+            ).parquet(out_dir)
 
     writer = (
         decoded_stream.writeStream.foreachBatch(_proc)

@@ -361,3 +361,47 @@ def test_decode_frames_avro_is_loud():
         )
 
         decode_frames(dep.bindings[0], None)
+
+
+def test_insert_dedup_destination_routes_through_dedup_sink(spark, tmp_path):
+    """A destination table with insert dedup enabled makes the MV trigger
+    drop producer-resent identical blocks — end to end from the DDL
+    SETTINGS through start_binding's sink choice."""
+    script = """
+CREATE TABLE dq (
+    id UInt64, v Float64
+) ENGINE = Kafka('b:9092', 't.d', 'g', 'JSONEachRow');
+
+CREATE TABLE dedup_dest (
+    id UInt64, cents Int64
+) ENGINE = ReplicatedMergeTree ORDER BY id
+SETTINGS replicated_deduplication_window = 10;
+
+CREATE MATERIALIZED VIEW d_mv TO dedup_dest AS
+SELECT id, toInt64(round(v * 100)) AS cents FROM dq;
+"""
+    dep = plan_deployment(script)
+    b = dep.bindings[0]
+    assert b.dest.insert_dedup and b.dest.dedup_window == 10
+
+    from python_cdc_postgres_to_clickhouse_spark.deploy import start_binding
+
+    src = tmp_path / "dq_frames"
+    src.mkdir()
+    batch = spark.createDataFrame([(1, 1.25), (2, 2.0)], "id bigint, v double")
+    # the SAME block written twice: a producer resend under a new file
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src / "b0.parquet"))
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src / "b1.parquet"))
+    stream = (
+        spark.readStream.schema("id bigint, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    q = start_binding(
+        spark, b, stream, str(tmp_path / "d_dest"), str(tmp_path / "d_ckpt")
+    )
+    assert q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "d_dest"))
+    assert out.count() == 2  # the resent block applied once
+    assert {r["cents"] for r in out.collect()} == {125, 200}
+    spark.catalog.dropTempView("dq")
