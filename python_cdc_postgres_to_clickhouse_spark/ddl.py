@@ -692,12 +692,13 @@ def translate_mv(sql: str) -> MvPlan:
 
 @dataclass
 class MaintenancePlan:
-    op: str                     # optimize | truncate | delete | update | drop_partition
+    op: str   # optimize | truncate | delete | update | drop_partition | modify_ttl
     table: str
     strategy: str               # the engine routine replacing the command
     predicate: str | None = None    # translated WHERE (delete/update)
     assignments: list[tuple[str, str]] = field(default_factory=list)
     partition: str | None = None
+    ttl: str | None = None          # translated TTL expression (modify_ttl)
 
 
 def translate_maintenance(sql: str) -> MaintenancePlan:
@@ -752,6 +753,21 @@ def translate_maintenance(sql: str) -> MaintenancePlan:
 
     m = re.match(
         r"(?i)^ALTER\s+TABLE\s+([\w.`\"]+)(?:\s+ON\s+CLUSTER\s+\S+)?\s+"
+        r"MODIFY\s+TTL\s+(.+)$", s)
+    if m:
+        table = m.group(1).strip("`\"").split(".")[-1]
+        ttl = translate(f"SELECT {m.group(2)} FROM t")[7:-7]
+        return MaintenancePlan(
+            op="modify_ttl", table=table, ttl=ttl,
+            strategy="replace the table's compaction horizon: pass the new "
+                     f"expression ({ttl}) as upsert_sink.compact("
+                     "ttl_older_than=…) from the next compaction on — "
+                     "existing rows age out at merge time, exactly CH's "
+                     "TTL-recalculation-on-merge contract",
+        )
+
+    m = re.match(
+        r"(?i)^ALTER\s+TABLE\s+([\w.`\"]+)(?:\s+ON\s+CLUSTER\s+\S+)?\s+"
         r"DELETE\s+WHERE\s+(.+)$", s)
     if m:
         table = m.group(1).strip("`\"").split(".")[-1]
@@ -787,7 +803,7 @@ def translate_maintenance(sql: str) -> MaintenancePlan:
 
     raise DialectError(
         "not a supported maintenance statement — OPTIMIZE TABLE, TRUNCATE "
-        "TABLE, ALTER TABLE … DELETE/UPDATE WHERE, ALTER TABLE … DROP "
+        "TABLE, ALTER TABLE … DELETE/UPDATE WHERE, MODIFY TTL, DROP "
         "PARTITION translate; schema ALTERs map to Spark DDL directly"
     )
 

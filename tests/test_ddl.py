@@ -474,3 +474,15 @@ def test_kafka_tuning_settings_map_to_reader_options():
     )
     o2 = plain.kafka.source_options()
     assert "minPartitions" not in o2 and "maxOffsetsPerTrigger" not in o2
+
+
+def test_modify_ttl_translates_to_compaction_horizon():
+    from python_cdc_postgres_to_clickhouse_spark.ddl import (
+        translate_maintenance,
+    )
+
+    plan = translate_maintenance(
+        "ALTER TABLE metrics MODIFY TTL ts + INTERVAL 30 DAY"
+    )
+    assert plan.op == "modify_ttl" and plan.table == "metrics"
+    assert "INTERVAL" in plan.ttl.upper() and "compact" in plan.strategy
