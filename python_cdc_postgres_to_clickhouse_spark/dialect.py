@@ -2204,6 +2204,41 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "varSamp": _fn("var_samp"),
     "covarPop": _fn("covar_pop"),
     "covarSamp": _fn("covar_samp"),
+    # CH's *Stable variants trade speed for numerically-stable summation —
+    # Spark's aggregates already use stable merge formulas, so the plain
+    # functions are the faithful mapping.
+    "corrStable": _fn("corr"),
+    "covarPopStable": _fn("covar_pop"),
+    "covarSampStable": _fn("covar_samp"),
+    "stddevPopStable": _fn("stddev_pop"),
+    "stddevSampStable": _fn("stddev_samp"),
+    "varPopStable": _fn("var_pop"),
+    "varSampStable": _fn("var_samp"),
+    # sumCount(x) = the (sum, count) pair in one pass — CH's own avg state.
+    "sumCount": _tpl("named_struct('sum', sum({0}), 'count', count({0}))"),
+    # boundingRatio(x, y): slope between the leftmost and rightmost points.
+    "boundingRatio": _tpl(
+        "((max_by({1}, {0}) - min_by({1}, {0})) / (max({0}) - min({0})))"
+    ),
+    # intervalLengthSum(start, end): total length of the UNION of the
+    # group's segments — a sweep-line fold over the sorted intervals
+    # (numeric axes; wrap datetimes with toUnixTimestamp in the query).
+    "intervalLengthSum": _tpl(
+        "aggregate("
+        "array_sort(collect_list(named_struct("
+        "'s', cast({0} as double), 'e', cast({1} as double)))), "
+        "named_struct('cs', cast(null as double), "
+        "'ce', cast(null as double), 'tot', cast(0 as double)), "
+        "(a, e) -> named_struct("
+        "'cs', CASE WHEN a.cs IS NULL OR e.s > a.ce THEN e.s "
+        "ELSE a.cs END, "
+        "'ce', CASE WHEN a.cs IS NULL OR e.s > a.ce THEN e.e "
+        "ELSE greatest(a.ce, e.e) END, "
+        "'tot', CASE WHEN a.cs IS NOT NULL AND e.s > a.ce "
+        "THEN a.tot + (a.ce - a.cs) ELSE a.tot END), "
+        "a -> a.tot + CASE WHEN a.cs IS NOT NULL THEN a.ce - a.cs "
+        "ELSE 0D END)"
+    ),
     "skewPop": _fn("skewness"),  # both are population g1 = m3 / m2^1.5
     # CH kurtPop = m4/σ⁴ (NON-excess); Spark kurtosis returns EXCESS
     # kurtosis (g2 = m4/σ⁴ - 3) — translate the convention, not the name.
@@ -2712,6 +2747,9 @@ PARAM_RULES: dict[str, ParamRule] = {
     "quantileExactMerge": _quantile_exact_merge,
     "quantiles": _quantiles(exact=False),
     "quantilesExact": _quantiles(exact=True),
+    "quantilesTiming": _quantiles(exact=False),
+    "quantilesTDigest": _quantiles(exact=False),
+    "quantilesDeterministic": _quantiles(exact=False),
     "groupArray": _group_array,
     "uniqUpTo": _uniq_up_to,
     "topK": _top_k,
@@ -2868,6 +2906,16 @@ _UNSUPPORTED: dict[str, str] = {
     "sequenceNextNode": "use x_session_paths (in-session transition "
                         "bigrams) or compose a sequenceMatch fold with a "
                         "lead() window for next-event-after-pattern",
+    "deltaSum": "block-order dependent in CH — use x_counter_rate "
+                "(explicitly ordered positive-delta sum with reset "
+                "handling)",
+    "deltaSumTimestamp": "use x_counter_rate (ordered positive-delta sum)",
+    "studentTTest": "transcendental p-values have no bit-stable SQL "
+                    "mapping — compute the t statistic from "
+                    "avg/var/count per group and look up p driver-side",
+    "mannWhitneyUTest": "rank-based test — compute rank sums with a "
+                        "window over the pooled sample, p-value "
+                        "driver-side",
     "neighbor": "use lag()/lead() window functions over an explicit ordering",
     "runningAccumulate": "use a running-sum window (w_running_sum)",
     "runningDifference": "use a lag() window over an explicit ordering "

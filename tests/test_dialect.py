@@ -1926,3 +1926,29 @@ def test_with_fill_interpolate_multiple_columns(spark):
     assert got[2] == (10.0, 100) and got[3] == (10.0, 100)
     assert got[4] == (40.0, 400)
     spark.catalog.dropTempView("fill_multi")
+
+
+def test_round8_aggregate_batch(spark):
+    """sumCount, boundingRatio, intervalLengthSum (sweep-line union fold),
+    quantiles* plurals, and the *Stable aliases."""
+    spark.createDataFrame(
+        [("a", 1.0, 5.0), ("a", 3.0, 8.0), ("a", 10.0, 12.0),
+         ("a", 10.5, 11.0), ("b", 0.0, 1.0)],
+        "g string, s double, e double",
+    ).createOrReplaceTempView("agg8")
+    rows = spark.sql(translate(
+        "SELECT g, intervalLengthSum(s, e) AS total FROM agg8 "
+        "GROUP BY g ORDER BY g"
+    )).collect()
+    assert rows[0]["total"] == 9.0 and rows[1]["total"] == 1.0
+    r = spark.sql(translate(
+        "SELECT boundingRatio(s, e) AS b, sumCount(s) AS sc, "
+        "corrStable(s, e) AS c, quantilesTiming(0.5, 0.9)(s) AS q "
+        "FROM agg8 WHERE g = 'a'"
+    )).collect()[0]
+    # slope between leftmost (1, 5) and rightmost (10.5, 11) points
+    assert r["b"] == (11.0 - 5.0) / (10.5 - 1.0)
+    assert (r["sc"]["sum"], r["sc"]["count"]) == (24.5, 4)
+    with pytest.raises(DialectError, match="x_counter_rate"):
+        translate("SELECT deltaSum(x) FROM t")
+    spark.catalog.dropTempView("agg8")
