@@ -2027,6 +2027,7 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "yesterday": lambda a: "date_sub(current_date(), 1)",
     "age": _date_diff,
     "addYears": _timestampadd("YEAR"),
+    "addQuarters": _timestampadd("QUARTER"),
     "addMonths": _fn("add_months"),
     "addWeeks": _timestampadd("WEEK"),
     "addDays": _fn("date_add"),
@@ -2034,6 +2035,17 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "addMinutes": _timestampadd("MINUTE"),
     "addSeconds": _timestampadd("SECOND"),
     "subtractDays": _fn("date_sub"),
+    "subtractYears": lambda a: f"timestampadd(YEAR, -({a[1]}), {a[0]})",
+    "subtractQuarters": lambda a: f"timestampadd(QUARTER, -({a[1]}), {a[0]})",
+    "subtractMonths": lambda a: f"add_months({a[0]}, -({a[1]}))",
+    "subtractWeeks": lambda a: f"timestampadd(WEEK, -({a[1]}), {a[0]})",
+    "subtractHours": lambda a: f"timestampadd(HOUR, -({a[1]}), {a[0]})",
+    "subtractMinutes": lambda a: f"timestampadd(MINUTE, -({a[1]}), {a[0]})",
+    "subtractSeconds": lambda a: f"timestampadd(SECOND, -({a[1]}), {a[0]})",
+    # CH dateAdd/dateSub(unit, n, ts): unit is a bare keyword — pass it to
+    # Spark's timestampadd verbatim (same vocabulary).
+    "dateAdd": lambda a: f"timestampadd({a[0]}, {a[1]}, {a[2]})",
+    "dateSub": lambda a: f"timestampadd({a[0]}, -({a[1]}), {a[2]})",
     "dateDiff": _date_diff,
     "date_diff": _date_diff,
     "formatDateTime": _format_datetime,
@@ -2182,6 +2194,32 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     ),
     "visitParamExtractString": lambda a: f"get_json_object({a[0]}, {_json_path(a[1])})",
     "simpleJSONExtractString": lambda a: f"get_json_object({a[0]}, {_json_path(a[1])})",
+    "simpleJSONExtractRaw": lambda a: f"get_json_object({a[0]}, {_json_path(a[1])})",
+    "simpleJSONExtractInt": lambda a: (
+        f"cast(get_json_object({a[0]}, {_json_path(a[1])}) as bigint)"
+    ),
+    "simpleJSONExtractFloat": lambda a: (
+        f"cast(get_json_object({a[0]}, {_json_path(a[1])}) as double)"
+    ),
+    "simpleJSONExtractBool": lambda a: (
+        f"cast(get_json_object({a[0]}, {_json_path(a[1])}) as boolean)"
+    ),
+    "simpleJSONHas": lambda a: (
+        f"(get_json_object({a[0]}, {_json_path(a[1])}) IS NOT NULL)"
+    ),
+    "JSONExtractRaw": lambda a: f"get_json_object({a[0]}, {_json_path(a[1])})",
+    "JSONArrayLength": lambda a: f"json_array_length({a[0]})",
+    "JSONLength": lambda a: (
+        f"coalesce(json_array_length({a[0]}), "
+        f"size(json_object_keys({a[0]})))"
+    ),
+    "isValidJSON": lambda a: (
+        # get_json_object returns NULL for malformed input; the literal
+        # JSON scalar 'null' is valid JSON but also maps to NULL — treat
+        # it explicitly.
+        f"(get_json_object({a[0]}, '$') IS NOT NULL OR trim({a[0]}) = 'null')"
+    ),
+    "toJSONString": _fn("to_json"),
     # -- aggregates --------------------------------------------------------
     "count": _count,
     "uniq": _fn("approx_count_distinct"),
@@ -2319,6 +2357,15 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "topLevelDomain": _tpl(
         "regexp_extract(parse_url({0}, 'HOST'), '\\\\.([^.]+)$', 1)"
     ),
+    "firstSignificantSubdomain": _tpl(
+        "regexp_extract(parse_url({0}, 'HOST'), "
+        "'([^.]+)\\\\.[^.]+$', 1)"
+    ),
+    "substringIndex": _fn("substring_index"),
+    # CH window-function spellings: lagInFrame/leadInFrame respect the
+    # frame; over the default frame they equal lag/lead (the common use).
+    "lagInFrame": _fn("lag"),
+    "leadInFrame": _fn("lead"),
     "cutQueryString": _tpl("regexp_replace({0}, '\\\\?.*$', '')"),
     "cutFragment": _tpl("regexp_replace({0}, '#.*$', '')"),
     # -- IPv4 ----------------------------------------------------------------
@@ -2916,6 +2963,18 @@ _UNSUPPORTED: dict[str, str] = {
     "mannWhitneyUTest": "rank-based test — compute rank sums with a "
                         "window over the pooled sample, p-value "
                         "driver-side",
+    "arrayAUC": "rank the scores with array_sort + array_position or "
+                "compute AUC relationally (rank-sum of positives)",
+    "sumMapFiltered": "filter the map first (mapFilter) then sumMap",
+    "groupArrayInsertAt": "use map_from_entries(collect_list(struct(pos, "
+                          "v))) — positional assembly is a map, not an "
+                          "ordered array, under distributed aggregation",
+    "normalizeUTF8NFC": "no JVM unicode-normalization builtin — use a "
+                        "pandas UDF (unicodedata.normalize) off the hot "
+                        "path",
+    "normalizeUTF8NFD": "see normalizeUTF8NFC",
+    "normalizeUTF8NFKC": "see normalizeUTF8NFC",
+    "normalizeUTF8NFKD": "see normalizeUTF8NFC",
     "neighbor": "use lag()/lead() window functions over an explicit ordering",
     "runningAccumulate": "use a running-sum window (w_running_sum)",
     "runningDifference": "use a lag() window over an explicit ordering "

@@ -1952,3 +1952,43 @@ def test_round8_aggregate_batch(spark):
     with pytest.raises(DialectError, match="x_counter_rate"):
         translate("SELECT deltaSum(x) FROM t")
     spark.catalog.dropTempView("agg8")
+
+
+def test_round8_scalar_function_batch(spark):
+    """lagInFrame/leadInFrame, dateAdd/dateSub + subtract* units, the
+    simpleJSON*/JSONExtractRaw/JSONArrayLength/isValidJSON family,
+    firstSignificantSubdomain, substringIndex."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 15, 10), 5.0, '{"k": [1,2,3]}',
+          "https://sub.shop.example.com/a/b?q=1"),
+         (1, dt.datetime(2024, 3, 15, 11), 7.0, "not json",
+          "https://example.org/x")],
+        "k bigint, ts timestamp, v double, j string, u string",
+    ).createOrReplaceTempView("fx_probe")
+    rows = spark.sql(translate(
+        "SELECT k, lagInFrame(v) OVER (PARTITION BY k ORDER BY ts) AS pv, "
+        "dateAdd(QUARTER, 1, ts) AS q1, subtractQuarters(ts, 1) AS qm1, "
+        "JSONArrayLength(JSONExtractRaw(j, 'k')) AS alen, "
+        "isValidJSON(j) AS ok, simpleJSONExtractRaw(j, 'k') AS raw, "
+        "firstSignificantSubdomain(u) AS fsd, "
+        "substringIndex(u, '/', 3) AS si "
+        "FROM fx_probe ORDER BY ts"
+    )).collect()
+    r0, r1 = rows
+    assert r0["pv"] is None and r1["pv"] == 5.0
+    assert (r0["q1"].month, r0["qm1"].year, r0["qm1"].month) == (6, 2023, 12)
+    assert r0["alen"] == 3 and r1["alen"] is None
+    assert r0["ok"] is True and r1["ok"] is False
+    assert r0["raw"] == "[1,2,3]"
+    # CH: the label before the TLD ('clickhouse' in news.clickhouse.com)
+    assert r0["fsd"] == "example" and r1["fsd"] == "example"
+    assert r0["si"] == "https://sub.shop.example.com"
+    with pytest.raises(DialectError, match="rank"):
+        translate("SELECT arrayAUC(a, b) FROM t")
+    with pytest.raises(DialectError, match="unicode"):
+        translate("SELECT normalizeUTF8NFC(s) FROM t")
+    with pytest.raises(DialectError, match="mapFilter"):
+        translate("SELECT sumMapFiltered([1])(k, v) FROM t")
+    spark.catalog.dropTempView("fx_probe")
