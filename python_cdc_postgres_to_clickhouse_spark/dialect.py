@@ -894,6 +894,72 @@ def _rewrite_sample(toks: list[str]) -> list[str]:
     return out
 
 
+def _rewrite_qualify(toks: list[str]) -> list[str]:
+    """Top-level ``QUALIFY pred`` (a CH clause since 23.x; Spark has no
+    QUALIFY) — the predicate (window functions included) becomes a hidden
+    boolean column on the select, the query wraps, and the filter runs
+    outside: ``SELECT * EXCEPT (__qual) FROM (SELECT …, (pred) AS __qual
+    FROM …) WHERE __qual [ORDER BY …]``. ORDER BY after QUALIFY stays
+    outside (subquery columns remain in scope). SELECT DISTINCT with
+    QUALIFY raises — the hidden column would change the distinct set."""
+    depth = 0
+    q_at = None
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _u(t) == "QUALIFY":
+            q_at = i
+            break
+    if q_at is None:
+        return toks
+    if any(_u(t) == "DISTINCT" for t in toks[:q_at]):
+        raise DialectError(
+            "QUALIFY with SELECT DISTINCT isn't rewritten — filter in a "
+            "subquery, then apply DISTINCT outside"
+        )
+    # predicate runs to the next top-level clause
+    pred_end = len(toks)
+    d = 0
+    for i in range(q_at + 1, len(toks)):
+        t = toks[i]
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and _u(t) in _CLAUSE_ENDERS:
+            pred_end = i
+            break
+    pred = toks[q_at + 1:pred_end]
+    if not pred:
+        raise DialectError("QUALIFY needs a predicate")
+    tail = toks[pred_end:]
+    body = toks[:q_at]
+    # splice the hidden column before the main select's depth-0 FROM
+    d = 0
+    from_at = None
+    for i, t in enumerate(body):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and _u(t) == "FROM":
+            from_at = i
+            break
+    if from_at is None:
+        raise DialectError("QUALIFY without a FROM clause")
+    inner = (
+        body[:from_at]
+        + [",", "(", *pred, ")", "AS", "__qual"]
+        + body[from_at:]
+    )
+    return [
+        "SELECT", "*", "EXCEPT", "(", "__qual", ")", "FROM",
+        "(", *inner, ")", "WHERE", "__qual", *tail,
+    ]
+
+
 def _find_limit_by(toks: list[str]) -> tuple[int, int, int] | None:
     """Locate a ``LIMIT <n> BY`` clause; returns (limit_at, by_at, depth)."""
     depth = 0
@@ -3167,6 +3233,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_asof_join(toks)
     toks = _strip_final_and_join_mods(toks)
     toks = _rewrite_sample(toks)
+    toks = _rewrite_qualify(toks)
     toks = _rewrite_limit_by(toks)
     toks = _rewrite_limit_offset(toks)
     toks = _merge_prewhere(toks)

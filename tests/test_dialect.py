@@ -1992,3 +1992,26 @@ def test_round8_scalar_function_batch(spark):
     with pytest.raises(DialectError, match="mapFilter"):
         translate("SELECT sumMapFiltered([1])(k, v) FROM t")
     spark.catalog.dropTempView("fx_probe")
+
+
+def test_qualify_rewrites_to_hidden_column_filter(spark):
+    """CH QUALIFY (23.x clause; Spark has none): the predicate becomes a
+    hidden boolean column, the query wraps, the filter runs outside."""
+    spark.createDataFrame(
+        [("a", 1), ("a", 9), ("b", 4)], "k string, v int"
+    ).createOrReplaceTempView("qual_probe")
+    rows = spark.sql(translate(
+        "SELECT k, v FROM qual_probe QUALIFY row_number() OVER "
+        "(PARTITION BY k ORDER BY v DESC) = 1 ORDER BY k"
+    )).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("a", 9), ("b", 4)]
+    # after GROUP BY: window over the aggregated rows
+    top = spark.sql(translate(
+        "SELECT k, max(v) AS mv FROM qual_probe GROUP BY k "
+        "QUALIFY rank() OVER (ORDER BY max(v) DESC) = 1"
+    )).collect()
+    assert [(r["k"], r["mv"]) for r in top] == [("a", 9)]
+    with pytest.raises(DialectError, match="DISTINCT"):
+        translate("SELECT DISTINCT k FROM t QUALIFY row_number() "
+                  "OVER (ORDER BY k) = 1")
+    spark.catalog.dropTempView("qual_probe")
