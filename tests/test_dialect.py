@@ -2015,3 +2015,31 @@ def test_qualify_rewrites_to_hidden_column_filter(spark):
         translate("SELECT DISTINCT k FROM t QUALIFY row_number() "
                   "OVER (ORDER BY k) = 1")
     spark.catalog.dropTempView("qual_probe")
+
+
+def test_clause_combinations_compose():
+    """Cross-clause sanity: each rewrite must leave the others' tokens
+    intact (PREWHERE inside the QUALIFY wrapper, TOTALS after PREWHERE,
+    LIMIT BY + trailing LIMIT, FILL under an outer LIMIT, ASOF + WHERE +
+    GROUP BY, SAMPLE + LIMIT BY, -If over a window)."""
+    out = translate(
+        "SELECT k, v FROM t PREWHERE v > 0 QUALIFY row_number() OVER "
+        "(PARTITION BY k ORDER BY v) = 1"
+    )
+    assert "WHERE (v > 0))" in out and out.endswith("WHERE __qual")
+    out = translate(
+        "SELECT k, count() AS n FROM t FINAL PREWHERE k > 0 GROUP BY k "
+        "WITH TOTALS ORDER BY k LIMIT 5"
+    )
+    assert "GROUPING SETS((k), ())" in out and "WHERE (k > 0)" in out
+    out = translate("SELECT k, v FROM t ORDER BY k LIMIT 2 BY k LIMIT 10")
+    assert "__rn <= 2" in out and out.endswith("LIMIT 10")
+    out = translate(
+        "SELECT a.k FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t "
+        "WHERE a.k > 0 GROUP BY a.k"
+    )
+    assert "__asof_end" in out and "WHERE a.k > 0 GROUP BY a.k" in out
+    out = translate(
+        "SELECT x, sumIf(v, x > 0) OVER (PARTITION BY k) FROM t"
+    )
+    assert "FILTER (WHERE x > 0) OVER" in out
