@@ -914,11 +914,23 @@ def _rewrite_qualify(toks: list[str]) -> list[str]:
             break
     if q_at is None:
         return toks
-    if any(_u(t) == "DISTINCT" for t in toks[:q_at]):
-        raise DialectError(
-            "QUALIFY with SELECT DISTINCT isn't rewritten — filter in a "
-            "subquery, then apply DISTINCT outside"
-        )
+    # Only a depth-0 DISTINCT immediately after a depth-0 SELECT is a
+    # SELECT DISTINCT; count(DISTINCT x) in the select list or a DISTINCT
+    # inside a FROM-subquery must not trip the guard.
+    d0 = 0
+    for i, t in enumerate(toks[:q_at]):
+        if t == "(":
+            d0 += 1
+        elif t == ")":
+            d0 -= 1
+        elif (
+            d0 == 0 and _u(t) == "DISTINCT"
+            and i >= 1 and _u(toks[i - 1]) == "SELECT"
+        ):
+            raise DialectError(
+                "QUALIFY with SELECT DISTINCT isn't rewritten — filter in "
+                "a subquery, then apply DISTINCT outside"
+            )
     # predicate runs to the next top-level clause
     pred_end = len(toks)
     d = 0
@@ -2423,9 +2435,14 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "topLevelDomain": _tpl(
         "regexp_extract(parse_url({0}, 'HOST'), '\\\\.([^.]+)$', 1)"
     ),
+    # CH's rule (FirstSignificantSubdomain.h): normally the second-level
+    # label, but when that label is one of the composite second levels
+    # {com, net, org, co} (news.clickhouse.com.tr), step one label left.
+    # try_element_at → NULL on too-short hosts (bare 'com.tr').
     "firstSignificantSubdomain": _tpl(
-        "regexp_extract(parse_url({0}, 'HOST'), "
-        "'([^.]+)\\\\.[^.]+$', 1)"
+        "try_element_at(split(parse_url({0}, 'HOST'), '\\\\.'), "
+        "CASE WHEN try_element_at(split(parse_url({0}, 'HOST'), '\\\\.'), "
+        "-2) IN ('com', 'net', 'org', 'co') THEN -3 ELSE -2 END)"
     ),
     "substringIndex": _fn("substring_index"),
     # CH window-function spellings: lagInFrame/leadInFrame respect the
@@ -2595,38 +2612,44 @@ def _quantile_exact_merge(params: Sequence[str] | None, args: list[str]) -> str:
 
 
 def _window_funnel_strict_order(w: str, ts: str, conds: list[str]) -> str:
-    """``windowFunnel(W, 'strict_order')`` with CH's FREEZE semantics
-    (AggregateFunctionWindowFunnel.h strict-order branch, the same fold
-    x_window_funnel_freeze runs): once a started chain sees any event that
-    is not its expected next step — including out-of-window steps — the
-    scan goes dead and later clean runs do NOT count. Events before the
-    first step-1 match never interrupt. The fold consumes the group's
-    FULL timeline, so the collect is unfiltered by construction here."""
+    """``windowFunnel(W, 'strict_order')`` with CH's exact scan semantics
+    (AggregateFunctionWindowFunnel.h, the strict-order arm of
+    getEventLevel's else-if chain — the same fold x_window_funnel_freeze
+    runs): only an event matching NO funnel condition breaks the scan,
+    and only after the first step-1 match; condition events never
+    interrupt — a repeated step-1 event re-anchors the chain and a
+    non-advancing/out-of-window step event passes through. Levels already
+    recorded survive the break. The fold is the default-mode
+    anchor-propagating fold plus a first-event flag and a dead bit; it
+    consumes the group's FULL timeline, so the collect is unfiltered by
+    construction here."""
     n = len(conds)
     arr = _seq_sorted_structs(ts, conds)
-    init = (
-        "'s', cast(null as timestamp), '" + "c', 0, 'd', false"
+    init = ", ".join(
+        [f"'s{k}', cast(null as timestamp)" for k in range(1, n)]
+        + ["'d', 0", "'f', false", "'k', false"]
     )
-    adv = {
-        k: (f"(a.c = {k - 1} AND e.c{k} AND a.s IS NOT NULL AND "
-            f"e.t <= a.s + INTERVAL '{w}' SECOND)")
+    any_cond = " OR ".join(f"e.c{k}" for k in range(1, n + 1))
+    ok = {
+        k: (f"(NOT a.k AND e.c{k} AND a.s{k - 1} IS NOT NULL AND "
+            f"e.t <= a.s{k - 1} + INTERVAL '{w}' SECOND)")
         for k in range(2, n + 1)
     }
-    any_adv = " OR ".join(adv.values()) if adv else "false"
-    start = "(a.c = 0 AND NOT a.d AND e.c1)"
-    interrupt = (
-        f"(NOT a.d AND a.c >= 1 AND a.c < {n} AND NOT ({any_adv}))"
-    )
-    frozen = f"(a.d OR {interrupt} OR a.c >= {n})"
-    c_whens = "".join(
-        f" WHEN {adv[k]} THEN {k}" for k in range(2, n + 1)
-    ) + f" WHEN {start} THEN 1"
-    c = f"CASE WHEN {frozen} THEN a.c{c_whens} ELSE a.c END"
-    s = f"CASE WHEN {start} AND NOT {frozen} THEN e.t ELSE a.s END"
-    lam = (
-        f"(a, e) -> named_struct('s', {s}, 'c', {c}, 'd', {frozen})"
-    )
-    return f"aggregate({arr}, named_struct({init}), {lam}).c"
+    sets: list[str] = []
+    if n > 1:
+        sets.append("'s1', CASE WHEN NOT a.k AND e.c1 THEN "
+                    "greatest(a.s1, e.t) ELSE a.s1 END")
+    for k in range(2, n):
+        sets.append(f"'s{k}', CASE WHEN {ok[k]} THEN "
+                    f"greatest(a.s{k}, a.s{k - 1}) ELSE a.s{k} END")
+    whens = "".join(
+        f" WHEN {ok[k]} THEN {k}" for k in range(n, 1, -1)
+    ) + " WHEN NOT a.k AND e.c1 THEN 1"
+    sets.append(f"'d', greatest(a.d, CASE{whens} ELSE 0 END)")
+    sets.append("'f', (a.f OR e.c1)")
+    sets.append(f"'k', (a.k OR (a.f AND NOT ({any_cond})))")
+    lam = f"(a, e) -> named_struct({', '.join(sets)})"
+    return f"aggregate({arr}, named_struct({init}), {lam}).d"
 
 
 def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
@@ -2803,29 +2826,40 @@ def _sequence_match(params: Sequence[str] | None, args: list[str]) -> str:
 
 
 def _sequence_count(params: Sequence[str] | None, args: list[str]) -> str:
-    """``sequenceCount('(?1).*(?2)')(ts, c1, c2)`` (round 8): greedy
-    non-overlapping pair counting — each step-2 event redeems the oldest
-    open step-1 (parenthesis matching; the fold equals x_sequence_count's
-    closed form). Two-step patterns only; deeper patterns stay loud."""
+    """``sequenceCount('(?1).*(?2)')(ts, c1, c2)`` (round 9): CH's exact
+    non-overlapping resume-after-match scan
+    (AggregateFunctionSequenceMatch's countImpl re-runs the matcher from
+    just past each completed match): a step-1 event opens a chain only
+    when none is open, the next step-2 event completes it, and events
+    inside a completed match's span are never reused — [c1, c1, c2, c2]
+    counts 1 (the second c1 lies inside the first chain's span), where
+    greedy PAIRING would count 2. The pairing contract (every c1 redeems
+    a later c2 — its closed form needs no fold at all) is the different,
+    documented contract x_sequence_count implements. Two-step patterns
+    only; deeper patterns stay loud."""
     n, gaps = _parse_seq_pattern(params, "sequenceCount")
     if n != 2 or any(g is not None for g in gaps):
         raise DialectError(
             "sequenceCount: only the two-step '(?1).*(?2)' form has the "
-            "greedy-pairing fold; see x_sequence_count"
+            "resume-after-match fold; see x_sequence_count for the "
+            "greedy-pairing contract"
         )
     if len(args) != 3:
         raise DialectError("sequenceCount takes (timestamp, cond1, cond2)")
     arr = _seq_sorted_structs(args[0], args[1:])
+    # 'o': a chain is open (a step-1 consumed, its step-2 still pending).
+    # Completion is checked FIRST: an event matching both conditions
+    # closes an open chain (CH's matcher is at the (?2) action there) and
+    # opens one otherwise (the (?1) action consumes it).
     step = (
         "(a, e) -> named_struct("
-        "'o', CASE WHEN e.c1 THEN a.o + 1 "
-        "WHEN e.c2 AND a.o > 0 THEN a.o - 1 ELSE a.o END, "
-        "'m', CASE WHEN NOT coalesce(e.c1, false) AND e.c2 AND a.o > 0 "
-        "THEN a.m + 1 ELSE a.m END)"
+        "'o', CASE WHEN a.o AND e.c2 THEN false "
+        "WHEN NOT a.o AND e.c1 THEN true ELSE a.o END, "
+        "'m', CASE WHEN a.o AND e.c2 THEN a.m + 1 ELSE a.m END)"
     )
     return (
-        f"aggregate({arr}, named_struct('o', 0, 'm', cast(0 as bigint)), "
-        f"{step}).m"
+        f"aggregate({arr}, named_struct('o', false, 'm', "
+        f"cast(0 as bigint)), {step}).m"
     )
 
 
@@ -2974,9 +3008,15 @@ def _state_merge(name: str, args: list[str]) -> str | None:
         # a collect_set array, re-merged by flatten + array_distinct —
         # associative and idempotent like CH's hash-set union, so any
         # rollup nesting equals counting once. State size is O(distinct),
-        # the same burden CH carries for uniqExact.
+        # the same burden CH carries for uniqExact — for high-cardinality
+        # keys prefer uniqState/uniqMerge (HLL sketch states: bounded
+        # bytes per group, bit-identical rollups, ~2% error), the same
+        # trade CH users make between uniqExact and uniq.
         if len(args) != 1:
-            raise DialectError(f"{name} takes exactly one argument")
+            raise DialectError(
+                f"{name} takes exactly one argument (bounded-state "
+                "alternative: uniqState/uniqMerge — HLL)"
+            )
         if suffix == "State":
             return f"collect_set({args[0]})"
         if suffix == "MergeState":

@@ -1043,7 +1043,14 @@ def x_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.collision_mass), never the explode → double
     groupBy that would shuffle the tokenized corpus; the DuckDB oracle
     recomputes it relationally, hash-checking the fold per document. At
-    100 TB this is a pure map stage like the other textstats signals."""
+    100 TB this is a pure map stage like the other textstats signals.
+
+    Domain edge (pinned in test_review_fixes): an empty or
+    whitespace-only document tokenizes to the SINGLE empty-string token
+    on both engines — Spark's split('', ' ') and DuckDB's
+    string_split('', ' ') each yield [''], so both sides emit the doc
+    with n_tokens = 1, simpson = 1.0; n_tokens is never 0 and the
+    domains coincide exactly (every document appears on both sides)."""
     t = load_tables(spark, sf_dir)
     toks = TS.tokens("text")
     n = F.size(toks)

@@ -538,10 +538,14 @@ WHERE n_matched > 0
 
 @query("x_sequence_count", oracle=SEQUENCE_COUNT_SQL, tags=("behavior", "mergetree"))
 def x_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClickHouse ``sequenceCount``-style pairing: per user, how many
-    DISTINCT signup → purchase chains complete, matching greedily and
-    without reuse (each signup redeems at most one later purchase and vice
-    versa — parenthesis matching on the event timeline).
+    """Greedy signup → purchase PAIRING: per user, how many DISTINCT
+    chains complete, with each signup redeeming at most one later
+    purchase and vice versa (parenthesis matching on the event timeline).
+    Deliberately a different contract from ClickHouse's ``sequenceCount``
+    (non-overlapping resume-after-match scan — [s,s,p,p] counts 1 there,
+    2 here); the dialect translates ``sequenceCount`` to CH's exact scan,
+    while this query keeps the pairing count a funnel analyst usually
+    wants (how many redemptions, not how many scan passes).
 
     The count has a closed form that needs no iteration and no join:
     treating purchases as '+1' and signups as '-1',
@@ -952,13 +956,15 @@ def x_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     own strict_order example). Steps must therefore be ADJACENT in the
     user's full (ts, event_id) timeline.
 
-    Documented divergence from CH's scan: CH freezes processing at the
-    FIRST interruption; this query takes the max over ALL non-interleaved
-    runs (a later clean signup→view→purchase run still counts) — the
+    Documented divergence from CH's scan: CH breaks processing at the
+    first NO-CONDITION event after a step-1 match (condition events never
+    interrupt there — they re-anchor or pass through), while this query
+    requires strict step ADJACENCY but takes the max over ALL such runs
+    (a later clean signup→view→purchase run still counts) — the
     declarative reading, and the one a per-chain SQL oracle can verify
     (adjacency = NOT EXISTS an event strictly between the steps). For
-    bit-parity with CH's freeze behavior use x_window_funnel_freeze;
-    tests/test_mergetree_properties.py pins the exact frame the two
+    bit-parity with CH's scan use x_window_funnel_freeze;
+    tests/test_mergetree_properties.py pins the exact frames the two
     readings disagree on.
 
     The fold now consumes the user's FULL event array (interruption needs
@@ -1259,32 +1265,59 @@ def x_window_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Freeze-parity strict_order funnel: rank the user's FULL timeline, locate
-# the first signup, and read the depth off the two IMMEDIATELY FOLLOWING
-# events — CH stops scanning at the first interruption, so only they matter.
+# Freeze-parity strict_order funnel oracle. CH's scan (round-9 reading,
+# from AggregateFunctionWindowFunnel.h's else-if chain): only an event
+# matching NO funnel condition breaks the scan, and only after the first
+# step-1 event; condition events never interrupt — a signup re-anchors
+# level 1 and a non-advancing/out-of-window step event simply passes
+# through. The oracle therefore (a) truncates each user's timeline at the
+# first no-condition event after the first signup, then (b) replays the
+# re-anchoring chain with correlated "latest valid predecessor" lookups:
+# a view is valid against the LATEST signup before it, a purchase against
+# the LATEST valid view before it, window always vs the chain's signup.
 WINDOW_FUNNEL_FREEZE_SQL = """
 WITH o AS (
   SELECT user_id, ts, event_type,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events),
-first_s AS (
+fs AS (
   SELECT user_id, MIN(rn) AS rn0
   FROM o WHERE event_type = 'signup' GROUP BY user_id),
-j AS (
-  SELECT f.user_id, s.ts AS t0,
-         e1.event_type AS et1, e1.ts AS ts1,
-         e2.event_type AS et2, e2.ts AS ts2
-  FROM first_s f
-  JOIN o s ON s.user_id = f.user_id AND s.rn = f.rn0
-  LEFT JOIN o e1 ON e1.user_id = f.user_id AND e1.rn = f.rn0 + 1
-  LEFT JOIN o e2 ON e2.user_id = f.user_id AND e2.rn = f.rn0 + 2)
+brk AS (
+  SELECT o.user_id, MIN(o.rn) AS rnb
+  FROM o JOIN fs ON fs.user_id = o.user_id
+  WHERE o.event_type NOT IN ('signup', 'view', 'purchase')
+    AND o.rn > fs.rn0
+  GROUP BY o.user_id),
+pfx AS (
+  SELECT o.* FROM o
+  JOIN fs ON fs.user_id = o.user_id
+  LEFT JOIN brk ON brk.user_id = o.user_id
+  WHERE brk.rnb IS NULL OR o.rn < brk.rnb),
+vv AS (
+  SELECT v.user_id, v.rn, v.ts,
+         (SELECT MAX(s.ts) FROM pfx s
+          WHERE s.user_id = v.user_id AND s.event_type = 'signup'
+            AND s.rn < v.rn) AS anchor
+  FROM pfx v WHERE v.event_type = 'view'),
+valid_v AS (
+  SELECT * FROM vv
+  WHERE anchor IS NOT NULL AND ts <= anchor + INTERVAL 1 HOUR),
+pp AS (
+  SELECT p.user_id, p.ts,
+         (SELECT v.anchor FROM valid_v v
+          WHERE v.user_id = p.user_id AND v.rn < p.rn
+          ORDER BY v.rn DESC LIMIT 1) AS anchor
+  FROM pfx p WHERE p.event_type = 'purchase'),
+l3 AS (SELECT DISTINCT user_id FROM pp
+       WHERE anchor IS NOT NULL AND ts <= anchor + INTERVAL 1 HOUR),
+l2 AS (SELECT DISTINCT user_id FROM valid_v)
 SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
-  SELECT CASE WHEN et1 = 'view' AND ts1 <= t0 + INTERVAL 1 HOUR
-                   AND et2 = 'purchase' AND ts2 <= t0 + INTERVAL 1 HOUR
-              THEN 3
-              WHEN et1 = 'view' AND ts1 <= t0 + INTERVAL 1 HOUR THEN 2
+  SELECT f.user_id,
+         CASE WHEN f.user_id IN (SELECT user_id FROM l3) THEN 3
+              WHEN f.user_id IN (SELECT user_id FROM l2) THEN 2
               ELSE 1 END AS depth
-  FROM j) t
+  FROM fs f) t
 GROUP BY depth
 """
 
@@ -1296,21 +1329,28 @@ GROUP BY depth
 )
 def x_window_funnel_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``windowFunnel(3600, 'strict_order')`` with CH's exact
-    FREEZE semantics (AggregateFunctionWindowFunnel.h strict-order branch):
-    the scan stops at the FIRST interruption of the first started chain —
-    in A→B→D→C the D ends the search at depth 2, and a later clean
-    signup→view→purchase run does NOT count. This is the bit-parity
-    companion to x_window_funnel_strict, which keeps the (documented,
-    deliberately divergent) max-over-all-runs reading; a migrating CH user
+    FREEZE semantics (AggregateFunctionWindowFunnel.h, the strict-order
+    arm of getEventLevel's else-if chain): only an event that matches NO
+    funnel condition breaks the scan, and only once a step-1 event has
+    been seen (``first_event``). Condition events never interrupt — a
+    repeated signup RE-ANCHORS level 1 (signup,signup,view,purchase → 3),
+    a repeated or out-of-window step event passes through
+    (signup,view,view,purchase → 3) — and levels already recorded survive
+    the break (A→B→D→C freezes at 2; a later clean run after a break does
+    NOT count). This is the bit-parity companion to
+    x_window_funnel_strict, which keeps the (documented, deliberately
+    divergent) max-over-all-adjacent-runs reading; a migrating CH user
     picks by which contract they relied on.
 
-    The fold is x_window_funnel_strict's with one extra state bit: once a
-    started chain sees any event that is not its expected next step (or
-    sees it out of window), the state goes DEAD and nothing after changes
-    it. Events before the first signup cannot interrupt (no chain has
-    started — CH behaves identically). Same shape at scale: one user_id
-    exchange, O(events) fold per user, no self-join; the window-function
-    oracle is fixture-scale only.
+    The fold mirrors x_window_funnel's anchor-propagating state plus a
+    first-event flag and a dead bit: s1 = latest signup ts (CH's
+    events_timestamp[0]), s2 = chain anchor of the latest valid view
+    (events_timestamp[1].first — the overwrite equals a running max, as
+    latest-signup-before is monotone in event order), d = max level
+    recorded. Window checks are always against the chain's signup anchor,
+    exactly CH's ``timestamp <= first_timestamp + window``. Same shape at
+    scale: one user_id exchange, O(events) fold per user, no self-join;
+    the correlated-subquery oracle is fixture-scale only.
     """
     ev = load_tables(spark, sf_dir)["events"]
     seq = (
@@ -1323,34 +1363,48 @@ def x_window_funnel_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = F.lit(_FUNNEL_WINDOW_US)
     init = F.struct(
-        F.lit(None).cast("long").alias("s"),   # chain start (signup tus)
-        F.lit(0).alias("c"),                    # chain depth
-        F.lit(False).alias("d"),                # dead: frozen at interrupt
+        F.lit(None).cast("long").alias("s1"),  # latest signup (level-1 anchor)
+        F.lit(None).cast("long").alias("s2"),  # level-2 chain anchor
+        F.lit(0).alias("d"),                    # max level recorded
+        F.lit(False).alias("f"),                # first step-1 event seen
+        F.lit(False).alias("k"),                # dead: scan broken
     )
 
     def step(acc, e):
         et = e["event_type"]
-        started = acc["c"] >= 1
-        complete = acc["c"] >= 3
-        in_window = acc["s"].isNotNull() & (e["tus"] <= acc["s"] + w)
-        advance2 = (acc["c"] == 1) & (et == F.lit("view")) & in_window
-        advance3 = (acc["c"] == 2) & (et == F.lit("purchase")) & in_window
-        start = (~started) & (et == F.lit("signup"))
-        interrupt = (
-            ~acc["d"] & started & ~complete & ~advance2 & ~advance3
+        live = ~acc["k"]
+        is1 = et == F.lit("signup")
+        adv2 = (
+            live & (et == F.lit("view"))
+            & acc["s1"].isNotNull() & (e["tus"] <= acc["s1"] + w)
         )
-        frozen = acc["d"] | interrupt | complete
-        c = (
-            F.when(frozen, acc["c"])
-            .when(advance2, F.lit(2))
-            .when(advance3, F.lit(3))
-            .when(start, F.lit(1))
-            .otherwise(acc["c"])
+        adv3 = (
+            live & (et == F.lit("purchase"))
+            & acc["s2"].isNotNull() & (e["tus"] <= acc["s2"] + w)
         )
-        s = F.when(start & ~acc["d"], e["tus"]).otherwise(acc["s"])
-        return F.struct(s.alias("s"), c.alias("c"), frozen.alias("d"))
+        nocond = (
+            ~is1 & (et != F.lit("view")) & (et != F.lit("purchase"))
+        )
+        s1 = F.when(live & is1, F.greatest(acc["s1"], e["tus"])).otherwise(
+            acc["s1"]
+        )
+        s2 = F.when(adv2, F.greatest(acc["s2"], acc["s1"])).otherwise(
+            acc["s2"]
+        )
+        d = F.greatest(
+            acc["d"],
+            F.when(adv3, F.lit(3))
+            .when(adv2, F.lit(2))
+            .when(live & is1, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        return F.struct(
+            s1.alias("s1"), s2.alias("s2"), d.alias("d"),
+            (acc["f"] | is1).alias("f"),
+            (acc["k"] | (acc["f"] & nocond)).alias("k"),
+        )
 
-    depth = F.aggregate(F.col("seq"), init, step)["c"]
+    depth = F.aggregate(F.col("seq"), init, step)["d"]
     return (
         seq.select("user_id", depth.alias("depth"))
         .filter(F.col("depth") >= 1)

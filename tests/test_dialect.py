@@ -1639,6 +1639,9 @@ def test_uniq_exact_state_merge_equals_one_level(spark):
         "uniqExactState(v) AS st FROM ue_probe GROUP BY g, sub) GROUP BY g)"
     )).collect()
     assert three[0]["u"] == 3
+    # the O(distinct)-state caveat points at the bounded-state HLL family
+    with pytest.raises(DialectError, match="uniqState/uniqMerge"):
+        translate("SELECT uniqExactState(x, y) FROM t")
     spark.catalog.dropTempView("ue_probe")
 
 
@@ -1763,12 +1766,12 @@ def test_window_funnel_bad_forms_are_loud():
 
 
 def test_sequence_match_and_count_translate(spark):
-    """Round-8 sequence folds: untimed sequenceMatch (subsequence
-    existence, greedy-exact) and two-step sequenceCount (greedy
-    non-overlapping pairing) — asserted against the engine's own
-    x_sequence_match / x_sequence_count on the oracle fixture."""
+    """Sequence folds: untimed sequenceMatch (subsequence existence,
+    asserted against the engine's own x_sequence_match) and two-step
+    sequenceCount — since round 9 CH's exact non-overlapping
+    resume-after-match scan, asserted against a Python transcription of
+    AggregateFunctionSequenceMatch's countImpl on the oracle fixture."""
     from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
-        x_sequence_count,
         x_sequence_match,
     )
     from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
@@ -1789,9 +1792,43 @@ def test_sequence_match_and_count_translate(spark):
         "sequenceCount('(?1).*(?2)')(ts, event_type = 'signup', "
         "event_type = 'purchase') AS m FROM events GROUP BY user_id)"
     )).collect()[0]["total"]
-    wantc = x_sequence_count(spark, SF_ORACLE) \
-        .agg({"n_matched": "sum"}).collect()[0][0]
+    by_user: dict = {}
+    for r in spark.sql(
+        "SELECT user_id, ts, event_id, event_type FROM events"
+    ).collect():
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    wantc = 0
+    for evs in by_user.values():
+        evs.sort()
+        open_chain = False
+        for _ts, _eid, et in evs:
+            if not open_chain and et == "signup":
+                open_chain = True
+            elif open_chain and et == "purchase":
+                wantc += 1
+                open_chain = False
     assert gotc == wantc
+
+
+def test_sequence_count_is_non_overlapping_resume_after_match(spark):
+    """CH semantics pin: on [c1, c1, c2, c2] the scan counts ONE chain —
+    the second c1 lies inside the first match's span and is skipped
+    (greedy pairing would count 2); the scan then resumes and a later
+    c1→c2 adds a second match."""
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "a"), (6, "b")],
+        "sec int, et string",
+    ).selectExpr(
+        "timestamp_seconds(sec) AS ts", "et"
+    ).createOrReplaceTempView("seqcnt_probe")
+    n = spark.sql(translate(
+        "SELECT sequenceCount('(?1).*(?2)')(ts, et = 'a', et = 'b') AS n "
+        "FROM seqcnt_probe"
+    )).collect()[0]["n"]
+    assert n == 2  # (a@1 -> b@3) and (a@5 -> b@6); a@2 and b@4 skipped
+    spark.catalog.dropTempView("seqcnt_probe")
 
 
 def test_sequence_pattern_loud_cases():
@@ -2014,7 +2051,42 @@ def test_qualify_rewrites_to_hidden_column_filter(spark):
     with pytest.raises(DialectError, match="DISTINCT"):
         translate("SELECT DISTINCT k FROM t QUALIFY row_number() "
                   "OVER (ORDER BY k) = 1")
+    # round 9: only SELECT DISTINCT trips the guard — an aggregate
+    # DISTINCT in the select list or a DISTINCT inside a FROM-subquery
+    # must translate (they don't change the outer row set).
+    agg = spark.sql(translate(
+        "SELECT k, count(DISTINCT v) AS nv FROM qual_probe GROUP BY k "
+        "QUALIFY rank() OVER (ORDER BY count(DISTINCT v) DESC) = 1"
+    )).collect()
+    assert [(r["k"], r["nv"]) for r in agg] == [("a", 2)]
+    sub = spark.sql(translate(
+        "SELECT k FROM (SELECT DISTINCT k FROM qual_probe) "
+        "QUALIFY row_number() OVER (ORDER BY k) = 1"
+    )).collect()
+    assert [r["k"] for r in sub] == ["a"]
     spark.catalog.dropTempView("qual_probe")
+
+
+def test_first_significant_subdomain_composite_tld(spark):
+    """CH special-cases composite TLD second levels: for
+    news.clickhouse.com.tr the significant subdomain is 'clickhouse'
+    (skip a trailing com/net/org/co label), not 'com'; too-short hosts
+    return NULL instead of throwing under ANSI."""
+    spark.createDataFrame(
+        [("https://news.clickhouse.com.tr/x",),
+         ("https://blog.example.co.uk/y",),
+         ("https://news.ycombinator.com/z",),
+         ("https://com.tr/",),
+         ("https://localhost/",)],
+        "u string",
+    ).createOrReplaceTempView("fsd_probe")
+    rows = spark.sql(translate(
+        "SELECT firstSignificantSubdomain(u) AS fsd FROM fsd_probe"
+    )).collect()
+    assert [r["fsd"] for r in rows] == [
+        "clickhouse", "example", "ycombinator", None, None,
+    ]
+    spark.catalog.dropTempView("fsd_probe")
 
 
 def test_clause_combinations_compose():

@@ -403,27 +403,35 @@ def test_dedup_mode_sits_between_default_and_strict_order(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 def _brute_freeze_funnel(rows):
-    """CH strict_order with freeze-at-first-interruption, per user."""
+    """CH strict_order, transcribed from AggregateFunctionWindowFunnel.h's
+    else-if chain: only a NO-condition event breaks the scan (and only
+    after the first step-1 event); a step-1 event always re-anchors;
+    non-advancing/out-of-window step events pass through; recorded levels
+    survive the break."""
     by_user = {}
     for eid, ts, uid, etype, _v, _p in rows:
         by_user.setdefault(uid, []).append((ts, eid, etype))
     hist = {}
     for evs in by_user.values():
         evs.sort()
-        c, s, dead = 0, None, False
+        s1 = s2 = None  # level anchors: latest signup / level-2 chain start
+        best, first_event = 0, False
         for ts, _eid, etype in evs:
-            if dead or c == 3:
+            if etype == "signup":
+                s1, first_event = ts, True
+                best = max(best, 1)
+            elif etype == "view":
+                if s1 is not None and ts <= s1 + WINDOW:
+                    s2 = s1
+                    best = max(best, 2)
+            elif etype == "purchase":
+                if s2 is not None and ts <= s2 + WINDOW:
+                    best = 3
+                    break  # full depth: CH early-returns events_size
+            elif first_event:
                 break
-            if c == 1 and etype == "view" and ts <= s + WINDOW:
-                c = 2
-            elif c == 2 and etype == "purchase" and ts <= s + WINDOW:
-                c = 3
-            elif c == 0 and etype == "signup":
-                c, s = 1, ts
-            elif c >= 1:
-                dead = True
-        if c:
-            hist[c] = hist.get(c, 0) + 1
+        if best:
+            hist[best] = hist.get(best, 0) + 1
     return hist
 
 
@@ -442,16 +450,19 @@ def test_freeze_funnel_matches_brute_force(spark, tmp_path):
         assert got == _brute_freeze_funnel(rows), (seed, spread)
 
 
-def test_freeze_vs_strict_divergence_is_the_later_clean_run(spark, tmp_path):
-    """The exact case the two strict_order readings disagree on: a dirty
-    first chain followed by a clean full run. CH (freeze) stops at the
-    first interruption -> depth 1; the max-over-runs reading counts the
-    later run -> depth 3. Both must hold on the same frame."""
+def test_freeze_vs_strict_divergence_frames(spark, tmp_path):
+    """The exact frames the two strict_order readings disagree on. CH's
+    scan (x_window_funnel_freeze) breaks only on NO-condition events: a
+    dirty first chain followed by a clean run stays depth 1, but repeated
+    signups re-anchor and repeated views pass through (both depth 3 —
+    the round-9 corrected reading). The adjacency/max-over-runs reading
+    (x_window_funnel_strict) counts the later clean run but kills chains
+    on ANY non-expected event, including repeated steps."""
     base = dt.datetime(2024, 3, 1)
     mins = lambda m: base + dt.timedelta(minutes=m)
     rows = [
         (1, mins(0), 1, "signup", 1.0, "{}"),
-        (2, mins(2), 1, "click", 1.0, "{}"),     # interrupts at depth 1
+        (2, mins(2), 1, "click", 1.0, "{}"),     # no-cond: breaks CH scan
         (3, mins(20), 1, "signup", 1.0, "{}"),   # clean run: frozen scan
         (4, mins(25), 1, "view", 1.0, "{}"),     #  never sees these
         (5, mins(30), 1, "purchase", 1.0, "{}"),
@@ -460,6 +471,18 @@ def test_freeze_vs_strict_divergence_is_the_later_clean_run(spark, tmp_path):
         (7, mins(5), 2, "signup", 1.0, "{}"),
         (8, mins(10), 2, "view", 1.0, "{}"),
         (9, mins(15), 2, "purchase", 1.0, "{}"),
+        # user 3: a repeated signup RE-ANCHORS in CH (depth 3 both ways —
+        # strict restarts its run at the second signup and completes too)
+        (10, mins(0), 3, "signup", 1.0, "{}"),
+        (11, mins(5), 3, "signup", 1.0, "{}"),
+        (12, mins(10), 3, "view", 1.0, "{}"),
+        (13, mins(15), 3, "purchase", 1.0, "{}"),
+        # user 4: a repeated view PASSES THROUGH in CH (depth 3) but is a
+        # non-adjacent interleaving to strict (depth 2)
+        (14, mins(0), 4, "signup", 1.0, "{}"),
+        (15, mins(5), 4, "view", 1.0, "{}"),
+        (16, mins(10), 4, "view", 1.0, "{}"),
+        (17, mins(15), 4, "purchase", 1.0, "{}"),
     ]
     from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
         x_window_funnel_freeze,
@@ -468,8 +491,8 @@ def test_freeze_vs_strict_divergence_is_the_later_clean_run(spark, tmp_path):
 
     sf = _write_and_point(spark, tmp_path, rows, "wff_doc")
     as_map = lambda df: {r["depth"]: r["n_users"] for r in df.collect()}
-    assert as_map(x_window_funnel_freeze(spark, sf)) == {1: 1, 3: 1}
-    assert as_map(x_window_funnel_strict(spark, sf)) == {3: 2}
+    assert as_map(x_window_funnel_freeze(spark, sf)) == {1: 1, 3: 3}
+    assert as_map(x_window_funnel_strict(spark, sf)) == {2: 1, 3: 3}
 
 
 def test_dialect_window_funnel_equals_dataframe_fold_on_random_frames(

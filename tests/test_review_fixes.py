@@ -93,3 +93,44 @@ def test_lang_id_detects_unspaced_chinese(spark):
     )
     got = {r["doc_id"]: r["p"] for r in df.select("doc_id", TS.predict_lang().alias("p")).collect()}
     assert got == {1: "zh", 2: "en"}
+
+
+def test_token_diversity_domain_includes_empty_docs_on_both_sides(
+    spark, tmp_path
+):
+    """ADVICE r8 flagged a latent empty-doc domain mismatch in
+    x_token_diversity; empirically BOTH engines tokenize '' to the single
+    empty-string token (split/string_split each return ['']), so both
+    sides emit every document — n_tokens = 1, simpson = 1.0 for empty or
+    whitespace-only text. Pin that agreement on a frame that contains
+    the edge (the driver fixtures don't)."""
+    import pandas as pd
+
+    from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
+    from .conftest import SF_SMOKE
+    from .oracle_harness import assert_parity
+
+    sf_dir = tmp_path / "tokdiv"
+    sf_dir.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "text": ["the quick brown fox the", "", "   \t  ", "solo"],
+            "lang": ["en"] * 4,
+            "source": ["web"] * 4,
+            "n_chars": pd.array([23, 0, 6, 4], dtype="int64"),
+        }
+    ).to_parquet(sf_dir / "documents.parquet")
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        (sf_dir / f"{t}.parquet").symlink_to(f"{SF_SMOKE}/{t}.parquet")
+    spec = all_queries()["x_token_diversity"]
+    got = spec.fn(spark, str(sf_dir)).collect()
+    assert {r["doc_id"] for r in got} == {1, 2, 3, 4}
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[1]["n_tokens"] == 5 and by_id[1]["collision_mass"] == 7
+    assert by_id[2]["n_tokens"] == 1 and by_id[2]["simpson"] == 1.0
+    assert by_id[3]["n_tokens"] == 1 and by_id[3]["simpson"] == 1.0
+    assert_parity(spark, spec, str(sf_dir))
