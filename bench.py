@@ -185,19 +185,38 @@ def main() -> None:
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_sec",
-                "value": round(sum(per_query.values()), 4),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                # Not part of the total: fixed-cost machine-noise gauge.
-                "calibration_sec": calibration,
-            }
-        )
+    out = {
+        "metric": "headline_query_total_sec",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        # Not part of the total: fixed-cost machine-noise gauge.
+        "calibration_sec": calibration,
+    }
+    # Normalize against the newest prior BENCH_r*.json that carries a
+    # calibration gauge: total_normalized re-expresses this run's total in
+    # THAT round's machine-speed units (total ÷ calibration ratio), so a
+    # cross-round comparison reads plan changes, not box contention.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        f for f in os.listdir(here)
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
+    for fname in reversed(prior):
+        try:
+            with open(os.path.join(here, fname)) as fh:
+                prev = json.load(fh)
+            prev_cal = prev.get("calibration_sec")
+            if prev_cal:
+                ratio = round(calibration / prev_cal, 4)
+                out["calibration_vs"] = fname
+                out["calibration_ratio"] = ratio
+                out["total_normalized"] = round(out["value"] / ratio, 4)
+                break
+        except (OSError, ValueError):
+            continue
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -63,76 +63,23 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The union of rounds verifies the full registry (asserted in
 # tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND-8 WINDOW (the driver consumes exactly the first 50 names).
-    # (a) NEW OR CHANGED in round 8 — grow this section as queries land;
-    #     every addition must displace the LAST name of section (c)'s
-    #     r4-fill into the round-9 queue below to keep the window at 50.
-    "sql_ch_avg_state",
-    "x_window_funnel_freeze",
-    "sql_ch_fill_interpolate",
-    # (b) The full 47-member round-3-stale cohort (last driver row r3),
-    #     committed to lead this window by the round-7 registry comment.
-    "j_theta_band",
-    "a_grouping_sets",
-    "w_range_frame",
-    "sub_min_price_supplier",
-    "x_token_packing",
-    "x_decontaminate",
-    "x_tfidf_topterms",
-    "j_left_outer",
-    "j_full_outer",
-    "j_semi",
-    "j_anti",
-    "a_count_distinct",
-    "a_argmax",
-    "a_conditional",
-    "a_rollup",
-    "a_cube",
-    "a_rollup_grouping",
-    "a_having",
-    "a_stats_moments",
-    "a_groupby_expr",
-    "w_rank_dense",
-    "w_lag_lead",
-    "w_moving_avg",
-    "w_ntile_first_last",
-    "w_percent_rank_cume",
-    "s_except",
-    "s_except_all",
-    "c_like_split",
-    "c_case_in_between",
-    "c_array_funcs",
-    "c_null_handling",
-    "sub_scalar_avg",
-    "sub_in",
-    "sub_not_exists",
-    "x_lang_id",
-    "x_simhash_near_dup",
-    "x_ivf_cosine_topk",
-    "x_hash_split",
-    "x_det_sample",
-    "x_repetition_stats",
-    "x_rolling_fingerprint",
-    "x_pii_scrub",
-    "x_embedding_stats",
-    "x_leakage_safe_split",
-    "x_ngram_counts",
-    "x_vocab_build",
-    "x_stratified_sample",
-    # (c) Round-4-stale fill: consumed by round-8 additions above.
-    # ------------------------------------------------------------------
-    # Positions 51+: the ROUND-9 QUEUE — the full 47-member r4-stale cohort of
-    # queries (last driver row round 4). Everything else was last
-    # checked in rounds 6-7 and refreshes in round 10.
-    # ------------------------------------------------------------------
-    # Round-8 additions past the 50-slot window (locally oracle-checked;
-    # driver rows land in round 9):
+    # ROUND-9 WINDOW (the driver consumes exactly the first 50 names).
+    # (a) Queries with NO driver row yet (round-8 late additions; all
+    #     judge-verified vs DuckDB, driver rows land this round).
     "sql_ch_window_funnel",
     "sql_ch_uniq_exact_rollup",
     "x_token_diversity",
     "sql_ch_sample_offset",
-    "a_approx_distinct",
-    "a_approx_quantiles",
+    # (b) NEW OR SEMANTICALLY CHANGED in round 9 — grow this section as
+    #     queries land; every addition must displace the LAST name of
+    #     section (c) into the round-10 queue below to keep the window
+    #     at 50. x_window_funnel_freeze: fold + oracle rewritten to CH's
+    #     exact strict_order scan (ADVICE r8 high finding).
+    "x_window_funnel_freeze",
+    # (c) The round-4-stale cohort (last driver row r4) — oracle-bearing
+    #     queries first; rows-only names sort to the TAIL so a 50-slot
+    #     window spends its slots on full hash checks (r8 lesson:
+    #     x_ivf_cosine_topk burned a slot on a no_oracle row).
     "a_percentile_disc",
     "c_datetime_funcs",
     "c_explode_outer",
@@ -170,12 +117,40 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "w_topk_per_group",
     "x_cosine_topk",
     "x_dedup_exact",
-    "x_embedding_near_dup",
     "x_jaccard_near_dup",
-    "x_lsh_cosine_topk",
     "x_passage_dedup",
     "x_random_projection",
+    # rows-only members of the r4 cohort (no DuckDB oracle — the driver
+    # records a rows>0 check): tail of the window; whatever the 50-name
+    # cut excludes leads the round-10 queue below.
+    "a_approx_distinct",
+    "a_approx_quantiles",
+    "x_embedding_near_dup",
+    "x_lsh_cosine_topk",
     "x_sketch_distinct_rollup",
+    # ------------------------------------------------------------------
+    # Positions 51+: the ROUND-10 QUEUE. First the r4-stale rows-only
+    # names the 50-slot cut displaced, then the 50-member round-6 cohort
+    # (last driver row r6) — pre-staged here so the rotation discipline
+    # survives session churn:
+    #   m_covar_corr, m_median_exact, m_histogram, m_string_agg,
+    #   m_unpivot, m_salted_agg, a_pivot, s_intersect_all, w_running_sum,
+    #   sub_correlated_scalar, sub_exists_correlated,
+    #   sub_small_qty_revenue, c_json_funcs, m_order_priority_check,
+    #   m_disjunctive_bands, m_lateral_top_order, m_global_agg_revenue,
+    #   m_token_tf_topn, a_groupby_orders, c_string_funcs, j_inner_equi,
+    #   x_corpus_prep, x_quality_score, x_text_stats, x_sketch_cms_freq,
+    #   x_cluster_canonical, x_ngram_novelty, x_source_cap,
+    #   x_quality_gate_per_lang, x_mixture_weights, x_funnel_steps,
+    #   x_retention_cohort, x_gap_fill_locf, x_interpolate_linear,
+    #   x_outlier_zscore, x_weighted_sample, x_bloom_decontaminate,
+    #   sql_recursive_date_spine, cdc_collapsing_state, x_window_funnel,
+    #   x_session_paths, x_time_weighted_avg, x_session_stats,
+    #   x_fuzzy_name_pairs, x_pmi_pairs, x_heavy_hitters, x_kmeans_embed,
+    #   x_minhash_near_dup, x_dedup_clusters, c_math_funcs
+    # (51 names for 50 slots — drop the rows-only x_sketch_* first if
+    # round-9 additions push the queue past one window.)
+    # ------------------------------------------------------------------
     "x_sketch_quantiles",
     "x_sketch_theta_setops",
 )
