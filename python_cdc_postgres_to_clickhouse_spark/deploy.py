@@ -247,23 +247,86 @@ def apply_batch(
     return sess.sql(binding.mv.select_spark_sql)
 
 
-def decode_frames(binding: StreamBinding, frames: DataFrame):
+def decode_frames(
+    binding: StreamBinding,
+    frames: DataFrame,
+    schema_json: str | None = None,
+):
     """Decode raw Kafka frames (a ``value`` column) per the binding's
-    declared queue format. JSONEachRow decodes self-contained against the
-    queue table's own translated columns and returns ``(rows, dead)``;
-    the Avro framings need the (env-bound) schema/registry and stay with
-    sources/avro.py. Works identically on batch and streaming frames —
-    the decode is pure narrow column expressions."""
+    declared queue format into ``(rows, dead)``. JSONEachRow decodes
+    self-contained against the queue table's own translated columns.
+    ``ENGINE = Kafka(..., 'Avro' / 'AvroConfluent')`` — the reference's
+    actual wire format (debezium.json registers AvroConverter; schema.avsc
+    is the writer schema) — decodes broker-less through
+    ``sources/avro.decode_avro`` when the caller supplies the writer
+    schema as ``schema_json``; only the schema-REGISTRY fetch is env-bound
+    (``sources/avro.decode_from_registry``). Works identically on batch
+    and streaming frames — both decodes are per-row narrow work."""
     if binding.framing == "jsoneachrow":
         from .sources.jsonrows import decode_json_each_row
 
         return decode_json_each_row(frames, binding.source.columns)
+    if binding.framing in ("confluent", "raw"):
+        if schema_json is None:
+            raise DialectError(
+                f"format {binding.source.kafka.format!r} needs the writer "
+                "schema: pass schema_json=<the .avsc contents> to decode "
+                "broker-less (sources/avro.decode_avro), or use "
+                "sources/avro.decode_from_registry when a schema registry "
+                "is reachable"
+            )
+        return _decode_avro_frames(binding, frames, schema_json)
     raise DialectError(
-        f"format {binding.source.kafka.format!r} needs an external schema "
-        "— decode with sources/avro.py (framing="
-        f"{binding.framing!r}) and pass the decoded stream to "
-        "start_binding directly"
+        f"format {binding.source.kafka.format!r} has no deployment decode "
+        "— decode externally and pass the decoded stream to start_binding "
+        "directly"
     )
+
+
+def _decode_avro_frames(
+    binding: StreamBinding, frames: DataFrame, schema_json: str
+):
+    """Avro queue decode → the queue table's OWN declared columns.
+
+    ``decode_avro`` runs PERMISSIVE (a corrupt body decodes to all-NULL
+    fields), so the dead-letter split keys on every declared column being
+    NULL — the one shape a successful decode of the queue's schema cannot
+    produce for a real record unless the writer sent an all-null row (a
+    degenerate record that carries no information either way). Declared
+    TIMESTAMP columns fed by Avro longs map via ``timestamp_micros`` —
+    the Debezium MicroTimestamp convention the reference's schema.avsc
+    uses (io.debezium.time.MicroTimestamp); everything else casts to the
+    declared Spark type."""
+    from pyspark.sql import functions as F
+
+    from .sources.avro import decode_avro
+
+    decoded = decode_avro(
+        frames.select("value"), schema_json, framing=binding.framing
+    )
+    dtypes = dict(decoded.dtypes)
+    declared = binding.source.columns
+    missing = [n for n, _ in declared if n not in dtypes]
+    if missing:
+        raise DialectError(
+            f"queue table {binding.source.table!r} declares column(s) "
+            f"{missing} absent from the Avro writer schema"
+        )
+    out_cols = []
+    for name, spark_type in declared:
+        c = F.col(name)
+        if spark_type.upper().startswith("TIMESTAMP") and dtypes[name] == "bigint":
+            c = F.timestamp_micros(c)
+        else:
+            c = c.cast(spark_type)
+        out_cols.append(c.alias(name))
+    corrupt = None
+    for name, _ in declared:
+        isnull = F.col(name).isNull()
+        corrupt = isnull if corrupt is None else (corrupt & isnull)
+    rows = decoded.filter(~corrupt).select(*out_cols)
+    dead = decoded.filter(corrupt).select(F.col("value").alias("raw_frame"))
+    return rows, dead
 
 
 def start_binding(

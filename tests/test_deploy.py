@@ -405,3 +405,133 @@ SELECT id, toInt64(round(v * 100)) AS cents FROM dq;
     assert out.count() == 2  # the resent block applied once
     assert {r["cents"] for r in out.collect()} == {125, 200}
     spark.catalog.dropTempView("dq")
+
+
+AVRO_QUEUE_SCRIPT = """
+CREATE TABLE u_queue (
+    id Int32,
+    username String,
+    email String,
+    created_at_us DateTime64(6)
+) ENGINE = Kafka('b:9092', 'cdc.public.users', 'g', 'AvroConfluent');
+
+CREATE MATERIALIZED VIEW u_mv AS
+SELECT id, upper(username) AS username, email, created_at_us
+FROM u_queue WHERE id > 0;
+"""
+
+
+def test_avro_queue_decodes_and_drains_through_mv(spark):
+    """ENGINE = Kafka(..., 'AvroConfluent') end to end, broker-less — the
+    reference's actual wire format (debezium.json:14-15 AvroConverter;
+    schema.avsc is the writer schema): decode_frames strips the registry
+    header, maps the µs-long onto the declared DateTime64 column via
+    timestamp_micros, splits an undecodable frame to the dead-letter leg,
+    and the MV body drains the decoded batch."""
+    import datetime as dt
+
+    from python_cdc_postgres_to_clickhouse_spark.deploy import decode_frames
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import (
+        USERS_AVRO_SCHEMA_JSON,
+        encode_user_record,
+        frame_confluent,
+    )
+
+    dep = plan_deployment(AVRO_QUEUE_SCRIPT)
+    b = dep.bindings[0]
+    assert b.framing == "confluent"
+    payloads = [
+        frame_confluent(
+            encode_user_record(1, "ann", "a@x.io", 1_700_000_000_000_000),
+            schema_id=7,
+        ),
+        frame_confluent(encode_user_record(-2, "neg", "n@x.io", None),
+                        schema_id=7),
+        b"\x00\x00\x00\x00\x07\x01",  # header + truncated body: EOF mid-read
+    ]
+    frames = spark.createDataFrame(
+        [(bytearray(p),) for p in payloads], "value binary"
+    )
+    rows, dead = decode_frames(b, frames, schema_json=USERS_AVRO_SCHEMA_JSON)
+    assert dead.count() == 1
+    assert bytes(dead.collect()[0]["raw_frame"]) == payloads[2]
+    decoded = {r["id"]: r for r in rows.collect()}
+    assert set(decoded) == {1, -2}  # the MV predicate runs later
+    assert decoded[1]["created_at_us"] == dt.datetime(2023, 11, 14, 22, 13, 20)
+    assert decoded[-2]["created_at_us"] is None
+    out = [r.asDict() for r in apply_batch(spark, b, rows).collect()]
+    assert out == [{
+        "id": 1, "username": "ANN", "email": "a@x.io",
+        "created_at_us": dt.datetime(2023, 11, 14, 22, 13, 20),
+    }]
+    spark.catalog.dropTempView("u_queue")
+
+
+def test_avro_queue_streaming_leg(spark, tmp_path):
+    """The Avro path under Structured Streaming: binary frames arrive as a
+    stream, decode_frames produces the typed rows, start_binding's MV
+    trigger drains into the target — exactly the JSONEachRow streaming
+    contract, on the reference's own wire format."""
+    from python_cdc_postgres_to_clickhouse_spark.deploy import (
+        decode_frames,
+        start_binding,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import (
+        USERS_AVRO_SCHEMA_JSON,
+        encode_user_record,
+        frame_confluent,
+    )
+
+    dep = plan_deployment(AVRO_QUEUE_SCRIPT)
+    b = dep.bindings[0]
+    src = tmp_path / "avro_frames"
+    src.mkdir()
+    batch0 = [
+        frame_confluent(
+            encode_user_record(1, "ann", "a@x.io", 1_700_000_000_000_000),
+            schema_id=7,
+        ),
+        b"\x00\x00\x00\x00\x07\x01",  # dead letter: must not stall the MV
+    ]
+    batch1 = [
+        frame_confluent(encode_user_record(2, "bob", "b@x.io", None),
+                        schema_id=7),
+        frame_confluent(encode_user_record(-3, "neg", "n@x.io", None),
+                        schema_id=7),
+    ]
+    for i, batch in enumerate([batch0, batch1]):
+        spark.createDataFrame(
+            [(bytearray(p),) for p in batch], "value binary"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}.parquet")
+        )
+    frames = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+    )
+    rows, _dead = decode_frames(b, frames, schema_json=USERS_AVRO_SCHEMA_JSON)
+    q = start_binding(
+        spark, b, rows, str(tmp_path / "u_dest"), str(tmp_path / "u_ckpt")
+    )
+    assert q.awaitTermination(120)
+    out = {
+        r["id"]: r["username"]
+        for r in spark.read.parquet(str(tmp_path / "u_dest")).collect()
+    }
+    assert out == {1: "ANN", 2: "BOB"}
+    spark.catalog.dropTempView("u_queue")
+
+
+def test_avro_queue_missing_declared_column_is_loud(spark):
+    from python_cdc_postgres_to_clickhouse_spark.deploy import decode_frames
+    from python_cdc_postgres_to_clickhouse_spark.sources.avro import (
+        USERS_AVRO_SCHEMA_JSON,
+    )
+
+    script = AVRO_QUEUE_SCRIPT.replace("email String", "emale String")
+    dep = plan_deployment(script)
+    frames = spark.createDataFrame([(bytearray(b"x"),)], "value binary")
+    with pytest.raises(DialectError, match="emale"):
+        decode_frames(dep.bindings[0], frames,
+                      schema_json=USERS_AVRO_SCHEMA_JSON)
