@@ -2863,6 +2863,77 @@ def _sequence_count(params: Sequence[str] | None, args: list[str]) -> str:
     )
 
 
+def _sequence_next_node(params: Sequence[str] | None, args: list[str]) -> str:
+    """``sequenceNextNode(direction, base)(ts, value, base_cond, e1, …)``
+    (round 9): CH's next-event-after-a-matched-chain aggregate
+    (AggregateFunctionSequenceNextNode.h). The chain is strictly
+    CONSECUTIVE in the sorted timeline: the base event (head = the first
+    event; first_match = the first event satisfying e1) must satisfy the
+    base condition and e1, the following events must satisfy e2 … eN in
+    order, and the result is ``value`` of the event immediately after the
+    chain (NULL when the chain fails or nothing follows — no retry at a
+    later base, exactly CH's single-base scan). backward+tail /
+    backward+last_match run the same logic over the REVERSED timeline.
+    Generated as pure array expressions over one sorted collect — a
+    single partial-aggregated exchange per group, no join, no UDF; the
+    sorted struct binds once via the transform(array(…)) trick.
+    Equal-timestamp events order by their condition flags (CH's own
+    equal-timestamp behavior is likewise unspecified)."""
+    if not params or len(params) != 2:
+        raise DialectError(
+            "sequenceNextNode takes (direction, base) parameters"
+        )
+    direction = params[0].strip("'\"")
+    base = params[1].strip("'\"")
+    valid = {
+        ("forward", "head"), ("forward", "first_match"),
+        ("backward", "tail"), ("backward", "last_match"),
+    }
+    if (direction, base) not in valid:
+        raise DialectError(
+            "sequenceNextNode: direction/base must be forward+head, "
+            "forward+first_match, backward+tail, or backward+last_match "
+            "(CH pairs them the same way)"
+        )
+    if len(args) < 4:
+        raise DialectError(
+            "sequenceNextNode takes (timestamp, event_column, "
+            "base_condition, event1, …)"
+        )
+    ts, val, base_cond, conds = args[0], args[1], args[2], args[3:]
+    n = len(conds)
+    fields = ", ".join(
+        [f"'t', cast({ts} as timestamp)", f"'b', ({base_cond})"]
+        + [f"'c{k + 1}', ({c})" for k, c in enumerate(conds)]
+        + [f"'v', ({val})"]
+    )
+    arr = f"array_sort(collect_list(named_struct({fields})))"
+    if direction == "backward":
+        arr = f"reverse({arr})"
+    if base in ("head", "tail"):
+        # base index is 1; try_element_at keeps empty timelines NULL-safe
+        # under ANSI (AND does not short-circuit in codegen).
+        checks = ["try_element_at(a, 1).b"] + [
+            f"try_element_at(a, {k}).c{k}" for k in range(1, n + 1)
+        ]
+        expr = (
+            f"CASE WHEN {' AND '.join(checks)} "
+            f"THEN try_element_at(a, {n + 1}).v END"
+        )
+    else:
+        chain = " AND ".join(
+            f"try_element_at(a, j + {k - 1}).c{k}" for k in range(2, n + 1)
+        ) or "true"
+        expr = (
+            "element_at(transform(array(try_element_at(filter("
+            "sequence(1, greatest(size(a), 1)), i -> "
+            "coalesce(try_element_at(a, i).b AND try_element_at(a, i).c1, "
+            "false)), 1)), j -> CASE WHEN j IS NOT NULL AND {chain} "
+            "THEN try_element_at(a, j + {n}).v END), 1)"
+        ).replace("{chain}", chain).replace("{n}", str(n))
+    return f"element_at(transform(array({arr}), a -> {expr}), 1)"
+
+
 def _quantile_disc_low(params: Sequence[str] | None, args: list[str]) -> str:
     """CH quantileExactLow picks the order statistic at ceil(p·n) (python
     median_low) — exactly Spark's percentile_disc contract."""
@@ -2903,6 +2974,7 @@ PARAM_RULES: dict[str, ParamRule] = {
     "windowFunnel": _window_funnel,
     "sequenceMatch": _sequence_match,
     "sequenceCount": _sequence_count,
+    "sequenceNextNode": _sequence_next_node,
     # Weighted exact quantile: Spark's percentile takes a frequency third
     # argument (weight-repeated rows). Same documented divergence as
     # quantileExact → percentile: Spark interpolates between order
@@ -3056,9 +3128,6 @@ _UNSUPPORTED: dict[str, str] = {
     "topKWeighted": "use x_heavy_hitters with a weight pre-aggregation "
                     "(approx_top_k has no weighted form)",
     "histogram": "use m_histogram (width_bucket-style exact binning)",
-    "sequenceNextNode": "use x_session_paths (in-session transition "
-                        "bigrams) or compose a sequenceMatch fold with a "
-                        "lead() window for next-event-after-pattern",
     "deltaSum": "block-order dependent in CH — use x_counter_rate "
                 "(explicitly ordered positive-delta sum with reset "
                 "handling)",

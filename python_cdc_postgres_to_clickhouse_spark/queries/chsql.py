@@ -742,3 +742,61 @@ def sql_ch_sample_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv(substring(md5(cast(o_custkey as string)), 1, 8), 16, 10)",
     )
     return clickhouse_sql(spark, CH_SAMPLE_OFFSET, sf_dir)
+
+
+CH_SEQUENCE_NEXT_NODE = """
+SELECT nxt AS next_event, count() AS n_users
+FROM (
+    SELECT user_id,
+           sequenceNextNode('forward', 'first_match')(
+               ts, event_type,
+               event_type = 'signup',
+               event_type = 'signup', event_type = 'view') AS nxt
+    FROM events
+    GROUP BY user_id
+) AS per_user
+WHERE nxt IS NOT NULL
+GROUP BY next_event
+ORDER BY next_event
+"""
+
+# Independent window/join formulation: rank the user's FULL timeline,
+# anchor at the first signup, require the IMMEDIATELY following event to
+# be a view (sequenceNextNode chains are strictly consecutive), and read
+# the event after that.
+SEQUENCE_NEXT_NODE_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+fs AS (
+  SELECT user_id, MIN(rn) AS j
+  FROM o WHERE event_type = 'signup' GROUP BY user_id),
+chain AS (
+  SELECT f.user_id, e2.event_type AS nxt
+  FROM fs f
+  JOIN o e1 ON e1.user_id = f.user_id AND e1.rn = f.j + 1
+           AND e1.event_type = 'view'
+  JOIN o e2 ON e2.user_id = f.user_id AND e2.rn = f.j + 2)
+SELECT nxt AS next_event, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM chain GROUP BY nxt ORDER BY nxt
+"""
+
+
+@query(
+    "sql_ch_sequence_next_node",
+    oracle=SEQUENCE_NEXT_NODE_ORACLE,
+    tags=("dialect", "behavior"),
+)
+def sql_ch_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequenceNextNode('forward', 'first_match')`` end to end (round 9):
+    what do users do right after their first signup→view pair? The
+    dialect generates CH's single-base consecutive-chain scan as pure
+    array expressions over one sorted per-user collect (see
+    dialect._sequence_next_node; all four direction/base pairs are
+    frame-tested in test_dialect.py) and the DuckDB oracle recomputes it
+    with an independent ROW_NUMBER + self-join formulation. Scale: one
+    user_id exchange for the collect + one histogram aggregation — the
+    oracle's rank-and-rejoin shape would re-shuffle the event table three
+    times; the fold never does."""
+    return clickhouse_sql(spark, CH_SEQUENCE_NEXT_NODE, sf_dir)

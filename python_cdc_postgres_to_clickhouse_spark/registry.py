@@ -76,6 +76,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #     at 50. x_window_funnel_freeze: fold + oracle rewritten to CH's
     #     exact strict_order scan (ADVICE r8 high finding).
     "x_window_funnel_freeze",
+    "sql_ch_sequence_next_node",
     # (c) The round-4-stale cohort (last driver row r4) — oracle-bearing
     #     queries first; rows-only names sort to the TAIL so a 50-slot
     #     window spends its slots on full hash checks (r8 lesson:
@@ -127,7 +128,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "a_approx_quantiles",
     "x_embedding_near_dup",
     "x_lsh_cosine_topk",
-    "x_sketch_distinct_rollup",
     # ------------------------------------------------------------------
     # Positions 51+: the ROUND-10 QUEUE. First the r4-stale rows-only
     # names the 50-slot cut displaced, then the 50-member round-6 cohort
@@ -148,9 +148,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #   x_session_paths, x_time_weighted_avg, x_session_stats,
     #   x_fuzzy_name_pairs, x_pmi_pairs, x_heavy_hitters, x_kmeans_embed,
     #   x_minhash_near_dup, x_dedup_clusters, c_math_funcs
-    # (51 names for 50 slots — drop the rows-only x_sketch_* first if
-    # round-9 additions push the queue past one window.)
+    # (the queue exceeds one window — the rows-only x_sketch_* names and
+    # any further overflow wait for round 11.)
     # ------------------------------------------------------------------
+    "x_sketch_distinct_rollup",
     "x_sketch_quantiles",
     "x_sketch_theta_setops",
 )

@@ -1812,6 +1812,55 @@ def test_sequence_match_and_count_translate(spark):
     assert gotc == wantc
 
 
+def test_sequence_next_node_all_four_bases(spark):
+    """sequenceNextNode (round 9): CH's next-event-after-a-consecutive-
+    chain scan for all four direction/base pairs — head/tail anchor at the
+    timeline ends, first_match/last_match at the first/last e1 event, the
+    chain never retries a later base, and the answer is NULL when the
+    chain breaks or nothing follows."""
+    import datetime as dt
+
+    rows = [
+        (1, 1, "home"), (1, 2, "gift"), (1, 3, "basket"), (1, 4, "pay"),
+        (2, 1, "gift"), (2, 2, "home"),
+        (3, 1, "home"),
+        (4, 1, "exit"), (4, 2, "home"), (4, 3, "gift"), (4, 4, "basket"),
+    ]
+    spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1, 0, m), p) for u, m, p in rows],
+        "user_id int, ts timestamp, page string",
+    ).createOrReplaceTempView("snn_probe")
+
+    def run(sql):
+        return {r["user_id"]: r["nxt"]
+                for r in spark.sql(translate(sql)).collect()}
+
+    assert run(
+        "SELECT user_id, sequenceNextNode('forward', 'head')(ts, page, "
+        "page = 'home', page = 'home', page = 'gift') AS nxt "
+        "FROM snn_probe GROUP BY user_id"
+    ) == {1: "basket", 2: None, 3: None, 4: None}
+    assert run(
+        "SELECT user_id, sequenceNextNode('forward', 'first_match')(ts, "
+        "page, 1 = 1, page = 'gift') AS nxt FROM snn_probe GROUP BY user_id"
+    ) == {1: "basket", 2: "home", 3: None, 4: "basket"}
+    assert run(
+        "SELECT user_id, sequenceNextNode('backward', 'tail')(ts, page, "
+        "page = 'pay', page = 'pay', page = 'basket') AS nxt "
+        "FROM snn_probe GROUP BY user_id"
+    ) == {1: "gift", 2: None, 3: None, 4: None}
+    assert run(
+        "SELECT user_id, sequenceNextNode('backward', 'last_match')(ts, "
+        "page, 1 = 1, page = 'gift') AS nxt FROM snn_probe GROUP BY user_id"
+    ) == {1: "home", 2: None, 3: None, 4: "home"}
+    with pytest.raises(DialectError, match="forward\\+head"):
+        translate("SELECT sequenceNextNode('forward', 'tail')(ts, p, b, c) "
+                  "FROM t")
+    with pytest.raises(DialectError, match="base_condition"):
+        translate("SELECT sequenceNextNode('forward', 'head')(ts, p) FROM t")
+    spark.catalog.dropTempView("snn_probe")
+
+
 def test_sequence_count_is_non_overlapping_resume_after_match(spark):
     """CH semantics pin: on [c1, c1, c2, c2] the scan counts ONE chain —
     the second c1 lies inside the first match's span and is skipped
