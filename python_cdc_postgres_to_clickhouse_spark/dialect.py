@@ -2652,6 +2652,65 @@ def _window_funnel_strict_order(w: str, ts: str, conds: list[str]) -> str:
     return f"aggregate({arr}, named_struct({init}), {lam}).d"
 
 
+def _window_funnel_strict_dedup(w: str, ts: str, conds: list[str]) -> str:
+    """``windowFunnel(W, 'strict_deduplication')`` with CH's exact scan
+    (AggregateFunctionWindowFunnel.h: the strict-dedup arm sits between
+    the step-1 re-anchor branch and the advance branch): an event matching
+    an ALREADY-RECORDED step k ≥ 2 ends the scan and the RESULT IS k —
+    even when a deeper level was recorded before (CH returns the duplicate
+    event's number, not the max). Step-1 events never deduplicate (their
+    branch precedes the check; they re-anchor), events matching no
+    condition pass through freely, and completing the last step
+    early-returns N. This deliberately diverges from
+    x_window_funnel_dedup's max-over-surviving-chains reading — the frame
+    they disagree on is pinned in test_mergetree_properties.py."""
+    n = len(conds)
+    arr = _seq_sorted_structs(ts, conds)
+    init = ", ".join(
+        [f"'s{k}', cast(null as timestamp)" for k in range(1, n)]
+        + ["'d', 0", "'r', 0", "'k', false"]
+    )
+
+    def branch(k: int) -> str:
+        nots = "".join(f" AND NOT e.c{j}" for j in range(1, k))
+        return f"(e.c{k}{nots})"
+
+    live = "NOT a.k"
+    dup = {
+        k: f"({live} AND {branch(k)} AND a.d >= {k})"
+        for k in range(2, n + 1)
+    }
+    adv = {
+        k: (f"({live} AND {branch(k)} AND NOT (a.d >= {k}) AND "
+            f"a.s{k - 1} IS NOT NULL AND "
+            f"e.t <= a.s{k - 1} + INTERVAL '{w}' SECOND)")
+        for k in range(2, n + 1)
+    }
+    sets: list[str] = []
+    if n > 1:
+        sets.append(f"'s1', CASE WHEN {live} AND e.c1 THEN "
+                    "greatest(a.s1, e.t) ELSE a.s1 END")
+    for k in range(2, n):
+        sets.append(f"'s{k}', CASE WHEN {adv[k]} THEN "
+                    f"greatest(a.s{k}, a.s{k - 1}) ELSE a.s{k} END")
+    d_whens = "".join(
+        f" WHEN {adv[k]} THEN {k}" for k in range(n, 1, -1)
+    ) + f" WHEN {live} AND e.c1 THEN 1"
+    sets.append(f"'d', greatest(a.d, CASE{d_whens} ELSE 0 END)")
+    r_whens = "".join(f" WHEN {dup[k]} THEN {k}" for k in range(2, n + 1))
+    if n >= 2:
+        r_whens += f" WHEN {adv[n]} THEN {n}"
+    sets.append(f"'r', CASE WHEN a.r > 0 THEN a.r{r_whens} ELSE 0 END")
+    enders = list(dup.values()) + ([adv[n]] if n >= 2 else [])
+    sets.append(f"'k', (a.k OR {' OR '.join(enders) if enders else 'false'})")
+    lam = f"(a, e) -> named_struct({', '.join(sets)})"
+    st = f"aggregate({arr}, named_struct({init}), {lam})"
+    return (
+        f"element_at(transform(array({st}), a -> "
+        "CASE WHEN a.r > 0 THEN a.r ELSE a.d END), 1)"
+    )
+
+
 def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
     """``windowFunnel(W)(ts, c1, …, cN)`` (default mode, round 8): CH's own
     sorted-scan algorithm generated as a SQL fold — collect the per-group
@@ -2670,11 +2729,13 @@ def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
     mode = None
     if len(params) > 1:
         mode = params[1].strip("'\"")
-        if mode != "strict_order" or len(params) > 2:
+        if mode not in ("strict_order", "strict_deduplication") \
+                or len(params) > 2:
             raise DialectError(
-                "windowFunnel modes beyond 'strict_order': use "
-                "x_window_funnel_dedup (strict_deduplication) / "
-                "x_window_funnel_strict (the max-over-runs strict reading)"
+                "windowFunnel modes beyond 'strict_order' / "
+                "'strict_deduplication' (or combined modes): use "
+                "x_window_funnel_strict / x_window_funnel_dedup for the "
+                "max-over-runs declarative readings"
             )
     if len(args) < 2:
         raise DialectError("windowFunnel takes (timestamp, cond1, …)")
@@ -2682,6 +2743,8 @@ def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
     n = len(conds)
     if mode == "strict_order":
         return _window_funnel_strict_order(w, ts, conds)
+    if mode == "strict_deduplication":
+        return _window_funnel_strict_dedup(w, ts, conds)
     fields = ", ".join(
         [f"'t', cast({ts} as timestamp)"]
         + [f"'c{i + 1}', ({c})" for i, c in enumerate(conds)]

@@ -1205,9 +1205,14 @@ def x_window_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unmatched later-step events (a purchase before any view) are no-ops.
 
     Same documented divergence as x_window_funnel_strict: max over all
-    surviving chains rather than CH's freeze-at-first-interruption scan —
-    the declarative reading a per-chain SQL oracle can verify (NOT EXISTS
-    a signup/view strictly between consecutive steps).
+    surviving chains rather than CH's single-scan semantics — the
+    declarative reading a per-chain SQL oracle can verify (NOT EXISTS a
+    signup/view strictly between consecutive steps). CH's exact
+    strict_deduplication scan (step-1 events re-anchor without
+    deduplicating; a repeated recorded step k ends the scan with RESULT
+    k) is what the dialect's ``windowFunnel(W, 'strict_deduplication')``
+    generates since round 9; the frame the two readings disagree on is
+    pinned in test_mergetree_properties.py.
 
     Plan contract unchanged: the fold consumes the step-relevant events in
     one sorted array per user — one user_id exchange, O(events) per user,

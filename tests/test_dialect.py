@@ -282,7 +282,7 @@ def test_qualified_and_quoted_names_untouched():
         ("SELECT x FROM a UNION ALL SELECT x FROM b LIMIT 3 BY x", "subquery"),
         ("SELECT topKWeighted(5)(x, w) FROM t", "x_heavy_hitters"),
         ("SELECT topKWeighted(5)(x, w) FROM t1", "x_heavy_hitters"),
-        ("SELECT windowFunnel(60, 'strict_deduplication')(ts, a, b) FROM t",
+        ("SELECT windowFunnel(60, 'strict_increase')(ts, a, b) FROM t",
          "x_window_funnel_dedup"),
         # no inequality conjunct: the interval-izing rewrite can't anchor
         ("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k", "inequality"),

@@ -520,3 +520,103 @@ def test_dialect_window_funnel_equals_dataframe_fold_on_random_frames(
         want = {r["depth"]: r["n_users"]
                 for r in x_window_funnel(spark, sf).collect()}
         assert got == want, (seed, spread)
+
+
+# ---------------------------------------------------------------------------
+# strict_deduplication via the dialect (round 9): CH's exact scan
+# ---------------------------------------------------------------------------
+
+def _brute_ch_strict_dedup(rows):
+    """CH strict_deduplication, transcribed from
+    AggregateFunctionWindowFunnel.h's else-if chain: step-1 events
+    re-anchor (their branch precedes the dedup check); an event matching
+    an already-RECORDED step k >= 2 ends the scan with result k (even
+    below the recorded max); completing the last step early-returns N;
+    no-condition events pass through."""
+    order = {"signup": 1, "view": 2, "purchase": 3}
+    by_user = {}
+    for eid, ts, uid, etype, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, eid, etype))
+    hist = {}
+    for evs in by_user.values():
+        evs.sort()
+        anchors = {}
+        d = 0
+        res = None
+        for ts, _eid, etype in evs:
+            k = order.get(etype)
+            if k is None:
+                continue
+            if k == 1:
+                anchors[1] = ts
+                d = max(d, 1)
+            elif d >= k:
+                res = k
+                break
+            elif anchors.get(k - 1) is not None \
+                    and ts <= anchors[k - 1] + WINDOW:
+                anchors[k] = anchors[k - 1]
+                d = max(d, k)
+                if k == 3:
+                    res = 3
+                    break
+        final = res if res is not None else d
+        if final:
+            hist[final] = hist.get(final, 0) + 1
+    return hist
+
+
+def test_dialect_strict_dedup_matches_ch_transcription(spark, tmp_path):
+    from python_cdc_postgres_to_clickhouse_spark.dialect import translate
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+    sql = translate(
+        "SELECT depth, count() AS n_users FROM (SELECT user_id, "
+        "windowFunnel(3600, 'strict_deduplication')(ts, "
+        "event_type = 'signup', event_type = 'view', "
+        "event_type = 'purchase') AS depth "
+        "FROM events GROUP BY user_id) WHERE depth >= 1 GROUP BY depth"
+    )
+    for seed, spread in ((7, 60 * 24 * 10), (23, 60 * 12), (99, 60 * 48)):
+        rows = _random_events(seed, spread_min=spread)
+        sf = _write_and_point(spark, tmp_path, rows, f"dsd{seed}")
+        load_tables(spark, sf)
+        got = {r["depth"]: r["n_users"] for r in spark.sql(sql).collect()}
+        assert got == _brute_ch_strict_dedup(rows), (seed, spread)
+
+
+def test_dialect_strict_dedup_vs_dataframe_dedup_divergence(spark, tmp_path):
+    """The frame the two strict_deduplication readings disagree on: after
+    signup,view a SECOND signup re-anchors in CH (step-1 events are exempt
+    from the dedup check) and the repeated view then ends the scan with
+    RESULT 2 — the later purchase is never seen. x_window_funnel_dedup's
+    declarative reading restarts the chain at the newer anchor and counts
+    the completed signup@10 -> view@15 -> purchase@20 run: depth 3."""
+    import datetime as dt
+
+    from python_cdc_postgres_to_clickhouse_spark.dialect import translate
+    from python_cdc_postgres_to_clickhouse_spark.queries.mergetree import (
+        x_window_funnel_dedup,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+    base = dt.datetime(2024, 3, 1)
+    mins = lambda m: base + dt.timedelta(minutes=m)
+    rows = [
+        (1, mins(0), 1, "signup", 1.0, "{}"),
+        (2, mins(5), 1, "view", 1.0, "{}"),
+        (3, mins(10), 1, "signup", 1.0, "{}"),
+        (4, mins(15), 1, "view", 1.0, "{}"),     # dup of recorded step 2
+        (5, mins(20), 1, "purchase", 1.0, "{}"),
+    ]
+    sf = _write_and_point(spark, tmp_path, rows, "dsd_doc")
+    load_tables(spark, sf)
+    got = spark.sql(translate(
+        "SELECT user_id, windowFunnel(3600, 'strict_deduplication')(ts, "
+        "event_type = 'signup', event_type = 'view', "
+        "event_type = 'purchase') AS depth FROM events GROUP BY user_id"
+    )).collect()
+    assert {r["user_id"]: r["depth"] for r in got} == {1: 2}
+    df = {r["depth"]: r["n_users"]
+          for r in x_window_funnel_dedup(spark, sf).collect()}
+    assert df == {3: 1}
