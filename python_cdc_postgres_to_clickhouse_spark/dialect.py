@@ -2711,6 +2711,47 @@ def _window_funnel_strict_dedup(w: str, ts: str, conds: list[str]) -> str:
     )
 
 
+def _window_funnel_strict_increase(w: str, ts: str, conds: list[str]) -> str:
+    """``windowFunnel(W, 'strict_increase')`` (round 9): the default fold
+    plus CH's strictly-increasing-timestamp condition on every advance
+    (``events_timestamp[k-1]->second < timestamp``) — an event at the SAME
+    timestamp as the step before it cannot extend the chain. State adds
+    the level's own latest event timestamp (p_k) next to the chain anchor
+    (s_k); the overwrite-equals-max argument holds for both (later valid
+    events carry later values)."""
+    n = len(conds)
+    arr = _seq_sorted_structs(ts, conds)
+    init = ", ".join(
+        [f"'s{k}', cast(null as timestamp)" for k in range(1, n)]
+        + [f"'p{k}', cast(null as timestamp)" for k in range(2, n)]
+        + ["'d', 0"]
+    )
+    # p1 == s1 (a level-1 event is its own anchor); pK tracked for 2..n-1.
+    prev = {1: "a.s1"}
+    prev.update({k: f"a.p{k}" for k in range(2, n)})
+    ok = {
+        k: (f"(e.c{k} AND a.s{k - 1} IS NOT NULL AND "
+            f"e.t <= a.s{k - 1} + INTERVAL '{w}' SECOND AND "
+            f"{prev[k - 1]} < e.t)")
+        for k in range(2, n + 1)
+    }
+    sets: list[str] = []
+    if n > 1:
+        sets.append("'s1', CASE WHEN e.c1 THEN greatest(a.s1, e.t) "
+                    "ELSE a.s1 END")
+    for k in range(2, n):
+        sets.append(f"'s{k}', CASE WHEN {ok[k]} THEN "
+                    f"greatest(a.s{k}, a.s{k - 1}) ELSE a.s{k} END")
+        sets.append(f"'p{k}', CASE WHEN {ok[k]} THEN "
+                    f"greatest(a.p{k}, e.t) ELSE a.p{k} END")
+    whens = "".join(
+        f" WHEN {ok[k]} THEN {k}" for k in range(n, 1, -1)
+    ) + " WHEN e.c1 THEN 1"
+    sets.append(f"'d', greatest(a.d, CASE{whens} ELSE 0 END)")
+    lam = f"(a, e) -> named_struct({', '.join(sets)})"
+    return f"aggregate({arr}, named_struct({init}), {lam}).d"
+
+
 def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
     """``windowFunnel(W)(ts, c1, …, cN)`` (default mode, round 8): CH's own
     sorted-scan algorithm generated as a SQL fold — collect the per-group
@@ -2718,10 +2759,11 @@ def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
     latest-chain-start-per-depth state (later starts extend strictly more
     easily, so max is lossless; the same fold x_window_funnel runs via the
     DataFrame API). One ordinary partial-aggregated collect per group, no
-    join, no UDF. Mode arguments ('strict_order' …) change the fold and
-    stay loud → x_window_funnel_strict / _freeze / _dedup. Equal-timestamp
-    events order by their condition flags (false < true) — CH's own
-    equal-timestamp behavior is likewise unspecified."""
+    join, no UDF. Single mode arguments each generate their CH-exact fold
+    ('strict_order' / 'strict_deduplication' / 'strict_increase');
+    combined modes stay loud. Equal-timestamp events order by
+    (timestamp, event number) — CH's own pair sort (see
+    _seq_sorted_structs)."""
     if not params or not re.fullmatch(r"\d+", params[0]):
         raise DialectError(
             "windowFunnel needs a literal window (seconds) parameter"
@@ -2729,11 +2771,12 @@ def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
     mode = None
     if len(params) > 1:
         mode = params[1].strip("'\"")
-        if mode not in ("strict_order", "strict_deduplication") \
-                or len(params) > 2:
+        known = ("strict_order", "strict_deduplication", "strict_increase")
+        if mode not in known or len(params) > 2:
             raise DialectError(
-                "windowFunnel modes beyond 'strict_order' / "
-                "'strict_deduplication' (or combined modes): use "
+                "windowFunnel supports a single mode per call "
+                "('strict_order' / 'strict_deduplication' / "
+                "'strict_increase'); combined modes stay loud — or use "
                 "x_window_funnel_strict / x_window_funnel_dedup for the "
                 "max-over-runs declarative readings"
             )
@@ -2745,11 +2788,9 @@ def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
         return _window_funnel_strict_order(w, ts, conds)
     if mode == "strict_deduplication":
         return _window_funnel_strict_dedup(w, ts, conds)
-    fields = ", ".join(
-        [f"'t', cast({ts} as timestamp)"]
-        + [f"'c{i + 1}', ({c})" for i, c in enumerate(conds)]
-    )
-    arr = f"array_sort(collect_list(named_struct({fields})))"
+    if mode == "strict_increase":
+        return _window_funnel_strict_increase(w, ts, conds)
+    arr = _seq_sorted_structs(ts, conds)
     init = ", ".join(
         [f"'s{k}', cast(null as timestamp)" for k in range(1, n)]
         + ["'d', 0"]
@@ -2833,8 +2874,20 @@ def _parse_seq_pattern(
 
 
 def _seq_sorted_structs(ts: str, conds: list[str]) -> str:
+    """Per-group sorted event array for the sequence/funnel folds. The
+    second struct field 'e' is the lowest matched condition NUMBER (0 for
+    no-condition events), so equal-timestamp events order by
+    (timestamp, event_number) — exactly CH's pair sort of its events_list
+    (AggregateFunctionWindowFunnel.h sorts (timestamp, event_number)
+    pairs lexicographically): step-1 before step-2 at ties, unmatched
+    events first. Known divergence: an event matching SEVERAL conditions
+    is stored once here (processed at its lowest number) where CH stores
+    one entry per matched condition."""
+    num = "".join(
+        f" WHEN ({c}) THEN {i + 1}" for i, c in enumerate(conds)
+    )
     fields = ", ".join(
-        [f"'t', cast({ts} as timestamp)"]
+        [f"'t', cast({ts} as timestamp)", f"'e', CASE{num} ELSE 0 END"]
         + [f"'c{i + 1}', ({c})" for i, c in enumerate(conds)]
     )
     return f"array_sort(collect_list(named_struct({fields})))"
@@ -2850,8 +2903,9 @@ def _sequence_match(params: Sequence[str] | None, args: list[str]) -> str:
     probe event, so the latest one simultaneously maximizes the gap
     budget, making the single-anchor state exact; greedy is provably
     wrong there. One collect per group, no join, no UDF. Equal-timestamp
-    steps break ties by condition flags (timed chains require strictly
-    increasing timestamps, as CH does)."""
+    steps order by (timestamp, event number) — CH's own pair sort (timed
+    chains additionally require strictly increasing timestamps, as CH
+    does)."""
     n, gaps = _parse_seq_pattern(params, "sequenceMatch")
     if len(args) != n + 1:
         raise DialectError(
@@ -2940,8 +2994,9 @@ def _sequence_next_node(params: Sequence[str] | None, args: list[str]) -> str:
     Generated as pure array expressions over one sorted collect — a
     single partial-aggregated exchange per group, no join, no UDF; the
     sorted struct binds once via the transform(array(…)) trick.
-    Equal-timestamp events order by their condition flags (CH's own
-    equal-timestamp behavior is likewise unspecified)."""
+    Equal-timestamp events order by (timestamp, lowest matched event
+    number, base flag) — the same pair-sort convention as the funnel
+    folds (_seq_sorted_structs)."""
     if not params or len(params) != 2:
         raise DialectError(
             "sequenceNextNode takes (direction, base) parameters"
@@ -2965,8 +3020,10 @@ def _sequence_next_node(params: Sequence[str] | None, args: list[str]) -> str:
         )
     ts, val, base_cond, conds = args[0], args[1], args[2], args[3:]
     n = len(conds)
+    num = "".join(f" WHEN ({c}) THEN {k + 1}" for k, c in enumerate(conds))
     fields = ", ".join(
-        [f"'t', cast({ts} as timestamp)", f"'b', ({base_cond})"]
+        [f"'t', cast({ts} as timestamp)", f"'e', CASE{num} ELSE 0 END",
+         f"'b', ({base_cond})"]
         + [f"'c{k + 1}', ({c})" for k, c in enumerate(conds)]
         + [f"'v', ({val})"]
     )

@@ -282,8 +282,8 @@ def test_qualified_and_quoted_names_untouched():
         ("SELECT x FROM a UNION ALL SELECT x FROM b LIMIT 3 BY x", "subquery"),
         ("SELECT topKWeighted(5)(x, w) FROM t", "x_heavy_hitters"),
         ("SELECT topKWeighted(5)(x, w) FROM t1", "x_heavy_hitters"),
-        ("SELECT windowFunnel(60, 'strict_increase')(ts, a, b) FROM t",
-         "x_window_funnel_dedup"),
+        ("SELECT windowFunnel(60, 'strict_order', 'strict_increase')"
+         "(ts, a, b) FROM t", "single mode"),
         # no inequality conjunct: the interval-izing rewrite can't anchor
         ("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k", "inequality"),
         ("SELECT quantileMerge(s) FROM t", "components separately"),
@@ -1759,8 +1759,8 @@ def test_window_funnel_translates_and_matches_dataframe_fold(spark):
 def test_window_funnel_bad_forms_are_loud():
     with pytest.raises(DialectError, match="literal window"):
         translate("SELECT windowFunnel(w)(ts, a) FROM t")
-    with pytest.raises(DialectError, match="x_window_funnel_dedup"):
-        translate("SELECT windowFunnel(60, 'strict_increase')(ts, a) FROM t")
+    with pytest.raises(DialectError, match="single mode"):
+        translate("SELECT windowFunnel(60, 'strict_once')(ts, a) FROM t")
     with pytest.raises(DialectError, match="timestamp, cond1"):
         translate("SELECT windowFunnel(60)(ts) FROM t")
 

@@ -513,7 +513,15 @@ def test_dialect_window_funnel_equals_dataframe_fold_on_random_frames(
         "FROM events GROUP BY user_id) WHERE depth >= 1 GROUP BY depth"
     )
     for seed, spread in ((5, 60 * 24), (31, 60 * 6), (77, 60 * 72)):
-        rows = _random_events(seed, spread_min=spread)
+        # de-tie the whole-minute timestamps (unique µs per event id): the
+        # dialect fold ties by CH's (ts, event number) pair sort, the
+        # DataFrame fold by (ts, event_id) — equal only when ts is unique
+        rows = [
+            (eid, ts + dt.timedelta(microseconds=eid), uid, et, v, p)
+            for eid, ts, uid, et, v, p in _random_events(
+                seed, spread_min=spread
+            )
+        ]
         sf = _write_and_point(spark, tmp_path, rows, f"dwf{seed}")
         load_tables(spark, sf)
         got = {r["depth"]: r["n_users"] for r in spark.sql(sql).collect()}
@@ -532,18 +540,19 @@ def _brute_ch_strict_dedup(rows):
     re-anchor (their branch precedes the dedup check); an event matching
     an already-RECORDED step k >= 2 ends the scan with result k (even
     below the recorded max); completing the last step early-returns N;
-    no-condition events pass through."""
+    no-condition events pass through. Ties order by (ts, event number) —
+    the fold's CH pair sort."""
     order = {"signup": 1, "view": 2, "purchase": 3}
     by_user = {}
     for eid, ts, uid, etype, _v, _p in rows:
-        by_user.setdefault(uid, []).append((ts, eid, etype))
+        by_user.setdefault(uid, []).append((ts, order.get(etype, 0), etype))
     hist = {}
     for evs in by_user.values():
         evs.sort()
         anchors = {}
         d = 0
         res = None
-        for ts, _eid, etype in evs:
+        for ts, _num, etype in evs:
             k = order.get(etype)
             if k is None:
                 continue
@@ -620,3 +629,101 @@ def test_dialect_strict_dedup_vs_dataframe_dedup_divergence(spark, tmp_path):
     df = {r["depth"]: r["n_users"]
           for r in x_window_funnel_dedup(spark, sf).collect()}
     assert df == {3: 1}
+
+
+# ---------------------------------------------------------------------------
+# strict_increase via the dialect (round 9)
+# ---------------------------------------------------------------------------
+
+def _brute_ch_strict_increase(rows):
+    """CH strict_increase: the default scan plus 'each advance must carry a
+    strictly LATER timestamp than the event that set the previous level'
+    (events_timestamp[k-1]->second < ts). Tie order inside one timestamp
+    is (ts, event number) — the fold's CH pair sort."""
+    order = {"signup": 1, "view": 2, "purchase": 3}
+    by_user = {}
+    for eid, ts, uid, etype, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, order.get(etype, 0), etype))
+    hist = {}
+    for evs in by_user.values():
+        seq = sorted(evs)
+        anchors, last, d = {}, {}, 0
+        for ts, _num, et in seq:
+            if et == "signup":
+                anchors[1] = ts
+                last[1] = ts
+                d = max(d, 1)
+            elif (
+                et == "view" and 1 in anchors
+                and ts <= anchors[1] + WINDOW and last[1] < ts
+            ):
+                anchors[2] = anchors[1]
+                last[2] = ts
+                d = max(d, 2)
+            elif (
+                et == "purchase" and 2 in anchors
+                and ts <= anchors[2] + WINDOW and last[2] < ts
+            ):
+                d = 3
+        if d:
+            hist[d] = hist.get(d, 0) + 1
+    return hist
+
+
+def test_dialect_strict_increase_matches_ch_transcription(spark, tmp_path):
+    from python_cdc_postgres_to_clickhouse_spark.dialect import translate
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+    sql = translate(
+        "SELECT depth, count() AS n_users FROM (SELECT user_id, "
+        "windowFunnel(3600, 'strict_increase')(ts, "
+        "event_type = 'signup', event_type = 'view', "
+        "event_type = 'purchase') AS depth "
+        "FROM events GROUP BY user_id) WHERE depth >= 1 GROUP BY depth"
+    )
+    # whole-minute random timestamps collide often — the strict check and
+    # the tie order both get exercised
+    for seed, spread in ((7, 60 * 24 * 10), (23, 60 * 12), (99, 60 * 48)):
+        rows = _random_events(seed, spread_min=spread)
+        sf = _write_and_point(spark, tmp_path, rows, f"dsi{seed}")
+        load_tables(spark, sf)
+        got = {r["depth"]: r["n_users"] for r in spark.sql(sql).collect()}
+        assert got == _brute_ch_strict_increase(rows), (seed, spread)
+
+
+def test_strict_increase_blocks_equal_timestamp_advance(spark, tmp_path):
+    """Hand-built ties (the ONLY frames where strict_increase differs from
+    the default scan): with CH's (ts, event number) tie order the signup
+    processes before its same-timestamp view, so the default mode chains
+    through the tie while strict_increase blocks it."""
+    import datetime as dt
+
+    from python_cdc_postgres_to_clickhouse_spark.dialect import translate
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+    base = dt.datetime(2024, 3, 1)
+    mins = lambda m: base + dt.timedelta(minutes=m)
+    rows = [
+        (1, mins(0), 1, "signup", 1.0, "{}"),
+        (2, mins(0), 1, "view", 1.0, "{}"),      # tie: blocked
+        (3, mins(10), 1, "purchase", 1.0, "{}"),
+        (4, mins(0), 2, "signup", 1.0, "{}"),
+        (5, mins(1), 2, "view", 1.0, "{}"),
+        (6, mins(1), 2, "purchase", 1.0, "{}"),  # tie with the view: blocked
+        (7, mins(0), 3, "signup", 1.0, "{}"),
+        (8, mins(1), 3, "view", 1.0, "{}"),
+        (9, mins(2), 3, "purchase", 1.0, "{}"),
+    ]
+    sf = _write_and_point(spark, tmp_path, rows, "dsi_doc")
+    load_tables(spark, sf)
+
+    def run(mode):
+        arg = f", '{mode}'" if mode else ""
+        return {r["user_id"]: r["depth"] for r in spark.sql(translate(
+            f"SELECT user_id, windowFunnel(3600{arg})(ts, "
+            "event_type = 'signup', event_type = 'view', "
+            "event_type = 'purchase') AS depth FROM events GROUP BY user_id"
+        )).collect()}
+
+    assert run(None) == {1: 3, 2: 3, 3: 3}
+    assert run("strict_increase") == {1: 1, 2: 2, 3: 3}
