@@ -2467,6 +2467,13 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "geoDistance": _haversine,
     # -- aggregates (round-6 batch) -------------------------------------------
     "retention": _retention,
+    "maxIntersections": lambda a: _max_intersections(None, a),
+    "maxIntersectionsPosition": lambda a: _max_intersections_position(None, a),
+    # exactly one distinct non-null value -> that value, else NULL (CH's
+    # singleValueOrNull; min() is the value when the distinct count is 1)
+    "singleValueOrNull": _tpl(
+        "(CASE WHEN count(DISTINCT {0}) = 1 THEN min({0}) END)"
+    ),
     # CH arg order is (x, y); Spark's regr_* take (y, x). Tuple fields (k, b).
     "simpleLinearRegression": _tpl(
         "named_struct('k', regr_slope({1}, {0}), 'b', regr_intercept({1}, {0}))"
@@ -2980,6 +2987,70 @@ def _sequence_count(params: Sequence[str] | None, args: list[str]) -> str:
     )
 
 
+def _max_intersections(
+    params: Sequence[str] | None, args: list[str], position: bool = False
+) -> str:
+    """``maxIntersections(start, end)`` (round 9): the peak number of
+    simultaneously open intervals — CH sweeps the sorted (point, ±1)
+    event list (AggregateFunctionMaxIntersections.h), ends sorting before
+    starts at equal points (touching intervals do not overlap), and
+    ``maxIntersectionsPosition`` returns the start point that FIRST
+    attains the peak. Generated as one fold over the concatenated sorted
+    (p, d) structs — a single partial-aggregated collect per group, the
+    same single-exchange shape as the funnel folds."""
+    if params:
+        raise DialectError("maxIntersections takes no parameters")
+    if len(args) != 2:
+        raise DialectError("maxIntersections takes (start, end)")
+    s, e = args
+    arr = (
+        "array_sort(concat("
+        f"transform(collect_list({s}), p -> named_struct('p', p, 'd', 1)), "
+        f"transform(collect_list({e}), p -> named_struct('p', p, 'd', -1))"
+        "))"
+    )
+    # 'pos' starts as a NULL of the start expression's own type:
+    # try_element_at over an empty slice of the array yields a NULL
+    # struct whose .p carries exactly that type.
+    fold = (
+        "aggregate(a, named_struct('c', cast(0 as bigint), "
+        "'m', cast(0 as bigint), "
+        "'pos', try_element_at(slice(a, 1, 0), 1).p), "
+        "(s, x) -> named_struct('c', s.c + x.d, "
+        "'m', greatest(s.m, s.c + x.d), "
+        "'pos', CASE WHEN s.c + x.d > s.m THEN x.p ELSE s.pos END))"
+    )
+    field = "pos" if position else "m"
+    return (
+        f"element_at(transform(array({arr}), a -> {fold}.{field}), 1)"
+    )
+
+
+def _max_intersections_position(
+    params: Sequence[str] | None, args: list[str]
+) -> str:
+    return _max_intersections(params, args, position=True)
+
+
+def _group_array_sorted(params: Sequence[str] | None, args: list[str]) -> str:
+    """``groupArraySorted(N)(x)``: the N smallest values in ascending
+    order — exact and deterministic on both engines (unlike the
+    insertion-order groupArray* family)."""
+    if not params or len(params) != 1:
+        raise DialectError("groupArraySorted needs a literal N parameter")
+    if len(args) != 1:
+        raise DialectError("groupArraySorted takes one argument")
+    return f"slice(array_sort(collect_list({args[0]})), 1, {params[0]})"
+
+
+def _quantile_gk(params: Sequence[str] | None, args: list[str]) -> str:
+    """``quantileGK(accuracy, level)(x)``: Greenwald-Khanna sketch — Spark's
+    approx_percentile IS a GK variant, with the same accuracy knob."""
+    acc = params[0] if params else "100"
+    level = params[1] if params and len(params) > 1 else "0.5"
+    return f"approx_percentile({args[0]}, {level}, {acc})"
+
+
 def _sequence_next_node(params: Sequence[str] | None, args: list[str]) -> str:
     """``sequenceNextNode(direction, base)(ts, value, base_cond, e1, …)``
     (round 9): CH's next-event-after-a-matched-chain aggregate
@@ -3095,6 +3166,12 @@ PARAM_RULES: dict[str, ParamRule] = {
     "sequenceMatch": _sequence_match,
     "sequenceCount": _sequence_count,
     "sequenceNextNode": _sequence_next_node,
+    "groupArraySorted": _group_array_sorted,
+    "quantileGK": _quantile_gk,
+    # BFloat16 quantile: a 16-bit-precision histogram sketch in CH — the
+    # closest Spark analogue is the same approx_percentile sketch (both
+    # trade exactness for bounded state; documented approximation).
+    "quantileBFloat16": _quantile_approx,
     # Weighted exact quantile: Spark's percentile takes a frequency third
     # argument (weight-repeated rows). Same documented divergence as
     # quantileExact → percentile: Spark interpolates between order
@@ -3247,6 +3324,27 @@ def _state_merge(name: str, args: list[str]) -> str | None:
 _UNSUPPORTED: dict[str, str] = {
     "topKWeighted": "use x_heavy_hitters with a weight pre-aggregation "
                     "(approx_top_k has no weighted form)",
+    "groupArrayMovingSum": "insertion-order dependent in CH — use "
+                           "sum() OVER (ORDER BY <key> ROWS N-1 "
+                           "PRECEDING) with an explicit order",
+    "groupArrayMovingAvg": "insertion-order dependent in CH — use "
+                           "avg() OVER (ORDER BY <key> ROWS N-1 "
+                           "PRECEDING) with an explicit order",
+    "groupArrayLast": "insertion-order dependent in CH — use "
+                      "groupArraySorted (exact, deterministic) or an "
+                      "explicit ORDER BY before the collect",
+    "groupArraySample": "nondeterministic sampling — use x_det_sample's "
+                        "hash-deterministic row sampling",
+    "rankCorr": "use x_rank_corr (exact average-rank Spearman via "
+                "integer rank sums, full oracle)",
+    "sparkbar": "terminal rendering — compute the histogram itself with "
+                "m_histogram",
+    "meanZTest": "transcendental p-values have no bit-stable SQL "
+                 "(same contract as studentTTest); compute the z "
+                 "statistic from avg/stddev columns",
+    "corrMatrix": "emit per-pair corr(x, y) columns",
+    "covarSampMatrix": "emit per-pair covar_samp(x, y) columns",
+    "aggThrow": "CH test-harness function (throws by design)",
     "histogram": "use m_histogram (width_bucket-style exact binning)",
     "deltaSum": "block-order dependent in CH — use x_counter_rate "
                 "(explicitly ordered positive-delta sum with reset "

@@ -437,3 +437,83 @@ def a_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wp90_cents"
         ),
     )
+
+
+RANK_CORR_SQL = """
+WITH r AS (
+  SELECT event_type,
+         2 * RANK() OVER (PARTITION BY event_type ORDER BY value)
+           + COUNT(*) OVER (PARTITION BY event_type, value) - 1 AS x,
+         2 * RANK() OVER (PARTITION BY event_type ORDER BY ts)
+           + COUNT(*) OVER (PARTITION BY event_type, ts) - 1 AS y
+  FROM events),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM r GROUP BY event_type)
+SELECT event_type, n AS n_events,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                      CAST(n * syy - sy * sy AS DOUBLE))
+       END AS spearman
+FROM s ORDER BY event_type
+"""
+
+
+@query("x_rank_corr", oracle=RANK_CORR_SQL, tags=("agg", "stats"))
+def x_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (ClickHouse ``rankCorr``; the
+    dialect points here) between event value and event time per type —
+    "do values drift over time?".
+
+    Exactness recipe: average ranks for ties are carried DOUBLED so they
+    stay integers (2·avgrank = 2·min_rank + tie_count − 1), every moment
+    is an integer sum in DECIMAL(38,0) (exact, order-insensitive), and
+    only the final Pearson-over-ranks formula touches doubles — integer→
+    double rounding, one IEEE multiply, sqrt, and divide are all
+    correctly rounded, so the driver hash is bit-stable (DECIMAL(38,0)
+    holds the n·Σx² term to n ≈ 10⁹ rows PER GROUP; beyond that, split
+    groups or pre-scale). Zero-variance groups return NULL on both
+    engines by an explicit guard (Spark NULLs on 0/0 where DuckDB gives
+    inf — never rely on the engines' division edge cases).
+
+    Scale: both rank windows and the final aggregate share the
+    hash(event_type) partitioning — ONE exchange, two in-partition sorts,
+    no join (the rank-vs-rank formulation never materializes pairs)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    DEC = "decimal(38,0)"
+    wv = W.partitionBy("event_type").orderBy("value")
+    wt = W.partitionBy("event_type").orderBy("ts")
+    cv = W.partitionBy("event_type", "value")
+    ct = W.partitionBy("event_type", "ts")
+    r = ev.select(
+        "event_type",
+        (2 * F.rank().over(wv) + F.count(F.lit(1)).over(cv) - 1)
+        .cast(DEC).alias("x"),
+        (2 * F.rank().over(wt) + F.count(F.lit(1)).over(ct) - 1)
+        .cast(DEC).alias("y"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast(DEC)
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    rho = F.when(
+        (vx == 0) | (vy == 0), F.lit(None).cast("double")
+    ).otherwise(num / F.sqrt(vx.cast("double") * vy.cast("double")))
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        rho.alias("spearman"),
+    ).orderBy("event_type")

@@ -800,3 +800,54 @@ def sql_ch_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's rank-and-rejoin shape would re-shuffle the event table three
     times; the fold never does."""
     return clickhouse_sql(spark, CH_SEQUENCE_NEXT_NODE, sf_dir)
+
+
+CH_MAX_INTERSECTIONS = """
+SELECT event_type,
+       maxIntersections(ts, ts + INTERVAL 1 HOUR) AS peak,
+       maxIntersectionsPosition(ts, ts + INTERVAL 1 HOUR) AS peak_at
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# Independent sweep-line formulation: union the ±1 endpoint events,
+# running-sum them in (point, delta) order (ends before starts at ties —
+# touching intervals do not overlap), take the max, and read the first
+# point attaining it.
+MAX_INTERSECTIONS_ORACLE = """
+WITH pts AS (
+  SELECT event_type, ts AS p, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 1 HOUR AS p, -1 AS d FROM events),
+rs AS (
+  SELECT event_type, p, d,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY p, d
+                      ROWS UNBOUNDED PRECEDING) AS cur
+  FROM pts),
+mx AS (SELECT event_type, MAX(cur) AS peak FROM rs GROUP BY event_type)
+SELECT r.event_type, CAST(m.peak AS BIGINT) AS peak,
+       MIN(r.p) AS peak_at
+FROM rs r JOIN mx m ON m.event_type = r.event_type AND r.cur = m.peak
+GROUP BY r.event_type, m.peak
+ORDER BY r.event_type
+"""
+
+
+@query(
+    "sql_ch_max_intersections",
+    oracle=MAX_INTERSECTIONS_ORACLE,
+    tags=("dialect", "behavior"),
+)
+def sql_ch_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``maxIntersections`` / ``maxIntersectionsPosition`` end to end
+    (round 9): the peak number of simultaneously open 1-hour event windows
+    per type, and the start time that first attains it. The dialect
+    generates CH's sweep (sorted ±1 endpoint list, ends before starts at
+    equal points, argmax on strict improvement) as a single fold over one
+    per-group collect; the DuckDB oracle recomputes it with an independent
+    UNION + running-sum window + join-back formulation. Scale: one
+    event_type exchange for the collect — the oracle shape would shuffle
+    the doubled endpoint relation twice and join it back; the fold never
+    leaves the group."""
+    return clickhouse_sql(spark, CH_MAX_INTERSECTIONS, sf_dir)

@@ -1861,6 +1861,78 @@ def test_sequence_next_node_all_four_bases(spark):
     spark.catalog.dropTempView("snn_probe")
 
 
+def test_max_intersections_sweep(spark):
+    """maxIntersections/-Position (round 9): peak overlap via CH's sorted
+    ±1 endpoint sweep — ends before starts at equal points (touching
+    intervals never overlap), position = the start that FIRST attains the
+    peak."""
+    import datetime as dt
+
+    mins = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    rows = [
+        # three stacked intervals peak at 3 from the 00:45 start
+        (1, mins(0), mins(60)), (1, mins(30), mins(90)),
+        (1, mins(45), mins(105)), (1, mins(200), mins(260)),
+        # touching intervals: [300,360] and [360,420] never overlap
+        (2, mins(300), mins(360)), (2, mins(360), mins(420)),
+    ]
+    spark.createDataFrame(
+        rows, "g int, s timestamp, e timestamp"
+    ).createOrReplaceTempView("mi_probe")
+    got = {r["g"]: (r["peak"], r["at"]) for r in spark.sql(translate(
+        "SELECT g, maxIntersections(s, e) AS peak, "
+        "maxIntersectionsPosition(s, e) AS at FROM mi_probe GROUP BY g"
+    )).collect()}
+    assert got == {
+        1: (3, mins(45)),
+        2: (1, mins(300)),
+    }
+    with pytest.raises(DialectError, match="start, end"):
+        translate("SELECT maxIntersections(s) FROM t")
+    spark.catalog.dropTempView("mi_probe")
+
+
+def test_round9_aggregate_batch(spark):
+    """groupArraySorted (exact N smallest ascending), singleValueOrNull,
+    quantileGK/quantileBFloat16 (approx_percentile mappings), and the new
+    loud pointers for the insertion-order/nondeterministic family."""
+    spark.createDataFrame(
+        [(1, 30.0), (1, 10.0), (1, 20.0), (1, 40.0), (2, 7.0)],
+        "g int, v double",
+    ).createOrReplaceTempView("agg9_probe")
+    rows = spark.sql(translate(
+        "SELECT g, groupArraySorted(3)(v) AS small3, "
+        "singleValueOrNull(g) AS sv, quantileGK(200, 0.5)(v) AS med "
+        "FROM agg9_probe GROUP BY g ORDER BY g"
+    )).collect()
+    assert rows[0]["small3"] == [10.0, 20.0, 30.0]
+    assert rows[1]["small3"] == [7.0]
+    assert rows[0]["sv"] == 1 and rows[1]["sv"] == 2
+    assert rows[0]["med"] == 20.0
+    # mixed group -> NULL
+    sv = spark.sql(translate(
+        "SELECT singleValueOrNull(g) AS sv FROM agg9_probe"
+    )).collect()
+    assert sv[0]["sv"] is None
+    assert "percentile_approx" in translate(
+        "SELECT quantileBFloat16(0.9)(v) FROM t"
+    )
+    for fn, hint in [
+        ("groupArrayMovingSum(3)(v)", "insertion-order"),
+        ("groupArrayMovingAvg(3)(v)", "insertion-order"),
+        ("groupArrayLast(3)(v)", "groupArraySorted"),
+        ("groupArraySample(3)(v)", "x_det_sample"),
+        ("rankCorr(a, b)", "x_rank_corr"),
+        ("sparkbar(9)(x, y)", "m_histogram"),
+        ("meanZTest(1, 1, 0.95)(a, b)", "studentTTest"),
+        ("corrMatrix(a, b)", "per-pair"),
+        ("aggThrow(0.5)(x)", "test-harness"),
+    ]:
+        with pytest.raises(DialectError, match=hint.replace("(", "\\(")):
+            translate(f"SELECT {fn} FROM t")
+    spark.catalog.dropTempView("agg9_probe")
+
+
 def test_sequence_count_is_non_overlapping_resume_after_match(spark):
     """CH semantics pin: on [c1, c1, c2, c2] the scan counts ONE chain —
     the second c1 lies inside the first match's span and is skipped
