@@ -471,7 +471,8 @@ def x_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "do values drift over time?".
 
     Exactness recipe: average ranks for ties are carried DOUBLED so they
-    stay integers (2·avgrank = 2·min_rank + tie_count − 1), every moment
+    stay integers (2·avgrank = rank_min + rank_max; the oracle spells the
+    identical value as 2·min_rank + tie_count − 1), every moment
     is an integer sum in DECIMAL(38,0) (exact, order-insensitive), and
     only the final Pearson-over-ranks formula touches doubles — integer→
     double rounding, one IEEE multiply, sqrt, and divide are all
@@ -481,20 +482,24 @@ def x_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines by an explicit guard (Spark NULLs on 0/0 where DuckDB gives
     inf — never rely on the engines' division edge cases).
 
-    Scale: both rank windows and the final aggregate share the
-    hash(event_type) partitioning — ONE exchange, two in-partition sorts,
-    no join (the rank-vs-rank formulation never materializes pairs)."""
+    Scale: ALL FOUR window specs and the final aggregate cluster by
+    hash(event_type) — ONE exchange, two in-partition sorts, no join (the
+    rank-vs-rank formulation never materializes pairs). The doubled
+    average rank is computed as rank_min + rank_max, with rank_max taken
+    from a RANGE-frame running count over the SAME (event_type)
+    partitioning — a (event_type, value)-partitioned tie count would
+    force a second exchange (plan-asserted in test_plans.py)."""
     ev = load_tables(spark, sf_dir)["events"]
     DEC = "decimal(38,0)"
     wv = W.partitionBy("event_type").orderBy("value")
     wt = W.partitionBy("event_type").orderBy("ts")
-    cv = W.partitionBy("event_type", "value")
-    ct = W.partitionBy("event_type", "ts")
+    nv = wv.rangeBetween(W.unboundedPreceding, W.currentRow)
+    nt = wt.rangeBetween(W.unboundedPreceding, W.currentRow)
     r = ev.select(
         "event_type",
-        (2 * F.rank().over(wv) + F.count(F.lit(1)).over(cv) - 1)
+        (F.rank().over(wv) + F.count(F.lit(1)).over(nv))
         .cast(DEC).alias("x"),
-        (2 * F.rank().over(wt) + F.count(F.lit(1)).over(ct) - 1)
+        (F.rank().over(wt) + F.count(F.lit(1)).over(nt))
         .cast(DEC).alias("y"),
     )
     s = r.groupBy("event_type").agg(

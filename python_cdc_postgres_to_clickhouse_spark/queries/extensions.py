@@ -1063,3 +1063,129 @@ def x_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mass.cast("double") / (n.cast("double") * n.cast("double")))
         .alias("simpson"),
     )
+
+
+_CHUNK, _CHUNK_OVERLAP = 64, 16
+_CHUNK_STRIDE = _CHUNK - _CHUNK_OVERLAP
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks,
+         len(string_split({SQL_NORM}, ' ')) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens, u.s AS start,
+         CAST((u.s - 1) / {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx
+  FROM d, LATERAL (SELECT unnest(generate_series(
+      1, GREATEST(n_tokens - {_CHUNK_OVERLAP}, 1), {_CHUNK_STRIDE})) AS s) u)
+SELECT s.doc_id, s.chunk_idx, CAST(s.start AS INTEGER) AS start_token,
+       CAST(LEAST({_CHUNK}, d.n_tokens - s.start + 1) AS INTEGER)
+         AS chunk_tokens,
+       array_to_string(d.toks[s.start : s.start + {_CHUNK} - 1], ' ')
+         AS chunk_text
+FROM s JOIN d ON d.doc_id = s.doc_id
+"""
+
+
+@query("x_chunk_documents", oracle=CHUNK_DOCUMENTS_SQL, tags=("ext", "text"))
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (round 9): split each document into
+    fixed-size token chunks (64 tokens, 16-token overlap — the sliding
+    stride every context-bounded training/embedding pipeline needs so no
+    span is lost at a boundary). The LAST chunk of a document is the
+    short remainder; documents shorter than one stride yield exactly one
+    chunk.
+
+    Spark side is a pure narrow map: tokenize once, generate the start
+    offsets with ``sequence``, slice per start inside one ``transform``
+    + ``posexplode`` — zero shuffle, no UDF, output rows carry
+    (doc_id, chunk_idx, start_token, chunk_tokens, chunk_text). At
+    100 TB this is the same map-only shape as the other textstats
+    passes; downstream repartitioning is the consumer's choice. The
+    DuckDB oracle recomputes the chunking relationally
+    (generate_series + array slicing)."""
+    t = load_tables(spark, sf_dir)
+    toks = TS.tokens("text")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("n_tokens") - F.lit(_CHUNK_OVERLAP), F.lit(1)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    chunk = lambda s: F.struct(
+        s.alias("start"),
+        F.size(F.slice(F.col("toks"), s, F.lit(_CHUNK))).alias("n"),
+        F.concat_ws(" ", F.slice(F.col("toks"), s, F.lit(_CHUNK)))
+        .alias("txt"),
+    )
+    return (
+        t["documents"]
+        .select("doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens"))
+        .select("doc_id", F.posexplode(F.transform(starts, chunk)))
+        .select(
+            "doc_id",
+            F.col("pos").alias("chunk_idx"),
+            F.col("col.start").alias("start_token"),
+            F.col("col.n").alias("chunk_tokens"),
+            F.col("col.txt").alias("chunk_text"),
+        )
+    )
+
+
+_LQS_BUCKETS, _LQS_MOD, _LQS_SHIFT, _LQS_MULT = 4096, 1997, 998, 2654435761
+
+LINEAR_QUALITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({SQL_NORM}, ' ')) AS tk
+  FROM documents),
+wt AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5('lqs' || tk), 1, 8)) AS BIGINT)
+            % {_LQS_BUCKETS}) * {_LQS_MULT} % {_LQS_MOD} - {_LQS_SHIFT} AS w
+  FROM tok)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       CAST(SUM(w) AS BIGINT) AS weight_sum,
+       CAST(SUM(w) AS DOUBLE) / COUNT(*) AS score
+FROM wt GROUP BY doc_id
+"""
+
+
+@query("x_linear_quality_score", oracle=LINEAR_QUALITY_SQL,
+       tags=("ext", "text"))
+def x_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear text scorer (round 9): the execution shape of
+    fastText-style model-based quality filtering — every token hashes
+    into one of 4096 feature buckets, each bucket carries a fixed integer
+    weight, and the document score is the mean token weight. The weight
+    table here is a deterministic arithmetic function of the bucket id
+    (w = bucket·2654435761 mod 1997 − 998) so the driver oracle can
+    recompute it; swapping in trained weights is a broadcast of a
+    4096-row map — the plan shape does not change.
+
+    Spark side is ZERO-SHUFFLE: one ``aggregate`` fold over the token
+    array sums the weights inside a single codegen projection (md5-bucket
+    arithmetic is the engine-portable hash used across the sampling
+    operators) — no explode, no groupBy, no UDF; integer sums make the
+    hash bit-stable and only the final mean is a double. At 100 TB this
+    is the ideal model-scoring shape: a pure map pass whose cost is one
+    md5 per token."""
+    t = load_tables(spark, sf_dir)
+    toks = TS.tokens("text")
+
+    def w(tok):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("lqs"), tok)), 1, 8), 16, 10
+        ).cast("bigint")
+        return (
+            (h % F.lit(_LQS_BUCKETS)) * F.lit(_LQS_MULT)
+        ) % F.lit(_LQS_MOD) - F.lit(_LQS_SHIFT)
+
+    n = F.size(toks)
+    raw = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, tok: acc + w(tok)
+    )
+    return t["documents"].select(
+        "doc_id",
+        n.alias("n_tokens"),
+        raw.alias("weight_sum"),
+        (raw.cast("double") / n.cast("double")).alias("score"),
+    )

@@ -79,6 +79,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_ch_sequence_next_node",
     "sql_ch_max_intersections",
     "x_rank_corr",
+    "x_chunk_documents",
+    "x_linear_quality_score",
     # (c) The round-4-stale cohort (last driver row r4) — oracle-bearing
     #     queries first; rows-only names sort to the TAIL so a 50-slot
     #     window spends its slots on full hash checks (r8 lesson:
@@ -126,8 +128,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # rows-only members of the r4 cohort (no DuckDB oracle — the driver
     # records a rows>0 check): tail of the window; whatever the 50-name
     # cut excludes leads the round-10 queue below.
-    "a_approx_distinct",
-    "a_approx_quantiles",
     # ------------------------------------------------------------------
     # Positions 51+: the ROUND-10 QUEUE. First the r4-stale rows-only
     # names the 50-slot cut displaced, then the 50-member round-6 cohort
@@ -151,6 +151,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (the queue exceeds one window — the rows-only x_sketch_* names and
     # any further overflow wait for round 11.)
     # ------------------------------------------------------------------
+    "a_approx_distinct",
+    "a_approx_quantiles",
     "x_embedding_near_dup",
     "x_lsh_cosine_topk",
     "x_sketch_distinct_rollup",

@@ -840,3 +840,27 @@ def test_token_diversity_is_a_pure_narrow_map(spark):
     assert "Python" not in plan, plan
     cols = set(P.read_schema_columns(df))
     assert cols <= {"doc_id", "text"}, cols
+
+
+def test_rank_corr_single_hash_exchange(spark):
+    """x_rank_corr (round 9): all four window specs (two ranks + two
+    RANGE-frame tie counts) and the final aggregate cluster by
+    hash(event_type) — exactly ONE hash exchange (the trailing ORDER BY
+    adds the range exchange). A (event_type, value)-partitioned tie
+    count would double the shuffle."""
+    df = _q(spark, "x_rank_corr")
+    plan = P.physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_chunking_and_linear_score_are_pure_narrow_maps(spark):
+    """x_chunk_documents / x_linear_quality_score (round 9): both must run
+    as zero-exchange JVM-only projections over a (doc_id, text) scan —
+    the 100 TB chunking/model-scoring shape."""
+    for name in ("x_chunk_documents", "x_linear_quality_score"):
+        df = _q(spark, name)
+        plan = P.physical_plan(df)
+        assert "Exchange" not in plan, (name, plan)
+        assert "Python" not in plan, (name, plan)
+        cols = set(P.read_schema_columns(df))
+        assert cols <= {"doc_id", "text"}, (name, cols)
