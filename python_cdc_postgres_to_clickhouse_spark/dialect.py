@@ -1255,6 +1255,35 @@ def _rewrite_scalar_with(toks: list[str]) -> list[str]:
 _FILL_STOP = {"FROM", "TO", "STEP", "LIMIT", "INTERPOLATE"}
 
 
+_RECURRENCE_KEYWORDS = {
+    "CASE", "WHEN", "THEN", "ELSE", "END", "AND", "OR", "NOT", "IS",
+    "NULL", "TRUE", "FALSE", "IN", "BETWEEN", "LIKE", "CAST", "AS",
+    "INTERVAL", "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT",
+    "FLOAT", "DOUBLE", "DECIMAL", "STRING", "BOOLEAN", "DATE",
+    "TIMESTAMP", "LONG", "SECOND", "MINUTE", "HOUR", "DAY", "WEEK",
+    "MONTH", "QUARTER", "YEAR",
+}
+
+
+def _check_recurrence_refs(col: str, expr: list[str]) -> None:
+    """An INTERPOLATE recurrence may reference only the interpolated
+    column itself — any other column would read the JOINED current row
+    (NULL on every inserted row), a silently wrong answer."""
+    for j, t in enumerate(expr):
+        if t == col or not _is_ident(t):
+            continue
+        if j + 1 < len(expr) and expr[j + 1] == "(":
+            continue  # function call
+        if _u(t) in _RECURRENCE_KEYWORDS:
+            continue
+        raise DialectError(
+            f"INTERPOLATE ({col} AS expr): the recurrence may reference "
+            f"only {col!r} (got {t!r}) — each inserted row applies expr "
+            "to the PREVIOUS row's value; other columns are not carried "
+            "across gaps"
+        )
+
+
 def _rewrite_with_fill(toks: list[str]) -> list[str]:
     """Top-level ``ORDER BY x WITH FILL [FROM a TO b [STEP s]] [STEP s]`` ->
     a generated numeric spine FULL OUTER JOINed back over the query body.
@@ -1270,10 +1299,15 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
     genuinely-NULL originals carry as NULL; original rows are never
     touched; listed columns move to the end of the output). The
     INTERPOLATE window orders by the fill key globally — no worse than
-    the global sort the top-level ORDER BY already requests. Unsupported
-    forms — ``INTERPOLATE (c AS expr)`` (a per-gap recurrence), multiple
-    fill columns, expression fill keys, nested WITH FILL — fall through
-    to the loud error in _rewrite_with_totals."""
+    the global sort the top-level ORDER BY already requests. Round 9 adds
+    ``INTERPOLATE (c AS expr)`` — CH's per-gap RECURRENCE (each inserted
+    row applies expr to the previous row's value): expr composes g times
+    from the last original value via ``aggregate(sequence(1, g), …)``
+    where g is the inserted row's distance down the filled axis; the
+    recurrence may reference only the interpolated column (loud
+    otherwise). Remaining unsupported forms — multiple fill columns,
+    expression fill keys, nested WITH FILL — fall through to the loud
+    error in _rewrite_with_totals."""
     # Locate a depth-0 ORDER BY ... WITH FILL.
     depth = 0
     order_at = None
@@ -1326,28 +1360,49 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
         if not run:
             raise DialectError(f"WITH FILL {kw} needs an expression")
         bounds[kw] = run
-    interp_cols: list[str] = []
+    # entries: (column, None) = LOCF carry-forward; (column, expr tokens)
+    # = CH's per-gap recurrence c_{i+1} = expr(c_i) on inserted rows.
+    interp: list[tuple[str, list[str] | None]] = []
     if i < len(toks) and _u(toks[i]) == "INTERPOLATE":
         if i + 1 >= len(toks) or toks[i + 1] != "(":
             raise DialectError("INTERPOLATE needs a parenthesized column list")
         m2 = i + 2
-        while m2 < len(toks) and toks[m2] != ")":
+        while m2 < len(toks) and not (toks[m2] == ")"):
             t2 = toks[m2]
             if t2 == ",":
                 m2 += 1
                 continue
-            if _u(t2) == "AS" or not _is_ident(t2):
+            if not _is_ident(t2) or _u(t2) == "AS":
                 raise DialectError(
-                    "INTERPOLATE (col AS expr) is a per-gap recurrence "
-                    "with no SQL-level mapping — use x_interpolate_linear "
-                    "/ x_gap_fill_locf; the bare INTERPOLATE (col, …) "
-                    "carry-forward form translates"
+                    "INTERPOLATE entries are `col` or `col AS expr`"
                 )
-            interp_cols.append(t2)
+            col = t2
             m2 += 1
+            expr_toks: list[str] | None = None
+            if m2 < len(toks) and _u(toks[m2]) == "AS":
+                m2 += 1
+                expr_toks = []
+                d2 = 0
+                while m2 < len(toks):
+                    t3 = toks[m2]
+                    if t3 == "(":
+                        d2 += 1
+                    elif t3 == ")":
+                        if d2 == 0:
+                            break
+                        d2 -= 1
+                    elif d2 == 0 and t3 == ",":
+                        break
+                    expr_toks.append(t3)
+                    m2 += 1
+                if not expr_toks:
+                    raise DialectError("INTERPOLATE (col AS expr) needs "
+                                       "an expression")
+                _check_recurrence_refs(col, expr_toks)
+            interp.append((col, expr_toks))
         if m2 >= len(toks):
             raise DialectError("INTERPOLATE list is not closed")
-        if not interp_cols:
+        if not interp:
             raise DialectError("INTERPOLATE needs at least one column")
         i = m2 + 1
     if ("FROM" in bounds) != ("TO" in bounds):
@@ -1375,35 +1430,64 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
             "FROM", "(", *body, ")",
         ]
     order_tail = ["ORDER", "BY", x] + (["DESC"] if desc else [])
-    if not interp_cols:
+    if not interp:
         return [
             "SELECT", "*", "FROM", "(", *spine, ")", "AS", "__fill_spine",
             "FULL", "OUTER", "JOIN", "(", *body, ")", "AS", "__q",
             "USING", "(", x, ")", *order_tail, *tail,
         ]
-    # INTERPOLATE: mark original rows, LOCF each listed column onto the
-    # inserted rows from the last original row (struct-carried so NULL
-    # originals carry as NULL); original rows pass through untouched.
+    # INTERPOLATE: mark original rows; `col` entries LOCF from the last
+    # original row (struct-carried so NULL originals carry as NULL);
+    # `col AS expr` entries apply CH's per-gap recurrence — expr composed
+    # g times from the last original value, where g is the row's distance
+    # down the filled axis (an `aggregate` over sequence(1, g); original
+    # rows reset the state and pass through untouched in both forms).
+    has_rec = any(rec is not None for _, rec in interp)
+    dirkw = "DESC" if desc else "ASC"
     marked_body = [
         "(", "SELECT", "*", ",", "true", "AS", "__orig", "FROM",
         "(", *body, ")", ")",
     ]
-    joined = [
+    join_core = [
         "SELECT", "*", "FROM", "(", *spine, ")", "AS", "__fill_spine",
         "FULL", "OUTER", "JOIN", *marked_body, "AS", "__q",
         "USING", "(", x, ")",
     ]
+    if has_rec:
+        joined = (
+            _tokenize(
+                f"SELECT *, row_number() OVER (ORDER BY {x} {dirkw}) "
+                "AS __rn FROM"
+            )
+            + ["(", *join_core, ")"]
+        )
+    else:
+        joined = join_core
     over = (
-        f"OVER (ORDER BY {x} {'DESC' if desc else 'ASC'} "
+        f"OVER (ORDER BY {x} {dirkw} "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     exprs: list[str] = []
-    for c in interp_cols:
-        exprs.append(
-            f"CASE WHEN __orig THEN {c} ELSE (last(CASE WHEN __orig THEN "
-            f"struct({c}) END, true) {over}).{c} END AS {c}"
-        )
-    except_list = ", ".join(["__orig", *interp_cols])
+    for c, rec in interp:
+        if rec is None:
+            exprs.append(
+                f"CASE WHEN __orig THEN {c} ELSE (last(CASE WHEN __orig "
+                f"THEN struct({c}) END, true) {over}).{c} END AS {c}"
+            )
+        else:
+            e_sub = " ".join("__acc" if t == c else t for t in rec)
+            last = (
+                f"(last(CASE WHEN __orig THEN struct(__rn, {c}) END, "
+                f"true) {over})"
+            )
+            exprs.append(
+                f"CASE WHEN __orig THEN {c} ELSE "
+                f"aggregate(sequence(1, __rn - {last}.__rn), {last}.{c}, "
+                f"(__acc, __i) -> {e_sub}) END AS {c}"
+            )
+    except_list = ", ".join(
+        ["__orig"] + (["__rn"] if has_rec else []) + [c for c, _ in interp]
+    )
     outer = (
         f"SELECT * EXCEPT ({except_list}), " + ", ".join(exprs)
     )

@@ -851,3 +851,54 @@ def sql_ch_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doubled endpoint relation twice and join it back; the fold never
     leaves the group."""
     return clickhouse_sql(spark, CH_MAX_INTERSECTIONS, sf_dir)
+
+
+CH_FILL_RECURRENCE = """
+SELECT h, n FROM (
+    SELECT toHour(ts) AS h, count() AS n
+    FROM events WHERE value > 330 GROUP BY h
+) AS src
+ORDER BY h WITH FILL FROM 0 TO 24 INTERPOLATE (n AS n + 100)
+"""
+
+# Closed-form oracle: with a dense integer spine (STEP 1) the inserted
+# row's recurrence depth equals its key distance from the last original
+# row, so n = n0 + 100 * (h - h0); hours before the first original stay
+# NULL on both sides.
+FILL_RECURRENCE_ORACLE = """
+WITH src AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE value > 330 GROUP BY 1),
+spine AS (SELECT unnest(generate_series(0, 23)) AS h),
+j AS (
+  SELECT spine.h AS h, src.n AS n,
+         LAST_VALUE(CASE WHEN src.n IS NOT NULL THEN spine.h END
+                    IGNORE NULLS)
+           OVER (ORDER BY spine.h ROWS UNBOUNDED PRECEDING) AS h0,
+         LAST_VALUE(src.n IGNORE NULLS)
+           OVER (ORDER BY spine.h ROWS UNBOUNDED PRECEDING) AS n0
+  FROM spine LEFT JOIN src ON src.h = spine.h)
+SELECT CAST(h AS INTEGER) AS h,
+       CAST(COALESCE(n, n0 + 100 * (h - h0)) AS BIGINT) AS n
+FROM j ORDER BY h
+"""
+
+
+@query(
+    "sql_ch_fill_recurrence",
+    oracle=FILL_RECURRENCE_ORACLE,
+    tags=("dialect", "gap-fill"),
+)
+def sql_ch_fill_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INTERPOLATE (n AS n + 100)`` end to end (round 9): CH's per-gap
+    RECURRENCE form — each hour inserted by WITH FILL carries the
+    previous row's value advanced by the expression, resetting at every
+    original row (hours before the first original stay NULL). The dialect
+    composes the expression g times from the last original value via an
+    ``aggregate(sequence(1, g), …)`` fold over the row-number distance;
+    the DuckDB oracle exploits the dense STEP-1 spine to verify with the
+    independent closed form n0 + 100·(h − h0). Scale: the spine is a
+    24-row literal; the LOCF/row-number windows order by the fill key —
+    the same global sort the top-level ORDER BY already demands."""
+    return clickhouse_sql(spark, CH_FILL_RECURRENCE, sf_dir)

@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_rank_corr",
     "x_chunk_documents",
     "x_linear_quality_score",
+    "sql_ch_fill_recurrence",
     # (c) The round-4-stale cohort (last driver row r4) — oracle-bearing
     #     queries first; rows-only names sort to the TAIL so a 50-slot
     #     window spends its slots on full hash checks (r8 lesson:
@@ -124,15 +125,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_dedup_exact",
     "x_jaccard_near_dup",
     "x_passage_dedup",
+    # ------------------------------------------------------------------
+    # Positions 51+: the ROUND-10 QUEUE. First the displaced r4-stale
+    # oracle query, then the r4-stale rows-only names:
+    # ------------------------------------------------------------------
     "x_random_projection",
     # rows-only members of the r4 cohort (no DuckDB oracle — the driver
     # records a rows>0 check): tail of the window; whatever the 50-name
     # cut excludes leads the round-10 queue below.
-    # ------------------------------------------------------------------
-    # Positions 51+: the ROUND-10 QUEUE. First the r4-stale rows-only
-    # names the 50-slot cut displaced, then the 50-member round-6 cohort
-    # (last driver row r6) — pre-staged here so the rotation discipline
-    # survives session churn:
+    # After the rows-only names, the round-10 queue continues with the
+    # 50-member round-6 cohort (last driver row r6) — pre-staged here so
+    # the rotation discipline survives session churn:
     #   m_covar_corr, m_median_exact, m_histogram, m_string_agg,
     #   m_unpivot, m_salted_agg, a_pivot, s_intersect_all, w_running_sum,
     #   sub_correlated_scalar, sub_exists_correlated,

@@ -2071,6 +2071,39 @@ def test_window_funnel_strict_order_mode_is_ch_freeze(spark):
     assert got == want
 
 
+def test_with_fill_interpolate_recurrence(spark):
+    """INTERPOLATE (c AS expr) — CH's per-gap recurrence (round 9): each
+    inserted row applies expr to the PREVIOUS row's value; original rows
+    reset the state; LOCF and recurrence entries mix; DESC fills run the
+    recurrence down the reversed axis; referencing another column stays
+    loud (it would read the joined current row — NULL on inserted
+    rows)."""
+    spark.createDataFrame(
+        [(1, 100.0, 5), (4, 200.0, 9), (6, 50.0, 2)],
+        "d int, v double, w int",
+    ).createOrReplaceTempView("fill_rec")
+    rows = spark.sql(translate(
+        "SELECT d, v, w FROM fill_rec ORDER BY d WITH FILL "
+        "INTERPOLATE (v AS v + 10, w)"
+    )).collect()
+    assert sorted((r["d"], r["v"], r["w"]) for r in rows) == [
+        (1, 100.0, 5), (2, 110.0, 5), (3, 120.0, 5),
+        (4, 200.0, 9), (5, 210.0, 9), (6, 50.0, 2),
+    ]
+    rows = spark.sql(translate(
+        "SELECT d, v FROM fill_rec ORDER BY d DESC WITH FILL "
+        "INTERPOLATE (v AS v * 2)"
+    )).collect()
+    assert sorted((r["d"], r["v"]) for r in rows) == [
+        (1, 100.0), (2, 800.0), (3, 400.0),
+        (4, 200.0), (5, 100.0), (6, 50.0),
+    ]
+    with pytest.raises(DialectError, match="only 'v'"):
+        translate("SELECT d, v FROM t ORDER BY d WITH FILL "
+                  "INTERPOLATE (v AS v + w)")
+    spark.catalog.dropTempView("fill_rec")
+
+
 def test_with_fill_interpolate_multiple_columns(spark):
     spark.createDataFrame(
         [(1, 10.0, 100), (4, 40.0, 400)],
