@@ -2134,6 +2134,80 @@ def _map_combinator(op: str):
 
 
 
+def _parse_date_time(args: list[str]) -> str:
+    """``parseDateTime(s, '%Y-%m-%d …')`` (round 9): the inverse of
+    formatDateTime, reusing the SAME %-specifier conversion — generate a
+    date_format with a placeholder column, then lift its Java pattern
+    into to_timestamp. Unknown specifiers and non-literal formats stay
+    loud (the pattern rewrites at translation time)."""
+    if len(args) != 2:
+        raise DialectError("parseDateTime takes (string, format)")
+    rendered = _format_datetime(["__x", args[1]])
+    pattern = rendered[len("date_format(__x, "):-1]
+    return f"to_timestamp({args[0]}, {pattern})"
+
+
+def _accurate_cast(fn: str, args: list[str]) -> str:
+    """``accurateCast(x, 'UInt8')`` → an ANSI cast (throws on overflow —
+    CH's contract); the OrNull form → try_cast. The CH type name maps
+    through ddl.map_type, the same table CREATE TABLE translation uses."""
+    if len(args) != 2 or not _is_str_lit(args[1]):
+        raise DialectError("accurateCast takes (value, 'CHType')")
+    from .ddl import map_type
+
+    return f"{fn}({args[0]} AS {map_type(_unquote(args[1]))})"
+
+
+def _time_slots(args: list[str]) -> str:
+    """``timeSlots(start, duration[, size=1800])``: every size-aligned
+    slot start covering [start, start+duration] — a sequence of
+    timestamps from start rounded down to the slot grid, stepping by the
+    slot size (CH's contract; the end point is inclusive)."""
+    if len(args) not in (2, 3):
+        raise DialectError("timeSlots takes (start, duration[, size])")
+    start, dur = args[0], args[1]
+    size = args[2] if len(args) == 3 else "1800"
+    lo = (f"timestamp_seconds(floor(unix_timestamp({start}) / ({size})) "
+          f"* ({size}))")
+    hi = f"({start} + make_dt_interval(0, 0, 0, {dur}))"
+    return f"sequence({lo}, {hi}, make_dt_interval(0, 0, 0, {size}))"
+
+
+def _bitmask_to_list(args: list[str]) -> str:
+    """``bitmaskToList(n)`` → '1,2,8'-style string of the set power-of-two
+    components, ascending — a filter over the 63 bit positions."""
+    if len(args) != 1:
+        raise DialectError("bitmaskToList takes one argument")
+    n = args[0]
+    # the value must shift as a BIGINT: Spark wraps an INT's shift
+    # amount mod 32, so bit probes ≥ 32 would re-read the low bits
+    return (
+        f"concat_ws(',', transform(filter(sequence(0, 62), "
+        f"i -> (shiftright(cast({n} as bigint), i) & 1) = 1), "
+        "i -> cast(shiftleft(1L, i) as string)))"
+    )
+
+
+def _array_shift_left(args: list[str]) -> str:
+    """``arrayShiftLeft(arr, n, default)``: drop the first n, pad with
+    the explicit default. The 2-argument form pads with the element
+    TYPE's default value in CH (0, '' …) — untypeable generically here,
+    so it stays loud."""
+    if len(args) != 3:
+        raise DialectError(
+            "arrayShiftLeft: only the 3-argument (arr, n, default) form "
+            "translates — CH's 2-argument form pads with the element "
+            "type's default value, which SQL cannot synthesize "
+            "generically; pass the default explicitly"
+        )
+    a, n, d = args
+    return (
+        f"concat(slice({a}, ({n}) + 1, greatest(size({a}) - ({n}), 0)), "
+        f"array_repeat({d}, least(({n}), size({a}))))"
+    )
+
+
+
 RULES: dict[str, Callable[[list[str]], str]] = {
     # -- date/time ---------------------------------------------------------
     "toDate": _fn("to_date"),
@@ -2551,6 +2625,53 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "geoDistance": _haversine,
     # -- aggregates (round-6 batch) -------------------------------------------
     "retention": _retention,
+    # ---- round-9 scalar batch ---------------------------------------------
+    "parseDateTime": _parse_date_time,
+    "parseDateTimeOrNull": lambda a: (
+        _parse_date_time(a).replace("to_timestamp(", "try_to_timestamp(", 1)
+    ),
+    "timeSlots": _time_slots,
+    "bitmaskToList": _bitmask_to_list,
+    # Spark strings are valid UTF-8 by construction — identity is faithful
+    "toValidUTF8": _tpl("({0})"),
+    "alphaTokens": _tpl(
+        "filter(split({0}, '[^a-zA-Z]+'), t -> t != '')"
+    ),
+    "translateUTF8": _fn("translate"),
+    "dateTrunc": _fn("date_trunc"),
+    # ANSI mode already throws on overflowing casts — CH's accurateCast
+    # contract; the OrNull form is try_cast. The CH type name (a string
+    # literal) maps through the DDL translator's own type table.
+    "accurateCast": lambda a: _accurate_cast("cast", a),
+    "accurateCastOrNull": lambda a: _accurate_cast("try_cast", a),
+    # key-wise arithmetic over the key UNION; zero results are KEPT
+    # (CH's mapAdd/mapSubtract don't drop them — only sumMap does)
+    "mapAdd": _tpl(
+        "map_zip_with({0}, {1}, "
+        "(k, a, b) -> coalesce(a, 0) + coalesce(b, 0))"
+    ),
+    "mapSubtract": _tpl(
+        "map_zip_with({0}, {1}, "
+        "(k, a, b) -> coalesce(a, 0) - coalesce(b, 0))"
+    ),
+    # CH leaves positions past the limit in UNSPECIFIED order — the full
+    # sort is a conforming implementation (arg order: (limit, arr)).
+    "arrayPartialSort": _tpl("array_sort({1})"),
+    "arrayShuffle": _tpl("shuffle({0})"),
+    "arrayRotateLeft": _tpl(
+        "concat(slice({0}, pmod({1}, greatest(size({0}), 1)) + 1, "
+        "size({0}) - pmod({1}, greatest(size({0}), 1))), "
+        "slice({0}, 1, pmod({1}, greatest(size({0}), 1))))"
+    ),
+    "arrayShiftLeft": _array_shift_left,
+    "toIntervalSecond": _tpl("make_dt_interval(0, 0, 0, {0})"),
+    "toIntervalMinute": _tpl("make_dt_interval(0, 0, {0}, 0)"),
+    "toIntervalHour": _tpl("make_dt_interval(0, {0}, 0, 0)"),
+    "toIntervalDay": _tpl("make_dt_interval({0}, 0, 0, 0)"),
+    "toIntervalWeek": _tpl("make_dt_interval(({0}) * 7, 0, 0, 0)"),
+    "toIntervalMonth": _tpl("make_interval(0, {0})"),
+    "toIntervalQuarter": _tpl("make_interval(0, ({0}) * 3)"),
+    "toIntervalYear": _tpl("make_interval({0})"),
     "maxIntersections": lambda a: _max_intersections(None, a),
     "maxIntersectionsPosition": lambda a: _max_intersections_position(None, a),
     # exactly one distinct non-null value -> that value, else NULL (CH's
@@ -3429,6 +3550,24 @@ _UNSUPPORTED: dict[str, str] = {
     "corrMatrix": "emit per-pair corr(x, y) columns",
     "covarSampMatrix": "emit per-pair covar_samp(x, y) columns",
     "aggThrow": "CH test-harness function (throws by design)",
+    "replaceRegexpOne": "Spark's regexp_replace is replace-ALL and a "
+                        "first-match-only overlay is unsound for "
+                        "backreferences — use replaceRegexpAll, or "
+                        "replaceOne for literal needles",
+    "neighbor": "block-order dependent in CH — use lag()/lead() OVER an "
+                "explicit ORDER BY",
+    "runningDifference": "block-order dependent in CH — use value - "
+                         "lag(value) OVER an explicit ORDER BY "
+                         "(x_counter_rate for reset-aware deltas)",
+    "runningAccumulate": "block-order dependent in CH — use sum() OVER "
+                         "an explicit ORDER BY",
+    "rowNumberInAllBlocks": "block-order dependent — use row_number() "
+                            "OVER an explicit ORDER BY",
+    "blockNumber": "physical-block introspection with no Spark analog",
+    "nowInBlock": "per-block clock reads are nondeterministic — use "
+                  "now() / current_timestamp()",
+    "randConstant": "per-block constants are nondeterministic — use a "
+                    "literal seed column",
     "histogram": "use m_histogram (width_bucket-style exact binning)",
     "deltaSum": "block-order dependent in CH — use x_counter_rate "
                 "(explicitly ordered positive-delta sum with reset "

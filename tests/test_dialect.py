@@ -1611,10 +1611,13 @@ def test_with_fill_interpolate_carries_last_original(spark):
     spark.catalog.dropTempView("fill_t")
 
 
-def test_with_fill_interpolate_expr_form_is_loud():
-    with pytest.raises(DialectError, match="per-gap recurrence"):
+def test_with_fill_interpolate_loud_edges():
+    """Round 9: `col AS expr` recurrences TRANSLATE (see
+    test_with_fill_interpolate_recurrence) — only cross-column
+    recurrences and empty lists stay loud."""
+    with pytest.raises(DialectError, match="only 'v'"):
         translate("SELECT d, v FROM t ORDER BY d WITH FILL "
-                  "INTERPOLATE (v AS v + 1)")
+                  "INTERPOLATE (v AS v + other)")
     with pytest.raises(DialectError, match="at least one column"):
         translate("SELECT d, v FROM t ORDER BY d WITH FILL INTERPOLATE ()")
 
@@ -2069,6 +2072,58 @@ def test_window_funnel_strict_order_mode_is_ch_freeze(spark):
     want = {r["depth"]: r["n_users"]
             for r in x_window_funnel_freeze(spark, SF_ORACLE).collect()}
     assert got == want
+
+
+def test_round9_scalar_function_batch(spark):
+    """parseDateTime (MySQL %-codes → Java pattern via formatDateTime's
+    own converter), timeSlots, bitmaskToList (bigint-safe bit probes),
+    alphaTokens, mapAdd/mapSubtract (zero results KEPT — only sumMap
+    drops them), arrayRotateLeft/arrayShiftLeft/arrayPartialSort,
+    toInterval* family, accurateCast via the DDL type table, and the new
+    block-order loud pointers."""
+    import datetime as dt
+
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    assert one(
+        "parseDateTime('2024-03-15 10:30:45', '%Y-%m-%d %H:%M:%S')"
+    ) == dt.datetime(2024, 3, 15, 10, 30, 45)
+    assert one("parseDateTime('2024-03-15T10', '%Y-%m-%dT%H')") == \
+        dt.datetime(2024, 3, 15, 10)
+    assert one("parseDateTimeOrNull('garbage', '%Y-%m-%d')") is None
+    assert one(
+        "timeSlots(toDateTime('2024-01-01 10:17:00'), 3600, 1800)"
+    ) == [dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 10, 30),
+          dt.datetime(2024, 1, 1, 11, 0)]
+    assert one("bitmaskToList(11)") == "1,2,8"
+    assert one("bitmaskToList(toInt64(4294967296))") == "4294967296"
+    assert one("alphaTokens('ab12cd-ef')") == ["ab", "cd", "ef"]
+    assert sorted(one(
+        "mapAdd(map('a', 1, 'b', 2), map('b', -2, 'c', 5))"
+    ).items()) == [("a", 1), ("b", 0), ("c", 5)]
+    assert sorted(one(
+        "mapSubtract(map('a', 3), map('a', 1, 'b', 2))"
+    ).items()) == [("a", 2), ("b", -2)]
+    assert one("arrayRotateLeft([1,2,3,4,5], 2)") == [3, 4, 5, 1, 2]
+    assert one("arrayRotateLeft([1,2,3,4,5], 7)") == [3, 4, 5, 1, 2]
+    assert one("arrayShiftLeft([1,2,3,4,5], 2, 0)") == [3, 4, 5, 0, 0]
+    assert one("arrayPartialSort(2, [5,1,4,2])") == [1, 2, 4, 5]
+    assert one(
+        "toDateTime('2024-01-31 00:00:00') + toIntervalMonth(1)"
+    ) == dt.datetime(2024, 2, 29)
+    assert one("accurateCastOrNull(300, 'Int8')") is None
+    assert one("accurateCast(300, 'Int16')") == 300
+    assert one("translateUTF8('abc', 'ab', 'xy')") == "xyc"
+    assert one("toValidUTF8('plain')") == "plain"
+    for bad, hint in [
+        ("SELECT neighbor(v, 1) FROM t", "lag"),
+        ("SELECT runningDifference(v) FROM t", "x_counter_rate"),
+        ("SELECT replaceRegexpOne(s, 'a', 'b') FROM t", "replaceRegexpAll"),
+        ("SELECT arrayShiftLeft([1,2], 1)", "default"),
+        ("SELECT parseDateTime(s, '%Q') FROM t", "unsupported specifier"),
+        ("SELECT rowNumberInAllBlocks() FROM t", "row_number"),
+    ]:
+        with pytest.raises(DialectError, match=hint):
+            translate(bad)
 
 
 def test_with_fill_interpolate_recurrence(spark):
