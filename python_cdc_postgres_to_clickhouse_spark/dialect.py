@@ -2208,6 +2208,21 @@ def _array_shift_left(args: list[str]) -> str:
 
 
 
+def _map_concat_first_wins(a: list[str]) -> str:
+    """CH mapConcat keeps the FIRST occurrence of each key across the
+    concatenated maps; Spark's map_concat either throws on duplicates or
+    keeps the last (session policy), so rebuild from entries left to
+    right, dropping keys already claimed by an earlier map."""
+    out = a[0]
+    for m in a[1:]:
+        out = (
+            f"map_from_entries(concat(map_entries({out}), "
+            f"filter(map_entries({m}), "
+            f"e -> NOT array_contains(map_keys({out}), e.key))))"
+        )
+    return out
+
+
 RULES: dict[str, Callable[[list[str]], str]] = {
     # -- date/time ---------------------------------------------------------
     "toDate": _fn("to_date"),
@@ -2748,9 +2763,324 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "toInt64OrZero": _tpl("coalesce(try_cast({0} as bigint), 0L)"),
     "toInt32OrZero": _tpl("coalesce(try_cast({0} as int), 0)"),
     "toFloat64OrZero": _tpl("coalesce(try_cast({0} as double), 0D)"),
+    # -- round-9 wave 3: multiSearch* over a needle array --------------------
+    # CH implements these with Volnitsky multi-pattern scan; the Spark
+    # equivalents are higher-order functions over the needle array — still
+    # one whole-stage-codegen projection, no UDF. Positions are 1-based,
+    # 0 = no hit, matching CH (and the repo's c_multi_search contract:
+    # FirstIndex ties break to the LOWEST needle index, which is also what
+    # array_position's first-match rule yields).
+    "multiSearchAny": _tpl("exists({1}, n -> instr({0}, n) > 0)"),
+    "multiSearchAllPositions": _tpl(
+        "transform({1}, n -> cast(instr({0}, n) as bigint))"
+    ),
+    "multiSearchFirstPosition": _tpl(
+        "coalesce(array_min(filter(transform({1}, n -> "
+        "cast(instr({0}, n) as bigint)), p -> p > 0)), 0L)"
+    ),
+    "multiSearchFirstIndex": _tpl(
+        "cast(coalesce(array_position("
+        "transform({1}, n -> cast(instr({0}, n) as bigint)), "
+        "array_min(filter(transform({1}, n -> "
+        "cast(instr({0}, n) as bigint)), p -> p > 0))), 0) as bigint)"
+    ),
+    "multiSearchAnyCaseInsensitive": _tpl(
+        "exists({1}, n -> instr(lower({0}), lower(n)) > 0)"
+    ),
+    # -- round-9 wave 3: map function leftovers -------------------------------
+    "mapContainsKey": _fn("map_contains_key"),
+    # mapFilter(λ(k, v), m): CH takes the lambda first; Spark's map_filter
+    # shares the (k, v) -> bool lambda syntax verbatim, so only the argument
+    # order moves.
+    "mapFilter": _swap("map_filter"),
+    "mapExtractKeyLike": _tpl("map_filter({0}, (k, v) -> k like {1})"),
+    # mapUpdate(m1, m2): m2's values win on key collisions. Spark's
+    # map_concat throws on duplicates under the default dedup policy, so
+    # rebuild from entries: m1's entries minus m2's keys, then m2.
+    "mapUpdate": _tpl(
+        "map_from_entries(concat("
+        "filter(map_entries({0}), "
+        "e -> NOT array_contains(map_keys({1}), e.key)), "
+        "map_entries({1})))"
+    ),
+    # mapConcat: same rebuild, but the FIRST map's value wins (CH keeps the
+    # first occurrence of a key across the concatenated maps).
+    "mapConcat": lambda a: (
+        a[0] if len(a) == 1 else _map_concat_first_wins(a)
+    ),
+    # -- round-9 wave 3: URL leftovers ----------------------------------------
+    "domainWithoutWWW": _tpl(
+        "regexp_replace(parse_url({0}, 'HOST'), '^www\\\\.', '')"
+    ),
+    # Keep everything from the first significant subdomain rightward: the
+    # last 2 host labels, or 3 when the second-to-last label is a composite
+    # TLD second level (same {com,net,org,co} list as
+    # firstSignificantSubdomain above).
+    "cutToFirstSignificantSubdomain": _tpl(
+        "concat_ws('.', slice(split(parse_url({0}, 'HOST'), '\\\\.'), "
+        "CASE WHEN try_element_at(split(parse_url({0}, 'HOST'), '\\\\.'), -2) "
+        "IN ('com', 'net', 'org', 'co') THEN -3 ELSE -2 END, 3))"
+    ),
+    # port(url[, default]): Spark's parse_url has no PORT key — extract it
+    # from AUTHORITY (host[:port]). CH defaults to 0 when absent.
+    "port": lambda a: (
+        f"coalesce(cast(nullif(regexp_extract(parse_url({a[0]}, "
+        f"'AUTHORITY'), ':([0-9]+)$', 1), '') as int), "
+        f"{a[1] if len(a) > 1 else '0'})"
+    ),
+    "fragment": _tpl("parse_url({0}, 'REF')"),
+    "queryStringAndFragment": _tpl(
+        "concat(coalesce(parse_url({0}, 'QUERY'), ''), "
+        "CASE WHEN parse_url({0}, 'REF') IS NOT NULL "
+        "THEN concat('#', parse_url({0}, 'REF')) ELSE '' END)"
+    ),
+    "decodeURLComponent": _fn("url_decode"),
+    # url_encode is form-encoding (space -> '+'); CH percent-encodes
+    # (space -> %20). The replace reconciles the one divergent byte.
+    "encodeURLComponent": _tpl("replace(url_encode({0}), '+', '%20')"),
+    "netloc": _tpl("parse_url({0}, 'AUTHORITY')"),
+    # -- round-9 wave 3: scalar leftovers --------------------------------------
+    # xor: CH's logical xor over UInt8-ish args, returning 0/1.
+    "xor": _tpl("cast((({0}) <> 0) <> (({1}) <> 0) as int)"),
+    # max2/min2 return Float64 in CH regardless of input type.
+    "max2": _tpl("cast(greatest({0}, {1}) as double)"),
+    "min2": _tpl("cast(least({0}, {1}) as double)"),
+    "intDivOrZero": _tpl(
+        "CASE WHEN ({1}) = 0 THEN 0 ELSE ({0} div {1}) END"
+    ),
+    "moduloOrZero": _tpl(
+        "CASE WHEN ({1}) = 0 THEN 0 ELSE ({0}) % ({1}) END"
+    ),
+    # 64-bit rotates (CH rotates at the argument's width; the shim pins the
+    # common UInt64/Int64 case and documents the width assumption).
+    "bitRotateLeft": _tpl(
+        "(shiftleft(cast({0} as bigint), {1}) | "
+        "shiftrightunsigned(cast({0} as bigint), 64 - ({1})))"
+    ),
+    "bitRotateRight": _tpl(
+        "(shiftrightunsigned(cast({0} as bigint), {1}) | "
+        "shiftleft(cast({0} as bigint), 64 - ({1})))"
+    ),
+    "bitTestAll": lambda a: "(" + " AND ".join(
+        f"((shiftrightunsigned(cast({a[0]} as bigint), {b}) & 1) = 1)"
+        for b in a[1:]
+    ) + ")",
+    "bitTestAny": lambda a: "(" + " OR ".join(
+        f"((shiftrightunsigned(cast({a[0]} as bigint), {b}) & 1) = 1)"
+        for b in a[1:]
+    ) + ")",
+    "bitHammingDistance": _tpl(
+        "bit_count(cast({0} as bigint) ^ cast({1} as bigint))"
+    ),
+    # roundToExp2: largest power of two <= x (0 for x < 1). length(bin(x))-1
+    # is an EXACT floor(log2) for positive integers — no float round-trip.
+    "roundToExp2": _tpl(
+        "CASE WHEN ({0}) < 1 THEN 0 ELSE "
+        "shiftleft(cast(1 as bigint), "
+        "length(bin(cast({0} as bigint))) - 1) END"
+    ),
+    # roundDown(x, arr): largest element <= x, else the array's first.
+    "roundDown": _tpl(
+        "coalesce(array_max(filter({1}, e -> e <= {0})), "
+        "element_at({1}, 1))"
+    ),
+    # CH's fixed duration ladder (seconds).
+    "roundDuration": _tpl(
+        "CASE WHEN ({0}) < 1 THEN 0 ELSE coalesce(array_max(filter("
+        "array(1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, "
+        "3600, 7200, 18000, 36000), e -> e <= {0})), 1) END"
+    ),
+    # CH's fixed age buckets.
+    "roundAge": _tpl(
+        "CASE WHEN ({0}) < 1 THEN 0 WHEN ({0}) <= 17 THEN 17 "
+        "WHEN ({0}) <= 24 THEN 18 WHEN ({0}) <= 34 THEN 25 "
+        "WHEN ({0}) <= 44 THEN 35 WHEN ({0}) <= 54 THEN 45 "
+        "ELSE 55 END"
+    ),
+    # sumWithOverflow keeps the input width in CH (wrapping on overflow);
+    # Spark widens instead — identical results whenever the sum fits, which
+    # is the only well-defined regime. sumKahan: Spark's double sum uses
+    # pairwise-merged partials, the same compensation goal.
+    "sumWithOverflow": _fn("sum"),
+    "sumKahan": _fn("sum"),
+    "isValidUTF8": _tpl("cast(is_valid_utf8({0}) as int)"),
+    "widthBucket": _fn("width_bucket"),
+    "anyRespectNulls": _tpl("first({0})"),
+    "firstValueRespectNulls": _tpl("first({0})"),
+    "lastValueRespectNulls": _tpl("last({0})"),
+    "currentDatabase": lambda a: "current_database()",
+    "currentUser": lambda a: "current_user()",
+    # version() reports the EXECUTING engine's version string, as in CH.
+    "version": lambda a: "version()",
+    "timezone": lambda a: "current_timezone()",
+    "serverTimezone": lambda a: "current_timezone()",
+    "UUIDStringToNum": _tpl("unhex(replace({0}, '-', ''))"),
+    "UUIDNumToString": _tpl(
+        "lower(concat(substr(hex({0}), 1, 8), '-', "
+        "substr(hex({0}), 9, 4), '-', substr(hex({0}), 13, 4), '-', "
+        "substr(hex({0}), 17, 4), '-', substr(hex({0}), 21, 12)))"
+    ),
+    "editDistance": _fn("levenshtein"),
+    "editDistanceUTF8": _fn("levenshtein"),
+    "levenshteinDistance": _fn("levenshtein"),
+    # Jaccard over the two strings' CHARACTER SETS (CH operates on byte
+    # sets; identical for ASCII, documented divergence on multi-byte).
+    "stringJaccardIndex": _tpl(
+        "CASE WHEN ({0}) = '' AND ({1}) = '' THEN 1.0D ELSE "
+        "cast(size(array_intersect(filter(split({0}, ''), c -> c <> ''), "
+        "filter(split({1}, ''), c -> c <> ''))) as double) / "
+        "size(array_distinct(concat(filter(split({0}, ''), c -> c <> ''), "
+        "filter(split({1}, ''), c -> c <> '')))) END"
+    ),
+    "isIPv4String": _tpl(
+        "({0} rlike '^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.)"
+        "{{3}}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$')"
+    ),
+    # IPv4CIDRToRange(ipNum, prefix) -> (lower, upper) over the numeric
+    # IPv4 representation (pair with IPv4StringToNum / IPv4NumToString).
+    "IPv4CIDRToRange": _tpl(
+        "named_struct("
+        "'lower', ({0}) - pmod({0}, shiftleft(cast(1 as bigint), 32 - ({1}))), "
+        "'upper', ({0}) - pmod({0}, shiftleft(cast(1 as bigint), 32 - ({1}))) "
+        "+ shiftleft(cast(1 as bigint), 32 - ({1})) - 1)"
+    ),
+    # -- round-9 wave 3: array math (vector helpers) ---------------------------
+    # All arithmetic + one final sqrt (IEEE-exact, deterministic); folds are
+    # double-typed like CH's Float64 results.
+    "arrayDotProduct": _tpl(
+        "aggregate(zip_with({0}, {1}, (x, y) -> cast(x as double) * y), "
+        "0D, (acc, v) -> acc + v)"
+    ),
+    "arrayL1Distance": _tpl(
+        "aggregate(zip_with({0}, {1}, (x, y) -> abs(cast(x as double) - y)), "
+        "0D, (acc, v) -> acc + v)"
+    ),
+    "arrayL2Distance": _tpl(
+        "sqrt(aggregate(zip_with({0}, {1}, (x, y) -> "
+        "(cast(x as double) - y) * (cast(x as double) - y)), "
+        "0D, (acc, v) -> acc + v))"
+    ),
+    "arrayL2SquaredDistance": _tpl(
+        "aggregate(zip_with({0}, {1}, (x, y) -> "
+        "(cast(x as double) - y) * (cast(x as double) - y)), "
+        "0D, (acc, v) -> acc + v)"
+    ),
+    "arrayLinfDistance": _tpl(
+        "coalesce(array_max(zip_with({0}, {1}, "
+        "(x, y) -> abs(cast(x as double) - y))), 0D)"
+    ),
+    "arrayL1Norm": _tpl(
+        "aggregate({0}, 0D, (acc, v) -> acc + abs(cast(v as double)))"
+    ),
+    "arrayL2Norm": _tpl(
+        "sqrt(aggregate({0}, 0D, "
+        "(acc, v) -> acc + cast(v as double) * v))"
+    ),
+    "arrayCosineDistance": _tpl(
+        "(1.0D - aggregate(zip_with({0}, {1}, "
+        "(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v) / "
+        "(sqrt(aggregate({0}, 0D, (acc, v) -> acc + cast(v as double) * v)) "
+        "* sqrt(aggregate({1}, 0D, (acc, v) -> acc + cast(v as double) * v))))"
+    ),
+    # hasSubstr(a, b): b occurs in a as a CONTIGUOUS subsequence.
+    "hasSubstr": _tpl(
+        "CASE WHEN size({1}) = 0 THEN true "
+        "WHEN size({0}) < size({1}) THEN false "
+        "ELSE exists(sequence(1, size({0}) - size({1}) + 1), "
+        "i -> slice({0}, i, size({1})) = {1}) END"
+    ),
+    "arrayLastIndex": lambda a: (
+        f"cast(CASE WHEN coalesce(array_position(reverse("
+        f"transform({a[1]}, {a[0]})), true), 0) = 0 THEN 0 "
+        f"ELSE size({a[1]}) - array_position(reverse("
+        f"transform({a[1]}, {a[0]})), true) + 1 END as int)"
+    ),
+    # arrayCumSumNonNegative: running sum clamped at zero (CH resets the
+    # accumulator to 0 whenever it would go negative). Double-typed fold.
+    "arrayCumSumNonNegative": _tpl(
+        "aggregate({0}, named_struct('arr', array(0D), 's', 0D), "
+        "(a, v) -> named_struct("
+        "'arr', concat(a.arr, array(greatest(a.s + v, 0D))), "
+        "'s', greatest(a.s + v, 0D)), "
+        "a -> slice(a.arr, 2, size(a.arr) - 1))"
+    ),
+    # -- round-9 wave 3: bitmap family -----------------------------------------
+    # CH bitmaps are roaring bitmaps over UInt32/64; the Spark shim uses the
+    # canonical SORTED DISTINCT ARRAY as the bitmap value (bitmapToArray's
+    # own output order), so every set operation is an array function and the
+    # representation round-trips bit-stably through shuffles and sinks.
+    "bitmapBuild": _tpl("array_sort(array_distinct({0}))"),
+    "bitmapToArray": _tpl("({0})"),
+    "bitmapCardinality": _tpl("size({0})"),
+    "bitmapAnd": _tpl("array_sort(array_intersect({0}, {1}))"),
+    "bitmapOr": _tpl("array_sort(array_distinct(concat({0}, {1})))"),
+    "bitmapXor": _tpl(
+        "array_sort(concat(array_except({0}, {1}), array_except({1}, {0})))"
+    ),
+    "bitmapAndnot": _tpl("array_sort(array_except({0}, {1}))"),
+    "bitmapContains": _fn("array_contains"),
+    "bitmapHasAny": _fn("arrays_overlap"),
+    "bitmapHasAll": _tpl("(size(array_except({1}, {0})) = 0)"),
+    "bitmapAndCardinality": _tpl("size(array_intersect({0}, {1}))"),
+    "bitmapOrCardinality": _tpl("size(array_distinct(concat({0}, {1})))"),
+    "bitmapXorCardinality": _tpl(
+        "(size(array_except({0}, {1})) + size(array_except({1}, {0})))"
+    ),
+    "bitmapAndnotCardinality": _tpl("size(array_except({0}, {1}))"),
+    # CH returns UINT32_MAX / 0 sentinels on empty bitmaps.
+    "bitmapMin": _tpl("coalesce(array_min({0}), 4294967295L)"),
+    "bitmapMax": _tpl("coalesce(array_max({0}), 0L)"),
+    "bitmapSubsetInRange": _tpl(
+        "filter({0}, e -> e >= {1} AND e < {2})"
+    ),
+    "bitmapSubsetLimit": _tpl(
+        "slice(filter({0}, e -> e >= {1}), 1, {2})"
+    ),
+    # subBitmap(bm, offset, limit): offset is 0-based in CH.
+    "subBitmap": _tpl("slice({0}, ({1}) + 1, {2})"),
+    # groupBitmap(x) returns the CARDINALITY (CH's contract), not the state.
+    "groupBitmap": lambda a: f"count(DISTINCT {a[0]})",
+    # groupBitmap*State/Merge-style group folds over bitmap-array columns:
+    # Or = distinct union; And = running intersection (NULL accumulator
+    # seeds from the first bitmap); Xor = elements present in an odd number
+    # of the group's bitmaps. All return cardinalities, as in CH.
+    "groupBitmapOr": _tpl(
+        "size(array_distinct(flatten(collect_list({0}))))"
+    ),
+    "groupBitmapAnd": _tpl(
+        "size(aggregate(collect_list({0}), cast(null as array<bigint>), "
+        "(a, x) -> CASE WHEN a IS NULL THEN array_sort(array_distinct("
+        "transform(x, v -> cast(v as bigint)))) "
+        "ELSE array_sort(array_intersect(a, "
+        "transform(x, v -> cast(v as bigint)))) END, "
+        "a -> coalesce(a, array())))"
+    ),
+    "groupBitmapXor": _tpl(
+        "size(filter(array_distinct(flatten(transform(collect_list({0}), "
+        "b -> array_distinct(b)))), e -> pmod(size(filter("
+        "flatten(transform(collect_list({0}), b -> array_distinct(b))), "
+        "x -> x = e)), 2) = 1))"
+    ),
+    # -- round-9 wave 3: visitParam* (legacy simpleJSON aliases) ---------------
+    # Installed as aliases right after the dict literal (see below).
 }
 
 _install_dict_rules(RULES)
+
+# visitParam* are ClickHouse's legacy spellings of the simpleJSON* family
+# (same fast-path JSON scan semantics); toIPv4 is the typed spelling of
+# the numeric IPv4 conversion.
+for _legacy, _modern in [
+    ("visitParamExtractString", "simpleJSONExtractString"),
+    ("visitParamExtractRaw", "simpleJSONExtractRaw"),
+    ("visitParamExtractInt", "simpleJSONExtractInt"),
+    ("visitParamExtractFloat", "simpleJSONExtractFloat"),
+    ("visitParamExtractBool", "simpleJSONExtractBool"),
+    ("visitParamHas", "simpleJSONHas"),
+    ("toIPv4", "IPv4StringToNum"),
+]:
+    RULES[_legacy] = RULES[_modern]
+del _legacy, _modern
 
 # Parametric aggregates: fn(params)(args).
 ParamRule = Callable[[Sequence[str] | None, list[str]], str]
@@ -3499,6 +3829,22 @@ def _state_merge(name: str, args: list[str]) -> str | None:
             f"cast(size(array_distinct(flatten(collect_list({args[0]})))) "
             f"as bigint)"
         )
+    if base == "groupBitmap":
+        # CH's groupBitmap state is a roaring bitmap; the shim's bitmap
+        # value is the canonical sorted distinct array (see the bitmap
+        # family in RULES), so State = sorted set, Merge = distinct-union
+        # cardinality. Union is associative and idempotent — any rollup
+        # nesting equals building the bitmap once, CH's own algebra.
+        if len(args) != 1:
+            raise DialectError(f"{name} takes exactly one argument")
+        if suffix == "State":
+            return f"array_sort(collect_set({args[0]}))"
+        if suffix == "MergeState":
+            return f"array_sort(array_distinct(flatten(collect_list({args[0]}))))"
+        return (
+            f"cast(size(array_distinct(flatten(collect_list({args[0]})))) "
+            f"as bigint)"
+        )
     if base == "avg":
         # CH's avg state is the (sum, count) pair — representable as a
         # plain struct column, re-merged by summing each component. This
@@ -3600,6 +3946,83 @@ _UNSUPPORTED: dict[str, str] = {
     "entropy": "no single-expression Shannon entropy — two-level aggregate: "
                "count per value, then -sum(p * log2(p)) over the counts",
     "uniqTheta": "use x_sketch_theta_setops (DataSketches theta algebra)",
+    # round-9 wave 3: functions whose faithful translation doesn't exist,
+    # each with the engine-native route.
+    "gcd": "no JVM gcd builtin — the Euclid loop needs an iterative "
+           "expression; compute driver-side or with a pandas UDF off the "
+           "hot path",
+    "lcm": "see gcd",
+    "mapApply": "CH's lambda returns a (k, v) tuple — use Spark's "
+                "transform_keys / transform_values, which split the "
+                "rewrite per component",
+    "damerauLevenshteinDistance": "no JVM builtin — use levenshtein() "
+                                  "(editDistance) or operators/fuzzy.py's "
+                                  "banded edit-distance join",
+    "jaroSimilarity": "no JVM builtin — operators/fuzzy.py covers "
+                      "edit-distance joins; a pandas UDF (jellyfish) off "
+                      "the hot path for exact Jaro",
+    "jaroWinklerSimilarity": "see jaroSimilarity",
+    "ngramDistance": "CH's 4-gram multiset distance has no closed Spark "
+                     "form — x_ngram_counts / operators/dedup.py's "
+                     "n-gram Jaccard are the relational equivalents",
+    "ngramSearch": "see ngramDistance",
+    "lemmatize": "model-backed (CH loads lemmatizer dictionaries) — stub "
+                 "behind a pandas UDF with an explicit model artifact",
+    "stem": "see lemmatize",
+    "synonyms": "see lemmatize (extension dictionaries)",
+    "detectLanguage": "model-backed in CH (CLD2) — use x_lang_id "
+                      "(deterministic n-gram heuristic, full oracle)",
+    "detectLanguageMixed": "see detectLanguage",
+    "detectCharset": "model-backed — see detectLanguage",
+    "minSampleSizeConversion": "inverse-normal quantiles are "
+                               "transcendental (same contract as "
+                               "studentTTest) — compute driver-side from "
+                               "the aggregated counts",
+    "minSampleSizeContinuous": "see minSampleSizeConversion",
+    "welchTTest": "transcendental p-values — compute the t statistic from "
+                  "avg/var/count per group (same contract as studentTTest)",
+    "kolmogorovSmirnovTest": "the D statistic needs the merged ECDF sweep "
+                             "— compute with a window over the pooled "
+                             "sorted sample; p-value driver-side",
+    "hostName": "cluster-node introspection has no deterministic Spark "
+                "analog (executors differ per task) — use "
+                "spark.conf/application info driver-side",
+    "uptime": "see hostName",
+    "normalizeQuery": "CH also collapses literal LISTS to '?..' — a "
+                      "faithful rewrite needs a real tokenizer; "
+                      "regexp_replace of quoted strings and numbers "
+                      "covers the common case but diverges on lists, so "
+                      "it stays loud",
+    "normalizedQueryHash": "see normalizeQuery",
+    "IPv6NumToString": "no JVM IPv6 formatter — IPv4 family is mapped; "
+                       "IPv6 needs a pandas UDF (ipaddress) off the hot "
+                       "path",
+    "IPv6StringToNum": "see IPv6NumToString",
+    "toIPv6": "see IPv6NumToString",
+    "isIPv6String": "see IPv6NumToString",
+    "exponentialTimeDecayedSum": "exp() folds against the group's max "
+                                 "timestamp can't fit one aggregate "
+                                 "expression without overflow — use "
+                                 "x_ewma_trailing (ordered fold) for "
+                                 "decayed sums",
+    "exponentialTimeDecayedAvg": "see exponentialTimeDecayedSum",
+    "exponentialTimeDecayedCount": "see exponentialTimeDecayedSum",
+    "exponentialTimeDecayedMax": "see exponentialTimeDecayedSum",
+    "arrayFill": "CH's fill-forward-by-predicate is order-dependent on "
+                 "the array — expressible as an aggregate fold; open an "
+                 "issue with the use case (x_gap_fill covers the "
+                 "relational LOCF idiom)",
+    "arrayReverseFill": "see arrayFill",
+    "arraySplit": "see arrayFill (fold-based splitting)",
+    "arrayReverseSplit": "see arrayFill",
+    "contingency": "use x_cramers_v (exact-decimal chi-square family "
+                   "over the contingency counts)",
+    "cramersV": "use x_cramers_v (full-oracle Cramér's V)",
+    "cramersVBiasCorrected": "use x_cramers_v (the bias term is "
+                             "arithmetic on the same counts)",
+    "theilsU": "log-based uncertainty coefficient — transcendental sum "
+               "(same contract as entropy); compute from the "
+               "contingency counts driver-side",
 }
 
 

@@ -202,14 +202,15 @@ def test_with_fill_rewrites_to_spine_join():
 
 
 def test_with_fill_unsupported_forms_raise():
-    # DESC and bare INTERPOLATE translate since round 8; the remaining
-    # loud forms are the AS-expr recurrence, expression fill keys, and
+    # DESC and bare INTERPOLATE translate since round 8, and the AS-expr
+    # recurrence translates since round 9 (test_with_fill_interpolate_
+    # recurrence) — the remaining loud forms are expression fill keys and
     # half-specified bounds.
-    with pytest.raises(DialectError, match="x_interpolate_linear"):
-        translate(
-            "SELECT d, v FROM t ORDER BY d WITH FILL FROM 0 TO 5 "
-            "INTERPOLATE (v AS v * 2)"
-        )
+    out = translate(
+        "SELECT d, v FROM t ORDER BY d WITH FILL FROM 0 TO 5 "
+        "INTERPOLATE (v AS v * 2)"
+    )
+    assert "aggregate(" in out  # per-gap recurrence fold
     with pytest.raises(DialectError, match="x_gap_fill_locf"):
         translate("SELECT d FROM t ORDER BY d + 1 WITH FILL")
     with pytest.raises(DialectError, match="FROM and TO"):
@@ -2124,6 +2125,201 @@ def test_round9_scalar_function_batch(spark):
     ]:
         with pytest.raises(DialectError, match=hint):
             translate(bad)
+
+
+def test_round9_wave3_scalar_batch(spark):
+    """multiSearch* (needle-array forms), map leftovers (mapContainsKey /
+    mapFilter arg-swap / mapUpdate second-wins / mapConcat first-wins /
+    mapExtractKeyLike), URL leftovers (domainWithoutWWW,
+    cutToFirstSignificantSubdomain incl. composite TLDs, port, fragment,
+    queryStringAndFragment, encode/decodeURLComponent, netloc), scalar
+    leftovers (xor, max2/min2, intDivOrZero/moduloOrZero, bit rotates and
+    multi-bit tests, bitHammingDistance, roundToExp2/roundDown/
+    roundDuration/roundAge, UUID codecs, editDistance, stringJaccardIndex,
+    isIPv4String, IPv4CIDRToRange, isValidUTF8, widthBucket), array math
+    (dot product / Lp distances / norms / cosine, hasSubstr,
+    arrayLastIndex, arrayCumSumNonNegative), and visitParam* legacy
+    aliases."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    # multiSearch family — same contract as the c_multi_search query
+    # (positions 1-based, 0 = none; FirstIndex ties to the lowest index).
+    assert one("multiSearchAny('hello world', ['xx', 'wor'])") is True
+    assert one("multiSearchAny('hello world', ['xx', 'yy'])") is False
+    assert one("multiSearchFirstPosition('hello world', ['xx', 'wor', 'lo'])") == 4
+    assert one("multiSearchFirstIndex('hello world', ['xx', 'wor', 'lo'])") == 3
+    assert one("multiSearchFirstIndex('hello', ['xx'])") == 0
+    assert one("multiSearchAllPositions('hello world', ['xx', 'wor'])") == [0, 7]
+    assert one("multiSearchAnyCaseInsensitive('Hello', ['HELL'])") is True
+    # map leftovers
+    assert one("mapContainsKey(map('a', 1), 'a')") is True
+    assert one("mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2))") == {"b": 2}
+    assert one("mapExtractKeyLike(map('ab', 1, 'cd', 2), 'a%')") == {"ab": 1}
+    assert sorted(one(
+        "mapUpdate(map('a', 1, 'b', 2), map('b', 9, 'c', 3))").items()
+    ) == [("a", 1), ("b", 9), ("c", 3)]
+    assert sorted(one(
+        "mapConcat(map('a', 1), map('a', 9, 'b', 2))").items()
+    ) == [("a", 1), ("b", 2)]
+    # URL leftovers
+    assert one("domainWithoutWWW('http://www.x.com/p')") == "x.com"
+    assert one(
+        "cutToFirstSignificantSubdomain('http://news.clickhouse.com.tr/')"
+    ) == "clickhouse.com.tr"
+    assert one(
+        "cutToFirstSignificantSubdomain('http://a.b.example.com/p')"
+    ) == "example.com"
+    assert one("port('http://x.com:8080/p')") == 8080
+    assert one("port('http://x.com/p')") == 0
+    assert one("port('http://x.com/p', 443)") == 443
+    assert one("fragment('http://x.com/p#frag')") == "frag"
+    assert one("queryStringAndFragment('http://x.com/p?a=1#f')") == "a=1#f"
+    assert one("decodeURLComponent('a%20b')") == "a b"
+    assert one("encodeURLComponent('a b/c')") == "a%20b%2Fc"
+    assert one("netloc('http://u:p@x.com:8080/p')") == "u:p@x.com:8080"
+    # scalar leftovers
+    assert one("xor(1, 0)") == 1 and one("xor(2, 3)") == 0
+    assert one("max2(1, 2)") == 2.0 and one("min2(1, 2)") == 1.0
+    assert one("intDivOrZero(7, 0)") == 0 and one("intDivOrZero(7, 2)") == 3
+    assert one("moduloOrZero(7, 0)") == 0 and one("moduloOrZero(7, 3)") == 1
+    assert one("bitRotateLeft(1, 63)") == -(2 ** 63)
+    assert one("bitRotateRight(1, 1)") == -(2 ** 63)
+    assert one("bitTestAll(7, 0, 1, 2)") is True
+    assert one("bitTestAll(5, 0, 1)") is False
+    assert one("bitTestAny(8, 0, 1)") is False
+    assert one("bitTestAny(9, 0, 1)") is True
+    assert one("bitHammingDistance(7, 1)") == 2
+    assert one("roundToExp2(100)") == 64 and one("roundToExp2(0)") == 0
+    assert one("roundToExp2(64)") == 64
+    assert one("roundDown(5, [1, 4, 8])") == 4
+    assert one("roundDown(0, [1, 4, 8])") == 1
+    assert one("roundDuration(95)") == 60 and one("roundDuration(0)") == 0
+    assert one("roundAge(30)") == 25 and one("roundAge(0)") == 0
+    uuid = "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    assert one(f"UUIDNumToString(UUIDStringToNum('{uuid}'))") == uuid
+    assert one("editDistance('abc', 'abd')") == 1
+    assert one("levenshteinDistance('kitten', 'sitting')") == 3
+    # stringJaccardIndex agrees with DuckDB's jaccard() on the same pairs
+    # (both compute Jaccard over character sets; pinned here so the
+    # semantic anchor is an independent engine, not this shim).
+    import duckdb
+
+    for a, b in [("abc", "abd"), ("spark", "park"), ("xx", "yy")]:
+        want = duckdb.sql(f"SELECT jaccard('{a}', '{b}')").fetchone()[0]
+        assert one(f"stringJaccardIndex('{a}', '{b}')") == pytest.approx(want)
+    # DuckDB's jaccard rejects empty strings; CH defines the empty-empty
+    # case as identical sets -> 1.
+    assert one("stringJaccardIndex('', '')") == 1.0
+    assert one("isIPv4String('1.2.3.4')") is True
+    assert one("isIPv4String('999.2.3.4')") is False
+    rng = one("IPv4CIDRToRange(IPv4StringToNum('192.168.5.2'), 16)")
+    assert rng["lower"] == one("IPv4StringToNum('192.168.0.0')")
+    assert rng["upper"] == one("IPv4StringToNum('192.168.255.255')")
+    assert one("toIPv4('1.0.0.1')") == 16777217
+    assert one("isValidUTF8('abc')") == 1
+    assert one("widthBucket(3.0, 0.0, 10.0, 5)") == 2
+    assert one("visitParamExtractInt('{\"a\": 3}', 'a')") == 3
+    assert one("visitParamHas('{\"a\": 3}', 'a')") is True
+    # array math
+    assert one("arrayDotProduct([1, 2], [3, 4])") == 11.0
+    assert one("arrayL2Distance([0, 0], [3, 4])") == 5.0
+    assert one("arrayL2SquaredDistance([0, 0], [3, 4])") == 25.0
+    assert one("arrayL1Distance([1, 1], [3, 4])") == 5.0
+    assert one("arrayLinfDistance([1, 1], [3, 4])") == 3.0
+    assert one("arrayL1Norm([3, -4])") == 7.0
+    assert one("arrayL2Norm([3, 4])") == 5.0
+    assert one("arrayCosineDistance([1, 0], [0, 1])") == 1.0
+    assert one("arrayCosineDistance([2, 0], [5, 0])") == 0.0
+    assert one("hasSubstr([1, 2, 3, 4], [2, 3])") is True
+    assert one("hasSubstr([1, 2, 3, 4], [2, 4])") is False
+    assert one("hasSubstr([1], [])") is True
+    assert one("arrayLastIndex(x -> x = 2, [2, 1, 2, 3])") == 3
+    assert one("arrayLastIndex(x -> x = 9, [2, 1, 2, 3])") == 0
+    assert one("arrayCumSumNonNegative([1, 1, -4, 1])") == [1.0, 2.0, 0.0, 1.0]
+    # context functions translate to Spark's own introspection
+    assert "current_timezone()" in translate("SELECT timezone()")
+    assert "current_user()" in translate("SELECT currentUser()")
+    # new loud pointers carry the engine-native route
+    for bad, hint in [
+        ("SELECT gcd(a, b) FROM t", "Euclid"),
+        ("SELECT cramersV(a, b) FROM t", "x_cramers_v"),
+        ("SELECT detectLanguage(s) FROM t", "x_lang_id"),
+        ("SELECT welchTTest(a, b) FROM t", "studentTTest"),
+        ("SELECT mapApply((k, v) -> (k, v), m) FROM t", "transform_keys"),
+        ("SELECT jaroSimilarity(a, b) FROM t", "fuzzy"),
+        ("SELECT normalizeQuery(s) FROM t", "loud"),
+        ("SELECT exponentialTimeDecayedSum(10)(v, t) FROM e", "x_ewma"),
+        ("SELECT IPv6StringToNum(s) FROM t", "IPv6NumToString"),
+        ("SELECT IPv6NumToString(s) FROM t", "pandas UDF"),
+    ]:
+        with pytest.raises(DialectError, match=hint):
+            translate(bad)
+
+
+def test_round9_bitmap_family(spark):
+    """The bitmap family over the canonical sorted-distinct-array bitmap
+    value: build/toArray round-trip, set ops and their cardinality forms,
+    subset slicing, group folds (Or/And/Xor), groupBitmap's cardinality
+    contract, and the State/Merge rollup algebra (two-level union ==
+    one-level count)."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    assert one("bitmapToArray(bitmapBuild([3, 2, 2, 1]))") == [1, 2, 3]
+    assert one("bitmapCardinality(bitmapBuild([3, 2, 2, 1]))") == 3
+    assert one(
+        "bitmapToArray(bitmapAnd(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3, 4])))"
+    ) == [2, 3]
+    assert one(
+        "bitmapToArray(bitmapOr(bitmapBuild([1, 2]), bitmapBuild([2, 3])))"
+    ) == [1, 2, 3]
+    assert one(
+        "bitmapToArray(bitmapXor(bitmapBuild([1, 2]), bitmapBuild([2, 3])))"
+    ) == [1, 3]
+    assert one(
+        "bitmapToArray(bitmapAndnot(bitmapBuild([1, 2]), bitmapBuild([2, 3])))"
+    ) == [1]
+    assert one("bitmapContains(bitmapBuild([1, 2]), 2)") is True
+    assert one("bitmapHasAny(bitmapBuild([1, 2]), bitmapBuild([2, 9]))") is True
+    assert one("bitmapHasAll(bitmapBuild([1, 2, 3]), bitmapBuild([2, 3]))") is True
+    assert one("bitmapHasAll(bitmapBuild([1, 2]), bitmapBuild([2, 3]))") is False
+    assert one("bitmapAndCardinality(bitmapBuild([1, 2]), bitmapBuild([2, 3]))") == 1
+    assert one("bitmapOrCardinality(bitmapBuild([1, 2]), bitmapBuild([2, 3]))") == 3
+    assert one("bitmapXorCardinality(bitmapBuild([1, 2]), bitmapBuild([2, 3]))") == 2
+    assert one(
+        "bitmapAndnotCardinality(bitmapBuild([1, 2]), bitmapBuild([2, 3]))"
+    ) == 1
+    assert one("bitmapMin(bitmapBuild([5, 9]))") == 5
+    assert one("bitmapMin(bitmapBuild(array()))") == 4294967295
+    assert one("bitmapMax(bitmapBuild(array()))") == 0
+    assert one("bitmapToArray(bitmapSubsetInRange(bitmapBuild([1, 5, 9]), 2, 9))") == [5]
+    assert one("bitmapToArray(bitmapSubsetLimit(bitmapBuild([1, 5, 9]), 2, 2))") == [5, 9]
+    assert one("bitmapToArray(subBitmap(bitmapBuild([1, 2, 3, 4]), 1, 2))") == [2, 3]
+    # group folds over a bitmap-array column
+    spark.sql(
+        "SELECT * FROM VALUES (1, array(1, 2, 3)), (1, array(2, 3, 4)), "
+        "(2, array(5, 6)) AS t(g, bm)"
+    ).createOrReplaceTempView("bm_t")
+    rows = spark.sql(translate(
+        "SELECT g, groupBitmapOr(bm) AS o, groupBitmapAnd(bm) AS a, "
+        "groupBitmapXor(bm) AS x FROM bm_t GROUP BY g ORDER BY g"
+    )).collect()
+    assert [(r.g, r.o, r.a, r.x) for r in rows] == [(1, 4, 2, 2), (2, 2, 2, 2)]
+    # groupBitmap returns the CARDINALITY (CH contract)
+    assert spark.sql(translate(
+        "SELECT groupBitmap(x) AS c FROM (SELECT explode(array(1, 2, 2, 3)) AS x)"
+    )).collect()[0]["c"] == 3
+    # State/Merge rollup: two-level distinct-union == one-level count
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'p0', 10), (1, 'p0', 11), (1, 'p1', 10), "
+        "(2, 'p0', 7) AS u(g, part, uid)"
+    ).createOrReplaceTempView("bm_u")
+    one_level = spark.sql(translate(
+        "SELECT g, groupBitmap(uid) AS c FROM bm_u GROUP BY g ORDER BY g"
+    )).collect()
+    two_level = spark.sql(translate(
+        "SELECT g, groupBitmapMerge(s) AS c FROM (SELECT g, part, "
+        "groupBitmapState(uid) AS s FROM bm_u GROUP BY g, part) "
+        "GROUP BY g ORDER BY g"
+    )).collect()
+    assert [r.c for r in one_level] == [r.c for r in two_level] == [2, 1]
 
 
 def test_with_fill_interpolate_recurrence(spark):
