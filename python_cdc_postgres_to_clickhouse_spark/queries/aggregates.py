@@ -522,3 +522,100 @@ def x_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         rho.alias("spearman"),
     ).orderBy("event_type")
+
+
+CRAMERS_V_SQL = """
+WITH cell AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+m AS (
+  SELECT lang, source, o,
+         CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cell),
+t AS (
+  SELECT lang, source, n,
+         (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+         * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+         / (CAST(r AS DOUBLE) * c / n) AS term
+  FROM m),
+agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS k_lang,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS k_source,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY lang, source)),
+           (a, b) -> a + b) AS chi2
+  FROM t)
+SELECT n AS n_docs, k_lang, k_source, chi2,
+       CASE WHEN least(k_lang - 1, k_source - 1) = 0 THEN NULL
+            ELSE sqrt(chi2 / (n * least(k_lang - 1, k_source - 1)))
+       END AS cramers_v,
+       sqrt(chi2 / (chi2 + n)) AS contingency_coeff
+FROM agg
+"""
+
+
+@query("x_cramers_v", oracle=CRAMERS_V_SQL, tags=("agg", "stats"))
+def x_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV`` / ``contingency`` (the dialect points here):
+    chi-square association between the documents' language and source —
+    "does the corpus mix languages evenly across sources?", the standard
+    check before per-source mixture weighting.
+
+    Exactness recipe: the per-cell chi-square term is a fixed chain of
+    IEEE double ops on exact integers (o, r, c, n < 2^53 convert exactly;
+    multiply/divide/subtract are correctly rounded, identical on both
+    engines), and the SUM over cells — the one order-sensitive step — is
+    a LEFT FOLD OVER THE (lang, source)-SORTED term array on BOTH engines
+    (Spark aggregate(array_sort(collect_list(struct))), DuckDB
+    list_reduce(list(... ORDER BY))), so the additions associate
+    identically and the driver hash is bit-stable. cramers_v /
+    contingency_coeff are one deterministic sqrt each on top.
+
+    Scale: the contingency table is bounded by |lang| x |source| (~100
+    cells) regardless of corpus size — the first hash aggregate (with
+    map-side partials) collapses 100 TB to those cells, and everything
+    after runs on the 100-row frame (window marginals, ordered fold).
+    One corpus-scale exchange; the later exchanges move only the
+    bounded cells frame."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    cell = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    m = cell.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(W.partitionBy("lang")).alias("r"),
+        F.sum("o").over(W.partitionBy("source")).alias("c"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    d = F.col("o").cast("double") - e
+    t = m.select(
+        "lang", "source", "n", (d * d / e).alias("term")
+    )
+    agg = t.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("lang").alias("k_lang"),
+        F.countDistinct("source").alias("k_source"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(lang, source, term))), "
+            "cast(0 as double), (a, x) -> a + x.term)"
+        ).alias("chi2"),
+    )
+    k = F.least(F.col("k_lang") - 1, F.col("k_source") - 1)
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        "k_lang",
+        "k_source",
+        "chi2",
+        F.when(k == 0, F.lit(None).cast("double"))
+        .otherwise(F.sqrt(F.col("chi2") / (F.col("n") * k)))
+        .alias("cramers_v"),
+        F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n"))).alias(
+            "contingency_coeff"
+        ),
+    )

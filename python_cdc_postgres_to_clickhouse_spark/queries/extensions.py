@@ -1189,3 +1189,113 @@ def x_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("weight_sum"),
         (raw.cast("double") / n.cast("double")).alias("score"),
     )
+
+
+GOPHER_GATES_SQL = f"""
+WITH f AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+           (a, b) -> a + b) AS BIGINT) AS sum_word_len,
+         CAST(len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(toks, {_STOP_SQL})) AS BIGINT) AS n_stop_hits,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           AS n_hash,
+         CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+           AS n_ellipsis
+  FROM f)
+SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop_hits, n_hash,
+       n_ellipsis,
+       (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+         AS gate_word_len,
+       (10 * n_alpha_words >= 8 * n_words) AS gate_alpha,
+       (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words)
+         AS gate_symbols,
+       (n_stop_hits >= 2) AS gate_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS gate_length,
+       (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+        AND 10 * n_alpha_words >= 8 * n_words
+        AND 10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words
+        AND n_stop_hits >= 2
+        AND n_words >= 50 AND n_words <= 100000) AS keep
+FROM g
+"""
+
+
+@query("x_gopher_gates", oracle=GOPHER_GATES_SQL, tags=("ext", "text"))
+def x_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule battery (Rae et al. 2021 §A1.1, the
+    standard pre-training document filter): per document, the raw counts
+    each rule reads plus the named boolean gates —
+
+    - gate_word_len: mean word length in [3, 10]
+    - gate_alpha: >= 80% of words are purely alphabetic
+    - gate_symbols: '#' and '...' symbol-to-word ratios <= 0.1
+    - gate_stopwords: >= 2 distinct common-word hits
+    - gate_length: 50 <= n_words <= 100k
+    - keep: AND of all gates
+
+    Every rule is evaluated on INTEGERS via cross-multiplication (mean
+    length in [3,10] becomes 3n <= Σlen <= 10n; ratios become 10·count
+    <= n) — no doubles anywhere, so the driver hash is trivially
+    bit-stable. Complements x_repetition_stats (Gopher's repetition
+    signals) and x_quality_gate_per_lang (adaptive thresholds): this is
+    the FIXED-threshold battery.
+
+    Scale: zero-shuffle narrow projection — Σlen and the alpha count are
+    folds over the token array (one pass each), never the explode →
+    groupBy shape that would shuffle the tokenized corpus. Pure map at
+    100 TB."""
+    t = load_tables(spark, sf_dir)
+    toks = TS.tokens("text")
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, tok: a + F.length(tok)
+    )
+    n_alpha = F.size(F.filter(toks, lambda tok: tok.rlike("^[a-z]+$"))).cast(
+        "long"
+    )
+    stop = F.array(*[F.lit(w) for w in TS.LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(toks, stop)).cast("long")
+    n_hash = (
+        F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.regexp_extract_all("text", F.lit(r"\.\.\."), F.lit(0))
+    ).cast("long")
+    d = (
+        t["documents"]
+        .select("doc_id", "text")
+        .select(
+            "doc_id",
+            n.alias("n_words"),
+            sum_len.alias("sum_word_len"),
+            n_alpha.alias("n_alpha_words"),
+            n_stop.alias("n_stop_hits"),
+            n_hash.alias("n_hash"),
+            n_ellipsis.alias("n_ellipsis"),
+        )
+    )
+    g_word_len = (F.col("sum_word_len") >= 3 * F.col("n_words")) & (
+        F.col("sum_word_len") <= 10 * F.col("n_words")
+    )
+    g_alpha = 10 * F.col("n_alpha_words") >= 8 * F.col("n_words")
+    g_symbols = (10 * F.col("n_hash") <= F.col("n_words")) & (
+        10 * F.col("n_ellipsis") <= F.col("n_words")
+    )
+    g_stop = F.col("n_stop_hits") >= 2
+    g_len = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    return d.select(
+        "*",
+        g_word_len.alias("gate_word_len"),
+        g_alpha.alias("gate_alpha"),
+        g_symbols.alias("gate_symbols"),
+        g_stop.alias("gate_stopwords"),
+        g_len.alias("gate_length"),
+        (g_word_len & g_alpha & g_symbols & g_stop & g_len).alias("keep"),
+    )
