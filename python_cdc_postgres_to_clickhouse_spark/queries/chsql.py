@@ -902,3 +902,56 @@ def sql_ch_fill_recurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     24-row literal; the LOCF/row-number windows order by the fill key —
     the same global sort the top-level ORDER BY already demands."""
     return clickhouse_sql(spark, CH_FILL_RECURRENCE, sf_dir)
+
+
+CH_BITMAP_RETENTION = """
+SELECT a.day AS day,
+       bitmapCardinality(a.bm) AS dau,
+       bitmapAndCardinality(a.bm, b.bm) AS retained
+FROM (SELECT toStartOfDay(ts) AS day, groupBitmapState(user_id) AS bm
+      FROM events GROUP BY day) AS a
+INNER JOIN (SELECT toStartOfDay(ts) AS day, groupBitmapState(user_id) AS bm
+            FROM events GROUP BY day) AS b
+  ON a.day = b.day + INTERVAL 1 DAY
+ORDER BY day
+"""
+
+BITMAP_RETENTION_ORACLE = """
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+            FROM events),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+ret AS (SELECT x.day AS day, CAST(COUNT(*) AS BIGINT) AS retained
+        FROM du x JOIN du y ON y.user_id = x.user_id
+                           AND y.day = x.day - INTERVAL 1 DAY
+        GROUP BY x.day)
+SELECT a.day AS day, a.dau AS dau,
+       COALESCE(r.retained, CAST(0 AS BIGINT)) AS retained
+FROM dau a
+JOIN dau b ON b.day = a.day - INTERVAL 1 DAY
+LEFT JOIN ret r ON r.day = a.day
+ORDER BY day
+"""
+
+
+@query(
+    "sql_ch_bitmap_retention",
+    oracle=BITMAP_RETENTION_ORACLE,
+    tags=("dialect", "bitmap", "behavior"),
+)
+def sql_ch_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical ClickHouse bitmap workload (round 9): per-day user
+    bitmaps built with ``groupBitmapState`` and day-over-day retention
+    read off with ``bitmapAndCardinality`` — the pattern CH documents for
+    its roaring-bitmap family. The dialect's bitmap value is the
+    canonical sorted-distinct array, so the state column shuffles, joins,
+    and intersects as ordinary array data; the DuckDB oracle recomputes
+    retention relationally (distinct day-user pairs self-joined at lag
+    1 day), checking the whole bitmap algebra end to end.
+
+    Scale: each branch is one partial-aggregated hash exchange to
+    per-day bitmaps (collect_set partials merge as set unions — no
+    row-level re-shuffle), then a |days|-row self-join; the bitmap
+    arrays are O(DAU) per day, CH's own groupBitmap memory shape. For
+    corpus-scale DAU prefer the HLL path (uniqState/uniqMerge) — same
+    query text, bounded state, documented trade."""
+    return clickhouse_sql(spark, CH_BITMAP_RETENTION, sf_dir)

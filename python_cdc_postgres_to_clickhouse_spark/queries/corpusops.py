@@ -1102,3 +1102,119 @@ def x_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("cnt") * F.col("r")).alias("score"))
     )
     return score.orderBy(F.desc("score"), "doc_id").limit(_DSIR_K)
+
+
+# ---------------------------------------------------------------------------
+# X87: data-recipe materialization — integer per-document epoch counts that
+# realize a UNIFORM per-source token mixture (the upsampling complement of
+# x_mixture_weights' capped-at-1 downsampling rates). What a training-data
+# pipeline actually executes after the mixture is chosen: each document
+# repeats floor(target/T_s) times, and a hash-ordered prefix of the source
+# gets one extra copy until the token remainder is covered (ceil to a
+# document boundary).
+# ---------------------------------------------------------------------------
+
+RECIPE_EPOCHS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+s AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+  FROM d GROUP BY source),
+tgt AS (
+  SELECT source, src_tokens,
+         CAST(SUM(src_tokens) OVER () AS BIGINT) AS grand,
+         CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+  FROM s),
+t AS (
+  SELECT source, src_tokens,
+         grand // n_sources
+           + CASE WHEN rk <= grand % n_sources THEN 1 ELSE 0 END AS target
+  FROM tgt),
+c AS (
+  SELECT d.doc_id, d.source, d.n_tokens,
+         t.target // t.src_tokens AS base,
+         t.target % t.src_tokens AS rem,
+         CAST(COALESCE(SUM(d.n_tokens) OVER (
+           PARTITION BY d.source ORDER BY d.h, d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM d JOIN t ON t.source = d.source)
+SELECT doc_id, source, n_tokens,
+       CAST(base + CASE WHEN cum_before < rem THEN 1 ELSE 0 END AS BIGINT)
+         AS n_copies
+FROM c
+"""
+
+
+@query(
+    "x_recipe_epochs",
+    oracle=RECIPE_EPOCHS_SQL,
+    tags=("ext", "pipeline", "sampling"),
+)
+def x_recipe_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87: materialize a data recipe into per-document integer epoch
+    counts. Target = a uniform per-source token budget (grand total split
+    across sources, remainder to the lexicographically-first sources);
+    every document of a source repeats ``target div T_s`` times and a
+    DETERMINISTIC hash-ordered prefix (md5(doc_id) order — stable across
+    runs, engines, and partitionings) takes one extra copy until the
+    token remainder is covered, overshooting only to the document
+    boundary. Per source: Σ n_copies·n_tokens ∈ [target, target +
+    max_doc_tokens) — pinned in tests.
+
+    All-integer arithmetic → trivially bit-stable driver hash. Scale:
+    one partial-aggregated hash exchange to the |sources|-row totals
+    frame (broadcast back), one hash(source) exchange for the
+    cumulative-token window — same two-exchange profile as the other
+    per-source corpus ops; the hash order means no global sort, and the
+    window never leaves its source partition."""
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        "source",
+        F.size(TS.tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    s = d.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    wall = W.partitionBy()
+    tgt = s.select(
+        "source",
+        "src_tokens",
+        F.sum("src_tokens").over(wall).alias("grand"),
+        F.row_number().over(W.orderBy("source")).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n_sources"),
+    )
+    t = tgt.select(
+        "source",
+        "src_tokens",
+        (
+            F.expr("grand div n_sources")
+            + F.when(F.col("rk") <= F.col("grand") % F.col("n_sources"), 1)
+            .otherwise(0)
+        ).alias("target"),
+    )
+    wc = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = d.join(F.broadcast(t), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("target div src_tokens").alias("base"),
+        (F.col("target") % F.col("src_tokens")).alias("rem"),
+        F.coalesce(F.sum("n_tokens").over(wc), F.lit(0)).alias("cum_before"),
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            F.col("base")
+            + F.when(F.col("cum_before") < F.col("rem"), 1).otherwise(0)
+        ).cast("long").alias("n_copies"),
+    )

@@ -294,3 +294,29 @@ def test_dup_span_plan_semi_joins_without_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan, "duplicate-gram membership must be a semi join"
     assert P.has_partial_aggregate(df), "gram census must partial-aggregate"
+
+
+def test_recipe_epochs_covers_target_to_doc_boundary(spark):
+    """x_recipe_epochs' contract: per source, the materialized token count
+    Σ n_copies·n_tokens lands in [target, target + max_doc_tokens), the
+    per-source targets partition the grand total exactly, and every
+    document repeats at least floor(target/T_s) >= 0 times."""
+    df = _q(spark, "x_recipe_epochs").toPandas()
+    grand = int(df["n_tokens"].sum())
+    n_sources = df["source"].nunique()
+    base_target = grand // n_sources
+    extra = grand % n_sources
+    targets = {
+        src: base_target + (1 if rank < extra else 0)
+        for rank, src in enumerate(sorted(df["source"].unique()))
+    }
+    assert sum(targets.values()) == grand
+    for src, g in df.groupby("source"):
+        got = int((g["n_copies"] * g["n_tokens"]).sum())
+        target = targets[src]
+        assert target <= got < target + int(g["n_tokens"].max()), (
+            src, target, got
+        )
+        assert (g["n_copies"] >= 0).all()
+        # within a source, copy counts differ by at most 1 (base vs +1)
+        assert g["n_copies"].max() - g["n_copies"].min() <= 1
