@@ -3922,9 +3922,9 @@ _UNSUPPORTED: dict[str, str] = {
     "studentTTest": "transcendental p-values have no bit-stable SQL "
                     "mapping — compute the t statistic from "
                     "avg/var/count per group and look up p driver-side",
-    "mannWhitneyUTest": "rank-based test — compute rank sums with a "
-                        "window over the pooled sample, p-value "
-                        "driver-side",
+    "mannWhitneyUTest": "use x_mann_whitney_u (exact doubled rank sums, "
+                        "tie-corrected z, full oracle); p-values are "
+                        "transcendental and stay driver-side",
     "arrayAUC": "rank the scores with array_sort + array_position or "
                 "compute AUC relationally (rank-sum of positives)",
     "sumMapFiltered": "filter the map first (mapFilter) then sumMap",
@@ -3979,11 +3979,12 @@ _UNSUPPORTED: dict[str, str] = {
                                "studentTTest) — compute driver-side from "
                                "the aggregated counts",
     "minSampleSizeContinuous": "see minSampleSizeConversion",
-    "welchTTest": "transcendental p-values — compute the t statistic from "
-                  "avg/var/count per group (same contract as studentTTest)",
-    "kolmogorovSmirnovTest": "the D statistic needs the merged ECDF sweep "
-                             "— compute with a window over the pooled "
-                             "sorted sample; p-value driver-side",
+    "welchTTest": "use x_welch_t (exact integer moments, t + "
+                  "Welch–Satterthwaite df, full oracle); p-values are "
+                  "transcendental and stay driver-side",
+    "kolmogorovSmirnovTest": "use x_ks_test (integer D numerator over the "
+                             "value-grid ECDF, full oracle); p-values "
+                             "are transcendental and stay driver-side",
     "hostName": "cluster-node introspection has no deterministic Spark "
                 "analog (executors differ per task) — use "
                 "spark.conf/application info driver-side",

@@ -619,3 +619,252 @@ def x_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contingency_coeff"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-exact statistic counterparts of ClickHouse's two-sample test
+# aggregates (kolmogorovSmirnovTest / welchTTest / mannWhitneyUTest). The
+# dialect keeps the CH functions loud because their P-VALUES are
+# transcendental (no bit-stable SQL); the STATISTICS themselves are exact
+# integer/rational work plus a fixed chain of IEEE ops — these queries are
+# the engine-native route those errors point at. All three collapse the
+# two samples to the bounded distinct-cents histogram FIRST (one hash
+# aggregate with map-side partials — the corpus-scale exchange), so the
+# rank/ECDF windows run over the value grid, never the event rows.
+# ---------------------------------------------------------------------------
+
+_KS_SQL = """
+WITH h AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS c1,
+         CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY 1),
+c AS (
+  SELECT CAST(SUM(c1) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2,
+         CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+         CAST(SUM(c2) OVER () AS BIGINT) AS n2
+  FROM h)
+SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+       CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_numer,
+       CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+         / (MAX(n1) * MAX(n2)) AS d
+FROM c
+"""
+
+
+@query("x_ks_test", oracle=_KS_SQL, tags=("agg", "stats"))
+def x_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D statistic (CH
+    ``kolmogorovSmirnovTest``; the dialect points here) between the
+    purchase and view value distributions. D's numerator max|cum1·n2 −
+    cum2·n1| is an INTEGER — exact on both engines — and D itself is one
+    final division; p-values stay out by the studentTTest contract.
+
+    Scale: the samples collapse to the distinct-cents histogram first
+    (one corpus-scale exchange); the ECDF running sums are ONE window
+    over the bounded value grid."""
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    h = ev.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
+    )
+    wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    c = h.select(
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    d_num = F.max(
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    )
+    return c.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        d_num.alias("d_numer"),
+        (d_num.cast("double") / (F.max("n1") * F.max("n2"))).alias("d"),
+    )
+
+
+_WELCH_SQL = """
+WITH s AS (
+  SELECT CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n1,
+         CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                       * CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS q1,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                       * CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS q2
+  FROM events WHERE event_type IN ('purchase', 'view'))
+SELECT n1, n2, s1, s2, q1, q2,
+       ((CAST(s1 AS DOUBLE) / n1) - (CAST(s2 AS DOUBLE) / n2))
+         / sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+                  / (n1 - 1) / n1
+                + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+                  / (n2 - 1) / n2) AS t,
+       ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+          / (n1 - 1) / n1
+        + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+          / (n2 - 1) / n2)
+       * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+            / (n1 - 1) / n1
+          + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+            / (n2 - 1) / n2)
+       / (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+             / (n1 - 1) / n1)
+          * ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+             / (n1 - 1) / n1) / (n1 - 1)
+          + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+             / (n2 - 1) / n2)
+          * ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+             / (n2 - 1) / n2) / (n2 - 1)) AS df
+FROM s
+"""
+
+
+@query("x_welch_t", oracle=_WELCH_SQL, tags=("agg", "stats"))
+def x_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic + Welch–Satterthwaite degrees of freedom (CH
+    ``welchTTest``; the dialect points here) between purchase and view
+    values. The moments are exact integer cents sums; t and df are fixed
+    chains of IEEE ops spelled IDENTICALLY on both engines (a = s²₁/n₁
+    and b = s²₂/n₂ always composed as (q − s·s/n)/(n−1)/n), so every
+    intermediate rounds the same way → bit-stable hash. p-values stay
+    out (studentTTest contract).
+
+    Scale: ONE map-side-combined aggregate to a single row — no window,
+    no join, the cheapest two-sample plan there is."""
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    is1 = F.col("event_type") == "purchase"
+    is2 = F.col("event_type") == "view"
+    s = ev.agg(
+        F.count(F.when(is1, 1)).alias("n1"),
+        F.count(F.when(is2, 1)).alias("n2"),
+        F.sum(F.when(is1, cents)).alias("s1"),
+        F.sum(F.when(is2, cents)).alias("s2"),
+        F.sum(F.when(is1, cents * cents)).alias("q1"),
+        F.sum(F.when(is2, cents * cents)).alias("q2"),
+    )
+    # a, b composed EXACTLY as in the oracle text: (q - s*s/n)/(n-1)/n
+    a = (
+        (F.col("q1").cast("double")
+         - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n1"))
+        / (F.col("n1") - 1) / F.col("n1")
+    )
+    b = (
+        (F.col("q2").cast("double")
+         - F.col("s2").cast("double") * F.col("s2").cast("double") / F.col("n2"))
+        / (F.col("n2") - 1) / F.col("n2")
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    return s.select(
+        "n1", "n2", "s1", "s2", "q1", "q2",
+        ((m1 - m2) / F.sqrt(a + b)).alias("t"),
+        ((a + b) * (a + b)
+         / (a * a / (F.col("n1") - 1) + b * b / (F.col("n2") - 1))).alias("df"),
+    )
+
+
+_MWU_SQL = """
+WITH h AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY 1),
+r AS (
+  SELECT c1, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM h),
+s AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c - c1) AS BIGINT) AS n2,
+         CAST(SUM(c1 * (2 * cum_before + c + 1)) AS BIGINT) AS r1_x2,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum
+  FROM r)
+SELECT n1, n2, r1_x2, tie_sum,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+       (CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+         / (2 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                     * ((n1 + n2 + 1)
+                        - CAST(tie_sum AS DOUBLE)
+                          / ((n1 + n2) * (CAST(n1 AS DOUBLE) + n2 - 1)))))
+         AS z
+FROM s
+"""
+
+
+@query("x_mann_whitney_u", oracle=_MWU_SQL, tags=("agg", "stats"))
+def x_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U statistic with tie-corrected normal z (CH
+    ``mannWhitneyUTest``; the dialect points here) between purchase and
+    view values. Doubled rank sums stay INTEGERS under average-rank ties
+    (2·avgrank = 2·cum_before + c + 1 per value cell — the x_rank_corr
+    device), so U·2, the tie term Σ(c³−c), and U1+U2 = n1·n2 are exact;
+    z is one fixed IEEE chain on top. p-values stay out (studentTTest
+    contract).
+
+    Scale: collapse to the distinct-cents histogram first (corpus-scale
+    exchange), ONE running-count window over the bounded value grid, one
+    final single-row aggregate."""
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    h = ev.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    wb = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    r = h.select(
+        "c1",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cum_before"),
+    )
+    s = r.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).alias("r1_x2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_sum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    sigma2 = (
+        n1.cast("double") * n2 / 12
+        * ((n1 + n2 + 1)
+           - F.col("tie_sum").cast("double")
+             / ((n1 + n2) * (n1.cast("double") + n2 - 1)))
+    )
+    return s.select(
+        "n1", "n2", "r1_x2", "tie_sum",
+        u1_x2.cast("long").alias("u1_x2"),
+        (2 * n1 * n2 - u1_x2).cast("long").alias("u2_x2"),
+        ((u1_x2.cast("double") - (n1 * n2).cast("double"))
+         / (2 * F.sqrt(sigma2))).alias("z"),
+    )

@@ -2243,7 +2243,9 @@ def test_round9_wave3_scalar_batch(spark):
         ("SELECT gcd(a, b) FROM t", "Euclid"),
         ("SELECT cramersV(a, b) FROM t", "x_cramers_v"),
         ("SELECT detectLanguage(s) FROM t", "x_lang_id"),
-        ("SELECT welchTTest(a, b) FROM t", "studentTTest"),
+        ("SELECT welchTTest(a, b) FROM t", "x_welch_t"),
+        ("SELECT kolmogorovSmirnovTest(a, b) FROM t", "x_ks_test"),
+        ("SELECT mannWhitneyUTest(a, b) FROM t", "x_mann_whitney_u"),
         ("SELECT mapApply((k, v) -> (k, v), m) FROM t", "transform_keys"),
         ("SELECT jaroSimilarity(a, b) FROM t", "fuzzy"),
         ("SELECT normalizeQuery(s) FROM t", "loud"),
