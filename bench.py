@@ -185,20 +185,37 @@ def main() -> None:
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    out = {
+    here = os.path.dirname(os.path.abspath(__file__))
+    # The driver records only the LAST 2000 CHARS of output and
+    # json-parses them — every BENCH_r{6,7,8}.json came back
+    # `parsed: null` because the full per-query map outgrew that budget.
+    # So: the FULL map goes to BENCH_DETAIL.json (git-tracked, the
+    # judge's per-query source), and the printed line carries the total,
+    # the calibration gauge, and the slowest entries that fit.
+    detail = {
         "metric": "headline_query_total_sec",
         "value": round(sum(per_query.values()), 4),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
-        # Not part of the total: fixed-cost machine-noise gauge.
         "calibration_sec": calibration,
     }
+    out = {
+        "metric": "headline_query_total_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per_query),
+        # Not part of the total: fixed-cost machine-noise gauge.
+        "calibration_sec": calibration,
+        "detail_file": "BENCH_DETAIL.json",
+    }
     # Normalize against the newest prior BENCH_r*.json that carries a
-    # calibration gauge: total_normalized re-expresses this run's total in
-    # THAT round's machine-speed units (total ÷ calibration ratio), so a
-    # cross-round comparison reads plan changes, not box contention.
-    here = os.path.dirname(os.path.abspath(__file__))
+    # calibration gauge (the driver nests a parsed line under "parsed",
+    # and when parsing failed the gauge still sits in the "tail" text):
+    # total_normalized re-expresses this run's total in THAT round's
+    # machine-speed units (total ÷ calibration ratio), so a cross-round
+    # comparison reads plan changes, not box contention.
     prior = sorted(
         f for f in os.listdir(here)
         if re.fullmatch(r"BENCH_r\d+\.json", f)
@@ -207,16 +224,38 @@ def main() -> None:
         try:
             with open(os.path.join(here, fname)) as fh:
                 prev = json.load(fh)
-            prev_cal = prev.get("calibration_sec")
-            if prev_cal:
-                ratio = round(calibration / prev_cal, 4)
-                out["calibration_vs"] = fname
-                out["calibration_ratio"] = ratio
-                out["total_normalized"] = round(out["value"] / ratio, 4)
-                break
         except (OSError, ValueError):
             continue
-    print(json.dumps(out))
+        prev_cal = prev.get("calibration_sec")
+        if not prev_cal and isinstance(prev.get("parsed"), dict):
+            prev_cal = prev["parsed"].get("calibration_sec")
+        if not prev_cal and isinstance(prev.get("tail"), str):
+            mc = re.search(r'"calibration_sec":\s*([\d.]+)', prev["tail"])
+            if mc:
+                prev_cal = float(mc.group(1))
+        if prev_cal:
+            ratio = round(calibration / prev_cal, 4)
+            out["calibration_vs"] = fname
+            out["calibration_ratio"] = ratio
+            out["total_normalized"] = round(out["value"] / ratio, 4)
+            break
+    # Slowest queries inline, as many as keep the line under the
+    # driver's 2000-char capture (compact separators, 3-decimal secs).
+    slowest = sorted(per_query.items(), key=lambda kv: -kv[1])
+    budget = 1800
+    inline: dict[str, float] = {}
+    for k, v in slowest:
+        inline[k] = round(v, 3)
+        out["queries"] = inline
+        if len(json.dumps(out, separators=(",", ":"))) > budget:
+            del inline[k]
+            break
+    out["queries"] = inline
+    out["queries_truncated_to_slowest"] = len(inline)
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh)
+        fh.write("\n")
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -2208,6 +2208,86 @@ def _array_shift_left(args: list[str]) -> str:
 
 
 
+def _fill_split_zip(a: list[str]) -> tuple[str, str]:
+    """Shared prep for the arrayFill/arraySplit family: returns (arr, zipped)
+    where zipped pairs each element of the primary array with the lambda's
+    verdict. CH's lambda sees (arr1[i]) or (arr1[i], arr2[i]) — the 1- and
+    2-array forms; more arrays stay loud."""
+    if len(a) == 2:
+        return a[1], (
+            f"zip_with({a[1]}, transform({a[1]}, {a[0]}), "
+            f"(v, k) -> named_struct('v', v, 'k', k))"
+        )
+    if len(a) == 3:
+        return a[1], (
+            f"zip_with({a[1]}, zip_with({a[1]}, {a[2]}, {a[0]}), "
+            f"(v, k) -> named_struct('v', v, 'k', k))"
+        )
+    raise DialectError(
+        "arrayFill/arraySplit family: only the 1- and 2-array lambda "
+        "forms translate"
+    )
+
+
+def _array_fill(a: list[str], rev: bool = False) -> str:
+    """arrayFill(λ, arr): left-to-right scan replacing each element where
+    λ is false with the carried last true-element (CH ArrayFill.cpp); the
+    first element always stays. arrayReverseFill = the same fold over the
+    reversed array, reversed back. O(n) fold per row (array concat makes
+    it O(n²) copying for very long arrays — these are per-row arrays)."""
+    if rev:
+        a = list(a)
+        a[1] = f"reverse({a[1]})"
+        if len(a) == 3:
+            a[2] = f"reverse({a[2]})"
+    arr, zipped = _fill_split_zip(a)
+    keep = ("CASE WHEN size(acc.o) = 0 OR cast(e.k as boolean) "
+           "THEN e.v ELSE acc.p END")
+    fold = (
+        f"aggregate({zipped}, "
+        f"named_struct('o', slice({arr}, 1, 0), "
+        f"'p', try_element_at({arr}, 1)), "
+        f"(acc, e) -> named_struct('o', concat(acc.o, array({keep})), "
+        f"'p', {keep}), "
+        f"acc -> acc.o)"
+    )
+    return f"reverse({fold})" if rev else fold
+
+
+def _array_split(a: list[str], rev: bool = False) -> str:
+    """arraySplit(λ, arr): cut on the LEFT of every element where λ is
+    true (a true first element opens the first group, no empty group —
+    CH's contract: arraySplit(x -> x = 1, [1,2,3,1,2,3]) = [[1,2,3],
+    [1,2,3]]). arrayReverseSplit cuts on the RIGHT (the matching element
+    CLOSES its group). Empty input yields [] on this shim."""
+    arr, zipped = _fill_split_zip(a)
+    empty_groups = f"slice(array(slice({arr}, 1, 0)), 1, 0)"
+    if not rev:
+        step = (
+            "(acc, e) -> CASE WHEN cast(e.k as boolean) AND size(acc.cur) > 0 "
+            "THEN named_struct('out', concat(acc.out, array(acc.cur)), "
+            "'cur', array(e.v)) "
+            "ELSE named_struct('out', acc.out, "
+            "'cur', concat(acc.cur, array(e.v))) END"
+        )
+    else:
+        step = (
+            "(acc, e) -> CASE WHEN cast(e.k as boolean) "
+            "THEN named_struct('out', concat(acc.out, "
+            "array(concat(acc.cur, array(e.v)))), "
+            f"'cur', slice({arr}, 1, 0)) "
+            "ELSE named_struct('out', acc.out, "
+            "'cur', concat(acc.cur, array(e.v))) END"
+        )
+    return (
+        f"aggregate({zipped}, "
+        f"named_struct('out', {empty_groups}, 'cur', slice({arr}, 1, 0)), "
+        f"{step}, "
+        f"acc -> CASE WHEN size(acc.cur) > 0 "
+        f"THEN concat(acc.out, array(acc.cur)) ELSE acc.out END)"
+    )
+
+
 def _map_concat_first_wins(a: list[str]) -> str:
     """CH mapConcat keeps the FIRST occurrence of each key across the
     concatenated maps; Spark's map_concat either throws on duplicates or
@@ -2997,6 +3077,10 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     ),
     # arrayCumSumNonNegative: running sum clamped at zero (CH resets the
     # accumulator to 0 whenever it would go negative). Double-typed fold.
+    "arrayFill": _array_fill,
+    "arrayReverseFill": lambda a: _array_fill(a, rev=True),
+    "arraySplit": _array_split,
+    "arrayReverseSplit": lambda a: _array_split(a, rev=True),
     "arrayCumSumNonNegative": _tpl(
         "aggregate({0}, named_struct('arr', array(0D), 's', 0D), "
         "(a, v) -> named_struct("
@@ -4009,13 +4093,6 @@ _UNSUPPORTED: dict[str, str] = {
     "exponentialTimeDecayedAvg": "see exponentialTimeDecayedSum",
     "exponentialTimeDecayedCount": "see exponentialTimeDecayedSum",
     "exponentialTimeDecayedMax": "see exponentialTimeDecayedSum",
-    "arrayFill": "CH's fill-forward-by-predicate is order-dependent on "
-                 "the array — expressible as an aggregate fold; open an "
-                 "issue with the use case (x_gap_fill covers the "
-                 "relational LOCF idiom)",
-    "arrayReverseFill": "see arrayFill",
-    "arraySplit": "see arrayFill (fold-based splitting)",
-    "arrayReverseSplit": "see arrayFill",
     "contingency": "use x_cramers_v (exact-decimal chi-square family "
                    "over the contingency counts)",
     "cramersV": "use x_cramers_v (full-oracle Cramér's V)",

@@ -2257,6 +2257,36 @@ def test_round9_wave3_scalar_batch(spark):
             translate(bad)
 
 
+def test_round9_array_fill_split(spark):
+    """arrayFill / arrayReverseFill / arraySplit / arrayReverseSplit as
+    per-row folds, pinned to ClickHouse's own documentation frames
+    (ArrayFill/ArraySplit docs), including the 2-array lambda form and
+    the boolean-vs-UInt8 verdict coercion."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    ch_frame = "[1, NULL, 3, 11, 12, NULL, NULL, 5, 6, 14, NULL, NULL]"
+    assert one(f"arrayFill(x -> isNotNull(x), {ch_frame})") == [
+        1, 1, 3, 11, 12, 12, 12, 5, 6, 14, 14, 14,
+    ]
+    assert one(f"arrayReverseFill(x -> isNotNull(x), {ch_frame})") == [
+        1, 3, 3, 11, 12, 5, 5, 5, 6, 14, None, None,
+    ]
+    # first element always stays, even when the predicate rejects it
+    assert one("arrayFill(x -> x > 1, [1, 5, 0, 7])") == [1, 5, 5, 7]
+    assert one("arraySplit(x -> x = 1, [1, 2, 3, 1, 2, 3])") == [
+        [1, 2, 3], [1, 2, 3],
+    ]
+    # CH doc frame: 2-array lambda, UInt8 verdicts
+    assert one(
+        "arraySplit((x, y) -> y, [1, 2, 3, 4, 5], [1, 0, 0, 1, 0])"
+    ) == [[1, 2, 3], [4, 5]]
+    assert one(
+        "arrayReverseSplit((x, y) -> y, [1, 2, 3, 4, 5], [1, 0, 0, 1, 0])"
+    ) == [[1], [2, 3, 4], [5]]
+    # 3+-array lambda forms stay loud
+    with pytest.raises(DialectError, match="1- and 2-array"):
+        translate("SELECT arrayFill((x, y, z) -> y, a, b, c) FROM t")
+
+
 def test_round9_bitmap_family(spark):
     """The bitmap family over the canonical sorted-distinct-array bitmap
     value: build/toArray round-trip, set ops and their cardinality forms,
