@@ -134,6 +134,16 @@ HEADLINE = [
     "sql_ch_fill_interpolate", # DESC WITH FILL + INTERPOLATE LOCF via dialect
     "sql_ch_window_funnel",    # windowFunnel via generated SQL fold
     "x_token_diversity",       # exact Simpson Σc²/n², zero-shuffle fold
+    # Added round 9 (earlier entries unchanged — like-for-like holds).
+    "x_rank_corr",             # exact Spearman, one event_type exchange
+    "x_chunk_documents",       # context-window chunking, zero exchange
+    "x_linear_quality_score",  # hashed-feature scorer, single codegen fold
+    "x_cramers_v",             # chi-square association, bounded cells frame
+    "x_gopher_gates",          # Gopher rule battery, zero-exchange folds
+    "x_recipe_epochs",         # recipe materialization, two exchanges
+    "sql_ch_bitmap_retention", # groupBitmapState + bitmapAndCardinality
+    "x_ks_test",               # KS D over the value-grid ECDF
+    "x_mann_whitney_u",        # doubled rank sums + tie-corrected z
 ]
 
 

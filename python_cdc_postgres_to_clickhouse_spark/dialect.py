@@ -2208,6 +2208,74 @@ def _array_shift_left(args: list[str]) -> str:
 
 
 
+_JSON_KV_CASTS = {
+    "String": "string", "Int8": "tinyint", "Int16": "smallint",
+    "Int32": "int", "Int64": "bigint", "UInt8": "smallint",
+    "UInt16": "int", "UInt32": "bigint", "UInt64": "bigint",
+    "Float32": "float", "Float64": "double",
+}
+
+
+def _json_keys_values(a: list[str]) -> str:
+    """JSONExtractKeysAndValues(j, 'T') -> array of (key, value:T) structs
+    from the JSON object's top level (the common CH call shape; nested
+    paths stay loud)."""
+    if len(a) != 2:
+        raise DialectError(
+            "JSONExtractKeysAndValues: only the (json, 'Type') top-level "
+            "form translates — extract nested objects with JSONExtractRaw "
+            "first"
+        )
+    t = a[1].strip().strip("'\"")
+    if t not in _JSON_KV_CASTS:
+        raise DialectError(
+            f"JSONExtractKeysAndValues: unsupported value type {t!r} "
+            f"(supported: {', '.join(sorted(_JSON_KV_CASTS))})"
+        )
+    spark_t = _JSON_KV_CASTS[t]
+    return (
+        f"transform(map_entries(from_json({a[0]}, 'map<string,string>')), "
+        f"e -> named_struct('key', e.key, "
+        f"'value', cast(e.value as {spark_t})))"
+    )
+
+
+def _array_auc(a: list[str]) -> str:
+    """arrayAUC(scores, labels): exact ROC AUC over one row's arrays via
+    pair counting — Σ_pos (#neg below + ½·#neg tied) / (n_pos·n_neg),
+    the average-rank formulation CH computes. O(n²) per row, fine for
+    the per-row arrays this function exists for; NULL when either class
+    is empty (CH returns nan there)."""
+    if len(a) != 2:
+        raise DialectError("arrayAUC takes (scores, labels)")
+    pos = f"filter(zip_with({a[0]}, {a[1]}, (s, l) -> named_struct('s', s, 'l', l)), e -> cast(e.l as boolean))"
+    neg = f"filter(zip_with({a[0]}, {a[1]}, (s, l) -> named_struct('s', s, 'l', l)), e -> NOT cast(e.l as boolean))"
+    return (
+        f"CASE WHEN size({pos}) = 0 OR size({neg}) = 0 "
+        f"THEN cast(null as double) ELSE "
+        f"aggregate({pos}, 0D, (acc, p) -> acc "
+        f"+ size(filter({neg}, ne -> ne.s < p.s)) "
+        f"+ 0.5D * size(filter({neg}, ne -> ne.s = p.s))) "
+        f"/ (cast(size({pos}) as double) * size({neg})) END"
+    )
+
+
+def _agg_matrix(fn: str):
+    """corrMatrix/covarSampMatrix/covarPopMatrix(x1..xk): the full k x k
+    matrix as array<array<double>> of pairwise aggregates — CH returns
+    exactly this shape; Spark's corr/covar kernels are the documented
+    *Stable-alias convention (same merge formulas family)."""
+    def rule(a: list[str]) -> str:
+        if len(a) < 2:
+            raise DialectError(f"{fn} matrix form needs >= 2 columns")
+        rows = ", ".join(
+            "array(" + ", ".join(f"{fn}({xi}, {xj})" for xj in a) + ")"
+            for xi in a
+        )
+        return f"array({rows})"
+    return rule
+
+
 def _fill_split_zip(a: list[str]) -> tuple[str, str]:
     """Shared prep for the arrayFill/arraySplit family: returns (arr, zipped)
     where zipped pairs each element of the primary array with the lambda's
@@ -2551,6 +2619,12 @@ RULES: dict[str, Callable[[list[str]], str]] = {
         f"(get_json_object({a[0]}, '$') IS NOT NULL OR trim({a[0]}) = 'null')"
     ),
     "toJSONString": _fn("to_json"),
+    # JSONExtractKeys / JSONExtractKeysAndValues(j[, path], 'T'): the
+    # object's keys / (key, value) pairs with values cast to the
+    # requested CH type (String/Int*/UInt*/Float* supported; the type
+    # argument is a quoted literal).
+    "JSONExtractKeys": lambda a: f"json_object_keys({a[0]})",
+    "JSONExtractKeysAndValues": _json_keys_values,
     # -- aggregates --------------------------------------------------------
     "count": _count,
     "uniq": _fn("approx_count_distinct"),
@@ -3077,6 +3151,10 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     ),
     # arrayCumSumNonNegative: running sum clamped at zero (CH resets the
     # accumulator to 0 whenever it would go negative). Double-typed fold.
+    "corrMatrix": _agg_matrix("corr"),
+    "covarSampMatrix": _agg_matrix("covar_samp"),
+    "covarPopMatrix": _agg_matrix("covar_pop"),
+    "arrayAUC": _array_auc,
     "arrayFill": _array_fill,
     "arrayReverseFill": lambda a: _array_fill(a, rev=True),
     "arraySplit": _array_split,
@@ -3977,8 +4055,6 @@ _UNSUPPORTED: dict[str, str] = {
     "meanZTest": "transcendental p-values have no bit-stable SQL "
                  "(same contract as studentTTest); compute the z "
                  "statistic from avg/stddev columns",
-    "corrMatrix": "emit per-pair corr(x, y) columns",
-    "covarSampMatrix": "emit per-pair covar_samp(x, y) columns",
     "aggThrow": "CH test-harness function (throws by design)",
     "replaceRegexpOne": "Spark's regexp_replace is replace-ALL and a "
                         "first-match-only overlay is unsound for "
@@ -4009,8 +4085,6 @@ _UNSUPPORTED: dict[str, str] = {
     "mannWhitneyUTest": "use x_mann_whitney_u (exact doubled rank sums, "
                         "tie-corrected z, full oracle); p-values are "
                         "transcendental and stay driver-side",
-    "arrayAUC": "rank the scores with array_sort + array_position or "
-                "compute AUC relationally (rank-sum of positives)",
     "sumMapFiltered": "filter the map first (mapFilter) then sumMap",
     "groupArrayInsertAt": "use map_from_entries(collect_list(struct(pos, "
                           "v))) — positional assembly is a map, not an "

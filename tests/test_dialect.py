@@ -2257,6 +2257,44 @@ def test_round9_wave3_scalar_batch(spark):
             translate(bad)
 
 
+def test_round9_auc_and_json_keys(spark):
+    """arrayAUC (exact pair-counting AUC, sklearn-pinned value on the CH
+    doc frame) and the JSON keys family."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    # CH docs: arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) = 0.75
+    assert one("arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1])") == 0.75
+    # tie between a positive and a negative contributes 1/2
+    assert one("arrayAUC([0.5, 0.5], [1, 0])") == 0.5
+    assert one("arrayAUC([0.2, 0.9], [1, 1])") is None  # one-class -> NULL
+    assert one("""JSONExtractKeys('{"a": 1, "b": 2}')""") == ["a", "b"]
+    kv = one("""JSONExtractKeysAndValues('{"a": 1, "b": 2}', 'Int64')""")
+    assert [(e["key"], e["value"]) for e in kv] == [("a", 1), ("b", 2)]
+    kv = one("""JSONExtractKeysAndValues('{"a": "x"}', 'String')""")
+    assert [(e["key"], e["value"]) for e in kv] == [("a", "x")]
+    with pytest.raises(DialectError, match="unsupported value type"):
+        translate("SELECT JSONExtractKeysAndValues(j, 'Array(String)') FROM t")
+
+
+def test_round9_matrix_aggregates(spark):
+    """corrMatrix / covarSampMatrix / covarPopMatrix as k x k grids of
+    pairwise aggregates."""
+    spark.sql(
+        "SELECT * FROM VALUES (1.0, 2.0, 1.0), (2.0, 4.0, 0.0), "
+        "(3.0, 6.0, 1.0) AS m(a, b, c)"
+    ).createOrReplaceTempView("mat_t")
+    row = spark.sql(translate(
+        "SELECT corrMatrix(a, b) AS cm, covarPopMatrix(a, b) AS vm "
+        "FROM mat_t"
+    )).collect()[0]
+    assert row["cm"][0][1] == pytest.approx(1.0)  # b = 2a exactly
+    assert row["cm"][0][0] == pytest.approx(1.0)
+    # covar_pop(a, a) = var_pop(a) = 2/3 for {1,2,3}
+    assert row["vm"][0][0] == pytest.approx(2.0 / 3.0)
+    assert row["vm"][0][1] == pytest.approx(4.0 / 3.0)
+    with pytest.raises(DialectError, match=">= 2 columns"):
+        translate("SELECT corrMatrix(a) FROM t")
+
+
 def test_round9_array_fill_split(spark):
     """arrayFill / arrayReverseFill / arraySplit / arrayReverseSplit as
     per-row folds, pinned to ClickHouse's own documentation frames

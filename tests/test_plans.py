@@ -864,3 +864,56 @@ def test_chunking_and_linear_score_are_pure_narrow_maps(spark):
         assert "Python" not in plan, (name, plan)
         cols = set(P.read_schema_columns(df))
         assert cols <= {"doc_id", "text"}, (name, cols)
+
+
+def test_gopher_gates_is_a_pure_narrow_map(spark):
+    """x_gopher_gates (round 9): every rule is a fold/regex over the token
+    array inside one projection — a 100 TB quality gate must add NO
+    exchange and read only (doc_id, text)."""
+    df = _q(spark, "x_gopher_gates")
+    plan = P.physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"doc_id", "text"}, cols
+
+
+def test_cramers_v_collapses_before_marginals(spark):
+    """x_cramers_v (round 9): the corpus collapses to the (lang, source)
+    cells via ONE partial-aggregated hash exchange; every later exchange
+    (window marginals, ordered fold, single-row agg) moves only the
+    bounded cells frame. Assert the corpus-side shape: partial
+    aggregation present, and the scan reads only the two key columns."""
+    df = _q(spark, "x_cramers_v")
+    assert P.has_partial_aggregate(df)
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"lang", "source"}, cols
+
+
+def test_two_sample_stats_collapse_to_value_grid(spark):
+    """x_ks_test / x_mann_whitney_u (round 9): the events scan reduces to
+    the distinct-cents histogram through a partial-aggregated hash
+    exchange before any window runs; x_welch_t is a single-row aggregate
+    with NO window at all. All three read only (event_type, value)."""
+    for name in ("x_ks_test", "x_mann_whitney_u"):
+        df = _q(spark, name)
+        assert P.has_partial_aggregate(df), name
+        cols = set(P.read_schema_columns(df))
+        assert cols <= {"event_type", "value"}, (name, cols)
+    df = _q(spark, "x_welch_t")
+    plan = P.physical_plan(df)
+    assert "Window" not in plan, plan
+    assert P.has_partial_aggregate(df)
+    cols = set(P.read_schema_columns(df))
+    assert cols <= {"event_type", "value"}, cols
+
+
+def test_recipe_epochs_two_exchanges(spark):
+    """x_recipe_epochs (round 9): the totals aggregate and the per-source
+    cumulative window — hash exchanges only on source (plus the tiny
+    single-partition window on the |sources|-row frame); the doc-side
+    frame never shuffles on a non-key."""
+    df = _q(spark, "x_recipe_epochs")
+    plan = P.physical_plan(df)
+    assert P.has_partial_aggregate(df)
+    assert P.has_broadcast_join(df), "the sources-total frame must broadcast"
