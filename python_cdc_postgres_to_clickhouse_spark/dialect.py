@@ -3225,6 +3225,123 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     ),
     # -- round-9 wave 3: visitParam* (legacy simpleJSON aliases) ---------------
     # Installed as aliases right after the dict literal (see below).
+    # -- round-9 wave 4: vector-function short spellings ------------------------
+    # CH exposes the array math under both array* and bare names.
+    # (aliases installed after the dict literal: dotProduct -> arrayDotProduct
+    # and friends.)
+    "normalizeL1": _tpl(
+        "transform({0}, v -> cast(v as double) / "
+        "aggregate({0}, 0D, (acc, w) -> acc + abs(cast(w as double))))"
+    ),
+    "normalizeL2": _tpl(
+        "transform({0}, v -> cast(v as double) / "
+        "sqrt(aggregate({0}, 0D, (acc, w) -> acc + cast(w as double) * w)))"
+    ),
+    # -- round-9 wave 4: string leftovers ---------------------------------------
+    # left/right with CH's negative-length trim semantics.
+    "left": _tpl(
+        "CASE WHEN ({1}) >= 0 THEN substr({0}, 1, {1}) "
+        "ELSE substr({0}, 1, greatest(length({0}) + ({1}), 0)) END"
+    ),
+    "right": _tpl(
+        "CASE WHEN ({1}) >= 0 THEN substr({0}, -({1}), greatest({1}, 1)) "
+        "ELSE substr({0}, least(-({1}) + 1, length({0}) + 1)) END"
+    ),
+    "initcapUTF8": _fn("initcap"),
+    "startsWithUTF8": _fn("startswith"),
+    "endsWithUTF8": _fn("endswith"),
+    "substringIndexUTF8": _fn("substring_index"),
+    "concatAssumeInjective": _fn("concat"),
+    "positionCaseInsensitiveUTF8": lambda a: (
+        f"locate(lower({a[1]}), lower({a[0]}))"
+    ),
+    "countSubstringsCaseInsensitive": _tpl(
+        "((length({0}) - length(replace(lower({0}), lower({1}), ''))) "
+        "div length({1}))"
+    ),
+    "countMatchesCaseInsensitive": _tpl(
+        "size(regexp_extract_all({0}, concat('(?i)', {1}), 0))"
+    ),
+    # regexpExtract: CH's spelling of extract-with-group (default group 1).
+    "regexpExtract": lambda a: (
+        f"regexp_extract({a[0]}, {a[1]}, {a[2] if len(a) > 2 else '1'})"
+    ),
+    "regexpQuoteMeta": _tpl(
+        r"regexp_replace({0}, "
+        r"'([\\.\\+\\*\\?\\^\\$\\(\\)\\[\\]\\{{\\}}\\|\\\\])', '\\\\$1')"
+    ),
+    "firstLine": _tpl("element_at(split({0}, '\\\\n'), 1)"),
+    "dayName": _tpl("date_format({0}, 'EEEE')"),
+    "daysInMonth": _tpl("day(last_day({0}))"),
+    "makeDate": lambda a: (
+        f"make_date({', '.join(a)})" if len(a) == 3
+        else f"date_add(make_date({a[0]}, 1, 1), cast({a[1]} as int) - 1)"
+    ),
+    "makeDateTime": _tpl(
+        "make_timestamp({0}, {1}, {2}, {3}, {4}, {5})"
+    ),
+    "makeDateTime64": _tpl(
+        "make_timestamp({0}, {1}, {2}, {3}, {4}, {5})"
+    ),
+    # timestamp(expr): CH's cast-style constructor.
+    "timestamp": _cast("timestamp"),
+    # toRelative*Num: epoch-aligned period numbers (the comparisons these
+    # feed only need a consistent origin). Week stays unmapped — CH
+    # aligns weeks to a Thursday-epoch offset.
+    "toRelativeYearNum": _tpl("year({0})"),
+    "toRelativeMonthNum": _tpl("(year({0}) * 12 + month({0}))"),
+    "toRelativeDayNum": _tpl("cast(floor(unix_timestamp({0}) / 86400) as int)"),
+    "toRelativeHourNum": _tpl("cast(floor(unix_timestamp({0}) / 3600) as int)"),
+    "toRelativeMinuteNum": _tpl("cast(floor(unix_timestamp({0}) / 60) as int)"),
+    "toRelativeSecondNum": _fn("unix_timestamp"),
+    # Snowflake ids embed milliseconds since the Twitter epoch in the top
+    # 41 bits (CH uses the same 1288834974657 origin).
+    "snowflakeToDateTime": lambda a: (
+        f"timestamp_millis(shiftright({a[0]}, 22) + 1288834974657)"
+    ),
+    "dateTimeToSnowflake": _tpl(
+        "shiftleft(unix_millis({0}) - 1288834974657, 22)"
+    ),
+    # UUIDv7: first 48 bits are unix milliseconds.
+    "UUIDv7ToDateTime": _tpl(
+        "timestamp_millis(cast(conv(substr(replace({0}, '-', ''), 1, 12), "
+        "16, 10) as bigint))"
+    ),
+    "fromUnixTimestamp64Nano": _tpl(
+        "timestamp_micros(cast({0} div 1000 as bigint))"
+    ),
+    "toUnixTimestamp64Nano": _tpl("(unix_micros({0}) * 1000)"),
+    "toDecimalString": lambda a: (
+        f"cast(cast({a[0]} as decimal(38, {a[1]})) as string)"
+    ),
+    "formatReadableQuantity": _tpl(
+        "CASE WHEN abs({0}) >= 1e12 THEN concat(format_number({0} / 1e12, 2), ' trillion') "
+        "WHEN abs({0}) >= 1e9 THEN concat(format_number({0} / 1e9, 2), ' billion') "
+        "WHEN abs({0}) >= 1e6 THEN concat(format_number({0} / 1e6, 2), ' million') "
+        "WHEN abs({0}) >= 1e3 THEN concat(format_number({0} / 1e3, 2), ' thousand') "
+        "ELSE format_number(cast({0} as double), 2) END"
+    ),
+    "anyLastRespectNulls": _tpl("last({0})"),
+    # -- round-9 wave 4: array/map leftovers ------------------------------------
+    # Spark's sequence(1, 0) steps BACKWARD — guard the too-short case
+    # explicitly instead of clamping the upper bound.
+    "arrayShingles": _tpl(
+        "CASE WHEN size({0}) < ({1}) THEN slice(array(slice({0}, 1, 0)), 1, 0) "
+        "ELSE transform(sequence(1, size({0}) - ({1}) + 1), "
+        "i -> slice({0}, i, {1})) END"
+    ),
+    "arrayJaccardIndex": _tpl(
+        "CASE WHEN size({0}) = 0 AND size({1}) = 0 THEN 1.0D ELSE "
+        "cast(size(array_intersect({0}, {1})) as double) / "
+        "size(array_distinct(concat({0}, {1}))) END"
+    ),
+    # mapPopulateSeries: fill integer key gaps min..max with 0 defaults.
+    "mapPopulateSeries": _tpl(
+        "map_from_entries(transform("
+        "sequence(array_min(map_keys({0})), array_max(map_keys({0}))), "
+        "k -> named_struct('key', k, "
+        "'value', coalesce(try_element_at({0}, k), 0))))"
+    ),
 }
 
 _install_dict_rules(RULES)
@@ -3240,6 +3357,15 @@ for _legacy, _modern in [
     ("visitParamExtractBool", "simpleJSONExtractBool"),
     ("visitParamHas", "simpleJSONHas"),
     ("toIPv4", "IPv4StringToNum"),
+    # CH's bare vector-math spellings alias the array* forms.
+    ("dotProduct", "arrayDotProduct"),
+    ("L1Norm", "arrayL1Norm"),
+    ("L2Norm", "arrayL2Norm"),
+    ("L1Distance", "arrayL1Distance"),
+    ("L2Distance", "arrayL2Distance"),
+    ("L2SquaredDistance", "arrayL2SquaredDistance"),
+    ("LinfDistance", "arrayLinfDistance"),
+    ("cosineDistance", "arrayCosineDistance"),
 ]:
     RULES[_legacy] = RULES[_modern]
 del _legacy, _modern
@@ -3888,6 +4014,9 @@ PARAM_RULES: dict[str, ParamRule] = {
     "quantileTDigestWeighted": lambda params, args: (
         f"percentile({args[0]}, {params[0] if params else '0.5'}, {args[1]})"
     ),
+    "quantileInterpolatedWeighted": lambda params, args: (
+        f"percentile({args[0]}, {params[0] if params else '0.5'}, {args[1]})"
+    ),
 }
 
 # Aggregate bases eligible for the -If combinator -> FILTER (WHERE ...).
@@ -4172,6 +4301,62 @@ _UNSUPPORTED: dict[str, str] = {
     "cramersV": "use x_cramers_v (full-oracle Cramér's V)",
     "cramersVBiasCorrected": "use x_cramers_v (the bias term is "
                              "arithmetic on the same counts)",
+    "extractGroups": "group COUNT is type-level in CH — spell each "
+                     "group as regexp_extract(h, p, i)",
+    "extractAllGroupsHorizontal": "see extractGroups (regexp_extract_all "
+                                  "per group index)",
+    "extractAllGroupsVertical": "see extractGroups",
+    "punycodeEncode": "no JVM punycode builtin — pandas UDF "
+                      "(idna/encodings.idna) off the hot path",
+    "punycodeDecode": "see punycodeEncode",
+    "idnaEncode": "see punycodeEncode",
+    "idnaDecode": "see punycodeEncode",
+    "base58Encode": "no JVM base58 builtin — pandas UDF (base58) off the "
+                    "hot path; base64Encode/hex translate",
+    "base58Decode": "see base58Encode",
+    "byteSize": "engine-internal storage introspection with no Spark "
+                "analog",
+    "arrayRandomSample": "nondeterministic sampling — slice(shuffle(x), "
+                         "1, n) if CH-parity randomness is not required, "
+                         "or x_det_sample for hash-deterministic draws",
+    "arrayPartialShuffle": "see arrayRandomSample",
+    "arrayNormalizedGini": "open an issue with the use case — the Gini "
+                           "fold is expressible but has no known "
+                           "reference caller",
+    "arrayLevenshteinDistance": "no JVM array edit-distance builtin — "
+                                "operators/fuzzy.py covers string edit "
+                                "distance",
+    "tuplePlus": "Spark structs have no generic field-wise arithmetic — "
+                 "spell per field, or use arrays (zip_with(a, b, (x, y) "
+                 "-> x + y))",
+    "tupleMinus": "see tuplePlus",
+    "tupleMultiply": "see tuplePlus",
+    "tupleDivide": "see tuplePlus",
+    "tupleNegate": "see tuplePlus",
+    "tupleSum": "see tuplePlus (aggregate over arrays)",
+    "tupleAvg": "see tuplePlus",
+    "tupleConcat": "see tuplePlus (named_struct with both field lists)",
+    "generateUUIDv7": "nondeterministic — uuid() generates v4; v7's "
+                      "time-ordering needs dateTimeToSnowflake-style "
+                      "explicit timestamps",
+    "generateSnowflakeID": "nondeterministic — compose "
+                           "dateTimeToSnowflake(now()) with an explicit "
+                           "sequence column",
+    "ULIDStringToDateTime": "Crockford base32 decode has no JVM builtin "
+                            "— pandas UDF off the hot path "
+                            "(UUIDv7ToDateTime translates)",
+    "queryID": "engine introspection with no Spark analog "
+               "(spark.sparkContext.applicationId driver-side)",
+    "initialQueryID": "see queryID",
+    "connectionId": "see queryID",
+    "serverUUID": "see queryID",
+    "transactionID": "see queryID",
+    "proportionsZTest": "transcendental p-values/CIs (studentTTest "
+                        "contract) — compute the z statistic from the "
+                        "two count/total pairs",
+    "formatReadableTimeDelta": "multi-unit wording — compose from "
+                               "intDiv/modulo buckets "
+                               "(formatReadableQuantity translates)",
     "theilsU": "log-based uncertainty coefficient — transcendental sum "
                "(same contract as entropy); compute from the "
                "contingency counts driver-side",

@@ -2275,6 +2275,64 @@ def test_round9_auc_and_json_keys(spark):
         translate("SELECT JSONExtractKeysAndValues(j, 'Array(String)') FROM t")
 
 
+def test_round9_wave4_batch(spark):
+    """Vector short spellings, string/date leftovers, snowflake/UUIDv7
+    codecs, arrayShingles/arrayJaccardIndex, mapPopulateSeries,
+    normalizeL1/L2, formatReadableQuantity, and the wave-4 loud tail."""
+    import datetime as dt
+
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    assert one("dotProduct([1, 2], [3, 4])") == 11.0
+    assert one("L2Distance([0, 0], [3, 4])") == 5.0
+    assert one("cosineDistance([2, 0], [5, 0])") == 0.0
+    assert one("normalizeL1([1, 3])") == [0.25, 0.75]
+    assert one("normalizeL2([3, 4])") == [0.6, 0.8]
+    assert one("left('spark', 2)") == "sp"
+    assert one("left('spark', -2)") == "spa"
+    assert one("right('spark', 2)") == "rk"
+    assert one("right('spark', -2)") == "ark"
+    assert one("firstLine('a\\nb\\nc')") == "a"
+    assert one("countMatchesCaseInsensitive('aAa', 'a')") == 3
+    assert one("countSubstringsCaseInsensitive('aAa', 'a')") == 3
+    assert one("regexpExtract('ab12', '([a-z]+)([0-9]+)', 2)") == "12"
+    assert one("regexpExtract('ab12', '([a-z]+)')") == "ab"
+    assert one("dayName(toDate('2024-01-01'))") == "Monday"
+    assert one("daysInMonth(toDate('2024-02-05'))") == 29
+    assert one("makeDate(2024, 3, 15)") == dt.date(2024, 3, 15)
+    assert one("makeDate(2024, 40)") == dt.date(2024, 2, 9)  # (y, doy) form
+    assert one("makeDateTime(2024, 3, 15, 10, 30, 45)") == dt.datetime(
+        2024, 3, 15, 10, 30, 45
+    )
+    assert one("toRelativeMonthNum(toDate('2024-03-15'))") == 2024 * 12 + 3
+    # Twitter snowflake round-trip at the epoch origin
+    assert one(
+        "snowflakeToDateTime(dateTimeToSnowflake(toDateTime('2021-08-15 10:57:56')))"
+    ) == dt.datetime(2021, 8, 15, 10, 57, 56)
+    assert one(
+        "UUIDv7ToDateTime('018f05af-f4a8-778f-86ba-91ef13a21c00')"
+    ).year == 2024
+    assert one("arrayShingles([1, 2, 3, 4], 2)") == [[1, 2], [2, 3], [3, 4]]
+    assert one("arrayShingles([1], 3)") == []
+    assert one("arrayJaccardIndex([1, 2], [2, 3])") == pytest.approx(1 / 3)
+    assert sorted(one("mapPopulateSeries(map(1, 10, 4, 40))").items()) == [
+        (1, 10), (2, 0), (3, 0), (4, 40),
+    ]
+    assert one("formatReadableQuantity(1234567)") == "1.23 million"
+    assert one("formatReadableQuantity(42)") == "42.00"
+    assert one("toDecimalString(2.5, 2)") == "2.50"
+    assert one("toUnixTimestamp64Nano(fromUnixTimestamp64Nano(1500000000))") \
+        == 1500000000 - (1500000000 % 1000)
+    for bad, hint in [
+        ("SELECT tuplePlus(a, b) FROM t", "zip_with"),
+        ("SELECT generateUUIDv7()", "uuid"),
+        ("SELECT extractGroups(h, p) FROM t", "regexp_extract"),
+        ("SELECT proportionsZTest(a, b, c, d, e, f)", "z statistic"),
+        ("SELECT base58Encode(s) FROM t", "pandas UDF"),
+    ]:
+        with pytest.raises(DialectError, match=hint):
+            translate(bad)
+
+
 def test_round9_matrix_aggregates(spark):
     """corrMatrix / covarSampMatrix / covarPopMatrix as k x k grids of
     pairwise aggregates."""
