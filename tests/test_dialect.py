@@ -688,6 +688,38 @@ def _expr(depth=3):
         st.tuples(_num(depth - 1), _num(depth - 1)).map(
             lambda t: f"quantileExactWeighted(0.5)(toInt64({t[0]}), 1 + abs(toInt64({t[1]})) % 5)"
         ),
+        # round-9 wave-3/4 surface: multiSearch, bitmap algebra, vector
+        # math, fill/split folds, URL/string leftovers, readable quantity
+        st.tuples(_str(depth - 1)).map(
+            lambda t: f"multiSearchFirstPosition({t[0]}, ['a', 'zz'])"
+        ),
+        st.tuples(_arrnum(depth - 1), _arrnum(depth - 1)).map(
+            lambda t: f"bitmapOrCardinality(bitmapBuild({t[0]}), bitmapBuild({t[1]}))"
+        ),
+        st.tuples(_arrnum(depth - 1), _arrnum(depth - 1)).map(
+            lambda t: f"arrayDotProduct({t[0]}, {t[1]})"
+        ),
+        st.tuples(_arrnum(depth - 1), _arrnum(depth - 1)).map(
+            lambda t: f"arrayJaccardIndex({t[0]}, {t[1]})"
+        ),
+        _arrnum(depth - 1).map(lambda a: f"arrayFill(x -> x > 1, {a})"),
+        _arrnum(depth - 1).map(lambda a: f"arrayCumSumNonNegative({a})"),
+        st.tuples(_num(depth - 1), _num(depth - 1)).map(
+            lambda t: f"bitHammingDistance(toInt64({t[0]}), toInt64({t[1]}))"
+        ),
+        st.tuples(_num(depth - 1), _num(depth - 1)).map(
+            lambda t: f"intDivOrZero(toInt64({t[0]}), toInt64({t[1]}))"
+        ),
+        st.tuples(_str(depth - 1), st.integers(-3, 3)).map(
+            lambda t: f"left({t[0]}, {t[1]})"
+        ),
+        _str(depth - 1).map(lambda s: f"firstLine({s})"),
+        _str(depth - 1).map(lambda s: f"encodeURLComponent({s})"),
+        _num(depth - 1).map(lambda n: f"formatReadableQuantity({n})"),
+        _ts(depth - 1).map(lambda t: f"dayName({t})"),
+        _ts(depth - 1).map(
+            lambda t: f"snowflakeToDateTime(dateTimeToSnowflake({t}))"
+        ),
     )
 
 
