@@ -4301,11 +4301,10 @@ _UNSUPPORTED: dict[str, str] = {
     "cramersV": "use x_cramers_v (full-oracle Cramér's V)",
     "cramersVBiasCorrected": "use x_cramers_v (the bias term is "
                              "arithmetic on the same counts)",
-    "extractGroups": "group COUNT is type-level in CH — spell each "
-                     "group as regexp_extract(h, p, i)",
-    "extractAllGroupsHorizontal": "see extractGroups (regexp_extract_all "
-                                  "per group index)",
-    "extractAllGroupsVertical": "see extractGroups",
+    "extractAllGroupsHorizontal": "group count is type-level — spell "
+                                  "each group as regexp_extract_all(h, "
+                                  "p, i) (extractGroups translates)",
+    "extractAllGroupsVertical": "see extractAllGroupsHorizontal",
     "punycodeEncode": "no JVM punycode builtin — pandas UDF "
                       "(idna/encodings.idna) off the hot path",
     "punycodeDecode": "see punycodeEncode",

@@ -1961,7 +1961,6 @@ def test_round9_aggregate_batch(spark):
         ("rankCorr(a, b)", "x_rank_corr"),
         ("sparkbar(9)(x, y)", "m_histogram"),
         ("meanZTest(1, 1, 0.95)(a, b)", "studentTTest"),
-        ("corrMatrix(a, b)", "per-pair"),
         ("aggThrow(0.5)(x)", "test-harness"),
     ]:
         with pytest.raises(DialectError, match=hint.replace("(", "\\(")):
@@ -2587,8 +2586,8 @@ def test_round8_scalar_function_batch(spark):
     # CH: the label before the TLD ('clickhouse' in news.clickhouse.com)
     assert r0["fsd"] == "example" and r1["fsd"] == "example"
     assert r0["si"] == "https://sub.shop.example.com"
-    with pytest.raises(DialectError, match="rank"):
-        translate("SELECT arrayAUC(a, b) FROM t")
+    # arrayAUC translates since round-9 wave 4 (exact pair counting)
+    assert "aggregate(" in translate("SELECT arrayAUC(a, b) FROM t")
     with pytest.raises(DialectError, match="unicode"):
         translate("SELECT normalizeUTF8NFC(s) FROM t")
     with pytest.raises(DialectError, match="mapFilter"):
