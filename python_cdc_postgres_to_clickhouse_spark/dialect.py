@@ -174,6 +174,30 @@ def _strip_format_settings(toks: list[str]) -> list[str]:
         if _u(t) == "FORMAT" and i + 1 < len(toks) and _is_ident(toks[i + 1]):
             i += 2
             continue
+        # INTO OUTFILE '<path>' [AND STDOUT] [APPEND|TRUNCATE]
+        # [COMPRESSION '<method>' [LEVEL n]] — client-side redirection;
+        # formats.outfile_target(sql) recovers the path + format for the
+        # Spark-writer route (formats.execute).
+        if (
+            _u(t) == "INTO"
+            and i + 2 < len(toks)
+            and _u(toks[i + 1]) == "OUTFILE"
+            and toks[i + 2].startswith("'")
+        ):
+            i += 3
+            while i < len(toks):
+                u = _u(toks[i])
+                if u == "AND" and i + 1 < len(toks) and _u(toks[i + 1]) == "STDOUT":
+                    i += 2
+                elif u in ("APPEND", "TRUNCATE"):
+                    i += 1
+                elif u == "COMPRESSION" and i + 1 < len(toks):
+                    i += 2
+                    if i + 1 < len(toks) and _u(toks[i]) == "LEVEL":
+                        i += 2
+                else:
+                    break
+            continue
         out.append(t)
         i += 1
     return out

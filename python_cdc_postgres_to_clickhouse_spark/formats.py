@@ -106,3 +106,27 @@ def read(spark: SparkSession, fmt: str, path: str, schema=None,
     elif spark_fmt == "csv" and opts.get("header"):
         r = r.option("inferSchema", True)
     return r.load(path)
+
+
+def outfile_target(sql: str) -> str | None:
+    """The ``INTO OUTFILE '<path>'`` target of a ClickHouse query, or
+    None. The dialect strips the clause (client-side redirection);
+    recover it here to route through ``write``."""
+    m = re.search(r"(?i)\bINTO\s+OUTFILE\s+'([^']+)'", sql)
+    return m.group(1) if m else None
+
+
+def execute(spark: SparkSession, ch_sql: str, sf_dir: str | None = None,
+            default_format: str = "TabSeparated") -> DataFrame:
+    """Run a ClickHouse query end to end, honoring its output clauses:
+    translate + execute via ``dialect.clickhouse_sql``; when the text
+    carries ``INTO OUTFILE`` the result is also written there in the
+    query's FORMAT (CH's default outfile format is TabSeparated).
+    Returns the DataFrame either way."""
+    from .dialect import clickhouse_sql
+
+    df = clickhouse_sql(spark, ch_sql, sf_dir)
+    target = outfile_target(ch_sql)
+    if target is not None:
+        write(df, query_format(ch_sql) or default_format, target)
+    return df

@@ -61,3 +61,23 @@ def test_unsupported_formats_are_loud(spark, tmp_path):
     ]:
         with pytest.raises(DialectError, match=hint):
             FMT.write(df, fmt, str(tmp_path / "x"))
+
+
+def test_into_outfile_executes_and_strips(spark, tmp_path):
+    from python_cdc_postgres_to_clickhouse_spark.dialect import translate
+
+    out = translate(
+        "SELECT 1 AS x INTO OUTFILE '/tmp/x' AND STDOUT "
+        "COMPRESSION 'gzip' LEVEL 3 FORMAT CSVWithNames"
+    )
+    assert out == "SELECT 1 AS x"
+    target = str(tmp_path / "out")
+    df = FMT.execute(
+        spark,
+        f"SELECT 2 AS id, 'b' AS s INTO OUTFILE '{target}' "
+        "FORMAT JSONEachRow",
+    )
+    assert df.collect()[0]["id"] == 2
+    back = FMT.read(spark, "JSONEachRow", target)
+    assert back.collect()[0]["s"] == "b"
+    assert FMT.outfile_target("SELECT 1") is None
