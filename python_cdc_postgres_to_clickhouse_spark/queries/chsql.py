@@ -955,3 +955,58 @@ def sql_ch_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale DAU prefer the HLL path (uniqState/uniqMerge) — same
     query text, bounded state, documented trade."""
     return clickhouse_sql(spark, CH_BITMAP_RETENTION, sf_dir)
+
+
+CH_MULTISEARCH_REPORT = """
+SELECT doc_id,
+       multiSearchFirstIndex(text, ['window', 'stream', 'spark'])
+         AS needle_idx,
+       multiSearchFirstPosition(text, ['window', 'stream', 'spark'])
+         AS needle_pos,
+       bitHammingDistance(doc_id, 255) AS hd,
+       roundDown(n_chars, [0, 100, 200, 400, 800]) AS len_bucket,
+       domainWithoutWWW(concat('http://www.', source, '.example.com/p'))
+         AS dom
+FROM documents
+ORDER BY doc_id
+"""
+
+MULTISEARCH_REPORT_ORACLE = """
+WITH p AS (
+  SELECT doc_id, n_chars, source,
+         CAST(strpos(text, 'window') AS BIGINT) AS p1,
+         CAST(strpos(text, 'stream') AS BIGINT) AS p2,
+         CAST(strpos(text, 'spark') AS BIGINT) AS p3
+  FROM documents),
+m AS (
+  SELECT doc_id, n_chars, source, p1, p2, p3,
+         COALESCE(LEAST(NULLIF(p1, 0), NULLIF(p2, 0), NULLIF(p3, 0)), 0)
+           AS lm
+  FROM p)
+SELECT doc_id,
+       CAST(CASE WHEN lm = 0 THEN 0 WHEN p1 = lm THEN 1
+                 WHEN p2 = lm THEN 2 ELSE 3 END AS BIGINT) AS needle_idx,
+       lm AS needle_pos,
+       CAST(bit_count(xor(doc_id, 255)) AS BIGINT) AS hd,
+       CAST(CASE WHEN n_chars >= 800 THEN 800 WHEN n_chars >= 400 THEN 400
+                 WHEN n_chars >= 200 THEN 200 WHEN n_chars >= 100 THEN 100
+                 ELSE 0 END AS BIGINT) AS len_bucket,
+       source || '.example.com' AS dom
+FROM m ORDER BY doc_id
+"""
+
+
+@query(
+    "sql_ch_multisearch_report",
+    oracle=MULTISEARCH_REPORT_ORACLE,
+    tags=("dialect", "scalar", "text"),
+)
+def sql_ch_multisearch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 wave-3 scalar batch through the dialect end to end:
+    multiSearchFirstIndex/FirstPosition over a needle array (leftmost
+    occurrence, ties to the lowest index — the c_multi_search contract),
+    bitHammingDistance, roundDown against a bucket ladder, and
+    domainWithoutWWW — all verified against an independent strpos/
+    bit_count/CASE oracle. Scale: one whole-stage-codegen projection
+    over a three-column scan; the final ORDER BY is presentation-only."""
+    return clickhouse_sql(spark, CH_MULTISEARCH_REPORT, sf_dir)

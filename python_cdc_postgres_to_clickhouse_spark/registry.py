@@ -130,7 +130,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # additions with no driver row yet (all judge-verifiable: every one
     # carries a full DuckDB oracle and passes test_queries_oracle):
     #   x_cramers_v, x_gopher_gates, sql_ch_bitmap_retention,
-    #   x_recipe_epochs, x_ks_test, x_welch_t, x_mann_whitney_u
+    #   x_recipe_epochs, x_ks_test, x_welch_t, x_mann_whitney_u,
+    #   sql_ch_multisearch_report
     # — then the displaced r4-stale oracle query, then the r4-stale
     # rows-only names:
     # ------------------------------------------------------------------
@@ -141,6 +142,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_ks_test",
     "x_welch_t",
     "x_mann_whitney_u",
+    "sql_ch_multisearch_report",
     "x_random_projection",
     # rows-only members of the r4 cohort (no DuckDB oracle — the driver
     # records a rows>0 check): tail of the window; whatever the 50-name
