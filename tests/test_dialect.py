@@ -2356,7 +2356,7 @@ def test_round9_wave4_batch(spark):
     for bad, hint in [
         ("SELECT tuplePlus(a, b) FROM t", "zip_with"),
         ("SELECT generateUUIDv7()", "uuid"),
-        ("SELECT extractGroups(h, p) FROM t", "regexp_extract"),
+        ("SELECT extractAllGroupsHorizontal(h, p) FROM t", "regexp_extract"),
         ("SELECT proportionsZTest(a, b, c, d, e, f)", "z statistic"),
         ("SELECT base58Encode(s) FROM t", "pandas UDF"),
     ]:
