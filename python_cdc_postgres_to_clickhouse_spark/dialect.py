@@ -1196,6 +1196,130 @@ def _merge_prewhere(toks: list[str]) -> list[str]:
     return toks
 
 
+_ALIAS_CLAUSE_END = {
+    "GROUP", "ORDER", "LIMIT", "SETTINGS", "QUALIFY", "WINDOW", "UNION",
+    "INTERSECT", "EXCEPT", "FORMAT", "INTO", "HAVING", "WHERE", "PREWHERE",
+}
+
+
+def _rewrite_where_aliases(toks: list[str]) -> list[str]:
+    """ClickHouse resolves SELECT-list aliases inside WHERE / PREWHERE /
+    HAVING (alias wins over a same-named column under the default
+    ``prefer_column_name_to_alias = 0``); Spark does not. Reproduce CH's
+    semantics by textual inlining: within each SELECT's own filter
+    clauses, a bare reference to ``expr AS name`` becomes ``(expr)`` —
+    exactly CH's resolution, including the shadowing case (``round(v) AS
+    v … WHERE v > 0`` filters on the rounded value, and the ``v`` inside
+    the inlined expression still reads the column). Chained aliases
+    resolve left to right, as in CH. GROUP BY / ORDER BY references pass
+    through untouched — Spark resolves those natively."""
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if _u(out[i]) != "SELECT":
+            i += 1
+            continue
+        d = 0
+        # parse the select list: items split on depth-0 commas up to the
+        # matching FROM (relative depth 0 for this SELECT)
+        j = i + 1
+        if j < len(out) and _u(out[j]) == "DISTINCT":
+            j += 1
+        items: list[list[str]] = [[]]
+        from_at = None
+        while j < len(out):
+            t = out[j]
+            if t == "(":
+                d += 1
+            elif t == ")":
+                if d == 0:
+                    break  # this SELECT was a subquery; its ) ends it
+                d -= 1
+            elif d == 0 and t == ",":
+                items.append([])
+                j += 1
+                continue
+            elif d == 0 and _u(t) == "FROM":
+                from_at = j
+                break
+            items[-1].append(t)
+            j += 1
+        if from_at is None:
+            i = j + 1
+            continue
+        # alias -> expr tokens (AS-form only), chained aliases resolved
+        aliases: dict[str, list[str]] = {}
+        for item in items:
+            dd = 0
+            as_at = None
+            for k, t in enumerate(item):
+                if t == "(":
+                    dd += 1
+                elif t == ")":
+                    dd -= 1
+                elif dd == 0 and _u(t) == "AS" and k + 1 < len(item):
+                    as_at = k
+            if as_at is None or as_at + 1 != len(item) - 1:
+                continue
+            name = item[as_at + 1]
+            if not _is_ident(name):
+                continue
+            expr = item[:as_at]
+            if not expr:
+                continue
+            resolved: list[str] = []
+            for t in expr:
+                if t in aliases:
+                    resolved.extend(["(", *aliases[t], ")"])
+                else:
+                    resolved.append(t)
+            aliases[name] = resolved
+        if not aliases:
+            i = from_at + 1
+            continue
+        # walk this SELECT's tail; substitute inside WHERE/PREWHERE/HAVING
+        # segments at relative depth 0
+        j = from_at + 1
+        in_filter = False
+        # paren stack: True when the group is a SUBQUERY (first token
+        # SELECT) — names inside resolve in the inner scope, not here;
+        # plain grouping parens stay substitutable.
+        stack: list[bool] = []
+        while j < len(out):
+            t = out[j]
+            if t == "(":
+                nxt = out[j + 1] if j + 1 < len(out) else ""
+                stack.append(_u(nxt) == "SELECT")
+            elif t == ")":
+                if not stack:
+                    break
+                stack.pop()
+            elif not stack:
+                u = _u(t)
+                if u in ("WHERE", "PREWHERE", "HAVING"):
+                    in_filter = True
+                    j += 1
+                    continue
+                if u in _ALIAS_CLAUSE_END or u == "SELECT":
+                    in_filter = False
+                    if u == "SELECT":
+                        j += 1
+                        continue
+            # Substitute unless inside a subquery group — a subquery in
+            # WHERE resolves its own names (its SELECT gets its own pass).
+            if in_filter and not any(stack) and t in aliases:
+                prev = out[j - 1] if j > 0 else ""
+                nxt = out[j + 1] if j + 1 < len(out) else ""
+                if prev != "." and nxt != "(" and _u(prev) != "AS":
+                    repl = ["(", *aliases[t], ")"]
+                    out[j:j + 1] = repl
+                    j += len(repl)
+                    continue
+            j += 1
+        i = from_at + 1
+    return out
+
+
 def _rewrite_scalar_with(toks: list[str]) -> list[str]:
     """ClickHouse's reversed WITH: ``WITH <expr> AS name[, ...] SELECT ...``
     binds named scalar constants (the opposite arg order from a standard
@@ -4570,6 +4694,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_limit_by(toks)
     toks = _rewrite_limit_offset(toks)
     toks = _merge_prewhere(toks)
+    toks = _rewrite_where_aliases(toks)
     toks = _rewrite_scalar_with(toks)
     toks = _rewrite_with_fill(toks)
     toks = _rewrite_with_totals(toks)

@@ -2306,6 +2306,56 @@ def test_round9_auc_and_json_keys(spark):
         translate("SELECT JSONExtractKeysAndValues(j, 'Array(String)') FROM t")
 
 
+def test_where_resolves_select_aliases_like_clickhouse(spark):
+    """CH resolves SELECT-list aliases inside WHERE/PREWHERE/HAVING (alias
+    wins over a same-named column under the default
+    prefer_column_name_to_alias = 0); Spark doesn't. The dialect inlines
+    the alias expression — including the shadowing case and chained
+    aliases — scoped per SELECT (subqueries resolve their own names)."""
+    assert translate(
+        "SELECT round(value) AS v2 FROM events WHERE v2 > 100"
+    ) == "SELECT round(value) AS v2 FROM events WHERE (round(value)) > 100"
+    # shadowing: the alias wins in the filter; the column feeds the expr
+    assert translate(
+        "SELECT round(value) AS value FROM events WHERE value > 100"
+    ) == (
+        "SELECT round(value) AS value FROM events "
+        "WHERE (round(value)) > 100"
+    )
+    # chained aliases resolve left to right
+    assert translate(
+        "SELECT value * 2 AS d, d + 1 AS e FROM events WHERE e > 3"
+    ).endswith("WHERE ((value * 2) + 1) > 3")
+    # HAVING: aggregate aliases inline to the aggregate itself
+    assert translate(
+        "SELECT user_id, count() AS n FROM events GROUP BY user_id "
+        "HAVING n > 5"
+    ).endswith("HAVING (count(*)) > 5")
+    # qualified references and ORDER BY stay untouched (Spark-native)
+    assert translate(
+        "SELECT value AS v FROM events WHERE t.v > 1"
+    ).endswith("WHERE t.v > 1")
+    assert translate(
+        "SELECT value AS v FROM events ORDER BY v"
+    ).endswith("ORDER BY v")
+    # a subquery inside WHERE resolves its own names
+    assert translate(
+        "SELECT value AS v FROM events WHERE user_id IN (SELECT v FROM o)"
+    ).endswith("(SELECT v FROM o)")
+    # PREWHERE merges into WHERE and then resolves aliases
+    assert translate(
+        "SELECT round(value) AS v FROM events PREWHERE v > 1"
+    ).endswith("WHERE ((round(value)) > 1)")
+    # executes end to end with CH's shadowing semantics
+    spark.sql(
+        "SELECT * FROM VALUES (0.4), (1.6) AS t(value)"
+    ).createOrReplaceTempView("alias_t")
+    rows = spark.sql(translate(
+        "SELECT round(value) AS value FROM alias_t WHERE value >= 1"
+    )).collect()
+    assert [r["value"] for r in rows] == [2.0]
+
+
 def test_round9_wave4_batch(spark):
     """Vector short spellings, string/date leftovers, snowflake/UUIDv7
     codecs, arrayShingles/arrayJaccardIndex, mapPopulateSeries,
