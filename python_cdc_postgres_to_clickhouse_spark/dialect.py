@@ -4683,7 +4683,36 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
 # ---------------------------------------------------------------------------
 
 def translate(sql: str) -> str:
-    """Translate a ClickHouse SQL string into Spark SQL."""
+    """Translate a ClickHouse SQL string into Spark SQL.
+
+    SETTINGS are stripped (client/server knobs), except the two whose
+    values CHANGE QUERY SEMANTICS in ways this shim pins the other way:
+
+    - ``join_use_nulls``: the shim always behaves like the SQL-standard
+      ``= 1`` (outer-join misses are NULL). CH's default ``= 0`` fills
+      type defaults (0, '', epoch) instead — a query that explicitly
+      sets 0 depends on that and raises loud (wrap the nullable columns
+      in ``coalesce(col, <default>)`` to port it). Queries that never
+      set it almost always tolerate NULLs; the same NULL-not-default
+      convention applies to WITH TOTALS rows (documented there).
+    - ``prefer_column_name_to_alias = 1``: inverts CH's alias scoping in
+      WHERE/HAVING, which this shim reproduces in its default ``= 0``
+      form (see _rewrite_where_aliases) — raises loud.
+    """
+    if re.search(r"(?i)\bjoin_use_nulls\s*=\s*0", sql):
+        raise DialectError(
+            "SETTINGS join_use_nulls = 0: CH fills outer-join misses "
+            "with type defaults (0, '', epoch); Spark and this shim use "
+            "SQL-standard NULLs — wrap the nullable columns in "
+            "coalesce(col, <type default>) to keep the query's behavior"
+        )
+    if re.search(r"(?i)\bprefer_column_name_to_alias\s*=\s*1", sql):
+        raise DialectError(
+            "SETTINGS prefer_column_name_to_alias = 1: the shim "
+            "reproduces CH's DEFAULT alias scoping (aliases resolve in "
+            "WHERE/HAVING); rename the alias to stop it shadowing the "
+            "column instead"
+        )
     toks = _tokenize(sql)
     toks = _strip_format_settings(toks)
     toks = _rewrite_any_join(toks)

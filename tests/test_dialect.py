@@ -2356,6 +2356,24 @@ def test_where_resolves_select_aliases_like_clickhouse(spark):
     assert [r["value"] for r in rows] == [2.0]
 
 
+def test_semantic_settings_raise_loud():
+    """SETTINGS are stripped EXCEPT the two that change query semantics
+    against the shim's pinned conventions."""
+    with pytest.raises(DialectError, match="coalesce"):
+        translate(
+            "SELECT * FROM a LEFT JOIN b USING (k) SETTINGS join_use_nulls = 0"
+        )
+    with pytest.raises(DialectError, match="alias"):
+        translate(
+            "SELECT v AS x FROM t WHERE x > 1 "
+            "SETTINGS prefer_column_name_to_alias = 1"
+        )
+    # the SQL-standard values strip silently
+    assert translate(
+        "SELECT 1 SETTINGS join_use_nulls = 1, max_threads = 8"
+    ) == "SELECT 1"
+
+
 def test_round9_wave4_batch(spark):
     """Vector short spellings, string/date leftovers, snowflake/UUIDv7
     codecs, arrayShingles/arrayJaccardIndex, mapPopulateSeries,
