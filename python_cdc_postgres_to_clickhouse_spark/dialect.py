@@ -4504,6 +4504,9 @@ _UNSUPPORTED: dict[str, str] = {
     "formatReadableTimeDelta": "multi-unit wording — compose from "
                                "intDiv/modulo buckets "
                                "(formatReadableQuantity translates)",
+    "COLUMNS": "the dynamic-column matcher needs the schema — spell "
+               "the matched columns, or build the projection "
+               "DataFrame-side with df.colRegex",
     "theilsU": "log-based uncertainty coefficient — transcendental sum "
                "(same contract as entropy); compute from the "
                "contingency counts driver-side",
@@ -4714,6 +4717,20 @@ def translate(sql: str) -> str:
             "column instead"
         )
     toks = _tokenize(sql)
+    # Star modifiers Spark lacks (EXCEPT passes through — Spark 4 has it).
+    for k, t in enumerate(toks):
+        # A bare star (after SELECT / ',' / '(') — `a * replace(...)` is a
+        # multiplication and passes through.
+        prev = _u(toks[k - 1]) if k > 0 else "SELECT"
+        if t == "*" and prev in ("SELECT", ",", "(") and k + 1 < len(
+            toks
+        ) and _u(toks[k + 1]) in ("REPLACE", "APPLY"):
+            raise DialectError(
+                f"SELECT * {_u(toks[k + 1])} needs the column list — "
+                "Spark has no star-modifier form; spell the projection "
+                "(or use * EXCEPT, which translates) and apply the "
+                "expression per column"
+            )
     toks = _strip_format_settings(toks)
     toks = _rewrite_any_join(toks)
     toks = _rewrite_asof_join(toks)

@@ -2747,3 +2747,21 @@ def test_clause_combinations_compose():
         "SELECT x, sumIf(v, x > 0) OVER (PARTITION BY k) FROM t"
     )
     assert "FILTER (WHERE x > 0) OVER" in out
+
+
+def test_star_modifiers_raise_loud():
+    """SELECT * REPLACE/APPLY and COLUMNS('re') need the schema — loud
+    with the Spark-native route; * EXCEPT and multiplications pass."""
+    for bad in [
+        "SELECT * REPLACE (v + 1 AS v) FROM t",
+        "SELECT 2, * APPLY (sum) FROM t",
+        "SELECT COLUMNS('^l_') FROM t",
+    ]:
+        with pytest.raises(DialectError):
+            translate(bad)
+    assert translate("SELECT * EXCEPT (v) FROM t") == \
+        "SELECT * EXCEPT(v) FROM t"
+    # `*` as multiplication before replace()/apply-named identifiers
+    assert "replace(s, 'x', 'y')" in translate(
+        "SELECT a * replace(s, 'x', 'y') FROM t"
+    )
