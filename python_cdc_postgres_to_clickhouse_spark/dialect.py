@@ -4716,6 +4716,17 @@ def translate(sql: str) -> str:
             "WHERE/HAVING); rename the alias to stop it shadowing the "
             "column instead"
         )
+    # EXPLAIN variants: CH's AST/SYNTAX/QUERY TREE/PLAN/PIPELINE/ESTIMATE
+    # qualifiers have no Spark spelling — all become Spark's EXPLAIN
+    # EXTENDED (parse + analyzed + optimized + physical, the superset
+    # view), with any `qualifier = value` options dropped.
+    m = re.match(
+        r"(?i)^\s*EXPLAIN\s+(?:(?:AST|SYNTAX|QUERY\s+TREE|PLAN|PIPELINE|"
+        r"ESTIMATE)\s+)?(?:\w+\s*=\s*\w+\s*,?\s*)*(SELECT|WITH)\b",
+        sql,
+    )
+    if m:
+        return "EXPLAIN EXTENDED " + translate(sql[m.start(1):])
     toks = _tokenize(sql)
     # Star modifiers Spark lacks (EXCEPT passes through — Spark 4 has it).
     for k, t in enumerate(toks):

@@ -2765,3 +2765,14 @@ def test_star_modifiers_raise_loud():
     assert "replace(s, 'x', 'y')" in translate(
         "SELECT a * replace(s, 'x', 'y') FROM t"
     )
+
+
+def test_explain_variants_map_to_extended(spark):
+    """CH's EXPLAIN qualifiers (AST/SYNTAX/PLAN/PIPELINE/ESTIMATE) all map
+    to Spark's EXPLAIN EXTENDED over the translated query."""
+    t = translate("EXPLAIN PIPELINE SELECT countIf(v > 1) FROM t")
+    assert t.startswith("EXPLAIN EXTENDED SELECT count(*) FILTER")
+    assert translate("EXPLAIN SELECT 1") == "EXPLAIN EXTENDED SELECT 1"
+    assert translate(
+        "EXPLAIN ESTIMATE SELECT toInt64(1) AS x"
+    ) == "EXPLAIN EXTENDED SELECT cast(1 as bigint) AS x"
