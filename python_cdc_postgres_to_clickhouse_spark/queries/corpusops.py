@@ -1218,3 +1218,114 @@ def x_recipe_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("cum_before") < F.col("rem"), 1).otherwise(0)
         ).cast("long").alias("n_copies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X90: corpus funnel report — the per-source survival narrative every
+# training-data pipeline publishes: raw docs/tokens -> after exact dedup
+# (corpus-wide canonical = lowest doc_id per content fingerprint, counted
+# under the canonical's own source) -> after the Gopher fixed-threshold
+# battery (x_gopher_gates' rules inlined). The one-screen answer to "what
+# did cleaning cost each source?".
+# ---------------------------------------------------------------------------
+
+_STOP_SQL_CF = "['" + "', '".join(TS.LANG_MARKERS["en"]) + "']"
+
+CORPUS_FUNNEL_SQL = f"""
+WITH f AS (
+  SELECT doc_id, source, md5({SQL_NORM}) AS fp,
+         {_SQL_TOKENS} AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, source, fp,
+         CAST(len(toks) AS BIGINT) AS nw,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+              (a, b) -> a + b) AS BIGINT) AS sl,
+         CAST(len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+')))
+              AS BIGINT) AS na,
+         CAST(len(list_intersect(toks, {_STOP_SQL_CF})) AS BIGINT) AS ns,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS canon
+  FROM f),
+s AS (
+  SELECT source, nw, canon,
+         (sl >= 3 * nw AND sl <= 10 * nw AND 10 * na >= 8 * nw
+          AND ns >= 2 AND nw >= 50 AND nw <= 100000) AS keep
+  FROM g)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS tokens_raw,
+       CAST(COUNT(CASE WHEN canon THEN 1 END) AS BIGINT) AS n_after_dedup,
+       CAST(SUM(CASE WHEN canon THEN nw ELSE 0 END) AS BIGINT)
+         AS tokens_after_dedup,
+       CAST(COUNT(CASE WHEN canon AND keep THEN 1 END) AS BIGINT)
+         AS n_final,
+       CAST(SUM(CASE WHEN canon AND keep THEN nw ELSE 0 END) AS BIGINT)
+         AS tokens_final
+FROM s GROUP BY source
+"""
+
+
+@query("x_corpus_funnel", oracle=CORPUS_FUNNEL_SQL, tags=("ext", "pipeline"))
+def x_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90: per-source corpus funnel — docs and tokens surviving each
+    cleaning stage (raw -> exact dedup -> Gopher gates). Canonical pick
+    is the lowest doc_id per content fingerprint (x_dedup_exact's rule),
+    counted under the canonical's source; the quality stage is
+    x_gopher_gates' integer rule battery applied to the dedup survivors.
+    All-integer outputs -> bit-stable hash.
+
+    Scale: the per-doc stats are zero-shuffle token-array folds; the
+    funnel adds exactly TWO corpus-scale exchanges — the fingerprint
+    window (hash(fp), same as exact dedup) and the final per-source
+    aggregate (map-side combinable). No joins: the gates are computed
+    in the same projection as the fingerprint, so the stages compose in
+    one pass."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    toks = TS.tokens("text")
+    nw = F.size(toks).cast("long")
+    sl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, tok: a + F.length(tok)
+    )
+    na = F.size(F.filter(toks, lambda tok: tok.rlike("^[a-z]+$"))).cast(
+        "long"
+    )
+    stop = F.array(*[F.lit(w) for w in TS.LANG_MARKERS["en"]])
+    ns = F.size(F.array_intersect(toks, stop)).cast("long")
+    base = t["documents"].select(
+        "doc_id",
+        "source",
+        TS.fingerprint().alias("fp"),
+        nw.alias("nw"),
+        sl.alias("sl"),
+        na.alias("na"),
+        ns.alias("ns"),
+    )
+    keep = (
+        (F.col("sl") >= 3 * F.col("nw"))
+        & (F.col("sl") <= 10 * F.col("nw"))
+        & (10 * F.col("na") >= 8 * F.col("nw"))
+        & (F.col("ns") >= 2)
+        & (F.col("nw") >= 50)
+        & (F.col("nw") <= 100000)
+    )
+    canon = F.row_number().over(W.partitionBy("fp").orderBy("doc_id")) == 1
+    s = base.select(
+        "source", "nw", keep.alias("keep"), canon.alias("canon")
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").alias("tokens_raw"),
+        F.sum(F.when(F.col("canon"), 1).otherwise(0)).alias("n_after_dedup"),
+        F.sum(F.when(F.col("canon"), F.col("nw")).otherwise(0)).alias(
+            "tokens_after_dedup"
+        ),
+        F.sum(F.when(F.col("canon") & F.col("keep"), 1).otherwise(0)).alias(
+            "n_final"
+        ),
+        F.sum(
+            F.when(F.col("canon") & F.col("keep"), F.col("nw")).otherwise(0)
+        ).alias("tokens_final"),
+    )

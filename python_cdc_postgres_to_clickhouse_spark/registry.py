@@ -131,7 +131,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # carries a full DuckDB oracle and passes test_queries_oracle):
     #   x_cramers_v, x_gopher_gates, sql_ch_bitmap_retention,
     #   x_recipe_epochs, x_ks_test, x_welch_t, x_mann_whitney_u,
-    #   sql_ch_multisearch_report
+    #   sql_ch_multisearch_report, x_corpus_funnel
     # — then the displaced r4-stale oracle query, then the r4-stale
     # rows-only names:
     # ------------------------------------------------------------------
@@ -143,6 +143,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_welch_t",
     "x_mann_whitney_u",
     "sql_ch_multisearch_report",
+    "x_corpus_funnel",
     "x_random_projection",
     # rows-only members of the r4 cohort (no DuckDB oracle — the driver
     # records a rows>0 check): tail of the window; whatever the 50-name
