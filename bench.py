@@ -144,6 +144,7 @@ HEADLINE = [
     "sql_ch_bitmap_retention", # groupBitmapState + bitmapAndCardinality
     "x_ks_test",               # KS D over the value-grid ECDF
     "x_mann_whitney_u",        # doubled rank sums + tie-corrected z
+    "x_corpus_funnel",         # one-pass dedup+quality funnel, two exchanges
 ]
 
 
