@@ -4716,6 +4716,11 @@ def translate(sql: str) -> str:
             "WHERE/HAVING); rename the alias to stop it shadowing the "
             "column instead"
         )
+    # SHOW TABLES FROM db -> Spark's IN spelling (LIKE passes through);
+    # SHOW DATABASES / SHOW CREATE TABLE / DESCRIBE are shared syntax.
+    m = re.match(r"(?i)^(\s*SHOW\s+TABLES\s+)FROM\b", sql)
+    if m:
+        sql = sql[: m.end(1)] + "IN" + sql[m.end(0):]
     # EXPLAIN variants: CH's AST/SYNTAX/QUERY TREE/PLAN/PIPELINE/ESTIMATE
     # qualifiers have no Spark spelling — all become Spark's EXPLAIN
     # EXTENDED (parse + analyzed + optimized + physical, the superset

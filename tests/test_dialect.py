@@ -2776,3 +2776,11 @@ def test_explain_variants_map_to_extended(spark):
     assert translate(
         "EXPLAIN ESTIMATE SELECT toInt64(1) AS x"
     ) == "EXPLAIN EXTENDED SELECT cast(1 as bigint) AS x"
+
+
+def test_show_tables_from_maps_to_in(spark):
+    assert translate("SHOW TABLES FROM db1 LIKE '%ev%'") == \
+        "SHOW TABLES IN db1 LIKE '%ev%'"
+    assert translate("SHOW TABLES") == "SHOW TABLES"
+    # shared introspection syntax passes through and runs
+    assert spark.sql(translate("SHOW DATABASES")).count() >= 1
