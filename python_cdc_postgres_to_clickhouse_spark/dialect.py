@@ -2147,6 +2147,19 @@ def _raise(exc: Exception):  # expression-position raise helper
     raise exc
 
 
+def _xor_fold(a: list[str]) -> str:
+    """CH's logical xor is VARIADIC (2+ args). Fold (<>0) over all args
+    with explicit parens — Spark's comparison grammar is non-associative,
+    so a bare chain `x <> y <> z` would not parse (ADVICE r9: the old
+    2-arg template silently dropped the tail arguments)."""
+    if len(a) < 2:
+        raise DialectError("xor takes 2+ arguments")
+    acc = f"(({a[0]}) <> 0)"
+    for x in a[1:]:
+        acc = f"({acc} <> (({x}) <> 0))"
+    return f"cast({acc} as int)"
+
+
 def _format_readable_size(a: list[str]) -> str:
     """formatReadableSize(bytes) → '1.00 KiB'-style strings, binary units,
     two decimals — same shape as CH's output (no thousands separators)."""
@@ -2381,10 +2394,18 @@ def _json_keys_values(a: list[str]) -> str:
             f"(supported: {', '.join(sorted(_JSON_KV_CASTS))})"
         )
     spark_t = _JSON_KV_CASTS[t]
+    if t == "String":
+        value = "e.value"
+    else:
+        # CH returns the type's default (0) for values that don't parse as
+        # the requested numeric type (strings, booleans, nested objects);
+        # a strict CAST would abort the whole query with CAST_INVALID_INPUT
+        # on the first mixed-type object (ADVICE r9).
+        value = f"coalesce(try_cast(e.value as {spark_t}), cast(0 as {spark_t}))"
     return (
         f"transform(map_entries(from_json({a[0]}, 'map<string,string>')), "
         f"e -> named_struct('key', e.key, "
-        f"'value', cast(e.value as {spark_t})))"
+        f"'value', {value}))"
     )
 
 
@@ -3137,13 +3158,20 @@ RULES: dict[str, Callable[[list[str]], str]] = {
         "THEN concat('#', parse_url({0}, 'REF')) ELSE '' END)"
     ),
     "decodeURLComponent": _fn("url_decode"),
-    # url_encode is form-encoding (space -> '+'); CH percent-encodes
-    # (space -> %20). The replace reconciles the one divergent byte.
-    "encodeURLComponent": _tpl("replace(url_encode({0}), '+', '%20')"),
+    # url_encode is form-encoding and diverges from CH on three bytes:
+    # space ('+' vs %20), '~' (%7E vs literal), '*' (literal vs %2A).
+    # The replace chain reconciles all three; order is safe because
+    # url_encode never emits a literal '*' except for input '*' and the
+    # earlier replaces cannot introduce one (ADVICE r9).
+    "encodeURLComponent": _tpl(
+        "replace(replace(replace(url_encode({0}), "
+        "'+', '%20'), '%7E', '~'), '*', '%2A')"
+    ),
     "netloc": _tpl("parse_url({0}, 'AUTHORITY')"),
     # -- round-9 wave 3: scalar leftovers --------------------------------------
-    # xor: CH's logical xor over UInt8-ish args, returning 0/1.
-    "xor": _tpl("cast((({0}) <> 0) <> (({1}) <> 0) as int)"),
+    # xor: CH's logical xor, VARIADIC over 2+ UInt8-ish args, returning 0/1
+    # (a 2-arg-only template silently dropped the tail args — ADVICE r9).
+    "xor": lambda a: _xor_fold(a),
     # max2/min2 return Float64 in CH regardless of input type.
     "max2": _tpl("cast(greatest({0}, {1}) as double)"),
     "min2": _tpl("cast(least({0}, {1}) as double)"),
@@ -3391,8 +3419,12 @@ RULES: dict[str, Callable[[list[str]], str]] = {
         "CASE WHEN ({1}) >= 0 THEN substr({0}, 1, {1}) "
         "ELSE substr({0}, 1, greatest(length({0}) + ({1}), 0)) END"
     ),
+    # right(s, 0) needs its own branch: greatest({1}, 1) would force
+    # length 1 and Spark treats substr position 0 as 1, returning the
+    # FIRST character instead of CH's empty string (ADVICE r9).
     "right": _tpl(
-        "CASE WHEN ({1}) >= 0 THEN substr({0}, -({1}), greatest({1}, 1)) "
+        "CASE WHEN ({1}) = 0 THEN '' "
+        "WHEN ({1}) > 0 THEN substr({0}, -({1}), {1}) "
         "ELSE substr({0}, least(-({1}) + 1, length({0}) + 1)) END"
     ),
     "initcapUTF8": _fn("initcap"),
@@ -3484,11 +3516,14 @@ RULES: dict[str, Callable[[list[str]], str]] = {
         "size(array_distinct(concat({0}, {1}))) END"
     ),
     # mapPopulateSeries: fill integer key gaps min..max with 0 defaults.
+    # Empty-map guard: sequence(NULL, NULL) is NULL where CH returns the
+    # empty map unchanged (ADVICE r9).
     "mapPopulateSeries": _tpl(
+        "CASE WHEN size(map_keys({0})) = 0 THEN {0} ELSE "
         "map_from_entries(transform("
         "sequence(array_min(map_keys({0})), array_max(map_keys({0}))), "
         "k -> named_struct('key', k, "
-        "'value', coalesce(try_element_at({0}, k), 0))))"
+        "'value', coalesce(try_element_at({0}, k), 0)))) END"
     ),
 }
 

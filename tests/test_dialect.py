@@ -2784,3 +2784,25 @@ def test_show_tables_from_maps_to_in(spark):
     assert translate("SHOW TABLES") == "SHOW TABLES"
     # shared introspection syntax passes through and runs
     assert spark.sql(translate("SHOW DATABASES")).count() >= 1
+
+
+def test_advice_r9_fixes(spark):
+    """Regression pins for the five ADVICE-r9 findings: mixed-type
+    JSONExtractKeysAndValues degrades to CH type defaults instead of
+    CAST_INVALID_INPUT; right(s, 0) is '' (not the first char); xor is
+    variadic; encodeURLComponent matches CH on '~' and '*'; and
+    mapPopulateSeries keeps a runtime-empty map empty instead of NULL."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    # mixed-type JSON object: string/bool values -> Int64 default 0
+    kv = one("""JSONExtractKeysAndValues('{"a":"x","b":1,"c":true}', 'Int64')""")
+    assert [(e["key"], e["value"]) for e in kv] == [("a", 0), ("b", 1), ("c", 0)]
+    assert one("right('spark', 0)") == ""
+    assert one("right('spark', 9)") == "spark"
+    assert one("xor(1, 0, 1)") == 0
+    assert one("xor(0, 0, 0, 1)") == 1
+    assert one("xor(2, 3)") == 0
+    with pytest.raises(DialectError, match="xor"):
+        translate("SELECT xor(1) FROM t")
+    assert one("encodeURLComponent('~a!b*c d')") == "~a%21b%2Ac%20d"
+    # runtime-empty typed map stays an empty map (not NULL)
+    assert one("mapPopulateSeries(map_filter(map(1, 10), (k, v) -> false))") == {}
