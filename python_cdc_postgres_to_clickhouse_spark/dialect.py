@@ -1741,6 +1741,106 @@ def _rewrite_array_join(toks: list[str]) -> list[str]:
     return toks
 
 
+# CH's time-decayed window family: name(λ)(value, time) OVER (spec).
+# value of the function at row r = Σ_{i ∈ frame} v_i · exp((t_i − t_r)/λ).
+# The naive rewrite sum(v·exp(t/λ)) OVER spec / exp(t_r/λ) overflows for
+# epoch timestamps; anchoring every weight at the PARTITION's max time
+# keeps all exp() arguments ≤ 0 (weights in (0, 1]) and the anchor cancels
+# exactly: Σ v_i·w_i / w_r with w = exp((t − M)/λ). Transcendental output —
+# per SCALE.md rules, use it to RANK rows, not as a hash-stable output.
+_TIME_DECAYED: dict[str, str] = {
+    "exponentialtimedecayedsum": "sum",
+    "exponentialtimedecayedavg": "avg",
+    "exponentialtimedecayedcount": "count",
+    "exponentialtimedecayedmax": "max",
+}
+
+
+def _rewrite_time_decayed(toks: list[str]) -> list[str]:
+    """Rewrite ``exponentialTimeDecayed*(λ)(…) OVER (spec)`` before the
+    call pass (the rule needs the OVER spec to build the partition-max
+    anchor, which per-call rules never see). Non-window spellings fall
+    through to the loud _UNSUPPORTED pointer."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (
+            _is_ident(t)
+            and t.lower() in _TIME_DECAYED
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+        ):
+            i += 1
+            continue
+        kind = _TIME_DECAYED[t.lower()]
+        params, j = _parse_args(toks, i + 1)
+        if (
+            len(params) != 1
+            or j >= len(toks)
+            or toks[j] != "("
+        ):
+            i += 1  # not the parametric spelling — loud pointer later
+            continue
+        args, j2 = _parse_args(toks, j)
+        if j2 + 1 >= len(toks) or _u(toks[j2]) != "OVER" or toks[j2 + 1] != "(":
+            i += 1  # no OVER — loud pointer explains the window contract
+            continue
+        spec_parts, j3 = _parse_args(toks, j2 + 1)
+        spec_toks: list[str] = []
+        for k, p in enumerate(spec_parts):
+            if k:
+                spec_toks.append(",")
+            spec_toks.extend(p)
+        lam = _render(params[0])
+        if kind == "count":
+            if len(args) != 1:
+                raise DialectError(
+                    "exponentialTimeDecayedCount takes (λ)(time)"
+                )
+            val, time = None, _render(args[0])
+        else:
+            if len(args) != 2:
+                raise DialectError(f"{t} takes (λ)(value, time)")
+            val, time = _render(args[0]), _render(args[1])
+        # PARTITION BY sub-clause for the anchor window.
+        u = [_u(x) for x in spec_toks]
+        part = ""
+        if "PARTITION" in u:
+            p0 = u.index("PARTITION")
+            p1 = p0 + 2
+            depth = 0
+            while p1 < len(spec_toks):
+                x = spec_toks[p1]
+                if x == "(":
+                    depth += 1
+                elif x == ")":
+                    depth -= 1
+                elif depth == 0 and _u(x) in ("ORDER", "ROWS", "RANGE"):
+                    break
+                p1 += 1
+            part = "PARTITION BY " + _render(spec_toks[p0 + 2:p1])
+        spec = _render(spec_toks)
+        # cast(t as double): epoch seconds for timestamps, identity for
+        # numerics — both CH-accepted time argument types.
+        anchor = f"max(cast(({time}) as double)) OVER ({part})"
+        w = f"exp((cast(({time}) as double) - {anchor}) / ({lam}))"
+        if kind == "sum":
+            repl = f"((sum(({val}) * {w}) OVER ({spec})) / {w})"
+        elif kind == "max":
+            repl = f"((max(({val}) * {w}) OVER ({spec})) / {w})"
+        elif kind == "count":
+            repl = f"((sum({w}) OVER ({spec})) / {w})"
+        else:  # avg: the anchors cancel between numerator and denominator
+            repl = (
+                f"((sum(({val}) * {w}) OVER ({spec})) / "
+                f"(sum({w}) OVER ({spec})))"
+            )
+        repl_toks = _tokenize(repl)
+        toks = toks[:i] + repl_toks + toks[j3:]
+        i += len(repl_toks)
+    return toks
+
+
 # ---------------------------------------------------------------------------
 # Function rules
 # ---------------------------------------------------------------------------
@@ -2538,6 +2638,253 @@ def _map_concat_first_wins(a: list[str]) -> str:
             f"e -> NOT array_contains(map_keys({out}), e.key))))"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave: gcd/lcm, the n-gram distance family, and the IPv6 codecs —
+# the highest-frequency previously-loud functions (VERDICT r9 gap #2). All
+# pure JVM expressions (codegen, no Python workers).
+# ---------------------------------------------------------------------------
+
+def _gcd_expr(x: str, y: str) -> str:
+    """Euclid as a bounded fold: 64-bit inputs converge in <= 91 steps
+    (consecutive-Fibonacci worst case), so a fold over sequence(1, 95)
+    with a converged no-op branch is an EXACT gcd — no iteration needed
+    at the plan level. gcd(0, n) = n, gcd(0, 0) = 0, like std::gcd."""
+    return (
+        f"aggregate(sequence(1, 95), "
+        f"named_struct('a', abs(cast({x} as bigint)), "
+        f"'b', abs(cast({y} as bigint))), "
+        f"(acc, i) -> CASE WHEN acc.b = 0 THEN acc "
+        f"ELSE named_struct('a', acc.b, 'b', acc.a % acc.b) END, "
+        f"acc -> acc.a)"
+    )
+
+
+def _lcm_rule(a: list[str]) -> str:
+    """lcm(a, b) = |a| / gcd * |b| (divide FIRST so the product overflows
+    only when the true lcm does — same contract as CH/std::lcm)."""
+    if len(a) != 2:
+        raise DialectError("lcm takes exactly 2 arguments")
+    return (
+        f"CASE WHEN ({a[0]}) = 0 OR ({a[1]}) = 0 THEN 0L ELSE "
+        f"(abs(cast({a[0]} as bigint)) div {_gcd_expr(a[0], a[1])}) "
+        f"* abs(cast({a[1]} as bigint)) END"
+    )
+
+
+def _ngram_multiset(s: str, n: int, chars: bool, ci: bool) -> str:
+    """The multiset of n-grams of ``s`` as an array. Byte-level over the
+    UTF-8 encoding for the base functions (CH hashes 4-byte windows);
+    character-level for the *UTF8 variants (CH uses 3 code-point grams
+    there). CaseInsensitive variants lowercase first."""
+    src = f"lower({s})" if ci else f"({s})"
+    if chars:
+        length, body = f"length({src})", f"substr({src}, i, {n})"
+        empty = "cast(array() as array<string>)"
+    else:
+        length = f"octet_length({src})"
+        body = f"substring(encode({src}, 'UTF-8'), i, {n})"
+        empty = "cast(array() as array<binary>)"
+    # sequence(1, k) flips to a DESCENDING range when k < 1 — guard it.
+    return (
+        f"CASE WHEN {length} < {n} THEN {empty} "
+        f"ELSE transform(sequence(1, {length} - {n - 1}), i -> {body}) END"
+    )
+
+
+def _ngram_distance(n: int, chars: bool, ci: bool):
+    """ngramDistance family: |A symdiff B| / (|A| + |B|) over n-gram
+    MULTISETS (CH's documented formula), 0 when both gram sets are empty.
+    O(|A|·|B|) per row — strings, not tables, so bounded."""
+
+    def rule(a: list[str]) -> str:
+        if len(a) != 2:
+            raise DialectError("ngramDistance takes (haystack, needle)")
+        A = _ngram_multiset(a[0], n, chars, ci)
+        B = _ngram_multiset(a[1], n, chars, ci)
+        return (
+            f"element_at(transform(array(named_struct('a', {A}, 'b', {B})), "
+            f"g -> CASE WHEN size(g.a) + size(g.b) = 0 THEN cast(0 as float) "
+            f"ELSE cast(aggregate(array_distinct(concat(g.a, g.b)), 0, "
+            f"(acc, x) -> acc + abs(size(filter(g.a, v -> v = x)) "
+            f"- size(filter(g.b, v -> v = x)))) "
+            f"/ cast(size(g.a) + size(g.b) as double) as float) END), 1)"
+        )
+
+    return rule
+
+
+def _ngram_search(n: int, chars: bool, ci: bool):
+    """ngramSearch family: multiset |needle ∩ haystack| / |needle| (CH's
+    documented non-symmetric form — 1 means every needle gram appears),
+    0 when the needle has no n-grams."""
+
+    def rule(a: list[str]) -> str:
+        if len(a) != 2:
+            raise DialectError("ngramSearch takes (haystack, needle)")
+        H = _ngram_multiset(a[0], n, chars, ci)
+        N = _ngram_multiset(a[1], n, chars, ci)
+        return (
+            f"element_at(transform(array(named_struct('h', {H}, 'n', {N})), "
+            f"g -> CASE WHEN size(g.n) = 0 THEN cast(0 as float) "
+            f"ELSE cast(aggregate(array_distinct(g.n), 0, "
+            f"(acc, x) -> acc + least(size(filter(g.h, v -> v = x)), "
+            f"size(filter(g.n, v -> v = x)))) "
+            f"/ cast(size(g.n) as double) as float) END), 1)"
+        )
+
+    return rule
+
+
+# IPv6 grammar pieces. The v4-tail rewrite below reduces every embedded-
+# IPv4 spelling to the pure-hex grammar, so ONE regex set suffices.
+_V4_OCTET = "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
+_V4_RE = f"({_V4_OCTET}\\\\.){{3}}{_V4_OCTET}"
+_V6_HEX_RE = (
+    "^("
+    "(H:){7}H"      # full 8-group form
+    "|(H:){1,7}:"   # trailing ::
+    "|(H:){1,6}:H"
+    "|(H:){1,5}(:H){1,2}"
+    "|(H:){1,4}(:H){1,3}"
+    "|(H:){1,3}(:H){1,4}"
+    "|(H:){1,2}(:H){1,5}"
+    "|H:(:H){1,6}"
+    "|:((:H){1,7}|:)"  # leading :: (including bare ::)
+    ")$"
+).replace("H", "[0-9A-Fa-f]{1,4}")
+
+
+def _ipv6_valid(s: str) -> str:
+    """Boolean: ``s`` is a textual IPv6 address. Embedded-IPv4 tails are
+    validated separately, then replaced by a 2-group placeholder so the
+    pure-hex grammar enforces the group arithmetic."""
+    tail = f"substring_index({s}, ':', -1)"
+    pfx = f"substr({s}, 1, length({s}) - length({tail}))"
+    return (
+        f"(CASE WHEN {s} rlike '\\\\.' THEN "
+        f"({tail} rlike '^{_V4_RE}$') AND ({s} like '%:%') "
+        f"AND (concat({pfx}, '0:0') rlike '{_V6_HEX_RE}') "
+        f"ELSE {s} rlike '{_V6_HEX_RE}' END)"
+    )
+
+
+def _ipv6_parse(s: str) -> str:
+    """Parse a VALID IPv6 string (or bare IPv4, which maps to
+    ::ffff:a.b.c.d like CH) to its 16-byte binary form. The dotted tail
+    is rewritten to two hex groups, then `::` expands to the missing
+    zero groups; transform(array(...), t -> ...) binds the normalized
+    string once so the expression stays readable."""
+    tail = f"substring_index({s}, ':', -1)"
+    pfx = f"substr({s}, 1, length({s}) - length({tail}))"
+
+    def octet(i: int) -> str:
+        return f"cast(element_at(split({tail}, '\\\\.'), {i}) as int)"
+
+    v4pair = (
+        f"concat(lpad(hex({octet(1)} * 256 + {octet(2)}), 4, '0'), ':', "
+        f"lpad(hex({octet(3)} * 256 + {octet(4)}), 4, '0'))"
+    )
+    s2 = (
+        f"CASE WHEN {s} rlike '\\\\.' THEN "
+        f"concat(CASE WHEN {s} like '%:%' THEN {pfx} ELSE '::ffff:' END, "
+        f"{v4pair}) ELSE {s} END"
+    )
+    lparts = "filter(split(element_at(split(t, '::'), 1), ':'), x -> x != '')"
+    rparts = "filter(split(element_at(split(t, '::'), 2), ':'), x -> x != '')"
+    groups = (
+        f"CASE WHEN t like '%::%' THEN concat({lparts}, "
+        f"array_repeat('0', 8 - size({lparts}) - size({rparts})), {rparts}) "
+        f"ELSE split(t, ':') END"
+    )
+    return (
+        f"element_at(transform(array({s2}), t -> "
+        f"unhex(array_join(transform({groups}, g -> lpad(g, 4, '0')), ''))), 1)"
+    )
+
+
+def _ipv6_string_to_num(a: list[str]) -> str:
+    """IPv6StringToNum / toIPv6: string → binary(16). Bare IPv4 input
+    maps to ::ffff:a.b.c.d (CH accepts it); invalid input aborts the
+    query via raise_error — the same throw-on-bad-row contract as CH."""
+    if len(a) != 1:
+        raise DialectError("IPv6StringToNum takes one argument")
+    s = f"({a[0]})"
+    v4 = (
+        f"({s} rlike '^{_V4_RE}$')"
+    )
+    return (
+        f"CASE WHEN {s} IS NULL THEN NULL "
+        f"WHEN {_ipv6_valid(s)} OR {v4} THEN {_ipv6_parse(s)} "
+        f"ELSE raise_error(concat('IPv6StringToNum: invalid IPv6 string: ', "
+        f"{s})) END"
+    )
+
+
+def _ipv6_num_to_string(a: list[str]) -> str:
+    """IPv6NumToString: binary(16) → canonical text, inet_ntop-style —
+    lowercase hex groups, the FIRST longest zero-run of length >= 2
+    compressed to '::', and the two reachable IPv4-embedded forms
+    ('::a.b.c.d' when groups 0-5 are zero and group 6 is nonzero;
+    '::ffff:a.b.c.d' when groups 0-4 are zero and group 5 is 0xffff) —
+    the formatter CH's formatIPv6 mirrors. Three nested one-element
+    transform() bindings (w: the 8 group ints; st: the zero-run fold)
+    keep every piece computed once."""
+    if len(a) != 1:
+        raise DialectError("IPv6NumToString takes one argument")
+    b = f"({a[0]})"
+    w_expr = (
+        f"transform(sequence(0, 7), i -> "
+        f"cast(conv(substr(lower(hex({b})), i * 4 + 1, 4), 16, 10) as int))"
+    )
+    # Fold for the first maximal zero-run: (cur_base, cur_len, best_base,
+    # best_len); strictly-greater update keeps the FIRST maximal run.
+    run_fold = (
+        "aggregate(sequence(0, 7), "
+        "named_struct('cb', -1, 'cl', 0, 'bb', -1, 'bl', 0), "
+        "(acc, i) -> CASE WHEN element_at(w, i + 1) = 0 THEN named_struct("
+        "'cb', CASE WHEN acc.cl = 0 THEN i ELSE acc.cb END, "
+        "'cl', acc.cl + 1, "
+        "'bb', CASE WHEN acc.cl + 1 > acc.bl THEN "
+        "(CASE WHEN acc.cl = 0 THEN i ELSE acc.cb END) ELSE acc.bb END, "
+        "'bl', greatest(acc.cl + 1, acc.bl)) "
+        "ELSE named_struct('cb', -1, 'cl', 0, 'bb', acc.bb, 'bl', acc.bl) "
+        "END)"
+    )
+    in_run = "st.bl >= 2 AND i >= st.bb AND i < st.bb + st.bl"
+    v4form = (
+        "st.bb = 0 AND (st.bl = 6 OR (st.bl = 5 AND "
+        "element_at(w, 6) = 65535))"
+    )
+    v4txt = (
+        "concat(cast(element_at(w, 7) div 256 as string), '.', "
+        "cast(element_at(w, 7) % 256 as string), '.', "
+        "cast(element_at(w, 8) div 256 as string), '.', "
+        "cast(element_at(w, 8) % 256 as string))"
+    )
+    emit = (
+        f"aggregate(sequence(0, 7), '', (acc, i) -> CASE "
+        f"WHEN {in_run} THEN "
+        f"CASE WHEN i = st.bb THEN concat(acc, ':') ELSE acc END "
+        f"WHEN ({v4form}) AND i = 7 THEN acc "
+        f"WHEN ({v4form}) AND i = 6 THEN "
+        f"concat(acc, CASE WHEN i = 0 THEN '' ELSE ':' END, {v4txt}) "
+        f"ELSE concat(acc, CASE WHEN i = 0 THEN '' ELSE ':' END, "
+        f"lower(hex(element_at(w, i + 1)))) END)"
+    )
+    closed = (
+        f"CASE WHEN st.bl >= 2 AND st.bb + st.bl = 8 "
+        f"THEN concat({emit}, ':') ELSE {emit} END"
+    )
+    return (
+        f"CASE WHEN {b} IS NULL THEN NULL "
+        f"WHEN octet_length({b}) != 16 THEN "
+        f"raise_error('IPv6NumToString: input must be 16 bytes') "
+        f"ELSE element_at(transform(array({w_expr}), w -> "
+        f"element_at(transform(array({run_fold}), st -> {closed}), 1)), 1) "
+        f"END"
+    )
 
 
 RULES: dict[str, Callable[[list[str]], str]] = {
@@ -3525,6 +3872,24 @@ RULES: dict[str, Callable[[list[str]], str]] = {
         "k -> named_struct('key', k, "
         "'value', coalesce(try_element_at({0}, k), 0)))) END"
     ),
+    # -- round-10 wave: previously-loud high-frequency functions ---------------
+    "gcd": lambda a: _gcd_expr(a[0], a[1]) if len(a) == 2 else _raise(
+        DialectError("gcd takes exactly 2 arguments")
+    ),
+    "lcm": _lcm_rule,
+    "ngramDistance": _ngram_distance(4, chars=False, ci=False),
+    "ngramDistanceCaseInsensitive": _ngram_distance(4, chars=False, ci=True),
+    "ngramDistanceUTF8": _ngram_distance(3, chars=True, ci=False),
+    "ngramDistanceCaseInsensitiveUTF8": _ngram_distance(3, chars=True, ci=True),
+    "ngramSearch": _ngram_search(4, chars=False, ci=False),
+    "ngramSearchCaseInsensitive": _ngram_search(4, chars=False, ci=True),
+    "ngramSearchUTF8": _ngram_search(3, chars=True, ci=False),
+    "ngramSearchCaseInsensitiveUTF8": _ngram_search(3, chars=True, ci=True),
+    "IPv6StringToNum": _ipv6_string_to_num,
+    "toIPv6": _ipv6_string_to_num,
+    "IPv6NumToString": _ipv6_num_to_string,
+    "isIPv6String": lambda a: _ipv6_valid(f"({a[0]})") if len(a) == 1
+    else _raise(DialectError("isIPv6String takes one argument")),
 }
 
 _install_dict_rules(RULES)
@@ -4418,10 +4783,6 @@ _UNSUPPORTED: dict[str, str] = {
     "uniqTheta": "use x_sketch_theta_setops (DataSketches theta algebra)",
     # round-9 wave 3: functions whose faithful translation doesn't exist,
     # each with the engine-native route.
-    "gcd": "no JVM gcd builtin — the Euclid loop needs an iterative "
-           "expression; compute driver-side or with a pandas UDF off the "
-           "hot path",
-    "lcm": "see gcd",
     "mapApply": "CH's lambda returns a (k, v) tuple — use Spark's "
                 "transform_keys / transform_values, which split the "
                 "rewrite per component",
@@ -4432,10 +4793,6 @@ _UNSUPPORTED: dict[str, str] = {
                       "edit-distance joins; a pandas UDF (jellyfish) off "
                       "the hot path for exact Jaro",
     "jaroWinklerSimilarity": "see jaroSimilarity",
-    "ngramDistance": "CH's 4-gram multiset distance has no closed Spark "
-                     "form — x_ngram_counts / operators/dedup.py's "
-                     "n-gram Jaccard are the relational equivalents",
-    "ngramSearch": "see ngramDistance",
     "lemmatize": "model-backed (CH loads lemmatizer dictionaries) — stub "
                  "behind a pandas UDF with an explicit model artifact",
     "stem": "see lemmatize",
@@ -4465,17 +4822,16 @@ _UNSUPPORTED: dict[str, str] = {
                       "covers the common case but diverges on lists, so "
                       "it stays loud",
     "normalizedQueryHash": "see normalizeQuery",
-    "IPv6NumToString": "no JVM IPv6 formatter — IPv4 family is mapped; "
-                       "IPv6 needs a pandas UDF (ipaddress) off the hot "
-                       "path",
-    "IPv6StringToNum": "see IPv6NumToString",
-    "toIPv6": "see IPv6NumToString",
-    "isIPv6String": "see IPv6NumToString",
-    "exponentialTimeDecayedSum": "exp() folds against the group's max "
-                                 "timestamp can't fit one aggregate "
-                                 "expression without overflow — use "
-                                 "x_ewma_trailing (ordered fold) for "
-                                 "decayed sums",
+    "IPv6StringToNumOrNull": "only the throwing spelling translates "
+                             "(IPv6StringToNum raises on bad rows like "
+                             "CH) — pre-filter with isIPv6String for the "
+                             "OrNull behavior",
+    "IPv6StringToNumOrDefault": "see IPv6StringToNumOrNull",
+    "exponentialTimeDecayedSum": "window function — spell it with OVER "
+                                 "(PARTITION BY … ORDER BY …): the "
+                                 "windowed form translates (max-anchored "
+                                 "exp weights, no overflow); grouped "
+                                 "decayed sums → x_ewma_trailing",
     "exponentialTimeDecayedAvg": "see exponentialTimeDecayedSum",
     "exponentialTimeDecayedCount": "see exponentialTimeDecayedSum",
     "exponentialTimeDecayedMax": "see exponentialTimeDecayedSum",
@@ -4796,6 +5152,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_with_fill(toks)
     toks = _rewrite_with_totals(toks)
     toks = _rewrite_array_join(toks)
+    toks = _rewrite_time_decayed(toks)
     toks = _rewrite_brackets(toks)
     toks = _rewrite_calls(toks)
     return _render(toks)

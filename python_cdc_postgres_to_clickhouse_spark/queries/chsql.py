@@ -1010,3 +1010,190 @@ def sql_ch_multisearch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count/CASE oracle. Scale: one whole-stage-codegen projection
     over a three-column scan; the final ORDER BY is presentation-only."""
     return clickhouse_sql(spark, CH_MULTISEARCH_REPORT, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave: the previously-loud high-frequency functions end to end —
+# gcd/lcm (bounded Euclid fold), the IPv6 codec family (pure-SQL parse +
+# inet_ntop-style formatter), the ngram distance/search family, and the
+# exponentialTimeDecayed* window family (max-anchored exp weights).
+# ---------------------------------------------------------------------------
+
+CH_WAVE10_REPORT = """
+SELECT o_orderpriority AS pri,
+       sum(gcd(o_custkey, o_orderkey)) AS gcd_sum,
+       sum(lcm(o_orderkey % 12 + 1, o_custkey % 8 + 1)) AS lcm_sum,
+       countIf(isIPv6String(concat('2001:db8::', lower(hex(o_custkey % 65535 + 1))))) AS v6_ok,
+       uniqExact(IPv6NumToString(toIPv6(concat('2001:db8::', lower(hex(o_custkey % 65535 + 1)))))) AS v6_uniq,
+       max(hex(IPv6StringToNum(concat('2001:db8::', lower(hex(o_custkey % 65535 + 1)))))) AS v6_hex_max
+FROM orders
+GROUP BY pri
+ORDER BY pri
+"""
+
+# The IPv6 legs are self-oracling by construction: '2001:db8::X' with
+# X ∈ [1, 0xffff] is already canonical (nonzero tail group, one zero run),
+# so the round-trip must echo the built string, and the 16-byte hex image
+# is '2001' '0db8' + five zero groups + lpad(X) spelled directly.
+WAVE10_REPORT_ORACLE = """
+SELECT o_orderpriority AS pri,
+       CAST(SUM(gcd(o_custkey, o_orderkey)) AS BIGINT) AS gcd_sum,
+       CAST(SUM(lcm(o_orderkey % 12 + 1, o_custkey % 8 + 1)) AS BIGINT) AS lcm_sum,
+       CAST(COUNT(*) AS BIGINT) AS v6_ok,
+       CAST(COUNT(DISTINCT o_custkey % 65535 + 1) AS BIGINT) AS v6_uniq,
+       MAX(concat('20010DB8', repeat('0', 20),
+                  lpad(to_hex(o_custkey % 65535 + 1), 4, '0'))) AS v6_hex_max
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query(
+    "sql_ch_wave10_report",
+    oracle=WAVE10_REPORT_ORACLE,
+    tags=("dialect", "agg", "ipv6"),
+)
+def sql_ch_wave10_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 dialect wave through the shim end to end: gcd/lcm as
+    bounded Euclid folds (exact, 95-step worst case for 64-bit), and the
+    IPv6 codec family — isIPv6String validation, toIPv6/IPv6StringToNum
+    parsing to 16 bytes, IPv6NumToString canonical formatting — checked
+    against DuckDB's native gcd/lcm and a by-construction string oracle.
+    Scale: one partial-aggregated hash aggregate over a two-column scan;
+    every new function is a pure codegen expression (no Python, no
+    exchange)."""
+    return clickhouse_sql(spark, CH_WAVE10_REPORT, sf_dir)
+
+
+CH_NGRAM_PROFILE = """
+SELECT doc_id,
+       ngramDistance(substring(text, 1, 16), substring(text, 5, 16)) AS shift_dist,
+       ngramSearch(substring(text, 1, 64), reverse(substring(text, 9, 8))) AS rev_hit,
+       ngramDistanceCaseInsensitive(substring(text, 1, 12), 'Value Table') AS probe_dist
+FROM documents
+WHERE doc_id % 4 = 0
+ORDER BY doc_id
+"""
+
+# DuckDB mirror of the documented CH formulas over char-level 4-grams
+# (documents.text is ASCII, so char-level == the shim's byte-level grams).
+# Integer gram counts divide once into DOUBLE and cast to REAL — the same
+# exact-int → one-division → float32 path the Spark side takes.
+NGRAM_PROFILE_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         substr(text, 1, 16) AS a1, substr(text, 5, 16) AS b1,
+         substr(text, 1, 64) AS h2, reverse(substr(text, 9, 8)) AS n2,
+         lower(substr(text, 1, 12)) AS a3, 'value table' AS b3
+  FROM documents WHERE doc_id % 4 = 0
+), g AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(a1) - 2, 1)), i -> substr(a1, i::INT, 4)) AS ga1,
+    list_transform(range(1, greatest(length(b1) - 2, 1)), i -> substr(b1, i::INT, 4)) AS gb1,
+    list_transform(range(1, greatest(length(h2) - 2, 1)), i -> substr(h2, i::INT, 4)) AS gh2,
+    list_transform(range(1, greatest(length(n2) - 2, 1)), i -> substr(n2, i::INT, 4)) AS gn2,
+    list_transform(range(1, greatest(length(a3) - 2, 1)), i -> substr(a3, i::INT, 4)) AS ga3,
+    list_transform(range(1, greatest(length(b3) - 2, 1)), i -> substr(b3, i::INT, 4)) AS gb3
+  FROM s
+)
+SELECT doc_id,
+  CAST(CASE WHEN len(ga1) + len(gb1) = 0 THEN 0 ELSE
+    coalesce(list_sum(list_transform(list_distinct(list_concat(ga1, gb1)),
+      gx -> abs(len(list_filter(ga1, x -> x = gx))
+              - len(list_filter(gb1, x -> x = gx))))), 0)
+    / CAST(len(ga1) + len(gb1) AS DOUBLE) END AS REAL) AS shift_dist,
+  CAST(CASE WHEN len(gn2) = 0 THEN 0 ELSE
+    coalesce(list_sum(list_transform(list_distinct(gn2),
+      gx -> least(len(list_filter(gh2, x -> x = gx)),
+                  len(list_filter(gn2, x -> x = gx))))), 0)
+    / CAST(len(gn2) AS DOUBLE) END AS REAL) AS rev_hit,
+  CAST(CASE WHEN len(ga3) + len(gb3) = 0 THEN 0 ELSE
+    coalesce(list_sum(list_transform(list_distinct(list_concat(ga3, gb3)),
+      gx -> abs(len(list_filter(ga3, x -> x = gx))
+              - len(list_filter(gb3, x -> x = gx))))), 0)
+    / CAST(len(ga3) + len(gb3) AS DOUBLE) END AS REAL) AS probe_dist
+FROM g
+ORDER BY doc_id
+"""
+
+
+@query(
+    "sql_ch_ngram_profile",
+    oracle=NGRAM_PROFILE_ORACLE,
+    tags=("dialect", "text", "similarity"),
+)
+def sql_ch_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngramDistance / ngramSearch / ngramDistanceCaseInsensitive through
+    the dialect, verified against an independent DuckDB list-lambda mirror
+    of CH's documented multiset formulas (symmetric difference over the
+    sum of cardinalities; needle-intersection over the needle size).
+    Scale: per-row gram multisets are bounded by the substring lengths
+    (≤ 61 grams here), so the whole query is one codegen projection —
+    no exchange, no Python."""
+    return clickhouse_sql(spark, CH_NGRAM_PROFILE, sf_dir)
+
+
+CH_DECAY_LEADERS = """
+SELECT event_type, user_id, toInt64(rnk) AS rnk
+FROM (
+  SELECT event_type, user_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ds DESC, user_id) AS rnk
+  FROM (
+    SELECT event_type, user_id,
+           exponentialTimeDecayedSum(604800)(value, toUnixTimestamp(ts))
+             OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id) AS ds,
+           row_number() OVER (PARTITION BY event_type, user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn_last
+    FROM events
+  ) t
+  WHERE rn_last = 1
+) r
+WHERE rnk <= 3
+ORDER BY event_type, rnk
+"""
+
+# Decayed scores are transcendental (exp), so they RANK rows and never
+# appear as output (SCALE.md rule). At each user's last event the shim's
+# max-anchor weight is exp(0) = 1, so the score reduces to
+# Σ value·exp((t_i − t_last)/λ) — the plain grouped form below.
+DECAY_LEADERS_ORACLE = """
+WITH w AS (
+  SELECT event_type, user_id, value,
+         floor(epoch(ts)) AS tsec,
+         MAX(floor(epoch(ts))) OVER (PARTITION BY event_type, user_id) AS m
+  FROM events
+), scored AS (
+  SELECT event_type, user_id,
+         SUM(value * exp((tsec - m) / 604800.0)) AS ds
+  FROM w GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, rnk
+FROM (
+  SELECT event_type, user_id,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY ds DESC, user_id) AS BIGINT) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+ORDER BY event_type, rnk
+"""
+
+
+@query(
+    "sql_ch_decay_leaders",
+    oracle=DECAY_LEADERS_ORACLE,
+    tags=("dialect", "window", "timeseries"),
+)
+def sql_ch_decay_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per event type by exponentially-time-decayed engagement
+    (λ = 1 week), written with CH's exponentialTimeDecayedSum window
+    function. The shim's rewrite anchors every exp() weight at the
+    partition's max timestamp (all arguments ≤ 0 — overflow-free for epoch
+    seconds) and the anchor cancels algebraically, so the score at each
+    user's last event equals the plain decayed sum the oracle computes.
+    Scores are used ONLY to rank (transcendental-output rule); outputs are
+    strings and integers. Scale: one (event_type, user_id) window shuffle
+    whose keys extend into the per-type ranking window — the heavy frame
+    is reduced to |users|·|types| rows before the second window."""
+    return clickhouse_sql(spark, CH_DECAY_LEADERS, sf_dir)

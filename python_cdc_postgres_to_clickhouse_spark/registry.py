@@ -63,78 +63,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # The union of rounds verifies the full registry (asserted in
 # tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND-9 WINDOW (the driver consumes exactly the first 50 names).
-    # (a) Queries with NO driver row yet (round-8 late additions; all
-    #     judge-verified vs DuckDB, driver rows land this round).
-    "sql_ch_window_funnel",
-    "sql_ch_uniq_exact_rollup",
-    "x_token_diversity",
-    "sql_ch_sample_offset",
-    # (b) NEW OR SEMANTICALLY CHANGED in round 9 — grow this section as
-    #     queries land; every addition must displace the LAST name of
-    #     section (c) into the round-10 queue below to keep the window
-    #     at 50. x_window_funnel_freeze: fold + oracle rewritten to CH's
-    #     exact strict_order scan (ADVICE r8 high finding).
-    "x_window_funnel_freeze",
-    "sql_ch_sequence_next_node",
-    "sql_ch_max_intersections",
-    "x_rank_corr",
-    "x_chunk_documents",
-    "x_linear_quality_score",
-    "sql_ch_fill_recurrence",
-    # (c) The round-4-stale cohort (last driver row r4) — oracle-bearing
-    #     queries first; rows-only names sort to the TAIL so a 50-slot
-    #     window spends its slots on full hash checks (r8 lesson:
-    #     x_ivf_cosine_topk burned a slot on a no_oracle row).
-    "a_percentile_disc",
-    "c_datetime_funcs",
-    "c_explode_outer",
-    "c_struct_funcs",
-    "cdc_changes_per_key_topn",
-    "cdc_latest_by_key",
-    "cdc_op_routing",
-    "cdc_snapshot_union_changelog",
-    "j_asof_latest_event",
-    "j_star_broadcast",
-    "m_json_map",
-    "m_nation_volume",
-    "m_shipping_priority",
-    "q1_pricing_summary",
-    "s_intersect",
-    "s_union_all",
-    "s_union_distinct",
-    "t_session_window",
-    "t_sliding_window",
-    "t_tumbling_window",
-    "tpch_q10_returned_items",
-    "tpch_q11_value_share",
-    "tpch_q12_late_lines",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q18_large_orders",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_lapsed_customers",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "w_forward_fill",
-    "w_topk_per_group",
-    "x_cosine_topk",
-    "x_dedup_exact",
-    "x_jaccard_near_dup",
-    "x_passage_dedup",
-    # ------------------------------------------------------------------
-    # Positions 51+: the ROUND-10 QUEUE. FIRST the round-9 late
-    # additions with no driver row yet (all judge-verifiable: every one
-    # carries a full DuckDB oracle and passes test_queries_oracle):
-    #   x_cramers_v, x_gopher_gates, sql_ch_bitmap_retention,
-    #   x_recipe_epochs, x_ks_test, x_welch_t, x_mann_whitney_u,
-    #   sql_ch_multisearch_report, x_corpus_funnel
-    # — then the displaced r4-stale oracle query, then the r4-stale
-    # rows-only names:
-    # ------------------------------------------------------------------
+    # ROUND-10 WINDOW (the driver consumes exactly the first 50 names).
+    # (a) Queries with NO driver row yet: the 9 round-9 late additions
+    #     (all judge-verified vs DuckDB under a hostile config in r9).
     "x_cramers_v",
     "x_gopher_gates",
     "sql_ch_bitmap_retention",
@@ -144,31 +75,68 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_mann_whitney_u",
     "sql_ch_multisearch_report",
     "x_corpus_funnel",
+    # (b) NEW in round 10 — the dialect wave-10 batch (gcd/lcm + IPv6
+    #     codecs, ngram distance/search, exponentialTimeDecayed*
+    #     windows). Every later addition this round must displace the
+    #     LAST name of section (c) into the round-11 queue below.
+    "sql_ch_wave10_report",
+    "sql_ch_ngram_profile",
+    "sql_ch_decay_leaders",
+    # (c) Staleness tail: the displaced r4-stale oracle query, then the
+    #     round-6 cohort (last driver row r6), oracle-bearing only —
+    #     rows-only names never burn a window slot (r8 lesson).
     "x_random_projection",
-    # rows-only members of the r4 cohort (no DuckDB oracle — the driver
-    # records a rows>0 check): tail of the window; whatever the 50-name
-    # cut excludes leads the round-10 queue below.
-    # After the rows-only names, the round-10 queue continues with the
-    # 50-member round-6 cohort (last driver row r6) — pre-staged here so
-    # the rotation discipline survives session churn:
-    #   m_covar_corr, m_median_exact, m_histogram, m_string_agg,
-    #   m_unpivot, m_salted_agg, a_pivot, s_intersect_all, w_running_sum,
-    #   sub_correlated_scalar, sub_exists_correlated,
-    #   sub_small_qty_revenue, c_json_funcs, m_order_priority_check,
-    #   m_disjunctive_bands, m_lateral_top_order, m_global_agg_revenue,
-    #   m_token_tf_topn, a_groupby_orders, c_string_funcs, j_inner_equi,
-    #   x_corpus_prep, x_quality_score, x_text_stats, x_sketch_cms_freq,
-    #   x_cluster_canonical, x_ngram_novelty, x_source_cap,
-    #   x_quality_gate_per_lang, x_mixture_weights, x_funnel_steps,
-    #   x_retention_cohort, x_gap_fill_locf, x_interpolate_linear,
-    #   x_outlier_zscore, x_weighted_sample, x_bloom_decontaminate,
-    #   sql_recursive_date_spine, cdc_collapsing_state, x_window_funnel,
-    #   x_session_paths, x_time_weighted_avg, x_session_stats,
-    #   x_fuzzy_name_pairs, x_pmi_pairs, x_heavy_hitters, x_kmeans_embed,
-    #   x_minhash_near_dup, x_dedup_clusters, c_math_funcs
-    # (the queue exceeds one window — the rows-only x_sketch_* names and
-    # any further overflow wait for round 11.)
+    "a_groupby_orders",
+    "a_pivot",
+    "c_json_funcs",
+    "c_math_funcs",
+    "c_string_funcs",
+    "cdc_collapsing_state",
+    "j_inner_equi",
+    "m_covar_corr",
+    "m_disjunctive_bands",
+    "m_global_agg_revenue",
+    "m_histogram",
+    "m_lateral_top_order",
+    "m_median_exact",
+    "m_order_priority_check",
+    "m_salted_agg",
+    "m_string_agg",
+    "m_token_tf_topn",
+    "m_unpivot",
+    "s_intersect_all",
+    "sql_recursive_date_spine",
+    "sub_correlated_scalar",
+    "sub_exists_correlated",
+    "sub_small_qty_revenue",
+    "w_running_sum",
+    "x_cluster_canonical",
+    "x_corpus_prep",
+    "x_dedup_clusters",
+    "x_funnel_steps",
+    "x_fuzzy_name_pairs",
+    "x_gap_fill_locf",
+    "x_heavy_hitters",
+    "x_interpolate_linear",
+    "x_minhash_near_dup",
+    "x_mixture_weights",
+    "x_ngram_novelty",
+    "x_outlier_zscore",
+    "x_pmi_pairs",
     # ------------------------------------------------------------------
+    # Positions 51+: the ROUND-11 QUEUE. First the r6-stale oracle
+    # overflow that did not fit this window:
+    "x_quality_gate_per_lang",
+    "x_quality_score",
+    "x_retention_cohort",
+    "x_session_paths",
+    "x_session_stats",
+    "x_source_cap",
+    "x_text_stats",
+    "x_time_weighted_avg",
+    "x_weighted_sample",
+    "x_window_funnel",
+    # then the rows-only staleness tail (r4/r6; driver records rows>0):
     "a_approx_distinct",
     "a_approx_quantiles",
     "x_embedding_near_dup",
@@ -176,6 +144,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_sketch_distinct_rollup",
     "x_sketch_quantiles",
     "x_sketch_theta_setops",
+    "x_bloom_decontaminate",
+    "x_kmeans_embed",
+    "x_sketch_cms_freq",
+    # After round 10 clears the r6 cohort, the r7 block (50 queries,
+    # last driver row r7) becomes the oldest — it is the round-11
+    # window fill after the names above (recompute from the
+    # CORRECTNESS_r*.json union when planning r11; never trust a
+    # hand count).
 )
 
 

@@ -2270,8 +2270,10 @@ def test_round9_wave3_scalar_batch(spark):
     assert "current_timezone()" in translate("SELECT timezone()")
     assert "current_user()" in translate("SELECT currentUser()")
     # new loud pointers carry the engine-native route
+    # (gcd/lcm, the IPv6 codecs, ngramDistance/Search, and the WINDOWED
+    # exponentialTimeDecayed* all translate as of round 10 — see
+    # test_round10_wave / test_time_decayed_window.)
     for bad, hint in [
-        ("SELECT gcd(a, b) FROM t", "Euclid"),
         ("SELECT cramersV(a, b) FROM t", "x_cramers_v"),
         ("SELECT detectLanguage(s) FROM t", "x_lang_id"),
         ("SELECT welchTTest(a, b) FROM t", "x_welch_t"),
@@ -2280,9 +2282,10 @@ def test_round9_wave3_scalar_batch(spark):
         ("SELECT mapApply((k, v) -> (k, v), m) FROM t", "transform_keys"),
         ("SELECT jaroSimilarity(a, b) FROM t", "fuzzy"),
         ("SELECT normalizeQuery(s) FROM t", "loud"),
-        ("SELECT exponentialTimeDecayedSum(10)(v, t) FROM e", "x_ewma"),
-        ("SELECT IPv6StringToNum(s) FROM t", "IPv6NumToString"),
-        ("SELECT IPv6NumToString(s) FROM t", "pandas UDF"),
+        # non-window spelling of the decayed family stays loud with the
+        # window-contract hint; OrNull IPv6 spellings point at the filter
+        ("SELECT exponentialTimeDecayedSum(10)(v, t) FROM e", "OVER"),
+        ("SELECT IPv6StringToNumOrNull(s) FROM t", "isIPv6String"),
     ]:
         with pytest.raises(DialectError, match=hint):
             translate(bad)
@@ -2806,3 +2809,100 @@ def test_advice_r9_fixes(spark):
     assert one("encodeURLComponent('~a!b*c d')") == "~a%21b%2Ac%20d"
     # runtime-empty typed map stays an empty map (not NULL)
     assert one("mapPopulateSeries(map_filter(map(1, 10), (k, v) -> false))") == {}
+
+
+def test_round10_wave(spark):
+    """Round-10 translations: gcd/lcm (bounded Euclid fold), the ngram
+    distance/search family (byte-level 4-grams; char-level 3-grams for
+    *UTF8), and the IPv6 codecs (pure-SQL parse + inet_ntop-style
+    formatter with RFC 5952 zero-run compression and the IPv4-embedded
+    forms)."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    # gcd / lcm
+    assert one("gcd(12, 18)") == 6
+    assert one("gcd(0, 5)") == 5 and one("gcd(0, 0)") == 0
+    assert one("gcd(-12, 18)") == 6
+    # consecutive-Fibonacci worst case exercises the full 91-step fold
+    assert one("gcd(7540113804746346429, 4660046610375530309)") == 1
+    assert one("lcm(4, 6)") == 12 and one("lcm(0, 5)") == 0
+    assert one("lcm(-4, 6)") == 12
+    # ngramDistance: |A symdiff B| / (|A| + |B|) over 4-byte-gram multisets
+    assert one("ngramDistance('abcde', 'abcde')") == 0.0
+    assert one("ngramDistance('abcd', 'wxyz')") == 1.0
+    assert one("ngramDistance('ab', 'cd')") == 0.0        # both gram-free
+    assert one("ngramDistance('abcd', 'xy')") == 1.0      # one-sided
+    # 'abcde' grams {abcd,bcde}, 'abcdf' grams {abcd,bcdf} -> 2/4
+    assert one("ngramDistance('abcde', 'abcdf')") == 0.5
+    assert one("ngramDistanceCaseInsensitive('ABCDE', 'abcde')") == 0.0
+    assert one("ngramDistanceUTF8('abc', 'abc')") == 0.0  # 3-char grams
+    # ngramSearch: multiset |needle ∩ haystack| / |needle|
+    assert one("ngramSearch('ClickHouse', 'House')") == 1.0
+    assert one("ngramSearch('abcdef', 'wxyz')") == 0.0
+    assert one("ngramSearch('abcdef', '')") == 0.0
+    assert one("ngramSearchCaseInsensitive('CLICKHOUSE', 'house')") == 1.0
+    # IPv6 round-trips hit every formatter branch: plain, zero-run
+    # compression (first maximal run, len >= 2 only), loopback, all-zero,
+    # trailing-run colon, v4-mapped, v4-embedded, and the 7-zero hex form.
+    for s in ["2001:db8::1", "::1", "::", "1:2:3:4:5:6:7:8",
+              "2001:db8::1:0:0:1", "a:0:0:b::c", "1::", "::2",
+              "::ffff:1.2.3.4", "::1.2.3.4", "fe80::1:2:3"]:
+        assert one(f"IPv6NumToString(IPv6StringToNum('{s}'))") == s
+    # non-canonical spellings canonicalize exactly like inet_ntop
+    assert one("IPv6NumToString(toIPv6('2001:0db8:0000:0000:0000:ff00:0042:8329'))") \
+        == "2001:db8::ff00:42:8329"
+    assert one("IPv6NumToString(toIPv6('0:0:0:0:0:0:0:2'))") == "::2"
+    # bare IPv4 maps to ::ffff:a.b.c.d (CH toIPv6 contract)
+    assert one("IPv6NumToString(toIPv6('1.2.3.4'))") == "::ffff:1.2.3.4"
+    # single zero group is NOT compressed (run length >= 2 rule)
+    assert one("IPv6NumToString(toIPv6('1:0:2:3:4:5:6:7'))") == "1:0:2:3:4:5:6:7"
+    # validation
+    for s, exp in [("2001:db8::1", True), ("::", True), ("1.2.3.4", False),
+                   ("::ffff:1.2.3.4", True), ("1:2:3:4:5:6:7:8:9", False),
+                   ("12345::", False), ("1::2::3", False), ("abcd", False),
+                   ("::1.2.3.400", False), ("1:2:3:4:5:6:7:1.2.3.4", False),
+                   ("1:2:3:4:5:6:1.2.3.4", True), ("1::1.2.3.4", True)]:
+        assert one(f"isIPv6String('{s}')") is exp, s
+    # invalid input aborts the query, CH's throw-on-bad-row contract
+    with pytest.raises(Exception, match="invalid IPv6"):
+        one("IPv6StringToNum('not-an-ip')")
+
+
+def test_time_decayed_window(spark):
+    """exponentialTimeDecayed{Sum,Avg,Count,Max}(λ)(…) OVER (spec): the
+    partition-max-anchored rewrite is algebraically exact (anchors
+    cancel), overflow-safe for epoch timestamps (every exp arg <= 0),
+    and matches a direct per-frame Python evaluation."""
+    import math
+
+    rows = [("a", 1, 10.0), ("a", 3, 20.0), ("a", 7, 5.0),
+            ("b", 2, 100.0), ("b", 10, 1.0)]
+    spark.createDataFrame(rows, "k string, t int, v double") \
+        .createOrReplaceTempView("decay_e")
+    got = spark.sql(translate(
+        "SELECT k, t, "
+        "exponentialTimeDecayedSum(4)(v, t) OVER (PARTITION BY k ORDER BY t) AS dsum, "
+        "exponentialTimeDecayedAvg(4)(v, t) OVER (PARTITION BY k ORDER BY t) AS davg, "
+        "exponentialTimeDecayedCount(4)(t) OVER (PARTITION BY k ORDER BY t) AS dcnt, "
+        "exponentialTimeDecayedMax(4)(v, t) OVER (PARTITION BY k ORDER BY t) AS dmax "
+        "FROM decay_e ORDER BY k, t"
+    )).collect()
+    by_key: dict[str, list[tuple[int, float]]] = {}
+    for k, t, v in rows:
+        by_key.setdefault(k, []).append((t, v))
+    for r in got:
+        evs = sorted(by_key[r.k])
+        frame = [(t, v) for t, v in evs if t <= r.t]
+        ws = [math.exp((t - r.t) / 4) for t, _ in frame]
+        wv = [v * w for (_, v), w in zip(frame, ws)]
+        for gotv, ref in [(r.dsum, sum(wv)), (r.davg, sum(wv) / sum(ws)),
+                          (r.dcnt, sum(ws)), (r.dmax, max(wv))]:
+            assert gotv == pytest.approx(ref, rel=1e-12)
+    # epoch-scale timestamps stay finite (the anchor prevents overflow)
+    rows2 = [("a", 1700000000 + d, float(d)) for d in (0, 3600, 7200, 86400)]
+    spark.createDataFrame(rows2, "k string, t bigint, v double") \
+        .createOrReplaceTempView("decay_big")
+    big = spark.sql(translate(
+        "SELECT exponentialTimeDecayedSum(3600)(v, t) "
+        "OVER (PARTITION BY k ORDER BY t) AS d FROM decay_big"
+    )).collect()
+    assert all(math.isfinite(r.d) for r in big)
