@@ -3740,11 +3740,22 @@ RULES: dict[str, Callable[[list[str]], str]] = {
         "transform(x, v -> cast(v as bigint)))) END, "
         "a -> coalesce(a, array())))"
     ),
+    # Xor: count elements present in an ODD number of the group's bitmaps.
+    # Sort the flattened per-bitmap-distinct multiset once, then a single
+    # run-length fold counts odd multiplicities — O(n log n) per group
+    # (was O(n²): a per-distinct-element filter scan, VERDICT r9 #4).
     "groupBitmapXor": _tpl(
-        "size(filter(array_distinct(flatten(transform(collect_list({0}), "
-        "b -> array_distinct(b)))), e -> pmod(size(filter("
-        "flatten(transform(collect_list({0}), b -> array_distinct(b))), "
-        "x -> x = e)), 2) = 1))"
+        "aggregate(array_sort(flatten(transform(collect_list({0}), "
+        "b -> array_distinct(transform(b, v -> cast(v as bigint)))))), "
+        "named_struct('prev', cast(null as bigint), 'run', 0, 'odd', 0), "
+        "(acc, x) -> CASE "
+        "WHEN acc.prev IS NULL THEN named_struct('prev', x, 'run', 1, 'odd', 0) "
+        "WHEN x = acc.prev THEN "
+        "named_struct('prev', x, 'run', acc.run + 1, 'odd', acc.odd) "
+        "ELSE named_struct('prev', x, 'run', 1, 'odd', acc.odd + acc.run % 2) "
+        "END, "
+        "acc -> acc.odd + CASE WHEN acc.prev IS NULL THEN 0 "
+        "ELSE acc.run % 2 END)"
     ),
     # -- round-9 wave 3: visitParam* (legacy simpleJSON aliases) ---------------
     # Installed as aliases right after the dict literal (see below).
@@ -4674,8 +4685,15 @@ def _state_merge(name: str, args: list[str]) -> str | None:
         # family in RULES), so State = sorted set, Merge = distinct-union
         # cardinality. Union is associative and idempotent — any rollup
         # nesting equals building the bitmap once, CH's own algebra.
+        # State size is O(distinct members) per group — exactly CH's own
+        # groupBitmap memory shape; for corpus-scale member sets prefer
+        # uniqState/uniqMerge with the same query text (HLL sketch states:
+        # bounded bytes per group, bit-identical rollups, ~2% error).
         if len(args) != 1:
-            raise DialectError(f"{name} takes exactly one argument")
+            raise DialectError(
+                f"{name} takes exactly one argument (bounded-state "
+                "alternative: uniqState/uniqMerge — HLL)"
+            )
         if suffix == "State":
             return f"array_sort(collect_set({args[0]}))"
         if suffix == "MergeState":

@@ -660,6 +660,52 @@ ORDER BY r_score, f_score, m_score
 """
 
 
+# Above this many purchasing users the global-window NTILE path would
+# single-partition the per-user frame; the swap-in computes the SAME exact
+# quartiles fully distributed (range-partitioned two-phase rank, the
+# packing prefix-sum pattern). Tests monkeypatch this to 0 to force the
+# distributed path and assert bit-equal output.
+RFM_NTILE_GATE = 5_000_000
+
+
+def _ntile4_distributed(df: DataFrame, order_cols: list[str], out: str) -> DataFrame:
+    """Exact global NTILE(4) without a single-partition window.
+
+    Range-partition on the (total) ordering, per-partition row_number,
+    O(#parts) driver offsets (operators/packing.py's two-phase prefix-sum
+    shape), then Spark's own ntile bucket arithmetic — first (n mod 4)
+    buckets hold (n div 4 + 1) rows — applied to the exact global rank.
+    Output is bit-identical to F.ntile(4) over the global window."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    d = df.repartitionByRange(
+        n_parts, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
+    counts = d.groupBy("_pid").count().collect()
+    acc, bases = 0, []
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        bases.append((r["_pid"], acc))
+        acc += r["count"]
+    n = acc
+    base_df = df.sparkSession.createDataFrame(
+        bases or [(0, 0)], "_pid int, _base bigint"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    size, rem = divmod(n, 4)
+    cums = [b * size + min(b, rem) for b in (1, 2, 3)]
+    rank = F.col("_base") + F.row_number().over(w)
+    bucket = (
+        F.when(rank <= cums[0], 1)
+        .when(rank <= cums[1], 2)
+        .when(rank <= cums[2], 3)
+        .otherwise(4)
+    )
+    return (
+        d.join(F.broadcast(base_df), "_pid")
+        .withColumn(out, bucket)
+        .drop("_pid", "_base")
+    )
+
+
 @query("x_rfm_segments", oracle=RFM_SQL, tags=("ext", "behavior", "segmentation"))
 def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-user recency/frequency/monetary from
@@ -671,13 +717,13 @@ def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-division bucket formula is engine-identical given a total
     order). Monetary is integer cents.
 
-    Scale note (deliberate, documented): the three NTILEs are GLOBAL
-    windows — the scored frame is |purchasing users| rows, already reduced
-    by the per-user aggregate, so the single-partition window is bounded
-    by the user population, not event volume. For a 10^9-user corpus the
-    swap-in is quantile-cut scores (approx_percentile thresholds broadcast
-    back — the x_outlier_zscore two-pass shape); exact NTILE is kept here
-    because the driver hash needs bit-reproducible buckets.
+    Scale: below RFM_NTILE_GATE purchasing users the three NTILEs run as
+    global windows over the already-reduced per-user frame (bounded by the
+    user population, not event volume). Above the gate the swap-in
+    computes the SAME exact quartiles distributed — three range-
+    partitioned two-phase ranks (O(#parts) driver offsets each, no
+    single-partition stage); the two paths are bit-equal (equality-tested
+    with the gate forced to 0), so the driver hash is path-independent.
     """
     ev = load_tables(spark, sf_dir)["events"]
     per_user = (
@@ -691,14 +737,28 @@ def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scored = per_user.select(
-        "monetary_cents",
-        F.ntile(4).over(Window.orderBy("last_ts", "user_id")).alias("r_score"),
-        F.ntile(4).over(Window.orderBy("freq", "user_id")).alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary_cents", "user_id"))
-        .alias("m_score"),
-    )
+    # Persist BEFORE the gate count so the count action materializes the
+    # frame every later pass reuses — the events scan runs exactly once.
+    per_user = per_user.persist()
+    cnt = per_user.count()
+    if cnt > RFM_NTILE_GATE:
+        scored = per_user
+        for cols, name in [
+            (["last_ts", "user_id"], "r_score"),
+            (["freq", "user_id"], "f_score"),
+            (["monetary_cents", "user_id"], "m_score"),
+        ]:
+            scored = _ntile4_distributed(scored, cols, name)
+        scored = scored.select("monetary_cents", "r_score", "f_score", "m_score")
+    else:
+        scored = per_user.select(
+            "monetary_cents",
+            F.ntile(4).over(Window.orderBy("last_ts", "user_id")).alias("r_score"),
+            F.ntile(4).over(Window.orderBy("freq", "user_id")).alias("f_score"),
+            F.ntile(4)
+            .over(Window.orderBy("monetary_cents", "user_id"))
+            .alias("m_score"),
+        )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

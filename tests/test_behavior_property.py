@@ -122,3 +122,22 @@ def test_retention_matches_brute_force_on_random_tables(spark, tmp_path):
                 seen.add((first[uid], off, uid))
                 exp[(first[uid], off)] = exp.get((first[uid], off), 0) + 1
         assert got == exp, seed
+
+
+def test_rfm_distributed_ntile_equals_global_window(spark, monkeypatch):
+    """The size-gated distributed NTILE path (range-partitioned two-phase
+    rank) is bit-equal to the default global-window path: force the gate
+    to 0 and compare full segment censuses at fixture scale."""
+    from python_cdc_postgres_to_clickhouse_spark.queries import behavior
+
+    from .conftest import SF_ORACLE
+
+    baseline = sorted(
+        tuple(r) for r in behavior.x_rfm_segments(spark, SF_ORACLE).collect()
+    )
+    monkeypatch.setattr(behavior, "RFM_NTILE_GATE", 0)
+    gated = sorted(
+        tuple(r) for r in behavior.x_rfm_segments(spark, SF_ORACLE).collect()
+    )
+    assert baseline == gated
+    assert baseline  # non-degenerate: the fixture has purchase events
