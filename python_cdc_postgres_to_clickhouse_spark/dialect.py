@@ -2887,6 +2887,85 @@ def _ipv6_num_to_string(a: list[str]) -> str:
     )
 
 
+def _jaro_body() -> str:
+    """Jaro similarity of ``p.s`` / ``p.t`` (the bound struct with ls, lt,
+    and the match window w) as a pure SQL expression: the standard greedy
+    window match as a fold over s's positions (flags array marks claimed
+    t positions; first unclaimed in-window equal char wins), then integer
+    half-transpositions. Edge contract (matches DuckDB's RapidFuzz-based
+    jaro_similarity, verified empirically): either string empty → 0, no
+    matches → 0. O(ls·lt) per row — strings, not tables."""
+    fold = (
+        "aggregate("
+        "CASE WHEN p.ls = 0 THEN cast(array() as array<int>) "
+        "ELSE sequence(1, p.ls) END, "
+        "named_struct('flags', array_repeat(false, p.lt), "
+        "'sm', cast(array() as array<string>), "
+        "'js', cast(array() as array<int>)), "
+        "(acc, i) -> element_at(transform(array("
+        "CASE WHEN greatest(i - p.w, 1) > least(i + p.w, p.lt) "
+        "THEN cast(array() as array<int>) "
+        "ELSE filter(sequence(greatest(i - p.w, 1), least(i + p.w, p.lt)), "
+        "j -> NOT element_at(acc.flags, j) "
+        "AND substr(p.t, j, 1) = substr(p.s, i, 1)) END), "
+        "cand -> CASE WHEN size(cand) = 0 THEN acc ELSE named_struct("
+        "'flags', transform(sequence(1, p.lt), "
+        "k -> element_at(acc.flags, k) OR k = element_at(cand, 1)), "
+        "'sm', concat(acc.sm, array(substr(p.s, i, 1))), "
+        "'js', concat(acc.js, array(element_at(cand, 1)))) END), 1))"
+    )
+    return (
+        f"element_at(transform(array({fold}), r -> "
+        "CASE WHEN size(r.js) = 0 THEN 0.0D "
+        "ELSE element_at(transform(array(named_struct("
+        "'m', cast(size(r.js) as double), "
+        "'tr', cast((size(filter(sequence(1, size(r.js)), "
+        "k -> element_at(r.sm, k) != "
+        "substr(p.t, element_at(array_sort(r.js), k), 1))) div 2) "
+        "as double))), "
+        "q -> (q.m / p.ls + q.m / p.lt + (q.m - q.tr) / q.m) / 3.0D), 1) "
+        "END), 1)"
+    )
+
+
+def _jaro_bind(a: list[str], body: str) -> str:
+    s, t = f"({a[0]})", f"({a[1]})"
+    return (
+        f"element_at(transform(array(named_struct("
+        f"'s', {s}, 't', {t}, 'ls', length({s}), 'lt', length({t}), "
+        f"'w', cast(greatest(greatest(length({s}), length({t})) div 2 - 1, "
+        f"0) as int))), "
+        f"p -> {body}), 1)"
+    )
+
+
+def _jaro_similarity(a: list[str]) -> str:
+    if len(a) != 2:
+        raise DialectError("jaroSimilarity takes (s, t)")
+    return _jaro_bind(a, _jaro_body())
+
+
+def _jaro_winkler(a: list[str]) -> str:
+    """Winkler boost over Jaro: jw = j + l·0.1·(1 − j) with l the common
+    CONTIGUOUS prefix capped at 4 (the acc = k−1 fold guarantees
+    contiguity), applied only when j exceeds the standard 0.7 boost
+    threshold — the original Winkler rule, matching DuckDB's RapidFuzz
+    implementation (verified empirically)."""
+    if len(a) != 2:
+        raise DialectError("jaroWinklerSimilarity takes (s, t)")
+    prefix = (
+        "aggregate(sequence(1, 4), 0, (acc, k) -> "
+        "CASE WHEN acc = k - 1 AND k <= least(p.ls, p.lt) "
+        "AND substr(p.s, k, 1) = substr(p.t, k, 1) THEN k ELSE acc END)"
+    )
+    body = (
+        f"element_at(transform(array({_jaro_body()}), jv -> "
+        f"CASE WHEN jv > 0.7D THEN jv + {prefix} * 0.1D * (1.0D - jv) "
+        f"ELSE jv END), 1)"
+    )
+    return _jaro_bind(a, body)
+
+
 RULES: dict[str, Callable[[list[str]], str]] = {
     # -- date/time ---------------------------------------------------------
     "toDate": _fn("to_date"),
@@ -3901,6 +3980,23 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "IPv6NumToString": _ipv6_num_to_string,
     "isIPv6String": lambda a: _ipv6_valid(f"({a[0]})") if len(a) == 1
     else _raise(DialectError("isIPv6String takes one argument")),
+    "jaroSimilarity": _jaro_similarity,
+    "jaroWinklerSimilarity": _jaro_winkler,
+    # entropy(x): Shannon entropy (base 2) of the group's value
+    # distribution in ONE aggregate — sorted run-length fold (the
+    # groupBitmapXor pattern): H = (ln n − Σ run·ln run / n) / ln 2.
+    # Transcendental output — rank with it, don't hash it (SCALE.md).
+    "entropy": _tpl(
+        "element_at(transform(array(array_sort(collect_list({0}))), arr -> "
+        "CASE WHEN size(arr) = 0 THEN 0.0D ELSE "
+        "element_at(transform(array(aggregate(sequence(1, size(arr)), "
+        "named_struct('last_end', 0, 's', 0.0D), "
+        "(acc, i) -> CASE WHEN NOT (try_element_at(arr, i + 1) <=> "
+        "element_at(arr, i)) THEN named_struct('last_end', i, "
+        "'s', acc.s + (i - acc.last_end) * ln(i - acc.last_end)) "
+        "ELSE acc END)), "
+        "st -> (ln(size(arr)) - st.s / size(arr)) / ln(2.0D)), 1) END), 1)"
+    ),
 }
 
 _install_dict_rules(RULES)
@@ -4796,8 +4892,6 @@ _UNSUPPORTED: dict[str, str] = {
                          "(x_counter_rate for the reset-aware rate form)",
     "largestTriangleThreeBuckets": "use x_lttb_downsample",
     "exponentialMovingAverage": "use x_ewma_trailing",
-    "entropy": "no single-expression Shannon entropy — two-level aggregate: "
-               "count per value, then -sum(p * log2(p)) over the counts",
     "uniqTheta": "use x_sketch_theta_setops (DataSketches theta algebra)",
     # round-9 wave 3: functions whose faithful translation doesn't exist,
     # each with the engine-native route.
@@ -4807,10 +4901,6 @@ _UNSUPPORTED: dict[str, str] = {
     "damerauLevenshteinDistance": "no JVM builtin — use levenshtein() "
                                   "(editDistance) or operators/fuzzy.py's "
                                   "banded edit-distance join",
-    "jaroSimilarity": "no JVM builtin — operators/fuzzy.py covers "
-                      "edit-distance joins; a pandas UDF (jellyfish) off "
-                      "the hot path for exact Jaro",
-    "jaroWinklerSimilarity": "see jaroSimilarity",
     "lemmatize": "model-backed (CH loads lemmatizer dictionaries) — stub "
                  "behind a pandas UDF with an explicit model artifact",
     "stem": "see lemmatize",

@@ -1197,3 +1197,55 @@ def sql_ch_decay_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose keys extend into the per-type ranking window — the heavy frame
     is reduced to |users|·|types| rows before the second window."""
     return clickhouse_sql(spark, CH_DECAY_LEADERS, sf_dir)
+
+
+CH_JARO_MATCH = """
+SELECT probe, p_partkey, toInt64(rn) AS rn
+FROM (
+  SELECT probe, p_partkey,
+         row_number() OVER (PARTITION BY probe
+                            ORDER BY jaroWinklerSimilarity(p_name, probe) DESC,
+                                     p_partkey) AS rn
+  FROM part
+  ARRAY JOIN ['small ring', 'blue bolt', 'red gizmo'] AS probe
+  WHERE p_partkey % 5 = 0
+) t
+WHERE rn <= 10
+ORDER BY probe, rn
+"""
+
+# DuckDB's jaro_winkler_similarity is the same RapidFuzz algorithm the
+# shim reproduces (0.7 boost threshold, prefix cap 4, either-empty -> 0;
+# verified empirically), so it is a true independent oracle. Similarities
+# RANK rows only (transcendental-adjacent float outputs never hash);
+# distinct (m, ls, lt, t) tuples sit >= 1e-10 apart — far beyond ulp —
+# and equal tuples tie-break on p_partkey identically in both engines.
+JARO_MATCH_ORACLE = """
+SELECT probe, p_partkey, rn
+FROM (
+  SELECT probe, p_partkey,
+         CAST(row_number() OVER (PARTITION BY probe
+              ORDER BY jaro_winkler_similarity(p_name, probe) DESC,
+                       p_partkey) AS BIGINT) AS rn
+  FROM part, (SELECT unnest(['small ring', 'blue bolt', 'red gizmo']) AS probe)
+  WHERE p_partkey % 5 = 0
+)
+WHERE rn <= 10
+ORDER BY probe, rn
+"""
+
+
+@query(
+    "sql_ch_jaro_match",
+    oracle=JARO_MATCH_ORACLE,
+    tags=("dialect", "text", "similarity"),
+)
+def sql_ch_jaro_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name matching with CH's jaroWinklerSimilarity: top-10 parts
+    per probe string, ranked by similarity. The shim's Jaro is the
+    standard greedy window match as a SQL fold; Winkler adds the
+    threshold-gated contiguous-prefix boost. Scale: the probe array is a
+    3-element literal exploded per row — one codegen projection + one
+    bounded per-probe ranking window (WindowGroupLimit caps state at 10
+    rows per probe); the part table is scanned once, never joined."""
+    return clickhouse_sql(spark, CH_JARO_MATCH, sf_dir)

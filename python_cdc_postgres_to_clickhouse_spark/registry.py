@@ -82,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_ch_wave10_report",
     "sql_ch_ngram_profile",
     "sql_ch_decay_leaders",
+    "sql_ch_jaro_match",
     # (c) Staleness tail: the displaced r4-stale oracle query, then the
     #     round-6 cohort (last driver row r6), oracle-bearing only —
     #     rows-only names never burn a window slot (r8 lesson).
@@ -122,10 +123,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_mixture_weights",
     "x_ngram_novelty",
     "x_outlier_zscore",
-    "x_pmi_pairs",
     # ------------------------------------------------------------------
     # Positions 51+: the ROUND-11 QUEUE. First the r6-stale oracle
-    # overflow that did not fit this window:
+    # overflow that did not fit this window (x_pmi_pairs displaced by
+    # sql_ch_jaro_match landing late in round 10):
+    "x_pmi_pairs",
     "x_quality_gate_per_lang",
     "x_quality_score",
     "x_retention_cohort",

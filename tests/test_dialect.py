@@ -836,8 +836,8 @@ def test_ipv4_roundtrip_and_geo(spark):
 
 
 def test_round6_unsupported_raise():
-    with pytest.raises(DialectError, match="two-level aggregate"):
-        translate("SELECT entropy(x) FROM t")
+    # entropy translates as of round 10 (single-expression run-length
+    # fold) — see test_jaro_family_and_entropy.
     with pytest.raises(DialectError, match="not registered"):
         translate("SELECT dictGet('d', 'attr', k) FROM t")
     with pytest.raises(DialectError, match="x_det_sample"):
@@ -2280,7 +2280,6 @@ def test_round9_wave3_scalar_batch(spark):
         ("SELECT kolmogorovSmirnovTest(a, b) FROM t", "x_ks_test"),
         ("SELECT mannWhitneyUTest(a, b) FROM t", "x_mann_whitney_u"),
         ("SELECT mapApply((k, v) -> (k, v), m) FROM t", "transform_keys"),
-        ("SELECT jaroSimilarity(a, b) FROM t", "fuzzy"),
         ("SELECT normalizeQuery(s) FROM t", "loud"),
         # non-window spelling of the decayed family stays loud with the
         # window-contract hint; OrNull IPv6 spellings point at the filter
@@ -2925,3 +2924,46 @@ def test_group_bitmap_xor_linear_and_state_hint(spark):
     assert [(r.k, r.x) for r in out] == [("g1", 3), ("g2", 1)]
     with pytest.raises(DialectError, match="uniqState/uniqMerge"):
         translate("SELECT groupBitmapState(a, b) FROM t")
+
+
+def test_jaro_family_and_entropy(spark):
+    """jaroSimilarity / jaroWinklerSimilarity (greedy window match as a
+    SQL fold; classic published vectors) and single-expression Shannon
+    entropy (sorted run-length fold, base 2)."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    # canonical textbook vectors: m, ls, lt, half-transpositions
+    assert one("jaroSimilarity('MARTHA', 'MARHTA')") == pytest.approx(17 / 18)
+    assert one("jaroSimilarity('DWAYNE', 'DUANE')") == pytest.approx(
+        (4 / 6 + 4 / 5 + 1) / 3
+    )
+    assert one("jaroSimilarity('DIXON', 'DICKSONX')") == pytest.approx(
+        (4 / 5 + 4 / 8 + 1) / 3
+    )
+    assert one("jaroSimilarity('abc', 'abc')") == 1.0
+    # empty contract matches DuckDB/RapidFuzz: either empty -> 0
+    assert one("jaroSimilarity('', '')") == 0.0
+    assert one("jaroSimilarity('a', '')") == 0.0
+    assert one("jaroSimilarity('abc', 'xyz')") == 0.0
+    assert one("jaroWinklerSimilarity('MARTHA', 'MARHTA')") == pytest.approx(
+        17 / 18 + 3 * 0.1 * (1 - 17 / 18)
+    )
+    j = (4 / 6 + 4 / 5 + 1) / 3
+    assert one("jaroWinklerSimilarity('DWAYNE', 'DUANE')") == pytest.approx(
+        j + 1 * 0.1 * (1 - j)
+    )
+    # below the 0.7 boost threshold the Winkler prefix boost is NOT applied
+    assert one("jaroWinklerSimilarity('aXXXXXXX', 'aYYYYYYY')") == \
+        pytest.approx(one("jaroSimilarity('aXXXXXXX', 'aYYYYYYY')"))
+    # DuckDB cross-check values for the threshold pair
+    assert one("jaroWinklerSimilarity('az', 'ay')") == pytest.approx(2 / 3)
+    rows = ([("g", v) for v in [1, 1, 2, 2]]
+            + [("h", v) for v in [1, 1, 1, 1]]
+            + [("i", v) for v in [1, 2, 3, 4]])
+    spark.createDataFrame(rows, "k string, v int") \
+        .createOrReplaceTempView("ent_t")
+    out = {r.k: r.e for r in spark.sql(translate(
+        "SELECT k, entropy(v) AS e FROM ent_t GROUP BY k"
+    )).collect()}
+    assert out["g"] == pytest.approx(1.0)
+    assert out["h"] == pytest.approx(0.0)
+    assert out["i"] == pytest.approx(2.0)
