@@ -2967,3 +2967,20 @@ def test_jaro_family_and_entropy(spark):
     assert out["g"] == pytest.approx(1.0)
     assert out["h"] == pytest.approx(0.0)
     assert out["i"] == pytest.approx(2.0)
+
+
+def test_damerau_levenshtein(spark):
+    """TRUE Damerau–Levenshtein (unrestricted adjacent-transposition DP):
+    'CA'→'ABC' is 2 (OSA would say 3), pinned vectors + the classic
+    edit-distance pairs; DuckDB's damerau_levenshtein agrees on all of
+    these (RapidFuzz, cross-checked when the rule landed)."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    assert one("damerauLevenshteinDistance('CA', 'ABC')") == 2
+    assert one("damerauLevenshteinDistance('ab', 'ba')") == 1
+    assert one("damerauLevenshteinDistance('abc', 'acb')") == 1
+    assert one("damerauLevenshteinDistance('', 'abc')") == 3
+    assert one("damerauLevenshteinDistance('', '')") == 0
+    assert one("damerauLevenshteinDistance('kitten', 'sitting')") == 3
+    assert one("damerauLevenshteinDistance('a cat', 'an act')") == 2
+    assert one("damerauLevenshteinDistance('same', 'same')") == 0
+    assert one("damerauLevenshteinDistance(NULL, 'x')") is None
