@@ -2966,6 +2966,93 @@ def _jaro_winkler(a: list[str]) -> str:
     return _jaro_bind(a, body)
 
 
+# Self-describing formats only: column names survive the direct-path read.
+# CSV/TSV direct reads would silently rename columns (_c0 vs CH's c1) and
+# lose header handling — those stay loud with the formats.read route.
+_DIRECT_READ_FMTS = {
+    "parquet": "parquet",
+    "orc": "orc",
+    "jsoneachrow": "json",
+    "ndjson": "json",
+    "jsonlines": "json",
+}
+
+
+def _path_table_fn(name: str, max_plain_args: int):
+    """file/s3/url(path[, format]) → Spark's direct-path FROM syntax
+    (``parquet.`/path/x` ``). Only literal paths and self-describing
+    formats translate; structure/credential arguments raise loud with
+    the formats.read / spark.read route."""
+
+    def rule(a: list[str]) -> str:
+        if not a or not _is_str_lit(a[0].strip()):
+            raise DialectError(
+                f"{name}: only a literal path translates to Spark's "
+                "direct-path FROM — use formats.read(spark, fmt, path) "
+                "for dynamic paths"
+            )
+        path = _unquote(a[0].strip())
+        if len(a) == 1:
+            ext = path.rsplit(".", 1)[-1].lower()
+            fmt = _DIRECT_READ_FMTS.get(
+                {"json": "jsoneachrow", "jsonl": "jsonlines"}.get(ext, ext)
+            )
+            if fmt is None:
+                raise DialectError(
+                    f"{name}('{path}'): cannot infer a self-describing "
+                    "format from the extension — pass an explicit "
+                    "Parquet/ORC/JSONEachRow format argument"
+                )
+        elif len(a) <= max_plain_args and _is_str_lit(a[-1].strip()):
+            key = _unquote(a[-1].strip()).lower()
+            fmt = _DIRECT_READ_FMTS.get(key)
+            if fmt is None:
+                raise DialectError(
+                    f"{name}: format {_unquote(a[-1].strip())!r} does not "
+                    "survive a direct-path read (CSV/TSV lose header and "
+                    "column names; structures need a schema) — use "
+                    "formats.read(spark, fmt, path, schema=...)"
+                )
+        else:
+            raise DialectError(
+                f"{name}: credential/structure arguments have no SQL-level "
+                "mapping — configure the filesystem on the SparkSession "
+                "and use formats.read for schemas"
+            )
+        return f"{fmt}.`{path}`"
+
+    return rule
+
+
+def _format_row(newline: bool):
+    """formatRow[NoNewline]('CSV'|'TSV'|'JSONEachRow', exprs…): row
+    rendering via to_csv/to_json/concat_ws; CH appends a newline in the
+    plain spelling."""
+
+    def rule(a: list[str]) -> str:
+        if len(a) < 2 or not _is_str_lit(a[0].strip()):
+            raise DialectError(
+                "formatRow needs a literal format name and 1+ expressions"
+            )
+        fmt = _unquote(a[0].strip()).lower()
+        rest = ", ".join(a[1:])
+        if fmt == "csv":
+            body = f"to_csv(struct({rest}))"
+        elif fmt in ("jsoneachrow", "ndjson", "jsonlines"):
+            body = f"to_json(struct({rest}))"
+        elif fmt in ("tsv", "tabseparated"):
+            cols = ", ".join(f"cast({x} as string)" for x in a[1:])
+            body = f"concat_ws('\\t', {cols})"
+        else:
+            raise DialectError(
+                f"formatRow: format {fmt!r} has no row-string mapping "
+                "(CSV, TSV, JSONEachRow translate)"
+            )
+        return f"concat({body}, '\\n')" if newline else body
+
+    return rule
+
+
 def _damerau_levenshtein(a: list[str]) -> str:
     """TRUE (unrestricted) Damerau–Levenshtein — the distance-with-
     adjacent-transpositions DP (Wikipedia's da/db formulation), matching
@@ -4038,6 +4125,15 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     else _raise(DialectError("isIPv6String takes one argument")),
     "jaroSimilarity": _jaro_similarity,
     "damerauLevenshteinDistance": _damerau_levenshtein,
+    # table functions over data paths (FROM position, like CH)
+    "file": _path_table_fn("file", 2),
+    "s3": _path_table_fn("s3", 2),
+    "url": _path_table_fn("url", 2),
+    # untuple(t): expand a tuple/struct into its fields — Spark's `.*`
+    # (valid on struct column references in SELECT position, like CH).
+    "untuple": _tpl("{0}.*"),
+    "formatRow": _format_row(newline=True),
+    "formatRowNoNewline": _format_row(newline=False),
     "jaroWinklerSimilarity": _jaro_winkler,
     # entropy(x): Shannon entropy (base 2) of the group's value
     # distribution in ONE aggregate — sorted run-length fold (the
@@ -4978,6 +5074,26 @@ _UNSUPPORTED: dict[str, str] = {
                 "analog (executors differ per task) — use "
                 "spark.conf/application info driver-side",
     "uptime": "see hostName",
+    # cluster/remote table functions: Spark's execution model has no
+    # per-node table routing — register the remote data as a table
+    # (JDBC/parquet path) and query it directly.
+    "remote": "no per-node table routing in Spark — register the remote "
+              "table (JDBC / parquet path / catalog) and query it",
+    "remoteSecure": "see remote",
+    "cluster": "see remote",
+    "clusterAllReplicas": "see remote",
+    "merge": "pattern-union of tables — build an explicit UNION ALL BY "
+             "NAME over the matching tables (spark.catalog lists them)",
+    "generateRandom": "nondeterministic row source — build test frames "
+                      "with spark.range + deterministic columns "
+                      "(md5-keyed like tests do), or createDataFrame",
+    "input": "INSERT-time stream placeholder — pass a DataFrame to the "
+             "sink API instead",
+    "viewIfPermitted": "access-control introspection has no Spark analog",
+    "categoricalInformationValue": "weight-of-evidence sums are "
+                                   "transcendental per category — "
+                                   "aggregate the 2x2 counts (x_cramers_v "
+                                   "shape) and compute WOE driver-side",
     "normalizeQuery": "CH also collapses literal LISTS to '?..' — a "
                       "faithful rewrite needs a real tokenizer; "
                       "regexp_replace of quoted strings and numbers "

@@ -2984,3 +2984,38 @@ def test_damerau_levenshtein(spark):
     assert one("damerauLevenshteinDistance('a cat', 'an act')") == 2
     assert one("damerauLevenshteinDistance('same', 'same')") == 0
     assert one("damerauLevenshteinDistance(NULL, 'x')") is None
+
+
+def test_path_table_functions_untuple_format_row(spark):
+    """file/s3/url table functions map to Spark's direct-path FROM for
+    self-describing formats; untuple expands a struct; formatRow renders
+    CSV/TSV/JSONEachRow row strings (newline in the plain spelling);
+    cluster/remote/merge/generateRandom raise loud with the Spark route."""
+    from .conftest import SF_SMOKE
+
+    sql = translate(f"SELECT count(*) AS n FROM file('{SF_SMOKE}/nation.parquet')")
+    assert f"parquet.`{SF_SMOKE}/nation.parquet`" in sql
+    assert spark.sql(sql).collect()[0]["n"] == 25
+    assert spark.sql(translate(
+        f"SELECT n_name FROM s3('{SF_SMOKE}/nation.parquet', 'Parquet') "
+        "ORDER BY n_nationkey LIMIT 1"
+    )).collect()[0]["n_name"] == "NATION_0"
+    spark.sql("SELECT named_struct('a', 1, 'b', 2) AS p") \
+        .createOrReplaceTempView("untuple_t")
+    row = spark.sql(translate("SELECT untuple(p) FROM untuple_t")).collect()[0]
+    assert (row.a, row.b) == (1, 2)
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    assert one("formatRow('CSV', 1, 'a,b')") == '1,"a,b"\n'
+    assert one("formatRowNoNewline('TSV', 1, 'x')") == "1\tx"
+    assert one("formatRow('JSONEachRow', 1)") == '{"col1":1}\n'
+    for bad, hint in [
+        ("SELECT * FROM remote('h', db.t)", "routing"),
+        ("SELECT * FROM merge('db', '^x')", "UNION ALL"),
+        ("SELECT * FROM generateRandom('a Int64')", "nondeterministic"),
+        ("SELECT * FROM file(path_col)", "literal path"),
+        ("SELECT * FROM file('x.csv')", "self-describing"),
+        ("SELECT * FROM s3('u', 'k', 's', 'CSV', 'a Int64')", "credential"),
+        ("SELECT formatRow('Pretty', x) FROM t", "row-string"),
+    ]:
+        with pytest.raises(DialectError, match=hint):
+            translate(bad)
