@@ -145,6 +145,11 @@ HEADLINE = [
     "x_ks_test",               # KS D over the value-grid ECDF
     "x_mann_whitney_u",        # doubled rank sums + tie-corrected z
     "x_corpus_funnel",         # one-pass dedup+quality funnel, two exchanges
+    # Added round 10 (earlier entries unchanged — like-for-like holds).
+    "sql_ch_wave10_report",    # gcd/lcm folds + IPv6 codecs, one hash agg
+    "sql_ch_ngram_profile",    # ngram multiset folds, codegen projection
+    "sql_ch_decay_leaders",    # time-decayed windows, (type,user) exchange
+    "sql_ch_jaro_match",       # jaroWinkler fold + per-probe top-k window
 ]
 
 
