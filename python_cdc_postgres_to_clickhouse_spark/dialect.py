@@ -2807,19 +2807,23 @@ def _ipv6_parse(s: str) -> str:
 def _ipv6_string_to_num(a: list[str]) -> str:
     """IPv6StringToNum / toIPv6: string → binary(16). Bare IPv4 input
     maps to ::ffff:a.b.c.d (CH accepts it); invalid input aborts the
-    query via raise_error — the same throw-on-bad-row contract as CH."""
+    query via raise_error — the same throw-on-bad-row contract as CH.
+    The input expression is BOUND ONCE via a one-element transform —
+    the validity + parse tree references it ~30 times, and these
+    expressions are big enough to fall out of whole-stage codegen
+    (no CSE in interpreted mode: unbound, sf0.1 ran minutes, not
+    seconds)."""
     if len(a) != 1:
         raise DialectError("IPv6StringToNum takes one argument")
     s = f"({a[0]})"
-    v4 = (
-        f"({s} rlike '^{_V4_RE}$')"
-    )
-    return (
-        f"CASE WHEN {s} IS NULL THEN NULL "
-        f"WHEN {_ipv6_valid(s)} OR {v4} THEN {_ipv6_parse(s)} "
+    body = (
+        f"CASE WHEN s6 IS NULL THEN NULL "
+        f"WHEN {_ipv6_valid('s6')} OR (s6 rlike '^{_V4_RE}$') "
+        f"THEN {_ipv6_parse('s6')} "
         f"ELSE raise_error(concat('IPv6StringToNum: invalid IPv6 string: ', "
-        f"{s})) END"
+        f"s6)) END"
     )
+    return f"element_at(transform(array({s}), s6 -> {body}), 1)"
 
 
 def _ipv6_num_to_string(a: list[str]) -> str:
@@ -2835,8 +2839,8 @@ def _ipv6_num_to_string(a: list[str]) -> str:
         raise DialectError("IPv6NumToString takes one argument")
     b = f"({a[0]})"
     w_expr = (
-        f"transform(sequence(0, 7), i -> "
-        f"cast(conv(substr(lower(hex({b})), i * 4 + 1, 4), 16, 10) as int))"
+        "transform(sequence(0, 7), i -> "
+        "cast(conv(substr(lower(hex(b6)), i * 4 + 1, 4), 16, 10) as int))"
     )
     # Fold for the first maximal zero-run: (cur_base, cur_len, best_base,
     # best_len); strictly-greater update keeps the FIRST maximal run.
@@ -2877,13 +2881,17 @@ def _ipv6_num_to_string(a: list[str]) -> str:
         f"CASE WHEN st.bl >= 2 AND st.bb + st.bl = 8 "
         f"THEN concat({emit}, ':') ELSE {emit} END"
     )
+    # Bind the (possibly huge, e.g. a toIPv6(...) chain) input once:
+    # without this the 16-byte expression re-evaluates ~10x per row and
+    # the composed expression falls out of codegen (no CSE).
     return (
-        f"CASE WHEN {b} IS NULL THEN NULL "
-        f"WHEN octet_length({b}) != 16 THEN "
+        f"element_at(transform(array({b}), b6 -> "
+        f"CASE WHEN b6 IS NULL THEN NULL "
+        f"WHEN octet_length(b6) != 16 THEN "
         f"raise_error('IPv6NumToString: input must be 16 bytes') "
         f"ELSE element_at(transform(array({w_expr}), w -> "
         f"element_at(transform(array({run_fold}), st -> {closed}), 1)), 1) "
-        f"END"
+        f"END), 1)"
     )
 
 
@@ -4121,7 +4129,11 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "IPv6StringToNum": _ipv6_string_to_num,
     "toIPv6": _ipv6_string_to_num,
     "IPv6NumToString": _ipv6_num_to_string,
-    "isIPv6String": lambda a: _ipv6_valid(f"({a[0]})") if len(a) == 1
+    # bind the input once (the grammar references it ~6 times)
+    "isIPv6String": lambda a: (
+        f"element_at(transform(array(({a[0]})), s6 -> {_ipv6_valid('s6')}), 1)"
+    )
+    if len(a) == 1
     else _raise(DialectError("isIPv6String takes one argument")),
     "jaroSimilarity": _jaro_similarity,
     "damerauLevenshteinDistance": _damerau_levenshtein,

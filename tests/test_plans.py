@@ -708,15 +708,21 @@ def test_attribution_single_user_exchange_then_tiny_rollup(spark):
 
 def test_rfm_global_ntiles_ride_reduced_frame(spark):
     """x_rfm_segments: the only corpus-scale exchange is the per-user
-    aggregate; the global NTILE windows run on the already-reduced
-    |purchasing users| frame (documented bounded single-partition), and the
-    segment rollup is 4x4x4-sized."""
+    aggregate — since round 10 it runs ONCE inside the persisted frame
+    the gate count materializes (InMemoryTableScan above it), so the
+    outer plan adds NO further hash exchange; the global NTILE windows
+    run on the already-reduced |purchasing users| frame (documented
+    bounded single-partition below the gate), and the segment rollup is
+    4x4x4-sized."""
     df = _q(spark, "x_rfm_segments")
     plan = P.physical_plan(df)
-    assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "Exchange SinglePartition" in plan, plan  # the documented trade
+    assert "InMemoryTableScan" in plan, plan  # the persisted per-user frame
+    # Every hash exchange sits INSIDE the cached subtree (the one per-user
+    # aggregate shuffle; AQE prints it twice there) — none above the cache.
+    outer = plan.split("InMemoryRelation", 1)[0]
+    assert outer.count("Exchange hashpartitioning") == 0, plan
+    assert "Exchange SinglePartition" in outer, plan  # the documented trade
     assert "Join" not in plan, plan
-    assert P.has_partial_aggregate(df), plan
 
 
 def test_cohort_ltv_shares_user_exchange_for_cohorting(spark):
@@ -917,3 +923,34 @@ def test_recipe_epochs_two_exchanges(spark):
     plan = P.physical_plan(df)
     assert P.has_partial_aggregate(df)
     assert P.has_broadcast_join(df), "the sources-total frame must broadcast"
+
+
+def test_round10_dialect_queries_plan_shapes(spark):
+    """Round-10 sql_ch_* queries keep their declared 100 TB shapes:
+    wave10_report is ONE partial-aggregated hash aggregate (gcd/lcm/IPv6
+    are pure codegen — no Python, no join); ngram_profile is a
+    projection with no join and no Python; jaro_match ranks per probe
+    through WindowGroupLimit with no SortMergeJoin; decay_leaders'
+    windows cluster on the (event_type, user_id) shuffle plus the
+    per-type ranking — joins never appear."""
+    df = _q(spark, "sql_ch_wave10_report")
+    plan = P.physical_plan(df)
+    assert P.has_partial_aggregate(df)
+    assert "Join" not in plan and "Python" not in plan, plan
+    assert set(P.read_schema_columns(df)) <= {
+        "o_orderpriority", "o_custkey", "o_orderkey"
+    }
+
+    df = _q(spark, "sql_ch_ngram_profile")
+    plan = P.physical_plan(df)
+    assert "Join" not in plan and "Python" not in plan, plan
+    assert set(P.read_schema_columns(df)) <= {"doc_id", "text"}
+
+    df = _q(spark, "sql_ch_jaro_match")
+    plan = P.physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan and "Python" not in plan, plan
+
+    df = _q(spark, "sql_ch_decay_leaders")
+    plan = P.physical_plan(df)
+    assert "Join" not in plan and "Python" not in plan, plan
