@@ -3019,3 +3019,42 @@ def test_path_table_functions_untuple_format_row(spark):
     ]:
         with pytest.raises(DialectError, match=hint):
             translate(bad)
+
+
+def test_ipv6_formatter_matches_inet_ntop(spark):
+    """Fuzz the IPv6 codec family against glibc's own inet_ntop/inet_pton
+    (Python socket) — the formatter the shim mirrors. Crafted zero-run
+    patterns + random bytes + the special embedded-IPv4/loopback shapes;
+    formatter output must be byte-identical, the parser must round-trip,
+    and the validator must accept every canonical string."""
+    import random
+    import socket
+
+    random.seed(42)
+    addrs = []
+    for pat in range(48):
+        w = [0 if (pat >> (i % 8)) & 1 else random.randint(1, 0xFFFF)
+             for i in range(8)]
+        addrs.append(b"".join(x.to_bytes(2, "big") for x in w))
+    for _ in range(32):
+        addrs.append(random.randbytes(16))
+    for w in ([0] * 8, [0] * 7 + [1], [0] * 5 + [0xFFFF, 0x0102, 0x0304],
+              [0] * 6 + [0x0102, 0x0304], [0] * 6 + [0, 5], [0] * 7 + [2],
+              [0, 0, 0, 0, 0, 0xFFFE, 1, 2], [1] + [0] * 7):
+        addrs.append(b"".join(x.to_bytes(2, "big") for x in w))
+
+    spark.createDataFrame([(a,) for a in addrs], "b binary") \
+        .createOrReplaceTempView("v6_fuzz_bin")
+    got = [r.r for r in spark.sql(translate(
+        "SELECT IPv6NumToString(b) AS r FROM v6_fuzz_bin")).collect()]
+    for a, g in zip(addrs, got):
+        assert g == socket.inet_ntop(socket.AF_INET6, a), a.hex()
+
+    strs = [socket.inet_ntop(socket.AF_INET6, a) for a in addrs]
+    spark.createDataFrame([(s,) for s in strs], "s string") \
+        .createOrReplaceTempView("v6_fuzz_str")
+    parsed = [bytes(r.r) for r in spark.sql(translate(
+        "SELECT IPv6StringToNum(s) AS r FROM v6_fuzz_str")).collect()]
+    assert parsed == addrs
+    assert all(r.r for r in spark.sql(translate(
+        "SELECT isIPv6String(s) AS r FROM v6_fuzz_str")).collect())
