@@ -3058,3 +3058,90 @@ def test_ipv6_formatter_matches_inet_ntop(spark):
     assert parsed == addrs
     assert all(r.r for r in spark.sql(translate(
         "SELECT isIPv6String(s) AS r FROM v6_fuzz_str")).collect())
+
+
+def test_round10_functions_match_python_references(spark):
+    """Randomized cross-check of the round-10 scalar family against
+    pure-Python references (one batched SELECT): gcd/lcm vs math,
+    damerauLevenshteinDistance vs the unrestricted DL DP,
+    jaroSimilarity vs the standard greedy-window algorithm, and
+    ngramDistance vs a byte-level 4-gram multiset computation."""
+    import math
+    import random
+    from collections import Counter
+
+    random.seed(11)
+
+    def py_jaro(s, t):
+        ls, lt = len(s), len(t)
+        if ls == 0 or lt == 0:
+            return 0.0
+        w = max(max(ls, lt) // 2 - 1, 0)
+        flags = [False] * lt
+        sm, js = [], []
+        for i in range(ls):
+            lo, hi = max(i - w, 0), min(i + w, lt - 1)
+            for j in range(lo, hi + 1):
+                if not flags[j] and t[j] == s[i]:
+                    flags[j] = True
+                    sm.append(s[i])
+                    js.append(j)
+                    break
+        if not js:
+            return 0.0
+        m = len(js)
+        tr = sum(1 for k, j in enumerate(sorted(js)) if sm[k] != t[j]) // 2
+        return (m / ls + m / lt + (m - tr) / m) / 3
+
+    def py_dl(a, b):
+        # unrestricted Damerau-Levenshtein (wiki da/db formulation)
+        da = {}
+        md = len(a) + len(b)
+        d = [[md] * (len(b) + 2) for _ in range(len(a) + 2)]
+        for i in range(len(a) + 1):
+            d[i + 1][1] = i
+        for j in range(len(b) + 1):
+            d[1][j + 1] = j
+        for i in range(1, len(a) + 1):
+            db = 0
+            for j in range(1, len(b) + 1):
+                k, l = da.get(b[j - 1], 0), db
+                cost = 0 if a[i - 1] == b[j - 1] else 1
+                if cost == 0:
+                    db = j
+                d[i + 1][j + 1] = min(
+                    d[i][j] + cost, d[i + 1][j] + 1, d[i][j + 1] + 1,
+                    d[k][l] + (i - k - 1) + 1 + (j - l - 1))
+            da[a[i - 1]] = i
+        return d[len(a) + 1][len(b) + 1]
+
+    def py_ngram_dist(a, b):
+        ga = Counter(a[i:i + 4] for i in range(len(a) - 3)) if len(a) >= 4 else Counter()
+        gb = Counter(b[i:i + 4] for i in range(len(b) - 3)) if len(b) >= 4 else Counter()
+        tot = sum(ga.values()) + sum(gb.values())
+        if tot == 0:
+            return 0.0
+        sym = sum(abs(ga[g] - gb[g]) for g in set(ga) | set(gb))
+        return sym / tot
+
+    pairs = [("".join(random.choice("abcd") for _ in range(random.randint(0, 9))),
+              "".join(random.choice("abcd") for _ in range(random.randint(0, 9))))
+             for _ in range(40)]
+    ints = [(random.randint(0, 10**12), random.randint(0, 10**12))
+            for _ in range(20)]
+    exprs = []
+    for i, (a, b) in enumerate(pairs):
+        exprs += [f"jaroSimilarity('{a}', '{b}') AS j{i}",
+                  f"damerauLevenshteinDistance('{a}', '{b}') AS d{i}",
+                  f"ngramDistance('{a}', '{b}') AS n{i}"]
+    for i, (x, y) in enumerate(ints):
+        exprs += [f"gcd({x}, {y}) AS g{i}", f"lcm({x} % 100000, {y} % 100000) AS l{i}"]
+    row = spark.sql(translate("SELECT " + ", ".join(exprs))).collect()[0]
+    for i, (a, b) in enumerate(pairs):
+        assert row[f"j{i}"] == pytest.approx(py_jaro(a, b), abs=1e-12), (a, b)
+        assert row[f"d{i}"] == py_dl(a, b), (a, b)
+        # float32 result vs float64 reference
+        assert abs(row[f"n{i}"] - py_ngram_dist(a, b)) < 1e-6, (a, b)
+    for i, (x, y) in enumerate(ints):
+        assert row[f"g{i}"] == math.gcd(x, y), (x, y)
+        assert row[f"l{i}"] == math.lcm(x % 100000, y % 100000), (x, y)
