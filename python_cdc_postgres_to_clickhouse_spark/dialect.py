@@ -1891,9 +1891,23 @@ def _to_start_of_interval(a: list[str]) -> str:
         return f"timestamp_seconds(floor(unix_timestamp({a[0]}) / {w}) * {w})"
     if n == 1 and unit in ("WEEK", "MONTH", "QUARTER", "YEAR"):
         return f"date_trunc('{unit.lower()}', {a[0]})"
+    cal = {"MONTH": 1, "QUARTER": 3, "YEAR": 12}.get(unit)
+    if cal:
+        # Multi-month grids anchor at 1970-01 (CH's calendar-unit origin):
+        # floor months-since-epoch onto the k-month grid. floor(), not
+        # integer div — div truncates toward zero and would misalign
+        # pre-1970 timestamps.
+        k = n * cal
+        mse = f"((year({a[0]}) - 1970) * 12 + month({a[0]}) - 1)"
+        fm = f"(cast(floor({mse} / {k}) as int) * {k})"
+        return (
+            f"make_timestamp(1970 + ({fm}) div 12, ({fm}) % 12 + 1, "
+            f"1, 0, 0, 0)"
+        )
     raise DialectError(
         f"toStartOfInterval: INTERVAL {n} {unit} has no Spark closed form — "
-        "use date_trunc granularities or a sub-day width"
+        "multi-week grids have no stable cross-engine anchor; use "
+        "date_trunc granularities, N-month/quarter/year, or a sub-day width"
     )
 
 
@@ -3061,6 +3075,69 @@ def _format_row(newline: bool):
     return rule
 
 
+def _replace_regexp_one(a: list[str]) -> str:
+    """replaceRegexpOne(s, pat, repl): replace only the FIRST match —
+    Spark's regexp_replace is replace-all. Splice: prefix up to
+    regexp_instr's first-match position, the replacement applied to the
+    matched text alone (pattern re-anchored with a non-capturing wrap so
+    backreferences keep their numbering), then the suffix."""
+    if len(a) != 3:
+        raise DialectError("replaceRegexpOne takes (s, pattern, replacement)")
+    # CH backreferences are re2's \1; Java's are $1 (same literal rewrite
+    # replaceRegexpAll applies).
+    if _is_str_lit(a[2]):
+        a = [a[0], a[1],
+             "'" + re.sub(r"\\(\d)", r"$\1", _unquote(a[2]))
+             .replace("'", "''") + "'"]
+    body = (
+        "CASE WHEN rx.s IS NULL THEN NULL "
+        "WHEN regexp_instr(rx.s, rx.p) = 0 THEN rx.s "
+        "ELSE concat("
+        "substr(rx.s, 1, regexp_instr(rx.s, rx.p) - 1), "
+        "regexp_replace(regexp_extract(rx.s, rx.p, 0), "
+        "concat('^(?:', rx.p, ')$'), rx.r), "
+        "substr(rx.s, regexp_instr(rx.s, rx.p) "
+        "+ length(regexp_extract(rx.s, rx.p, 0)))) END"
+    )
+    return (
+        f"element_at(transform(array(named_struct("
+        f"'s', ({a[0]}), 'p', ({a[1]}), 'r', ({a[2]}))), rx -> {body}), 1)"
+    )
+
+
+def _array_levenshtein(a: list[str]) -> str:
+    """arrayLevenshteinDistance(x, y): plain Levenshtein DP over array
+    elements (null-safe equality), one row carried in the fold state —
+    O(|x|·|y|) per row."""
+    if len(a) != 2:
+        raise DialectError("arrayLevenshteinDistance takes (x, y)")
+    inner = (
+        "aggregate("
+        "CASE WHEN p.m = 0 THEN cast(array() as array<int>) "
+        "ELSE sequence(1, p.m) END, "
+        "array(i), "
+        "(row, j) -> concat(row, array(least("
+        "element_at(prev, j + 1) + 1, "
+        "element_at(row, j) + 1, "
+        "element_at(prev, j) + (CASE WHEN element_at(p.x, i) <=> "
+        "element_at(p.y, j) THEN 0 ELSE 1 END)))))"
+    )
+    fold = (
+        "aggregate("
+        "CASE WHEN p.n = 0 THEN cast(array() as array<int>) "
+        "ELSE sequence(1, p.n) END, "
+        "transform(sequence(0, p.m), j -> j), "
+        f"(prev, i) -> {inner}, "
+        "prev -> element_at(prev, p.m + 1))"
+    )
+    return (
+        f"element_at(transform(array(named_struct("
+        f"'x', ({a[0]}), 'y', ({a[1]}), "
+        f"'n', size(({a[0]})), 'm', size(({a[1]})))), "
+        f"p -> {fold}), 1)"
+    )
+
+
 def _damerau_levenshtein(a: list[str]) -> str:
     """TRUE (unrestricted) Damerau–Levenshtein — the distance-with-
     adjacent-transpositions DP (Wikipedia's da/db formulation), matching
@@ -4137,6 +4214,8 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     else _raise(DialectError("isIPv6String takes one argument")),
     "jaroSimilarity": _jaro_similarity,
     "damerauLevenshteinDistance": _damerau_levenshtein,
+    "replaceRegexpOne": _replace_regexp_one,
+    "arrayLevenshteinDistance": _array_levenshtein,
     # table functions over data paths (FROM position, like CH)
     "file": _path_table_fn("file", 2),
     "s3": _path_table_fn("s3", 2),
@@ -5012,10 +5091,6 @@ _UNSUPPORTED: dict[str, str] = {
                  "(same contract as studentTTest); compute the z "
                  "statistic from avg/stddev columns",
     "aggThrow": "CH test-harness function (throws by design)",
-    "replaceRegexpOne": "Spark's regexp_replace is replace-ALL and a "
-                        "first-match-only overlay is unsound for "
-                        "backreferences — use replaceRegexpAll, or "
-                        "replaceOne for literal needles",
     "neighbor": "block-order dependent in CH — use lag()/lead() OVER an "
                 "explicit ORDER BY",
     "runningDifference": "block-order dependent in CH — use value - "
@@ -5151,9 +5226,6 @@ _UNSUPPORTED: dict[str, str] = {
     "arrayNormalizedGini": "open an issue with the use case — the Gini "
                            "fold is expressible but has no known "
                            "reference caller",
-    "arrayLevenshteinDistance": "no JVM array edit-distance builtin — "
-                                "operators/fuzzy.py covers string edit "
-                                "distance",
     "tuplePlus": "Spark structs have no generic field-wise arithmetic — "
                  "spell per field, or use arrays (zip_with(a, b, (x, y) "
                  "-> x + y))",

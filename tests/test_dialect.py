@@ -853,8 +853,13 @@ def test_round6_datetime_batch_translates():
     assert translate("SELECT toStartOfInterval(ts, INTERVAL 1 MONTH) FROM t") == (
         "SELECT date_trunc('month', ts) FROM t"
     )
+    # multi-month grids translate as of round 10 (epoch-anchored); only
+    # multi-week grids stay loud (no stable cross-engine anchor)
+    assert "make_timestamp" in translate(
+        "SELECT toStartOfInterval(ts, INTERVAL 3 MONTH) FROM t"
+    )
     with pytest.raises(DialectError, match="closed form"):
-        translate("SELECT toStartOfInterval(ts, INTERVAL 3 MONTH) FROM t")
+        translate("SELECT toStartOfInterval(ts, INTERVAL 2 WEEK) FROM t")
     assert translate("SELECT toISOWeek(ts), toLastDayOfMonth(d) FROM t") == (
         "SELECT weekofyear(ts), last_day(d) FROM t"
     )
@@ -2149,7 +2154,8 @@ def test_round9_scalar_function_batch(spark):
     for bad, hint in [
         ("SELECT neighbor(v, 1) FROM t", "lag"),
         ("SELECT runningDifference(v) FROM t", "x_counter_rate"),
-        ("SELECT replaceRegexpOne(s, 'a', 'b') FROM t", "replaceRegexpAll"),
+        # replaceRegexpOne translates as of round 10 — see
+        # test_replace_regexp_one_and_array_levenshtein
         ("SELECT arrayShiftLeft([1,2], 1)", "default"),
         ("SELECT parseDateTime(s, '%Q') FROM t", "unsupported specifier"),
         ("SELECT rowNumberInAllBlocks() FROM t", "row_number"),
@@ -3145,3 +3151,45 @@ def test_round10_functions_match_python_references(spark):
     for i, (x, y) in enumerate(ints):
         assert row[f"g{i}"] == math.gcd(x, y), (x, y)
         assert row[f"l{i}"] == math.lcm(x % 100000, y % 100000), (x, y)
+
+
+def test_to_start_of_interval_multi_month(spark):
+    """N-month/quarter/year toStartOfInterval grids anchor at 1970-01
+    (the calendar-unit origin): quarter-of-epoch and biennial grids."""
+    import datetime as dt
+
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    assert one(
+        "toStartOfInterval(toDateTime('2024-05-17 10:00:00'), INTERVAL 3 MONTH)"
+    ) == dt.datetime(2024, 4, 1)
+    assert one(
+        "toStartOfInterval(toDateTime('2024-03-31 23:59:59'), INTERVAL 3 MONTH)"
+    ) == dt.datetime(2024, 1, 1)
+    assert one(
+        "toStartOfInterval(toDateTime('2023-08-01 00:00:00'), INTERVAL 2 YEAR)"
+    ) == dt.datetime(2022, 1, 1)
+    assert one(
+        "toStartOfInterval(toDateTime('2024-11-05 00:00:00'), INTERVAL 2 QUARTER)"
+    ) == dt.datetime(2024, 7, 1)
+
+
+def test_replace_regexp_one_and_array_levenshtein(spark):
+    """replaceRegexpOne: first-match-only regex replacement via the
+    regexp_instr splice (re-anchored so backreferences keep numbering;
+    CH's \\1 backrefs become Java's $1 like replaceRegexpAll).
+    arrayLevenshteinDistance: element-wise Levenshtein DP fold with
+    null-safe equality."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    assert one("replaceRegexpOne('aaa', 'a', 'b')") == "baa"
+    assert one("replaceRegexpOne('a1b22c', '[0-9]+', 'N')") == "aNb22c"
+    assert one(
+        "replaceRegexpOne('hello world', '(w\\\\w+)', '[\\\\1]')"
+    ) == "hello [world]"
+    assert one("replaceRegexpOne('nomatch', 'xyz', 'Q')") == "nomatch"
+    assert one("replaceRegexpOne('', 'a', 'b')") == ""
+    assert one("arrayLevenshteinDistance([1, 2, 3], [1, 3])") == 1
+    assert one("arrayLevenshteinDistance([1, 2, 3], [4, 5, 6])") == 3
+    assert one("arrayLevenshteinDistance([], [1, 2])") == 2
+    assert one("arrayLevenshteinDistance([1, 2], [])") == 2
+    assert one("arrayLevenshteinDistance(['a', 'b'], ['a', 'b'])") == 0
+    assert one("arrayLevenshteinDistance([1, NULL, 3], [1, NULL, 3])") == 0
