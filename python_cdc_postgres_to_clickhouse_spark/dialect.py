@@ -3075,6 +3075,74 @@ def _format_row(newline: bool):
     return rule
 
 
+def _entropy_nats_fold(arr: str) -> str:
+    """Shannon entropy in NATS of the value distribution in ``arr`` (a
+    BOUND variable holding a SORTED array): run-length fold, H = ln n −
+    Σ run·ln run / n. Base conversion is the caller's job (ratios of
+    entropies, like Theil's U, are base-free)."""
+    return (
+        f"CASE WHEN size({arr}) = 0 THEN 0.0D ELSE "
+        f"element_at(transform(array(aggregate(sequence(1, size({arr})), "
+        f"named_struct('last_end', 0, 's', 0.0D), "
+        f"(acc, i) -> CASE WHEN NOT (try_element_at({arr}, i + 1) <=> "
+        f"element_at({arr}, i)) THEN named_struct('last_end', i, "
+        f"'s', acc.s + (i - acc.last_end) * ln(i - acc.last_end)) "
+        f"ELSE acc END)), "
+        f"st -> ln(size({arr})) - st.s / size({arr})), 1) END"
+    )
+
+
+def _entropy_rule(a: list[str]) -> str:
+    if len(a) != 1:
+        raise DialectError("entropy takes one argument")
+    return (
+        f"element_at(transform(array(array_sort(collect_list({a[0]}))), "
+        f"ent -> ({_entropy_nats_fold('ent')}) / ln(2.0D)), 1)"
+    )
+
+
+def _theils_u(a: list[str]) -> str:
+    """theilsU(x, y): the uncertainty coefficient U(x|y) =
+    (H(x) + H(y) − H(x,y)) / H(x) — three run-length entropy folds (in
+    nats; the base cancels) over the sorted value / pair arrays. NULL
+    when H(x) = 0 (a constant column carries no uncertainty to explain).
+    Transcendental output — rank-only, like entropy. Rows with NULL in
+    either column should be pre-filtered (collect_list drops NULL
+    scalars but not NULL struct fields)."""
+    if len(a) != 2:
+        raise DialectError("theilsU takes (x, y)")
+    return (
+        "element_at(transform(array(named_struct("
+        f"'ax', array_sort(collect_list({a[0]})), "
+        f"'ay', array_sort(collect_list({a[1]})), "
+        f"'axy', array_sort(collect_list(named_struct("
+        f"'k1', {a[0]}, 'k2', {a[1]}))))), "
+        "t -> element_at(transform(array(named_struct("
+        f"'hx', {_entropy_nats_fold('t.ax')}, "
+        f"'hy', {_entropy_nats_fold('t.ay')}, "
+        f"'hxy', {_entropy_nats_fold('t.axy')})), "
+        "h -> CASE WHEN h.hx = 0.0D THEN NULL "
+        "ELSE (h.hx + h.hy - h.hxy) / h.hx END), 1)), 1)"
+    )
+
+
+def _sum_map_filtered(params: "Sequence[str] | None", args: list[str]) -> str:
+    """sumMapFiltered(keys)(m | keys, values): keep only the listed keys,
+    then the plain sumMap fold."""
+    if not params or len(params) != 1:
+        raise DialectError("sumMapFiltered takes a (keys array) parameter")
+    if len(args) == 1:
+        m = args[0]
+    elif len(args) == 2:
+        m = f"map_from_arrays({args[0]}, {args[1]})"
+    else:
+        raise DialectError(
+            "sumMapFiltered takes a map column or (keys, values) arrays"
+        )
+    filtered = f"map_filter({m}, (k, v) -> array_contains({params[0]}, k))"
+    return _map_combinator("+")([filtered])
+
+
 def _replace_regexp_one(a: list[str]) -> str:
     """replaceRegexpOne(s, pat, repl): replace only the FIRST match —
     Spark's regexp_replace is replace-all. Splice: prefix up to
@@ -4216,6 +4284,9 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "damerauLevenshteinDistance": _damerau_levenshtein,
     "replaceRegexpOne": _replace_regexp_one,
     "arrayLevenshteinDistance": _array_levenshtein,
+    # theilsU: three entropy folds over sorted value/pair arrays; NULL
+    # when H(x) = 0. Rank-only output like entropy.
+    "theilsU": _theils_u,
     # table functions over data paths (FROM position, like CH)
     "file": _path_table_fn("file", 2),
     "s3": _path_table_fn("s3", 2),
@@ -4230,17 +4301,7 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     # distribution in ONE aggregate — sorted run-length fold (the
     # groupBitmapXor pattern): H = (ln n − Σ run·ln run / n) / ln 2.
     # Transcendental output — rank with it, don't hash it (SCALE.md).
-    "entropy": _tpl(
-        "element_at(transform(array(array_sort(collect_list({0}))), arr -> "
-        "CASE WHEN size(arr) = 0 THEN 0.0D ELSE "
-        "element_at(transform(array(aggregate(sequence(1, size(arr)), "
-        "named_struct('last_end', 0, 's', 0.0D), "
-        "(acc, i) -> CASE WHEN NOT (try_element_at(arr, i + 1) <=> "
-        "element_at(arr, i)) THEN named_struct('last_end', i, "
-        "'s', acc.s + (i - acc.last_end) * ln(i - acc.last_end)) "
-        "ELSE acc END)), "
-        "st -> (ln(size(arr)) - st.s / size(arr)) / ln(2.0D)), 1) END), 1)"
-    ),
+    "entropy": _entropy_rule,
 }
 
 _install_dict_rules(RULES)
@@ -4885,6 +4946,7 @@ PARAM_RULES: dict[str, ParamRule] = {
     "uniqUpTo": _uniq_up_to,
     "topK": _top_k,
     "windowFunnel": _window_funnel,
+    "sumMapFiltered": _sum_map_filtered,
     "sequenceMatch": _sequence_match,
     "sequenceCount": _sequence_count,
     "sequenceNextNode": _sequence_next_node,
@@ -5116,7 +5178,6 @@ _UNSUPPORTED: dict[str, str] = {
     "mannWhitneyUTest": "use x_mann_whitney_u (exact doubled rank sums, "
                         "tie-corrected z, full oracle); p-values are "
                         "transcendental and stay driver-side",
-    "sumMapFiltered": "filter the map first (mapFilter) then sumMap",
     "groupArrayInsertAt": "use map_from_entries(collect_list(struct(pos, "
                           "v))) — positional assembly is a map, not an "
                           "ordered array, under distributed aggregation",
@@ -5260,9 +5321,6 @@ _UNSUPPORTED: dict[str, str] = {
     "COLUMNS": "the dynamic-column matcher needs the schema — spell "
                "the matched columns, or build the projection "
                "DataFrame-side with df.colRegex",
-    "theilsU": "log-based uncertainty coefficient — transcendental sum "
-               "(same contract as entropy); compute from the "
-               "contingency counts driver-side",
 }
 
 

@@ -2666,8 +2666,9 @@ def test_round8_scalar_function_batch(spark):
     assert "aggregate(" in translate("SELECT arrayAUC(a, b) FROM t")
     with pytest.raises(DialectError, match="unicode"):
         translate("SELECT normalizeUTF8NFC(s) FROM t")
-    with pytest.raises(DialectError, match="mapFilter"):
-        translate("SELECT sumMapFiltered([1])(k, v) FROM t")
+    # sumMapFiltered translates as of round 10 — see
+    # test_theils_u_and_sum_map_filtered
+    assert "map_filter" in translate("SELECT sumMapFiltered([1])(k, v) FROM t")
     spark.catalog.dropTempView("fx_probe")
 
 
@@ -3193,3 +3194,35 @@ def test_replace_regexp_one_and_array_levenshtein(spark):
     assert one("arrayLevenshteinDistance([1, 2], [])") == 2
     assert one("arrayLevenshteinDistance(['a', 'b'], ['a', 'b'])") == 0
     assert one("arrayLevenshteinDistance([1, NULL, 3], [1, NULL, 3])") == 0
+
+
+def test_theils_u_and_sum_map_filtered(spark):
+    """theilsU: uncertainty coefficient U(x|y) from three run-length
+    entropy folds — 1 when x is a function of y, 0 under independence,
+    NULL for a constant x. sumMapFiltered: key-filtered sumMap in both
+    the map-column and (keys, values) spellings."""
+    rows = []
+    for i in range(40):
+        rows.append(("det", str((i % 4) * 10), str(i % 4)))
+    for i in range(40):
+        rows.append(("ind", str(i % 2), str((i // 2) % 5)))
+    for i in range(10):
+        rows.append(("const", "same", str(i % 3)))
+    spark.createDataFrame(rows, "g string, x string, y string") \
+        .createOrReplaceTempView("theils_t")
+    out = {r.g: r.u for r in spark.sql(translate(
+        "SELECT g, theilsU(x, y) AS u FROM theils_t GROUP BY g")).collect()}
+    assert out["det"] == pytest.approx(1.0)
+    assert out["ind"] == pytest.approx(0.0, abs=1e-12)
+    assert out["const"] is None
+    rows2 = [("a", {"x": 1, "y": 2}), ("a", {"x": 3, "z": 9})]
+    spark.createDataFrame(rows2, "k string, m map<string,int>") \
+        .createOrReplaceTempView("smf_t")
+    got = spark.sql(translate(
+        "SELECT k, sumMapFiltered(['x', 'y'])(m) AS s FROM smf_t GROUP BY k"
+    )).collect()[0]["s"]
+    assert got == {"x": 4, "y": 2}
+    got2 = spark.sql(translate(
+        "SELECT k, sumMapFiltered(['x'])(map_keys(m), map_values(m)) AS s "
+        "FROM smf_t GROUP BY k")).collect()[0]["s"]
+    assert got2 == {"x": 4}
