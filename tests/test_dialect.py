@@ -3226,3 +3226,49 @@ def test_theils_u_and_sum_map_filtered(spark):
         "SELECT k, sumMapFiltered(['x'])(map_keys(m), map_values(m)) AS s "
         "FROM smf_t GROUP BY k")).collect()[0]["s"]
     assert got2 == {"x": 4}
+
+
+def test_time_decayed_window_randomized(spark):
+    """Randomized check of the decayed-window rewrite: random partitions,
+    duplicate and epoch-scale timestamps, negative values — every row of
+    every function must match the direct per-frame Python evaluation."""
+    import math
+    import random
+
+    random.seed(23)
+    rows = []
+    for k in ("a", "b", "c"):
+        base = random.choice([0, 1_700_000_000])
+        ts = sorted(random.randint(0, 500) for _ in range(12))
+        for i, t in enumerate(ts):
+            rows.append((k, base + t, i, round(random.uniform(-5, 5), 2)))
+    spark.createDataFrame(rows, "k string, t bigint, eid int, v double") \
+        .createOrReplaceTempView("decay_rand")
+    got = spark.sql(translate(
+        "SELECT k, t, eid, "
+        "exponentialTimeDecayedSum(37)(v, t) OVER "
+        "(PARTITION BY k ORDER BY t, eid) AS dsum, "
+        "exponentialTimeDecayedAvg(37)(v, t) OVER "
+        "(PARTITION BY k ORDER BY t, eid) AS davg, "
+        "exponentialTimeDecayedCount(37)(t) OVER "
+        "(PARTITION BY k ORDER BY t, eid) AS dcnt, "
+        "exponentialTimeDecayedMax(37)(v, t) OVER "
+        "(PARTITION BY k ORDER BY t, eid) AS dmax "
+        "FROM decay_rand"
+    )).collect()
+    by_key: dict = {}
+    for k, t, eid, v in rows:
+        by_key.setdefault(k, []).append((t, eid, v))
+    for r in got:
+        evs = sorted(by_key[r.k])
+        # default RANGE frame: all rows whose (t) <= current t — ties on
+        # the full ORDER BY key enter together, so frame = rows with
+        # (t, eid) <= (r.t, r.eid) plus any exact (t, eid) ties; with
+        # unique (t, eid) pairs the peer set is rows up to the current one
+        frame = [e for e in evs if (e[0], e[1]) <= (r.t, r.eid)]
+        ws = [math.exp((t - r.t) / 37) for t, _, _ in frame]
+        wv = [v * w for (_, _, v), w in zip(frame, ws)]
+        assert r.dsum == pytest.approx(sum(wv), rel=1e-9)
+        assert r.davg == pytest.approx(sum(wv) / sum(ws), rel=1e-9)
+        assert r.dcnt == pytest.approx(sum(ws), rel=1e-9)
+        assert r.dmax == pytest.approx(max(wv), rel=1e-9)
