@@ -3143,6 +3143,25 @@ def _sum_map_filtered(params: "Sequence[str] | None", args: list[str]) -> str:
     return _map_combinator("+")([filtered])
 
 
+def _ch_format(a: list[str]) -> str:
+    """format('{} x {1}', args…) → format_string: bare {} become
+    positional %s, indexed {N} become %(N+1)$s, doubled braces are
+    literals, and pre-existing % is escaped. Literal patterns only."""
+    if not a or not _is_str_lit(a[0].strip()):
+        raise DialectError(
+            "format needs a literal pattern (dynamic patterns: build with "
+            "concat / format_string directly)"
+        )
+    pat = _unquote(a[0].strip()).replace("%", "%%")
+    pat = pat.replace("{{", "\x00").replace("}}", "\x01")
+    pat = re.sub(r"\{(\d+)\}", lambda m: f"%{int(m.group(1)) + 1}$s", pat)
+    pat = pat.replace("{}", "%s")
+    pat = pat.replace("\x00", "{").replace("\x01", "}")
+    lit = "'" + pat.replace("'", "''") + "'"
+    rest = ", ".join(a[1:])
+    return f"format_string({lit}{', ' if rest else ''}{rest})"
+
+
 def _replace_regexp_one(a: list[str]) -> str:
     """replaceRegexpOne(s, pat, repl): replace only the FIRST match —
     Spark's regexp_replace is replace-all. Splice: prefix up to
@@ -4287,6 +4306,38 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     # theilsU: three entropy folds over sorted value/pair arrays; NULL
     # when H(x) = 0. Rank-only output like entropy.
     "theilsU": _theils_u,
+    # -- round-10 pass-through sweep: CH spellings that would otherwise
+    # resolve to a DIFFERENT Spark function (xxHash64 -> Spark's seed-42
+    # xxhash64 silently!) or fail as undefined. Hash mappings follow the
+    # cityHash64 policy: role-equivalent stable hash, different values.
+    "xxHash64": _fn("xxhash64"),
+    "xxh3": _fn("xxhash64"),
+    "xxHash32": _fn("hash"),  # 32-bit role: Spark's murmur3 hash()
+    "sipHash128": _tpl("unhex(md5({0}))"),  # 128-bit role, 16-byte shape
+    "toYYYYMMDDhhmmss": _tpl(
+        "cast(date_format({0}, 'yyyyMMddHHmmss') as bigint)"
+    ),
+    "intExp2": _tpl("shiftleft(cast(1 as bigint), {0})"),
+    "intExp10": _tpl(
+        "CASE WHEN ({0}) = 0 THEN 1L "
+        "ELSE aggregate(sequence(1, {0}), 1L, (acc, i) -> acc * 10) END"
+    ),
+    # rand family: nondeterministic by contract, like randCanonical
+    "randUniform": _tpl("(({0}) + rand() * (({1}) - ({0})))"),
+    "randNormal": _tpl("(({0}) + randn() * ({1}))"),
+    "randBernoulli": _tpl("cast(rand() < ({0}) as int)"),
+    "arrayProduct": _tpl("aggregate({0}, 1.0D, (acc, x) -> acc * x)"),
+    "arrayRotateRight": _tpl(
+        "concat(slice({0}, size({0}) - pmod({1}, greatest(size({0}), 1)) "
+        "+ 1, pmod({1}, greatest(size({0}), 1))), "
+        "slice({0}, 1, size({0}) - pmod({1}, greatest(size({0}), 1))))"
+    ),
+    # byteSlice: 1-based byte offsets over the UTF-8 encoding (CH returns
+    # the raw bytes as String; multibyte splits yield the same bytes here)
+    "byteSlice": _tpl(
+        "cast(substring(encode({0}, 'UTF-8'), {1}, {2}) as string)"
+    ),
+    "format": _ch_format,
     # table functions over data paths (FROM position, like CH)
     "file": _path_table_fn("file", 2),
     "s3": _path_table_fn("s3", 2),
@@ -5321,6 +5372,20 @@ _UNSUPPORTED: dict[str, str] = {
     "COLUMNS": "the dynamic-column matcher needs the schema — spell "
                "the matched columns, or build the projection "
                "DataFrame-side with df.colRegex",
+    # round-10 pass-through sweep: names that would fail as undefined
+    # (or mislead) if left alone.
+    "hiveHash": "JVM-internal hash not exposed in Spark SQL — use "
+                "hash()/xxhash64 for stable role-equivalent hashing",
+    "javaHash": "see hiveHash (String.hashCode is not exposed either)",
+    "wordShingleSimHash": "use operators/dedup.py's SimHash "
+                          "(x_minhash_near_dup family) — shingling + "
+                          "bit votes with an oracle-replayable hash",
+    "bitSlice": "sub-byte slicing has no Spark builtin — byteSlice "
+                "translates; for bit work use shiftleft/shiftright & "
+                "masks on integer reinterpretations",
+    "reinterpretAsString": "byte reinterpretation is type-system work — "
+                           "use encode/decode, hex/unhex, or cast "
+                           "explicitly for the layout you need",
 }
 
 

@@ -3272,3 +3272,44 @@ def test_time_decayed_window_randomized(spark):
         assert r.davg == pytest.approx(sum(wv) / sum(ws), rel=1e-9)
         assert r.dcnt == pytest.approx(sum(ws), rel=1e-9)
         assert r.dmax == pytest.approx(max(wv), rel=1e-9)
+
+
+def test_round10_passthrough_sweep(spark):
+    """Names that previously passed through silently: toYYYYMMDDhhmmss,
+    intExp2/intExp10 (exact integer folds), the rand family, arrayProduct,
+    arrayRotateRight, byteSlice, and CH-style format() placeholders
+    ({} / {N} / {{}} escapes; % is literal in CH and stays literal).
+    xxHash64/xxh3/xxHash32/sipHash128 follow the cityHash64 policy
+    (role-equivalent stable hashes, documented different values);
+    hiveHash/javaHash/bitSlice/reinterpretAsString raise loud."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    assert one(
+        "toYYYYMMDDhhmmss(toDateTime('2024-03-15 10:30:45'))"
+    ) == 20240315103045
+    assert one("intExp2(10)") == 1024 and one("intExp2(0)") == 1
+    assert one("intExp10(18)") == 10 ** 18 and one("intExp10(0)") == 1
+    assert one("arrayProduct([2, 3, 4])") == 24.0
+    assert one("arrayRotateRight([1,2,3,4,5], 2)") == [4, 5, 1, 2, 3]
+    assert one("arrayRotateRight([1,2,3], 0)") == [1, 2, 3]
+    assert one("arrayRotateRight(cast(array() as array<int>), 2)") == []
+    assert one("byteSlice('hello', 2, 3)") == "ell"
+    assert one("format('{} scored {}', 'ann', 9)") == "ann scored 9"
+    assert one("format('{1} then {0}', 'a', 'b')") == "b then a"
+    # % is literal in CH format; doubled braces are escapes
+    assert one("format('100% {{x}} {}', 'v')") == "100% {x} v"
+    assert len(one("sipHash128('x')")) == 16  # 16-byte shape
+    assert one("randUniform(2, 2)") == 2.0
+    assert one("randBernoulli(1.0)") == 1
+    assert translate("SELECT xxHash64(s) FROM t") == \
+        "SELECT xxhash64(s) FROM t"
+    assert translate("SELECT xxHash32(s) FROM t") == "SELECT hash(s) FROM t"
+    for bad, hint in [
+        ("SELECT hiveHash(s) FROM t", "xxhash64"),
+        ("SELECT javaHash(s) FROM t", "hiveHash"),
+        ("SELECT bitSlice(s, 1, 3) FROM t", "byteSlice"),
+        ("SELECT reinterpretAsString(n) FROM t", "encode"),
+        ("SELECT format(p, a) FROM t", "literal pattern"),
+        ("SELECT wordShingleSimHash(s) FROM t", "SimHash"),
+    ]:
+        with pytest.raises(DialectError, match=hint):
+            translate(bad)
