@@ -938,7 +938,7 @@ def test_round10_dialect_queries_plan_shapes(spark):
     assert P.has_partial_aggregate(df)
     assert "Join" not in plan and "Python" not in plan, plan
     assert set(P.read_schema_columns(df)) <= {
-        "o_orderpriority", "o_custkey", "o_orderkey"
+        "c_mktsegment", "c_custkey", "c_nationkey"
     }
 
     df = _q(spark, "sql_ch_ngram_profile")
