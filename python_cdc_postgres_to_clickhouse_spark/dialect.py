@@ -3634,6 +3634,12 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "divide": _tpl("({0} / {1})"),
     "negate": _tpl("(- {0})"),
     "roundBankers": _fn("bround"),
+    # CH round() on FLOAT inputs is banker's rounding (half to even) —
+    # Spark's round() is HALF_UP, a silent divergence on exact .5 ties
+    # (round(2.5): CH 2, Spark 3). bround is the faithful mapping; the
+    # Decimal-input away-from-zero variant keeps HALF_UP via toDecimal +
+    # Spark round if a port needs it.
+    "round": _fn("bround"),
     "cityHash64": _fn("xxhash64"),  # role-equivalent, different values
     "sipHash64": _fn("xxhash64"),
     "farmHash64": _fn("xxhash64"),

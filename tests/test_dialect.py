@@ -89,7 +89,7 @@ def test_aggregate_names_resolve_case_insensitively():
 def test_nested_calls_rewrite_recursively():
     out = translate("SELECT sumIf(toInt64(round(v * 100)), notEmpty(s)) FROM t")
     assert out == (
-        "SELECT sum(cast(round(v * 100) as bigint)) "
+        "SELECT sum(cast(bround(v * 100) as bigint)) "
         "FILTER (WHERE (length(s) > 0)) FROM t"
     )
 
@@ -2322,13 +2322,13 @@ def test_where_resolves_select_aliases_like_clickhouse(spark):
     aliases — scoped per SELECT (subqueries resolve their own names)."""
     assert translate(
         "SELECT round(value) AS v2 FROM events WHERE v2 > 100"
-    ) == "SELECT round(value) AS v2 FROM events WHERE (round(value)) > 100"
+    ) == "SELECT bround(value) AS v2 FROM events WHERE (bround(value)) > 100"
     # shadowing: the alias wins in the filter; the column feeds the expr
     assert translate(
         "SELECT round(value) AS value FROM events WHERE value > 100"
     ) == (
-        "SELECT round(value) AS value FROM events "
-        "WHERE (round(value)) > 100"
+        "SELECT bround(value) AS value FROM events "
+        "WHERE (bround(value)) > 100"
     )
     # chained aliases resolve left to right
     assert translate(
@@ -2353,7 +2353,7 @@ def test_where_resolves_select_aliases_like_clickhouse(spark):
     # PREWHERE merges into WHERE and then resolves aliases
     assert translate(
         "SELECT round(value) AS v FROM events PREWHERE v > 1"
-    ).endswith("WHERE ((round(value)) > 1)")
+    ).endswith("WHERE ((bround(value)) > 1)")
     # executes end to end with CH's shadowing semantics
     spark.sql(
         "SELECT * FROM VALUES (0.4), (1.6) AS t(value)"
@@ -3313,3 +3313,15 @@ def test_round10_passthrough_sweep(spark):
     ]:
         with pytest.raises(DialectError, match=hint):
             translate(bad)
+
+
+def test_round_is_bankers(spark):
+    """CH round() on floats is banker's rounding (half to even); Spark's
+    round() is HALF_UP. The dialect maps round -> bround so exact .5
+    ties agree with CH; roundBankers stays an explicit alias."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    assert one("round(2.5)") == 2.0
+    assert one("round(3.5)") == 4.0
+    assert one("round(-2.5)") == -2.0
+    assert one("round(2.4)") == 2.0 and one("round(2.6)") == 3.0
+    assert one("roundBankers(2.5)") == 2.0
