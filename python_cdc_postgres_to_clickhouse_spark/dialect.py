@@ -3325,7 +3325,6 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "toLastDayOfMonth": _fn("last_day"),
     "monthName": _tpl("date_format({0}, 'MMMM')"),
     "toDaysSinceYearZero": _tpl("(datediff({0}, DATE '1970-01-01') + 719528)"),
-    "toRelativeDayNum": _tpl("datediff({0}, DATE '1970-01-01')"),
     "toTime": _tpl(
         "to_timestamp(concat('1970-01-02 ', date_format({0}, 'HH:mm:ss')))"
     ),
@@ -4228,7 +4227,12 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     # aligns weeks to a Thursday-epoch offset.
     "toRelativeYearNum": _tpl("year({0})"),
     "toRelativeMonthNum": _tpl("(year({0}) * 12 + month({0}))"),
-    "toRelativeDayNum": _tpl("cast(floor(unix_timestamp({0}) / 86400) as int)"),
+    # toRelativeDayNum counts CALENDAR days since epoch (CH's DateLUT is
+    # timezone-local) — datediff, not unix div 86400 (which is UTC days
+    # and diverges for evening timestamps in non-UTC sessions). A
+    # duplicate key used to shadow the datediff rule with the UTC form
+    # (found by the round-10 duplicate-key audit).
+    "toRelativeDayNum": _tpl("datediff({0}, DATE '1970-01-01')"),
     "toRelativeHourNum": _tpl("cast(floor(unix_timestamp({0}) / 3600) as int)"),
     "toRelativeMinuteNum": _tpl("cast(floor(unix_timestamp({0}) / 60) as int)"),
     "toRelativeSecondNum": _fn("unix_timestamp"),
@@ -5244,10 +5248,9 @@ _UNSUPPORTED: dict[str, str] = {
     "normalizeUTF8NFD": "see normalizeUTF8NFC",
     "normalizeUTF8NFKC": "see normalizeUTF8NFC",
     "normalizeUTF8NFKD": "see normalizeUTF8NFC",
-    "neighbor": "use lag()/lead() window functions over an explicit ordering",
-    "runningAccumulate": "use a running-sum window (w_running_sum)",
-    "runningDifference": "use a lag() window over an explicit ordering "
-                         "(x_counter_rate for the reset-aware rate form)",
+    # (neighbor / runningAccumulate / runningDifference: detailed
+    # block-order entries earlier in this dict — duplicate short forms
+    # removed by the round-10 duplicate-key audit.)
     "largestTriangleThreeBuckets": "use x_lttb_downsample",
     "exponentialMovingAverage": "use x_ewma_trailing",
     "uniqTheta": "use x_sketch_theta_setops (DataSketches theta algebra)",
