@@ -128,3 +128,28 @@ def test_load_tables_repoints_views_across_sf_dirs(spark):
     assert spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"] == n_smoke
     load_tables(spark, SF_ORACLE)  # cache hit — must still re-register
     assert spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"] == n_oracle
+
+
+def test_no_duplicate_dict_keys_in_package():
+    """Duplicate keys in dict literals silently shadow earlier entries —
+    round 10 found toRelativeDayNum's faithful rule shadowed by a stale
+    duplicate this way. AST-audit every sizable dict literal in the
+    package."""
+    import ast
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "python_cdc_postgres_to_clickhouse_spark")
+    dups = []
+    for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        tree = ast.parse(open(f).read())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Dict) and len(node.keys) > 5:
+                seen = set()
+                for k in node.keys:
+                    if isinstance(k, ast.Constant):
+                        if k.value in seen:
+                            dups.append((f, k.lineno, k.value))
+                        seen.add(k.value)
+    assert not dups, dups
