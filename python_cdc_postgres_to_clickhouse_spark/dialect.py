@@ -3615,6 +3615,25 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "sumArray": _tpl("sum(aggregate({0}, 0D, (acc, x) -> acc + x))"),
     "minArray": _tpl("min(array_min({0}))"),
     "maxArray": _tpl("max(array_max({0}))"),
+    # avgArray averages over ALL elements of the group's arrays — a
+    # sum-of-sums over a sum-of-sizes, not an average of per-row means.
+    "avgArray": _tpl(
+        "(sum(aggregate({0}, 0D, (acc, x) -> acc + x)) "
+        "/ sum(size({0})))"
+    ),
+    # uniq(Exact)Array: distinct count over the union of the group's
+    # arrays. Exact via flatten + distinct (uniqArray is approximate in
+    # the source dialect — exact satisfies the same contract
+    # deterministically; swap to HLL over exploded rows at corpus scale).
+    "uniqArray": _tpl(
+        "cast(size(array_distinct(flatten(collect_list({0})))) as bigint)"
+    ),
+    "uniqExactArray": _tpl(
+        "cast(size(array_distinct(flatten(collect_list({0})))) as bigint)"
+    ),
+    "groupArrayArray": _tpl("flatten(collect_list({0}))"),
+    # countDistinct: the uniqExact alias spelling
+    "countDistinct": _tpl("count(DISTINCT {0})"),
     "countArray": _tpl("sum(size({0}))"),
     # -- float classification ---------------------------------------------
     "isFinite": _tpl("(NOT isnan({0}) AND abs({0}) != double('inf'))"),
@@ -5046,6 +5065,10 @@ _IF_BASES = {
     "count", "sum", "avg", "min", "max", "any", "anyLast", "argMax", "argMin",
     "uniq", "median", "groupArray", "groupUniqArray", "stddevPop",
     "stddevSamp", "varPop", "varSamp", "corr", "covarPop", "covarSamp",
+    # -Array -If composition (sumArrayIf etc.) for the -Array rules whose
+    # body is a single aggregate call FILTER can attach to (avgArray and
+    # groupArrayArray expand to compound expressions and stay If-less)
+    "sumArray", "minArray", "maxArray",
 }
 
 # Aggregates whose Spark translation already yields NULL over empty/all-null
@@ -5195,6 +5218,11 @@ def _state_merge(name: str, args: list[str]) -> str | None:
 _UNSUPPORTED: dict[str, str] = {
     "topKWeighted": "use x_heavy_hitters with a weight pre-aggregation "
                     "(approx_top_k has no weighted form)",
+    "countResample": "the -Resample combinator is a bucketed GROUP BY — "
+                     "add width_bucket(key, lo, hi, n) to the grouping "
+                     "keys instead",
+    "sumResample": "see countResample",
+    "avgResample": "see countResample",
     "groupArrayMovingSum": "insertion-order dependent in CH — use "
                            "sum() OVER (ORDER BY <key> ROWS N-1 "
                            "PRECEDING) with an explicit order",
@@ -5436,6 +5464,26 @@ def _apply_function(name: str, rendered_args: list[str],
         )
     if name in PARAM_RULES:
         return PARAM_RULES[name](params, rendered_args)
+    # Parametric -If composition: quantileIf(0.9)(x, cond) etc. Only the
+    # quantile family qualifies — its bodies are single aggregate calls
+    # FILTER attaches to (topK/groupArray expand to compound expressions).
+    if (
+        params is not None
+        and name.endswith("If")
+        and name[:-2] in PARAM_RULES
+    ):
+        base = name[:-2]
+        if base in ("quantile", "quantileExact", "quantileGK",
+                    "quantileBFloat16", "quantileTDigest"):
+            if len(rendered_args) < 2:
+                raise DialectError(f"{name} needs a condition argument")
+            body = PARAM_RULES[base](params, rendered_args[:-1])
+            return f"{body} FILTER (WHERE {rendered_args[-1]})"
+        raise DialectError(
+            f"{name}: the -If combinator composes only with the quantile "
+            "family in parametric position — filter in WHERE, or wrap the "
+            "argument in if(cond, x, NULL)"
+        )
     if params is not None:
         raise DialectError(f"{name}: unexpected parametric call")
     if name in RULES:
@@ -5553,7 +5601,11 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
             if (
                 j < len(toks)
                 and toks[j] == "("
-                and (name in PARAM_RULES or name in _UNSUPPORTED)
+                and (
+                    name in PARAM_RULES
+                    or name in _UNSUPPORTED
+                    or (name.endswith("If") and name[:-2] in PARAM_RULES)
+                )
             ):
                 params = [_render(_rewrite_calls(a)) for a in arg_tok_lists]
                 arg_tok_lists, j = _parse_args(toks, j)

@@ -3325,3 +3325,30 @@ def test_round_is_bankers(spark):
     assert one("round(-2.5)") == -2.0
     assert one("round(2.4)") == 2.0 and one("round(2.6)") == 3.0
     assert one("roundBankers(2.5)") == 2.0
+
+
+def test_combinator_sweep_round10(spark):
+    """Aggregate-combinator gaps closed in round 10: avgArray (elements,
+    not per-row means), uniq(Exact)Array (exact distinct over the union),
+    groupArrayArray, countDistinct, the -Array -If composition, and the
+    parametric -If composition for the quantile family; topKIf and
+    -Resample raise loud with routes."""
+    rows = [("a", [1, 2], 1, 5.0), ("a", [3], 0, 7.0), ("b", [4, 5, 2], 1, 1.0)]
+    spark.createDataFrame(rows, "k string, arr array<int>, c int, v double") \
+        .createOrReplaceTempView("comb_t")
+    q = lambda s: {r.k: r.r for r in spark.sql(translate(
+        f"SELECT k, {s} AS r FROM comb_t GROUP BY k")).collect()}
+    assert q("avgArray(arr)") == {"a": 2.0, "b": pytest.approx(11 / 3)}
+    assert q("uniqArray(arr)") == {"a": 3, "b": 3}
+    assert {k: sorted(v) for k, v in q("groupArrayArray(arr)").items()} == \
+        {"a": [1, 2, 3], "b": [2, 4, 5]}
+    assert q("countDistinct(c)") == {"a": 2, "b": 1}
+    assert q("sumArrayIf(arr, c = 1)") == {"a": 3.0, "b": 11.0}
+    assert q("quantileExactIf(0.5)(v, c = 1)") == {"a": 5.0, "b": 1.0}
+    assert q("quantileIf(0.5)(v, c = 1)") == {"a": 5.0, "b": 1.0}
+    for bad, hint in [
+        ("SELECT topKIf(3)(x, c) FROM t", "quantile family"),
+        ("SELECT countResample(0, 10, 1)(x, k) FROM t", "width_bucket"),
+    ]:
+        with pytest.raises(DialectError, match=hint):
+            translate(bad)
