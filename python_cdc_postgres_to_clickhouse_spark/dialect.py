@@ -5585,12 +5585,26 @@ def _rewrite_calls(toks: list[str]) -> list[str]:
     i = 0
     while i < len(toks):
         t = toks[i]
+        # CH's any(x) aggregate (pick an arbitrary value) must be treated
+        # as a CALL even though ANY is a keyword — left untranslated it
+        # parses as Spark's BOOLEAN any/bool_or, silently wrong. Keyword
+        # contexts keep ANY: quantified comparisons (`= ANY (…)`, where a
+        # comparison operator precedes) never look like aggregates, and
+        # `ANY JOIN` has no '(' after it.
+        any_call = (
+            _u(t) == "ANY"
+            and i + 1 < len(toks)
+            and toks[i + 1] == "("
+            and not (out and out[-1] in ("=", "!=", "<>", "<", ">",
+                                         "<=", ">=") )
+            and not (out and _u(out[-1]) in ("LIKE", "IN", "NOT"))
+        )
         if (
             _is_ident(t)
             and not t.startswith(("`", '"'))
             and i + 1 < len(toks)
             and toks[i + 1] == "("
-            and _u(t) not in _KEYWORDS_NOT_CALLS
+            and (_u(t) not in _KEYWORDS_NOT_CALLS or any_call)
             and not (out and out[-1] == ".")
         ):
             name = t

@@ -3352,3 +3352,22 @@ def test_combinator_sweep_round10(spark):
     ]:
         with pytest.raises(DialectError, match=hint):
             translate(bad)
+
+
+def test_any_function_vs_keyword_contexts(spark):
+    """CH any(x) is the pick-an-arbitrary-value aggregate — left to
+    Spark's parser it becomes the BOOLEAN any/bool_or, silently wrong.
+    Call position translates to any_value; quantified-comparison
+    `= ANY (subquery)` keeps the keyword."""
+    assert translate("SELECT any(x) FROM t GROUP BY k") == \
+        "SELECT any_value(x) FROM t GROUP BY k"
+    assert translate("SELECT Any(v) FROM t") == "SELECT any_value(v) FROM t"
+    assert "= ANY (SELECT" in translate(
+        "SELECT x FROM t WHERE x = ANY (SELECT y FROM u)"
+    )
+    rows = [("a", 1), ("a", 2), ("b", 9)]
+    spark.createDataFrame(rows, "k string, v int") \
+        .createOrReplaceTempView("any_fn_t")
+    out = {r.k: r.r for r in spark.sql(translate(
+        "SELECT k, any(v) AS r FROM any_fn_t GROUP BY k")).collect()}
+    assert out["b"] == 9 and out["a"] in (1, 2)
