@@ -1824,16 +1824,35 @@ def _rewrite_time_decayed(toks: list[str]) -> list[str]:
         # numerics — both CH-accepted time argument types.
         anchor = f"max(cast(({time}) as double)) OVER ({part})"
         w = f"exp((cast(({time}) as double) - {anchor}) / ({lam}))"
+        # w underflows to exactly 0.0 when a row is more than ~745*lambda
+        # older than the partition max (exp argument < -745); dividing by
+        # it then aborts under ANSI (DIVIDE_BY_ZERO) or silently yields
+        # NULL/Inf where CH returns a finite value. Guard the degenerate
+        # divisor loudly (repo policy: loud beats silently wrong).
+        underflow_msg = (
+            f"{t}: decay weight underflowed to 0 - partition time span "
+            f"exceeds ~700*lambda; increase lambda or use x_ewma_trailing"
+        )
+        def _nz(d: str) -> str:
+            # cast(0 as double), not the 0D literal: the repl string is
+            # re-tokenized, and the tokenizer splits `0D` into two tokens.
+            return (
+                f"(CASE WHEN ({d}) = cast(0 as double) THEN "
+                f"raise_error('{underflow_msg}') ELSE ({d}) END)"
+            )
         if kind == "sum":
-            repl = f"((sum(({val}) * {w}) OVER ({spec})) / {w})"
+            repl = f"((sum(({val}) * {w}) OVER ({spec})) / {_nz(w)})"
         elif kind == "max":
-            repl = f"((max(({val}) * {w}) OVER ({spec})) / {w})"
+            repl = f"((max(({val}) * {w}) OVER ({spec})) / {_nz(w)})"
         elif kind == "count":
-            repl = f"((sum({w}) OVER ({spec})) / {w})"
-        else:  # avg: the anchors cancel between numerator and denominator
+            repl = f"((sum({w}) OVER ({spec})) / {_nz(w)})"
+        else:
+            # avg: the anchors cancel between numerator and denominator,
+            # but a frame whose every weight underflowed still yields
+            # 0/0 — guard the summed denominator the same way.
             repl = (
                 f"((sum(({val}) * {w}) OVER ({spec})) / "
-                f"(sum({w}) OVER ({spec})))"
+                f"{_nz(f'sum({w}) OVER ({spec})')})"
             )
         repl_toks = _tokenize(repl)
         toks = toks[:i] + repl_toks + toks[j3:]
@@ -1896,13 +1915,17 @@ def _to_start_of_interval(a: list[str]) -> str:
         # Multi-month grids anchor at 1970-01 (CH's calendar-unit origin):
         # floor months-since-epoch onto the k-month grid. floor(), not
         # integer div — div truncates toward zero and would misalign
-        # pre-1970 timestamps.
+        # pre-1970 timestamps. The year/month decomposition below must
+        # ALSO use floor semantics: fm is negative pre-1970, and Spark's
+        # div/% truncate toward zero (fm=-15 would otherwise render
+        # make_timestamp(1969, -2, ...)). pmod + floor-div keep the month
+        # in 1..12 for any sign.
         k = n * cal
         mse = f"((year({a[0]}) - 1970) * 12 + month({a[0]}) - 1)"
         fm = f"(cast(floor({mse} / {k}) as int) * {k})"
         return (
-            f"make_timestamp(1970 + ({fm}) div 12, ({fm}) % 12 + 1, "
-            f"1, 0, 0, 0)"
+            f"make_timestamp(1970 + cast(floor(({fm}) / 12.0) as int), "
+            f"pmod({fm}, 12) + 1, 1, 0, 0, 0)"
         )
     raise DialectError(
         f"toStartOfInterval: INTERVAL {n} {unit} has no Spark closed form — "
@@ -3014,6 +3037,17 @@ def _path_table_fn(name: str, max_plain_args: int):
                 "for dynamic paths"
             )
         path = _unquote(a[0].strip())
+        scheme = path.split("://", 1)[0].lower() if "://" in path else ""
+        if scheme in ("http", "https", "ftp"):
+            # Spark ships no http/https/ftp Hadoop filesystem — the
+            # direct-path FROM form would fail at runtime with an opaque
+            # "No FileSystem for scheme" error. Fail at translate time
+            # with the actual route instead.
+            raise DialectError(
+                f"{name}: Spark has no {scheme}:// filesystem — download "
+                "the file first and read the local copy with "
+                "formats.read(spark, fmt, path)"
+            )
         if len(a) == 1:
             ext = path.rsplit(".", 1)[-1].lower()
             fmt = _DIRECT_READ_FMTS.get(
@@ -4346,9 +4380,16 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "toYYYYMMDDhhmmss": _tpl(
         "cast(date_format({0}, 'yyyyMMddHHmmss') as bigint)"
     ),
-    "intExp2": _tpl("shiftleft(cast(1 as bigint), {0})"),
+    # intExp2/intExp10 are integer powers (CH returns UInt64): a negative
+    # exponent floors to 0, and must be guarded explicitly — sequence(1, n)
+    # flips to a DESCENDING range for n < 0 (intExp10(-1) would fold over
+    # [1, 0, -1] and return 1000), and shiftleft wraps shifts modulo 64.
+    "intExp2": _tpl(
+        "CASE WHEN ({0}) < 0 THEN 0L "
+        "ELSE shiftleft(cast(1 as bigint), {0}) END"
+    ),
     "intExp10": _tpl(
-        "CASE WHEN ({0}) = 0 THEN 1L "
+        "CASE WHEN ({0}) < 0 THEN 0L WHEN ({0}) = 0 THEN 1L "
         "ELSE aggregate(sequence(1, {0}), 1L, (acc, i) -> acc * 10) END"
     ),
     # rand family: nondeterministic by contract, like randCanonical

@@ -3371,3 +3371,64 @@ def test_any_function_vs_keyword_contexts(spark):
     out = {r.k: r.r for r in spark.sql(translate(
         "SELECT k, any(v) AS r FROM any_fn_t GROUP BY k")).collect()}
     assert out["b"] == 9 and out["a"] in (1, 2)
+
+
+def test_advice_r10_fixes(spark):
+    """Round-11 ADVICE regressions: (1) exponentialTimeDecayed* raises
+    loudly (not DIVIDE_BY_ZERO / silent NULL) when the partition time
+    span exceeds ~700*lambda and the anchor weight underflows to 0;
+    (2) N-month toStartOfInterval decomposes negative months-since-epoch
+    with floor semantics (pre-1970 timestamps no longer render
+    make_timestamp(1969, -2, ...)); (3) intExp2/intExp10 return 0 for
+    negative exponents instead of folding a descending sequence();
+    (4) url('http://...') fails at translate time with the download +
+    formats.read route instead of an opaque runtime filesystem error."""
+    import datetime as dt
+
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+
+    # (1) lambda=4 with rows 10,000s apart: exp(-2500) == 0.0 exactly.
+    rows = [("a", 0, 1.0), ("a", 10_000, 2.0)]
+    spark.createDataFrame(rows, "k string, t int, v double") \
+        .createOrReplaceTempView("decay_uf")
+    with pytest.raises(Exception, match="underflowed"):
+        spark.sql(translate(
+            "SELECT exponentialTimeDecayedSum(4)(v, t) "
+            "OVER (PARTITION BY k ORDER BY t) AS d FROM decay_uf"
+        )).collect()
+    # sane spans still compute (guard is CASE-gated, not a hard gate)
+    ok = spark.sql(translate(
+        "SELECT exponentialTimeDecayedSum(4)(v, t) "
+        "OVER (PARTITION BY k ORDER BY t) AS d FROM decay_uf WHERE t = 0"
+    )).collect()
+    assert ok[0].d == pytest.approx(1.0)
+
+    # (2) pre-1970: months-since-epoch is negative; floor decomposition.
+    assert one(
+        "toStartOfInterval(toDateTime('1968-10-05 12:00:00'), INTERVAL 3 MONTH)"
+    ) == dt.datetime(1968, 10, 1)
+    assert one(
+        "toStartOfInterval(toDateTime('1969-05-20 00:00:00'), INTERVAL 3 MONTH)"
+    ) == dt.datetime(1969, 4, 1)
+    assert one(
+        "toStartOfInterval(toDateTime('1965-02-03 00:00:00'), INTERVAL 2 YEAR)"
+    ) == dt.datetime(1964, 1, 1)
+    # post-1970 grid unchanged
+    assert one(
+        "toStartOfInterval(toDateTime('2024-05-17 10:00:00'), INTERVAL 3 MONTH)"
+    ) == dt.datetime(2024, 4, 1)
+
+    # (3) negative integer exponents floor to 0 (CH UInt64 semantics).
+    assert one("intExp10(-1)") == 0
+    assert one("intExp10(-7)") == 0
+    assert one("intExp2(-1)") == 0
+    assert one("intExp2(10)") == 1024  # positive path unchanged
+
+    # (4) http(s)/ftp schemes are loud at translate time.
+    for scheme in ("http", "https", "ftp"):
+        with pytest.raises(DialectError, match="formats.read"):
+            translate(f"SELECT * FROM url('{scheme}://x.test/d.parquet', 'Parquet')")
+    # readable schemes still translate
+    assert "json.`file:///tmp/x.json`" in translate(
+        "SELECT * FROM url('file:///tmp/x.json', 'JSONEachRow')"
+    )
