@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-compatible oracle SQL for every SQL-expressible query."""
     return {
-        name: spec.oracle
+        name: spec.resolve_oracle()
         for name, spec in all_queries().items()
         if spec.oracle is not None
     }

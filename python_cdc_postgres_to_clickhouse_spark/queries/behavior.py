@@ -964,7 +964,41 @@ def x_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_holt_trend", tags=("ext", "behavior", "timeseries", "iterative"))
+# Holt recurrence with dyadic α=β=0.5: every step is two exact
+# multiplies-by-0.5 plus IEEE additions in a fixed order, so a DuckDB
+# recursive CTE replaying the identical op sequence is BIT-EXACT against
+# the Arrow-fold Spark path (round-11 promotion from rows-only). The
+# textual repetition of the level expression inside the trend update is
+# deliberate — identical expression ⇒ identical bits.
+HOLT_SQL = """
+WITH RECURSIVE s AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), cnt AS (
+  SELECT user_id, MAX(rn) AS n FROM s GROUP BY user_id
+), h AS (
+  SELECT user_id, 1 AS rn, value AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn,
+         0.5 * s.value + 0.5 * (h.level + h.trend) AS level,
+         0.5 * ((0.5 * s.value + 0.5 * (h.level + h.trend)) - h.level)
+           + 0.5 * h.trend AS trend
+  FROM h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1
+)
+SELECT h.user_id, CAST(cnt.n AS BIGINT) AS n_points, h.level, h.trend,
+       h.level + h.trend AS forecast_1
+FROM h JOIN cnt USING (user_id) WHERE h.rn = cnt.n
+ORDER BY h.user_id
+"""
+
+
+@query(
+    "x_holt_trend",
+    oracle=HOLT_SQL,
+    tags=("ext", "behavior", "timeseries", "iterative"),
+)
 def x_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Holt linear trend (double exponential smoothing) over the
     value series — the sequential recurrence the relational surface can't
@@ -973,8 +1007,10 @@ def x_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One user_id grouped-map Arrow pass, numpy fold inside the worker,
     two-float state, one output row per user (operators/forecast.py has
-    the full scale contract). Rows-only driver row; bit-exact numpy
-    replay, determinism, and single-point degenerate tests in
+    the full scale contract). Full oracle since round 11: the dyadic
+    α=β=0.5 recurrence is bit-exact, so a DuckDB recursive CTE replaying
+    the identical IEEE op sequence hash-matches; bit-exact numpy replay,
+    determinism, and single-point degenerate tests in
     tests/test_forecast.py.
     """
     from ..operators.forecast import holt_linear

@@ -127,7 +127,63 @@ def _bloom_positions(shingle_col, k: int = BLOOM_K):
     )
 
 
-@query("x_bloom_decontaminate", tags=("ext", "pipeline", "dedup", "approx"))
+# The Bloom bit positions are salted-md5 derived — engine-portable, so the
+# filter is reproducible in DuckDB exactly: same positions, same word table,
+# same probe verdicts. DuckDB's `<<` raises on a 63-bit shift (Spark's
+# shiftleft wraps to the sign bit), hence the CASE for bit 63.
+_SQL_BLOOM_POS = (
+    "CAST(CAST(concat('0x', substr(md5(concat('bloom', CAST(j AS VARCHAR),"
+    " shingle)), 1, 8)) AS BIGINT) % {bits} AS BIGINT)"
+).format(bits=BLOOM_BITS)
+_SQL_BIT = (
+    "CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+    "ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER) END"
+)
+
+BLOOM_DECONTAMINATE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN {_SQL_SPLIT_BUCKET} < 90 THEN 'train'
+              WHEN {_SQL_SPLIT_BUCKET} < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), sh AS (
+  SELECT doc_id, split, list_distinct({_SQL_SHINGLES3}) AS shs
+  FROM (SELECT doc_id, split, string_split({SQL_NORM}, ' ') AS t FROM d)
+), test_pos AS (
+  SELECT {_SQL_BLOOM_POS} AS pos
+  FROM (SELECT DISTINCT unnest(shs) AS shingle FROM sh WHERE split = 'test'),
+       (SELECT unnest([0, 1, 2, 3]) AS j)
+), words AS (
+  SELECT CAST(pos // 64 AS BIGINT) AS word_id, bit_or({_SQL_BIT}) AS word
+  FROM test_pos GROUP BY 1
+), probes AS (
+  SELECT doc_id, shingle, pos, CAST(pos // 64 AS BIGINT) AS word_id
+  FROM (
+    SELECT doc_id, shingle, {_SQL_BLOOM_POS} AS pos
+    FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh WHERE split = 'train'),
+         (SELECT unnest([0, 1, 2, 3]) AS j)
+  )
+), flagged AS (
+  SELECT doc_id, shingle
+  FROM (
+    SELECT p.doc_id, p.shingle,
+           (COALESCE(w.word, 0) & ({_SQL_BIT})) <> 0 AS hit
+    FROM probes p LEFT JOIN words w USING (word_id)
+  )
+  GROUP BY doc_id, shingle HAVING bool_and(hit)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_shingles,
+       COUNT(*) >= {CONTAMINATION_MIN_SHINGLES} AS contaminated
+FROM flagged GROUP BY doc_id
+"""
+
+
+@query(
+    "x_bloom_decontaminate",
+    oracle=BLOOM_DECONTAMINATE_SQL,
+    tags=("ext", "pipeline", "dedup", "approx"),
+)
 def x_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X13': Bloom-filter decontamination — the fixed-memory variant of
     x_decontaminate for when the benchmark shingle set is too large to
@@ -144,8 +200,10 @@ def x_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (``bool_and``). Bloom semantics make the per-doc count an UPPER
     bound: zero false negatives (the conservative direction for
     decontamination), false-positive rate bounded by (1-e^{{-kn/m}})^k —
-    both property-tested against the exact query. Engine-specific bit
-    layout ⇒ rows-only driver row.
+    both property-tested against the exact query. The bit positions are
+    salted-md5 derived (no engine-internal hash), so the whole filter is
+    engine-portable: promoted round 11 from rows-only to a full DuckDB
+    oracle that rebuilds the identical word table and probe verdicts.
     """
     from ..operators.sampling import assign_split
     from ..tables import widen_small_scan
@@ -857,7 +915,68 @@ def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-@query("x_bpe_encode", tags=("ext", "text", "vocab", "iterative"))
+def _bpe_encode_oracle() -> str:
+    """Lazy DuckDB oracle for x_bpe_encode (round-11 promotion from
+    rows-only). The merge table is trained INDEPENDENTLY of Spark — word
+    frequencies come from a DuckDB aggregate over the driver's sf0.01
+    documents table and the merge rounds run through the pure-python
+    reference implementation (operators/bpe.bpe_merges_from_dict, the same
+    function the unit tests replay against) — then the encode chain is
+    emitted as literal DuckDB replace() calls mirroring
+    encode_token_expr's double-separator trick. Verifies the distributed
+    encode pass end-to-end; the trainer itself is pinned separately by
+    tests (hand-computed case + python replay)."""
+    import duckdb
+
+    from ..operators.bpe import EOW, bpe_merges_from_dict
+
+    con = duckdb.connect()
+    try:
+        wf = con.execute(
+            f"SELECT tok, COUNT(*) AS n FROM ("
+            f"  SELECT unnest(string_split({SQL_NORM}, ' ')) AS tok"
+            f"  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+            f") GROUP BY tok ORDER BY n DESC, tok LIMIT {BPE_CAP}"
+        ).fetchall()
+    finally:
+        con.close()
+    merges = bpe_merges_from_dict(wf, BPE_MERGES)
+
+    def q(s: str) -> str:  # SQL string-literal escape
+        return s.replace("'", "''")
+
+    expr = (
+        "concat('  ', regexp_replace(tok, '(.)', '\\1  ', 'g'), "
+        f"'{q(EOW)}  ')"
+    )
+    for _, left, right, _ in merges:
+        expr = (
+            f"replace({expr}, ' {q(left)}  {q(right)} ',"
+            f" ' {q(left)}{q(right)} ')"
+        )
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+), e AS (
+  SELECT doc_id, len(t) AS n_ws,
+         flatten(list_transform(t, tok ->
+           list_filter(regexp_split_to_array(trim({expr}), ' +'),
+                       x -> x <> ''))) AS sym
+  FROM d
+)
+SELECT doc_id,
+       CAST(n_ws AS BIGINT) AS n_ws_tokens,
+       CAST(len(sym) AS BIGINT) AS n_bpe_tokens,
+       md5(array_to_string(sym, ' ')) AS enc_md5
+FROM e
+"""
+
+
+@query(
+    "x_bpe_encode",
+    oracle=_bpe_encode_oracle,
+    tags=("ext", "text", "vocab", "iterative"),
+)
 def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16 endpoint, part 2: ENCODE the corpus with the trained BPE merge
     table — per document, the BPE token count next to the whitespace token
@@ -870,8 +989,11 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow whole-stage-codegen map over the token array (operators/bpe.py
     encode_token_expr, the double-separator trick). The encode pass is
     shuffle-FREE: at 100 TB it is a pure map stage, exactly how you want
-    to tokenize a corpus. Driver-trained model ⇒ rows-only driver row;
-    encode-vs-python-replay parity is pinned in tests/test_corpusops.py."""
+    to tokenize a corpus. Full oracle since round 11 (lazy-built: the
+    merge table is retrained Spark-independently from a DuckDB word count
+    + the reference python BPE, then mirrored as DuckDB replace()
+    literals — see _bpe_encode_oracle); encode-vs-python-replay parity is
+    pinned in tests/test_corpusops.py."""
     from ..operators.bpe import encode_token_expr, train_bpe
 
     t = load_tables(spark, sf_dir)

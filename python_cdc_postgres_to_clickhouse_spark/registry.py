@@ -29,15 +29,29 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: str | None = None
+    # Either the oracle SQL text, or a zero-arg builder returning it.
+    # Builders exist for oracles whose SQL embeds a model trained
+    # independently of Spark (e.g. x_bpe_encode trains its merge table
+    # from a DuckDB word count + the pure-python reference BPE) — the
+    # build runs once, at first resolve, never at import.
+    oracle: "str | Callable[[], str] | None" = None
     tags: tuple[str, ...] = field(default_factory=tuple)
 
     @property
     def doc(self) -> str:
         return (self.fn.__doc__ or "").strip()
 
+    def resolve_oracle(self) -> str | None:
+        if callable(self.oracle):
+            self.oracle = self.oracle()
+        return self.oracle
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+
+def query(
+    name: str,
+    oracle: "str | Callable[[], str] | None" = None,
+    tags: tuple[str, ...] = (),
+):
     """Register a query under ``name`` with an optional DuckDB oracle."""
 
     def deco(fn: QueryFn) -> QueryFn:
