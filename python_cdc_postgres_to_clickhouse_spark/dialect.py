@@ -2932,6 +2932,350 @@ def _ipv6_num_to_string(a: list[str]) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# base58 / punycode codecs (round 11) — pure fixed-alphabet algorithms in the
+# same portability class as the IPv6 codecs: SQL folds over bounded
+# sequences, no UDF, no environment dependence. base58 is Bitcoin-alphabet
+# big-integer base conversion over the UTF-8 bytes; punycode is RFC 3492
+# bootstring with the encoder reformulated as a fold over the
+# (codepoint, index)-sorted insertion sequence (each emission's delta is a
+# closed-form count over the codepoint array — no (n, i) state scan).
+# ---------------------------------------------------------------------------
+
+_B58_ALPHA = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+_B58_CAP = 1024  # bytes; the conversion fold is O(len²) — keys/hashes only
+_PUNY_ALPHA = "abcdefghijklmnopqrstuvwxyz0123456789"
+_PUNY_CAP = 512  # code points; punycode's domain is DNS labels (≤63)
+
+
+def _base58_encode(a: list[str]) -> str:
+    """base58Encode(s): Bitcoin-alphabet encoding of the UTF-8 bytes.
+    Big-endian base-256 digit array, one divide-by-58 fold per output
+    character (quotient re-trimmed each pass so work shrinks as the
+    number does); leading 0x00 bytes map to leading '1's."""
+    if len(a) != 1:
+        raise DialectError("base58Encode takes one argument")
+    # one divide-by-58 pass over the big-endian digit array
+    divpass = (
+        "aggregate(acc.arr, "
+        "named_struct('r', 0, 'q', cast(array() as array<int>)), "
+        "(st, d) -> named_struct('r', pmod(st.r * 256 + d, 58), "
+        "'q', concat(st.q, array(cast((st.r * 256 + d) div 58 as int)))))"
+    )
+    trim_q = (
+        "slice(dv.q, coalesce(try_element_at(filter(sequence(1, "
+        "size(dv.q)), i -> element_at(dv.q, i) != 0), 1), size(dv.q) + 1), "
+        "size(dv.q))"
+    )
+    step = (
+        f"element_at(transform(array({divpass}), dv -> named_struct("
+        f"'arr', {trim_q}, "
+        f"'out', concat(substr('{_B58_ALPHA}', dv.r + 1, 1), acc.out))), 1)"
+    )
+    fold = (
+        f"aggregate(sequence(1, octet_length(s58) * 7 div 5 + 1), "
+        f"named_struct('arr', slice(b0, f0, size(b0)), 'out', ''), "
+        f"(acc, pass) -> CASE WHEN size(acc.arr) = 0 THEN acc "
+        f"ELSE {step} END).out"
+    )
+    bytes_ = (
+        "transform(sequence(1, octet_length(s58)), i -> "
+        "cast(conv(substr(hex(encode(s58, 'UTF-8')), i * 2 - 1, 2), "
+        "16, 10) as int))"
+    )
+    fnz0 = (
+        "coalesce(try_element_at(filter(sequence(1, size(b0)), "
+        "i -> element_at(b0, i) != 0), 1), size(b0) + 1)"
+    )
+    body = (
+        f"element_at(transform(array({bytes_}), b0 -> "
+        f"element_at(transform(array({fnz0}), f0 -> "
+        f"concat(repeat('1', f0 - 1), {fold})), 1)), 1)"
+    )
+    return (
+        f"element_at(transform(array(({a[0]})), s58 -> "
+        f"CASE WHEN s58 IS NULL THEN NULL "
+        f"WHEN octet_length(s58) = 0 THEN '' "
+        f"WHEN octet_length(s58) > {_B58_CAP} THEN "
+        f"raise_error('base58Encode: input exceeds {_B58_CAP} bytes — "
+        f"the base-conversion fold is quadratic; base58 is for "
+        f"keys/hashes, use base64Encode for payloads') "
+        f"ELSE {body} END), 1)"
+    )
+
+
+def _base58_decode(try_variant: bool):
+    """base58Decode / tryBase58Decode(s): inverse conversion — per input
+    character one multiply-by-58-and-add carry pass over the little-endian
+    byte array (residual carry < 58 ⇒ at most one appended byte); leading
+    '1's restore leading 0x00 bytes. Invalid characters raise (CH throws);
+    the try variant returns '' like CH."""
+    name = "tryBase58Decode" if try_variant else "base58Decode"
+
+    def rule(a: list[str]) -> str:
+        if len(a) != 1:
+            raise DialectError(f"{name} takes one argument")
+        mulpass = (
+            "aggregate(reverse(acc), "
+            "named_struct('c', v, 'o', cast(array() as array<int>)), "
+            "(st, d) -> named_struct('c', cast((d * 58 + st.c) div 256 "
+            "as int), 'o', concat(st.o, array(pmod(d * 58 + st.c, 256)))))"
+        )
+        fold = (
+            f"aggregate(vs, cast(array() as array<int>), (acc, v) -> "
+            f"element_at(transform(array({mulpass}), m -> "
+            f"reverse(CASE WHEN m.c > 0 THEN concat(m.o, array(m.c)) "
+            f"ELSE m.o END)), 1))"
+        )
+        hexstr = (
+            f"concat(repeat('00', length(s58) - "
+            f"length(regexp_replace(s58, '^1*', ''))), "
+            f"array_join(transform({fold}, b -> lpad(hex(b), 2, '0')), ''))"
+        )
+        bad = "exists(vs, v -> v < 0)"
+        on_bad = (
+            "''" if try_variant else
+            f"raise_error(concat('{name}: invalid base58 character in: '"
+            f", s58))"
+        )
+        vals = f"transform(split(s58, ''), c -> instr('{_B58_ALPHA}', c) - 1)"
+        body = (
+            f"element_at(transform(array({vals}), vs -> "
+            f"CASE WHEN {bad} THEN {on_bad} "
+            f"ELSE decode(unhex({hexstr}), 'UTF-8') END), 1)"
+        )
+        return (
+            f"element_at(transform(array(({a[0]})), s58 -> "
+            f"CASE WHEN s58 IS NULL THEN NULL "
+            f"WHEN length(s58) = 0 THEN '' "
+            f"WHEN length(s58) > {_B58_CAP} THEN "
+            f"raise_error('{name}: input exceeds {_B58_CAP} characters') "
+            f"ELSE {body} END), 1)"
+        )
+
+    return rule
+
+
+def _puny_adapt(delta: str, numpoints: str, first: str) -> str:
+    """RFC 3492 adapt() as SQL: two divisions, then the ÷35 halving loop
+    as a bounded fold (12 iterations covers any 64-bit delta)."""
+    d1 = (
+        f"element_at(transform(array(({delta}) div "
+        f"(CASE WHEN {first} THEN 700 ELSE 2 END)), d0 -> "
+        f"d0 + d0 div ({numpoints})), 1)"
+    )
+    return (
+        f"element_at(transform(array(aggregate(sequence(1, 12), "
+        f"named_struct('d', {d1}, 'k', 0), "
+        f"(ad, hv) -> CASE WHEN ad.d > 455 THEN "
+        f"named_struct('d', ad.d div 35, 'k', ad.k + 36) ELSE ad END)), "
+        f"ab -> ab.k + (36 * ab.d) div (ab.d + 38)), 1)"
+    )
+
+
+def _puny_varint(delta: str, bias: str) -> str:
+    """Generalized variable-length integer of ``delta`` under ``bias``
+    (RFC 3492 §6.3 encoder inner loop) as a bounded fold: 16 digits cover
+    delta < 35^15 — far past any string the {cap}-codepoint gate admits."""
+    return (
+        f"aggregate(sequence(1, 16), "
+        f"named_struct('q', cast(({delta}) as bigint), 'done', false, "
+        f"'o', ''), "
+        f"(vi, j) -> CASE WHEN vi.done THEN vi ELSE "
+        f"element_at(transform(array(greatest(1, least(26, "
+        f"j * 36 - ({bias})))), t -> "
+        f"CASE WHEN vi.q < t THEN named_struct('q', cast(0 as bigint), "
+        f"'done', true, "
+        f"'o', concat(vi.o, substr('{_PUNY_ALPHA}', cast(vi.q as int) + 1, "
+        f"1))) "
+        f"ELSE named_struct('q', (vi.q - t) div (36 - t), 'done', false, "
+        f"'o', concat(vi.o, substr('{_PUNY_ALPHA}', "
+        f"cast(t + pmod(vi.q - t, 36 - t) as int) + 1, 1))) END), 1) "
+        f"END).o"
+    )
+
+
+def _punycode_encode(a: list[str]) -> str:
+    """punycodeEncode(s): RFC 3492 bootstring. The encoder's (n, i) state
+    scan is reformulated closed-form: emissions happen in (codepoint,
+    index)-sorted order, and each emission's delta is a count over the
+    codepoint array —
+      first:      (cp−128)·(h+1) + #{i < idx : ca[i] < cp}
+      same pass:  #{pidx < i < idx : ca[i] < cp}
+      new pass:   #{i > pidx : ca[i] < pcp} + 1 + (cp−pcp−1)·(h+1)
+                  + #{i < idx : ca[i] < cp}
+    — so the whole encode is ONE fold over the sorted non-basic pairs with
+    a (h, bias, prev) struct accumulator, O(len) count work per emission.
+    Verified against Python's built-in punycode codec (RFC reference
+    implementation) in tests. Spark's split(s, '') is codepoint-based
+    (probed: non-BMP chars arrive whole), so supplementary planes work."""
+    if len(a) != 1:
+        raise DialectError("punycodeEncode takes one argument")
+
+    def cnt(cond: str) -> str:
+        return (
+            f"cast(size(filter(sequence(1, size(ca)), i -> {cond})) "
+            f"as bigint)"
+        )
+
+    ca_i = "element_at(ca, i)"
+    delta = (
+        f"CASE WHEN st.first THEN "
+        f"cast(p.cp - 128 as bigint) * (st.h + 1) + "
+        + cnt(f"i < p.idx AND {ca_i} < p.cp")
+        + f" WHEN p.cp = st.pcp THEN "
+        + cnt(f"i > st.pidx AND i < p.idx AND {ca_i} < p.cp")
+        + f" ELSE "
+        + cnt(f"i > st.pidx AND {ca_i} < st.pcp")
+        + f" + 1 + cast(p.cp - st.pcp - 1 as bigint) * (st.h + 1) + "
+        + cnt(f"i < p.idx AND {ca_i} < p.cp")
+        + " END"
+    )
+    step = (
+        f"element_at(transform(array({delta}), dl -> named_struct("
+        f"'h', st.h + 1, "
+        f"'bias', {_puny_adapt('dl', 'st.h + 1', 'st.h = nb')}, "
+        f"'pcp', p.cp, 'pidx', p.idx, 'first', false, "
+        f"'o', concat(st.o, {_puny_varint('dl', 'st.bias')}))), 1)"
+    )
+    fold = (
+        f"aggregate(ps, "
+        f"named_struct('h', nb, 'bias', cast(72 as bigint), "
+        f"'pcp', 0, 'pidx', 0, 'first', true, 'o', ''), "
+        f"(st, p) -> {step}).o"
+    )
+    # nb: count of basic (< 128) code points; ps: sorted non-basic pairs.
+    ps = (
+        "array_sort(transform(filter(sequence(1, size(ca)), "
+        "i -> element_at(ca, i) >= 128), "
+        "i -> named_struct('cp', element_at(ca, i), 'idx', i)))"
+    )
+    basic = "concat_ws('', filter(split(sp, ''), c -> ascii(c) < 128))"
+    body = (
+        f"element_at(transform(array({ps}), ps -> "
+        f"element_at(transform(array(cast(size(ca) - size(ps) as bigint)), "
+        f"nb -> CASE "
+        f"WHEN size(ps) = 0 THEN concat({basic}, '-') "
+        f"WHEN nb > 0 THEN concat({basic}, '-', {fold}) "
+        f"ELSE {fold} END), 1)), 1)"
+    )
+    return (
+        f"element_at(transform(array(({a[0]})), sp -> "
+        f"CASE WHEN sp IS NULL THEN NULL "
+        f"WHEN length(sp) = 0 THEN '' "
+        f"WHEN length(sp) > {_PUNY_CAP} THEN "
+        f"raise_error('punycodeEncode: input exceeds {_PUNY_CAP} code "
+        f"points — punycode is for DNS labels; encode per label') "
+        f"ELSE element_at(transform(array("
+        f"transform(split(sp, ''), c -> ascii(c))), ca -> {body}), 1) "
+        f"END), 1)"
+    )
+
+
+def _punycode_decode(try_variant: bool):
+    """punycodeDecode / tryPunycodeDecode(s): RFC 3492 decoder as ONE fold
+    over the extended-part characters — the struct accumulator carries
+    (i, n, bias, w, k, oldi, out, err) and each group-terminating digit
+    performs the adapt + insert. Code points above the BMP are emitted as
+    UTF-16BE surrogate pairs. Invalid digits, unterminated trailing
+    groups, and out-of-range code points raise (CH throws); the try
+    variant returns '' like CH."""
+    name = "tryPunycodeDecode" if try_variant else "punycodeDecode"
+
+    def rule(a: list[str]) -> str:
+        if len(a) != 1:
+            raise DialectError(f"{name} takes one argument")
+        chr_ = (
+            "CASE WHEN cp < 65536 THEN "
+            "decode(unhex(lpad(hex(cp), 4, '0')), 'UTF-16BE') "
+            "ELSE decode(unhex(concat("
+            "lpad(hex(55296 + (cp - 65536) div 1024), 4, '0'), "
+            "lpad(hex(56320 + pmod(cp - 65536, 1024)), 4, '0'))), "
+            "'UTF-16BE') END"
+        )
+        # group termination: adapt, rescale n/i, insert, reset group state
+        terminate = (
+            f"element_at(transform(array(named_struct("
+            f"'np', cast(length(st.o) + 1 as bigint), 'i2', st.i + d * st.w"
+            f")), g -> "
+            f"element_at(transform(array(named_struct("
+            f"'cp', st.n + g.i2 div g.np, 'i3', pmod(g.i2, g.np))), x -> "
+            f"CASE WHEN x.cp > 1114111 OR "
+            f"(x.cp >= 55296 AND x.cp <= 57343) THEN "
+            f"named_struct('i', cast(0 as bigint), 'n', cast(0 as bigint), "
+            f"'bias', cast(0 as bigint), 'w', cast(1 as bigint), "
+            f"'k', cast(36 as bigint), 'oldi', cast(0 as bigint), "
+            f"'o', st.o, 'err', true, 'ingrp', false) "
+            f"ELSE named_struct("
+            f"'i', x.i3 + 1, 'n', x.cp, "
+            f"'bias', {_puny_adapt('g.i2 - st.oldi', 'g.np', 'st.oldi = 0')}"
+            f", 'w', cast(1 as bigint), 'k', cast(36 as bigint), "
+            f"'oldi', x.i3 + 1, "
+            f"'o', concat(substr(st.o, 1, cast(x.i3 as int)), "
+            f"element_at(transform(array(cast(x.cp as int)), cp -> {chr_}), "
+            f"1), substr(st.o, cast(x.i3 as int) + 1)), "
+            f"'err', false, 'ingrp', false) END), 1)), 1)"
+        )
+        accumulate = (
+            "named_struct('i', st.i + d * st.w, 'n', st.n, 'bias', st.bias,"
+            " 'w', st.w * (36 - t), 'k', st.k + 36, 'oldi', st.oldi, "
+            "'o', st.o, 'err', false, 'ingrp', true)"
+        )
+        step = (
+            f"CASE WHEN st.err THEN st "
+            f"WHEN d < 0 THEN named_struct('i', cast(0 as bigint), "
+            f"'n', cast(0 as bigint), 'bias', cast(0 as bigint), "
+            f"'w', cast(1 as bigint), 'k', cast(36 as bigint), "
+            f"'oldi', cast(0 as bigint), 'o', st.o, 'err', true, "
+            f"'ingrp', false) "
+            f"WHEN d < t THEN {terminate} ELSE {accumulate} END"
+        )
+        fold = (
+            f"aggregate(transform(filter(split(tl, ''), c -> c != ''), c -> "
+            f"cast(instr('{_PUNY_ALPHA}', lower(c)) - 1 as bigint)), "
+            f"named_struct('i', cast(0 as bigint), 'n', cast(128 as bigint)"
+            f", 'bias', cast(72 as bigint), 'w', cast(1 as bigint), "
+            f"'k', cast(36 as bigint), 'oldi', cast(0 as bigint), "
+            f"'o', bs, 'err', false, 'ingrp', false), "
+            f"(st, d) -> element_at(transform(array(greatest(cast(1 as "
+            f"bigint), least(cast(26 as bigint), st.k - st.bias))), "
+            f"t -> {step}), 1))"
+        )
+        on_bad = (
+            "''" if try_variant else
+            f"raise_error(concat('{name}: invalid punycode: ', sp))"
+        )
+        body = (
+            f"element_at(transform(array({fold}), fr -> "
+            f"CASE WHEN fr.err OR fr.ingrp THEN {on_bad} "
+            f"ELSE fr.o END), 1)"
+        )
+        tail = "substring_index(sp, '-', -1)"
+        basic = (
+            f"CASE WHEN sp like '%-%' THEN "
+            f"substr(sp, 1, length(sp) - length({tail}) - 1) ELSE '' END"
+        )
+        has_nonascii = "exists(split(sp, ''), c -> ascii(c) >= 128)"
+        bad_input = (
+            "''" if try_variant else
+            f"raise_error(concat('{name}: non-ASCII input: ', sp))"
+        )
+        return (
+            f"element_at(transform(array(({a[0]})), sp -> "
+            f"CASE WHEN sp IS NULL THEN NULL "
+            f"WHEN length(sp) = 0 THEN '' "
+            f"WHEN length(sp) > {_PUNY_CAP} THEN "
+            f"raise_error('{name}: input exceeds {_PUNY_CAP} characters') "
+            f"WHEN {has_nonascii} THEN {bad_input} "
+            f"ELSE element_at(transform("
+            f"array(CASE WHEN sp like '%-%' THEN {tail} ELSE sp END), "
+            f"tl -> element_at(transform(array({basic}), bs -> {body}), "
+            f"1)), 1) END), 1)"
+        )
+
+    return rule
+
+
 def _jaro_body() -> str:
     """Jaro similarity of ``p.s`` / ``p.t`` (the bound struct with ls, lt,
     and the match window w) as a pure SQL expression: the standard greedy
@@ -4363,6 +4707,13 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     if len(a) == 1
     else _raise(DialectError("isIPv6String takes one argument")),
     "jaroSimilarity": _jaro_similarity,
+    # round-11 codec wave: fixed-alphabet algorithms as pure SQL folds
+    "base58Encode": _base58_encode,
+    "base58Decode": _base58_decode(try_variant=False),
+    "tryBase58Decode": _base58_decode(try_variant=True),
+    "punycodeEncode": _punycode_encode,
+    "punycodeDecode": _punycode_decode(try_variant=False),
+    "tryPunycodeDecode": _punycode_decode(try_variant=True),
     "damerauLevenshteinDistance": _damerau_levenshtein,
     "replaceRegexpOne": _replace_regexp_one,
     "arrayLevenshteinDistance": _array_levenshtein,
@@ -5399,14 +5750,13 @@ _UNSUPPORTED: dict[str, str] = {
                                   "each group as regexp_extract_all(h, "
                                   "p, i) (extractGroups translates)",
     "extractAllGroupsVertical": "see extractAllGroupsHorizontal",
-    "punycodeEncode": "no JVM punycode builtin — pandas UDF "
-                      "(idna/encodings.idna) off the hot path",
-    "punycodeDecode": "see punycodeEncode",
-    "idnaEncode": "see punycodeEncode",
-    "idnaDecode": "see punycodeEncode",
-    "base58Encode": "no JVM base58 builtin — pandas UDF (base58) off the "
-                    "hot path; base64Encode/hex translate",
-    "base58Decode": "see base58Encode",
+    # punycodeEncode/Decode and base58Encode/Decode TRANSLATE (round 11);
+    # IDNA stays loud: it needs Unicode normalization/mapping tables
+    # (UTS #46), not just the RFC 3492 algorithm.
+    "idnaEncode": "IDNA needs UTS #46 normalization tables — "
+                  "punycodeEncode translates; apply it per label after "
+                  "lowercasing ASCII-only names",
+    "idnaDecode": "see idnaEncode (punycodeDecode translates)",
     "byteSize": "engine-internal storage introspection with no Spark "
                 "analog",
     "arrayRandomSample": "nondeterministic sampling — slice(shuffle(x), "

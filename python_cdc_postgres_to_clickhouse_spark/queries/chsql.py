@@ -1266,3 +1266,76 @@ def sql_ch_jaro_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded per-probe ranking window (WindowGroupLimit caps state at 10
     rows per probe); the part table is scanned once, never joined."""
     return clickhouse_sql(spark, CH_JARO_MATCH, sf_dir)
+
+
+CH_CODEC_REPORT = """
+SELECT n_name,
+       base58Encode(n_name) AS b58,
+       base58Decode(base58Encode(n_name)) AS b58_rt,
+       punycodeEncode(replaceAll(lower(n_name), 'a', 'ä')) AS puny,
+       punycodeDecode(punycodeEncode(replaceAll(lower(n_name), 'a', 'ä')))
+         AS puny_rt
+FROM nation
+ORDER BY n_name
+"""
+
+
+def _codec_report_oracle() -> str:
+    """Lazy oracle for sql_ch_codec_report: DuckDB has neither base58 nor
+    punycode, so the expected strings are computed Spark-independently —
+    base58 by a 10-line reference big-integer conversion, punycode by
+    Python's built-in RFC 3492 codec — over the nation names read via
+    DuckDB, and emitted as a VALUES table. Same promotion pattern as
+    x_bpe_encode's trained-model oracle."""
+    import duckdb
+
+    alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+    def b58(b: bytes) -> str:
+        zeros = len(b) - len(b.lstrip(b"\0"))
+        n = int.from_bytes(b, "big")
+        out = ""
+        while n:
+            n, r = divmod(n, 58)
+            out = alpha[r] + out
+        return "1" * zeros + out
+
+    con = duckdb.connect()
+    try:
+        names = [r[0] for r in con.execute(
+            "SELECT n_name FROM read_parquet("
+            "'/root/testdata/sf0.01/nation.parquet') ORDER BY n_name"
+        ).fetchall()]
+    finally:
+        con.close()
+    rows = []
+    for nm in names:
+        u = nm.lower().replace("a", "ä")
+        rows.append(
+            "('{0}', '{1}', '{0}', '{2}', '{3}')".format(
+                nm.replace("'", "''"), b58(nm.encode("utf-8")),
+                u.encode("punycode").decode("ascii"),
+                u.replace("'", "''"),
+            )
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(n_name, b58, b58_rt, puny, puny_rt) ORDER BY n_name"
+    )
+
+
+@query(
+    "sql_ch_codec_report",
+    oracle=_codec_report_oracle,
+    tags=("dialect", "codec"),
+)
+def sql_ch_codec_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 codec wave through the shim end to end: base58
+    encode/decode round-trip and punycode encode/decode round-trip (with
+    an umlaut substitution so the punycode path is non-trivial), verified
+    against reference implementations (python's RFC 3492 codec; a
+    big-integer base58) via a lazy VALUES oracle. Scale: every codec is a
+    pure SQL fold over the row's own bytes/code points — one codegen
+    projection over a 25-row dimension scan, no exchange beyond the
+    ORDER BY, no Python on the Spark side."""
+    return clickhouse_sql(spark, CH_CODEC_REPORT, sf_dir)

@@ -70,77 +70,22 @@ def query(
 # have never had a driver row, then (b) queries new or semantically
 # changed this round, then (c) the oldest-driver-row cohort fills the
 # remaining slots; the displaced names are committed by comment to lead
-# the next round's window. State after round 7: every query has a driver
-# row; the staleness tail is 47 queries last checked in r3 and 47 in r4
-# (computed from the CORRECTNESS_r0*.json union — recompute, don't trust
-# this comment, when re-planning).
+# the next round's window. State after round 10: all 220 queries have a
+# driver row, all green; staleness 50@r10, 50@r9, 49@r8, 50@r7, 14@r6,
+# 7@r4 (computed from the CORRECTNESS_r*.json union — recompute, don't
+# trust this comment, when re-planning).
 # The union of rounds verifies the full registry (asserted in
 # tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND-10 WINDOW (the driver consumes exactly the first 50 names).
-    # (a) Queries with NO driver row yet: the 9 round-9 late additions
-    #     (all judge-verified vs DuckDB under a hostile config in r9).
-    "x_cramers_v",
-    "x_gopher_gates",
-    "sql_ch_bitmap_retention",
-    "x_recipe_epochs",
-    "x_ks_test",
-    "x_welch_t",
-    "x_mann_whitney_u",
-    "sql_ch_multisearch_report",
-    "x_corpus_funnel",
-    # (b) NEW in round 10 — the dialect wave-10 batch (gcd/lcm + IPv6
-    #     codecs, ngram distance/search, exponentialTimeDecayed*
-    #     windows). Every later addition this round must displace the
-    #     LAST name of section (c) into the round-11 queue below.
-    "sql_ch_wave10_report",
-    "sql_ch_ngram_profile",
-    "sql_ch_decay_leaders",
-    "sql_ch_jaro_match",
-    # (c) Staleness tail: the displaced r4-stale oracle query, then the
-    #     round-6 cohort (last driver row r6), oracle-bearing only —
-    #     rows-only names never burn a window slot (r8 lesson).
-    "x_random_projection",
-    "a_groupby_orders",
-    "a_pivot",
-    "c_json_funcs",
-    "c_math_funcs",
-    "c_string_funcs",
-    "cdc_collapsing_state",
-    "j_inner_equi",
-    "m_covar_corr",
-    "m_disjunctive_bands",
-    "m_global_agg_revenue",
-    "m_histogram",
-    "m_lateral_top_order",
-    "m_median_exact",
-    "m_order_priority_check",
-    "m_salted_agg",
-    "m_string_agg",
-    "m_token_tf_topn",
-    "m_unpivot",
-    "s_intersect_all",
-    "sql_recursive_date_spine",
-    "sub_correlated_scalar",
-    "sub_exists_correlated",
-    "sub_small_qty_revenue",
-    "w_running_sum",
-    "x_cluster_canonical",
-    "x_corpus_prep",
-    "x_dedup_clusters",
-    "x_funnel_steps",
-    "x_fuzzy_name_pairs",
-    "x_gap_fill_locf",
-    "x_heavy_hitters",
-    "x_interpolate_linear",
-    "x_minhash_near_dup",
-    "x_mixture_weights",
-    "x_ngram_novelty",
-    "x_outlier_zscore",
-    # ------------------------------------------------------------------
-    # Positions 51+: the ROUND-11 QUEUE. First the r6-stale oracle
-    # overflow that did not fit this window (x_pmi_pairs displaced by
-    # sql_ch_jaro_match landing late in round 10):
+    # ROUND-11 WINDOW (the driver consumes exactly the first 50 names).
+    # (a) NEW this round: the codec wave (base58 + punycode through the
+    #     shim, reference-implementation VALUES oracle).
+    "sql_ch_codec_report",
+    # (b) The pre-r7 staleness tail, in full — 11 r6-stale oracle names
+    #     (x_pmi_pairs displaced from the r10 window leads), then the 10
+    #     rows-only r4/r6 names that have gone 5+ rounds without even a
+    #     rows>0 driver row (the r10 verdict ordered these slots burned;
+    #     x_bloom_decontaminate is a FULL oracle as of this round).
     "x_pmi_pairs",
     "x_quality_gate_per_lang",
     "x_quality_score",
@@ -152,7 +97,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_time_weighted_avg",
     "x_weighted_sample",
     "x_window_funnel",
-    # then the rows-only staleness tail (r4/r6; driver records rows>0):
     "a_approx_distinct",
     "a_approx_quantiles",
     "x_embedding_near_dup",
@@ -163,11 +107,67 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_bloom_decontaminate",
     "x_kmeans_embed",
     "x_sketch_cms_freq",
-    # After round 10 clears the r6 cohort, the r7 block (50 queries,
-    # last driver row r7) becomes the oldest — it is the round-11
-    # window fill after the names above (recompute from the
-    # CORRECTNESS_r*.json union when planning r11; never trust a
-    # hand count).
+    # (c) Promoted from rows-only to full oracles this round (semantics
+    #     of the driver row changed: hash compare now applies).
+    "x_bpe_encode",
+    "x_holt_trend",
+    # (d) Staleness fill: the r7 cohort (last driver row r7), oracle-
+    #     bearing names first, alphabetical. Any later round-11 addition
+    #     must displace the LAST name here into the round-12 queue.
+    "a_map_combinators",
+    "a_weighted_quantiles",
+    "c_multi_search",
+    "cdc_reconciliation",
+    "cdc_scd2_history",
+    "cdc_versioned_collapse",
+    "j_asof_forward_tolerance",
+    "j_interval_overlap",
+    "sql_ch_any_enrich",
+    "sql_ch_asof_enrich",
+    "sql_ch_dict_lookup",
+    "sql_ch_docs_scalars",
+    "sql_ch_events_rollup",
+    "sql_ch_fill_hours",
+    "sql_ch_retention_report",
+    "sql_ch_token_report",
+    "sql_ch_top_per_type",
+    "sql_ch_totals_report",
+    "sql_ch_word_freq",
+    "x_active_users_rolling",
+    "x_attribution_last_touch",
+    "x_cohort_ltv",
+    "x_counter_rate",
+    "x_dict_enrich",
+    "x_doc_rarity",
+    "x_downsample_tiers",
+    # ------------------------------------------------------------------
+    # Positions 51+: the ROUND-12 QUEUE. After r11 clears the pre-r7
+    # tail, the oldest names are the r7 remainder: 16 oracle-bearing
+    # first, then the 6 r7 rows-only names; the r8 cohort (49 queries)
+    # fills after them (recompute from the CORRECTNESS_r*.json union
+    # when planning r12; never trust a hand count).
+    "x_dup_span_detect",
+    "x_embedding_quantize",
+    "x_ewma_trailing",
+    "x_importance_resample",
+    "x_keyword_bm25",
+    "x_lttb_downsample",
+    "x_outlier_mad",
+    "x_projection_route",
+    "x_retention_flags",
+    "x_rfm_segments",
+    "x_seasonal_profile",
+    "x_sequence_count",
+    "x_sequence_match",
+    "x_sequence_match_timed",
+    "x_window_funnel_dedup",
+    "x_window_funnel_strict",
+    "sql_ch_state_merge_rollup",
+    "x_active_users_sketch",
+    "x_bpe_merges",
+    "x_ivfpq_topk",
+    "x_pq_codes",
+    "x_semantic_dedup",
 )
 
 

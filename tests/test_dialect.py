@@ -2434,7 +2434,9 @@ def test_round9_wave4_batch(spark):
         ("SELECT generateUUIDv7()", "uuid"),
         ("SELECT extractAllGroupsHorizontal(h, p) FROM t", "regexp_extract"),
         ("SELECT proportionsZTest(a, b, c, d, e, f)", "z statistic"),
-        ("SELECT base58Encode(s) FROM t", "pandas UDF"),
+        # base58Encode/punycodeEncode TRANSLATE since round 11; IDNA
+        # stays loud (needs UTS #46 tables, not just RFC 3492)
+        ("SELECT idnaEncode(s) FROM t", "UTS #46"),
     ]:
         with pytest.raises(DialectError, match=hint):
             translate(bad)
@@ -3432,3 +3434,97 @@ def test_advice_r10_fixes(spark):
     assert "json.`file:///tmp/x.json`" in translate(
         "SELECT * FROM url('file:///tmp/x.json', 'JSONEachRow')"
     )
+
+
+def _b58_ref_encode(b: bytes) -> str:
+    """Reference base58 (Bitcoin alphabet) for fuzzing the dialect rule."""
+    alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    zeros = len(b) - len(b.lstrip(b"\0"))
+    n = int.from_bytes(b, "big")
+    out = ""
+    while n:
+        n, r = divmod(n, 58)
+        out = alpha[r] + out
+    return "1" * zeros + out
+
+
+def test_base58_codec(spark):
+    """base58Encode/Decode/tryBase58Decode: Bitcoin-alphabet big-integer
+    conversion as pure SQL folds — known vectors, random round-trips vs a
+    python reference, leading-zero-byte ↔ '1' mapping, invalid chars loud
+    (try variant returns '' like CH), oversize inputs loud."""
+    import random
+
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    rnd = random.Random(1158)
+    pool = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " .,!?-_/~üé日本"
+    )
+    samples = ["Hello World!",
+               "The quick brown fox jumps over the lazy dog."] + [
+        "".join(rnd.choice(pool) for _ in range(rnd.randint(1, 48)))
+        for _ in range(10)
+    ]
+    exprs, expected = [], {}
+    for i, s in enumerate(samples):
+        lit = s.replace("'", "''")
+        exprs.append(f"base58Encode('{lit}') AS e{i}")
+        exprs.append(f"base58Decode(base58Encode('{lit}')) AS d{i}")
+        expected[i] = (_b58_ref_encode(s.encode("utf-8")), s)
+    row = spark.sql(translate("SELECT " + ", ".join(exprs))).collect()[0]
+    for i, (enc, dec) in expected.items():
+        assert row[f"e{i}"] == enc, samples[i]
+        assert row[f"d{i}"] == dec, samples[i]
+    # known vector (Bitcoin wiki) + leading zero bytes
+    assert one("base58Encode('Hello World!')") == "2NEpo7TZRRrLZSi2U"
+    assert one(r"base58Decode('111')") == "\x00\x00\x00"
+    assert one("base58Encode('')") == "" and one("base58Decode('')") == ""
+    # invalid characters: 0 O I l are not in the alphabet
+    assert one("tryBase58Decode('0OIl')") == ""
+    with pytest.raises(Exception, match="invalid base58"):
+        one("base58Decode('0')")
+    with pytest.raises(Exception, match="exceeds"):
+        one("base58Encode(repeat('a', 1025))")
+
+
+def test_punycode_codec(spark):
+    """punycodeEncode/Decode vs Python's built-in punycode codec (the RFC
+    3492 reference): RFC sample-style labels, non-BMP code points, fuzzed
+    unicode strings, round-trips, case-insensitive digits, and the loud /
+    try-variant error contract."""
+    import random
+
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    rnd = random.Random(3492)
+    pools = ["abcdefghi-", "üöäßéèê", "日本語中文한국", "🎉🚀😀", "αβγδж"]
+    samples = ["München", "bücher", "ü", "london", "日本語", "a-b-c",
+               "ēxâmplé", "🎉party", "abc-", "x", "-", "---",
+               "MajiでKoiする5秒前"] + [
+        "".join(rnd.choice(rnd.choice(pools))
+                for _ in range(rnd.randint(1, 24)))
+        for _ in range(12)
+    ]
+    exprs, expected = [], {}
+    for i, s in enumerate(samples):
+        lit = s.replace("'", "''")
+        exprs.append(f"punycodeEncode('{lit}') AS e{i}")
+        exprs.append(f"punycodeDecode(punycodeEncode('{lit}')) AS d{i}")
+        expected[i] = (s.encode("punycode").decode("ascii"), s)
+    row = spark.sql(translate("SELECT " + ", ".join(exprs))).collect()[0]
+    for i, (enc, dec) in expected.items():
+        assert row[f"e{i}"] == enc, samples[i]
+        assert row[f"d{i}"] == dec, samples[i]
+    # digits are case-insensitive on decode
+    assert one("punycodeDecode('TDA')") == "ü"
+    assert one("punycodeDecode('Mnchen-3ya')") == "München"
+    # empty / null
+    assert one("punycodeEncode('')") == "" and one("punycodeDecode('')") == ""
+    assert one("punycodeEncode(cast(null as string))") is None
+    # invalid: non-alphabet digit chars, unterminated group, non-ASCII in
+    assert one("tryPunycodeDecode('zß')") == ""
+    assert one("tryPunycodeDecode('99999999')") == ""
+    with pytest.raises(Exception, match="invalid punycode|non-ASCII"):
+        one("punycodeDecode('zß')")
+    with pytest.raises(Exception, match="exceeds"):
+        one("punycodeEncode(repeat('a', 513))")
