@@ -228,3 +228,101 @@ def test_scene_cuts_transition_rows_per_video(spark):
     # Within-shot diffs are jitter-sized; the planted cut dwarfs them.
     within = [d for i, d in rows1 if i != 5]
     assert max(within) < 4.0 and rows1[4][1] > 16.0
+
+
+# ---------------------------------------------------------------------------
+# Round-11 stdlib image codecs: PNG / BMP / PPM decode with zero external
+# dependencies (the WAV precedent) — the image leg now runs un-skipped in
+# every environment.
+# ---------------------------------------------------------------------------
+
+def _rand_img(seed: int, h: int, w: int, c: int):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    return a if c > 1 else a[:, :, 0]
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    """encode_png(filter_type=f) emits genuinely filtered scanlines, so
+    decoding exercises every RFC 2083 unfilter path; all four 8-bit color
+    types round-trip bit-exactly."""
+    import numpy as np
+
+    for c in (1, 2, 3, 4):
+        for f in range(5):
+            a = _rand_img(31 * c + f, 13, 17, c)
+            out = MM.decode_image(MM.encode_png(a, filter_type=f))
+            ref = a if a.ndim == 3 else a[:, :, np.newaxis]
+            assert out.shape == ref.shape, (c, f)
+            assert np.array_equal(out, ref), (c, f)
+
+
+def test_bmp_roundtrip_and_padding():
+    """24-bit BI_RGB bottom-up BMP round-trips, including widths whose
+    rows need 4-byte padding."""
+    import numpy as np
+
+    for w in (16, 17, 18, 19):  # strides 48,51->52,54->56,57->60
+        a = _rand_img(w, 9, w, 3)
+        out = MM.decode_image(MM.encode_bmp(a))
+        assert np.array_equal(out, a), w
+
+
+def test_ppm_pgm_roundtrip_with_comments():
+    import numpy as np
+
+    a3 = _rand_img(5, 8, 6, 3)
+    assert np.array_equal(MM.decode_image(MM.encode_ppm(a3)), a3)
+    a1 = _rand_img(6, 8, 6, 1)
+    out = MM.decode_image(MM.encode_ppm(a1))
+    assert np.array_equal(out[:, :, 0], a1)
+    # header comments are legal PPM
+    p = MM.encode_ppm(a3)
+    commented = p[:2] + b"\n# a comment\n" + p[3:]
+    assert np.array_equal(MM.decode_image(commented), a3)
+
+
+def test_stdlib_codec_feature_extraction_end_to_end(spark):
+    """extract_features over REAL (stdlib-encoded) PNG payloads — the
+    full mapInPandas pipeline with no Pillow and no fake codec."""
+    import numpy as np
+
+    rows = [
+        (i, "image/png",
+         bytearray(MM.encode_png(_rand_img(i, 24, 32, 3), filter_type=i % 5)),
+         32, 24)
+        for i in range(8)
+    ]
+    media = spark.createDataFrame(rows, schema=MM.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in MM.extract_features(media).collect()}
+    assert len(out) == 8
+    for i in range(8):
+        a = _rand_img(i, 24, 32, 3)
+        assert (out[i].width, out[i].height, out[i].channels) == (32, 24, 3)
+        assert out[i].mean_intensity == pytest.approx(float(a.mean()))
+
+
+@pytest.mark.skipif(not MM.pil_available(), reason="Pillow not installed")
+def test_stdlib_png_matches_pillow():
+    """When Pillow IS present, the stdlib PNG decoder must agree with it
+    byte-for-byte on the same payload."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    a = _rand_img(99, 21, 33, 3)
+    buf = io.BytesIO()
+    Image.fromarray(a).save(buf, format="PNG")
+    assert np.array_equal(MM._decode_png(buf.getvalue()), a)
+
+
+def test_unknown_format_still_routes_to_pillow_stub():
+    """Non-stdlib formats (e.g. JPEG magic) still reach the Pillow route,
+    which raises the documented NotImplementedError when absent."""
+    if MM.pil_available():
+        pytest.skip("Pillow present: stub path untestable")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        MM.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
