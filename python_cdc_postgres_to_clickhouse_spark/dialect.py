@@ -1860,6 +1860,219 @@ def _rewrite_time_decayed(toks: list[str]) -> list[str]:
     return toks
 
 
+def _rewrite_entropy_cells(toks: list[str]) -> list[str]:
+    """Bounded-state rewrite for ``entropy(x)`` / ``theilsU(x, y)`` over
+    plain columns (round-11 verdict item 6): restructure
+
+        SELECT k, entropy(x) AS e FROM t [WHERE ...] GROUP BY k
+
+    into a (value, count) CELLS pre-aggregation + marginal windows +
+    run-length arithmetic on the bounded cells frame — per-group state
+    drops from O(rows) (one collect_list per group) to O(distinct values),
+    the hash-aggregate's own state. Identity used: Σ_v c_v·ln c_v =
+    Σ_cells __cn·ln(marginal), with marginals as window sums riding the
+    same exchange.
+
+    Applies ONLY to the exact safe shape — a single top-level SELECT whose
+    items are bare group keys or aliased entropy/theilsU over single
+    column identifiers, grouped by plain identifiers, no HAVING/DISTINCT,
+    no set operations, no other aggregates. Everything else keeps the
+    collect_list fold (always correct, O(group values) state — CH's own
+    memory shape for these aggregates). NULL semantics mirror the fold:
+    entropy and the theilsU marginal entropies drop NULL rows
+    (collect_list drops scalar NULLs); the joint entropy keeps them
+    (struct fields survive). Summation ORDER differs from the sorted
+    fold, so outputs agree to float ulp, not bits — both are rank-only
+    by the repo's transcendental contract."""
+    low = [t.lower() if _is_ident(t) else t for t in toks]
+    if "entropy" not in low and "theilsu" not in low:
+        return toks
+    if not toks or _u(toks[0]) != "SELECT":
+        return toks
+
+    # depth map + top-level clause positions
+    depth = 0
+    from_at = group_at = None
+    ent_depths = set()
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif _is_ident(t) and t.lower() in ("entropy", "theilsu"):
+            ent_depths.add(depth)
+        elif depth == 0:
+            u = _u(t)
+            if u in ("UNION", "INTERSECT", "EXCEPT", "HAVING", "DISTINCT"):
+                return toks
+            if u == "FROM" and from_at is None:
+                from_at = i
+            elif (
+                u == "GROUP" and i + 1 < len(toks)
+                and _u(toks[i + 1]) == "BY"
+            ):
+                group_at = i
+    if ent_depths != {0} or from_at is None:
+        return toks  # entropy only inside subqueries (or no FROM): fold
+
+    # --- select items ---------------------------------------------------
+    items: list[list[str]] = [[]]
+    depth = 0
+    for t in toks[1:from_at]:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if t == "," and depth == 0:
+            items.append([])
+        else:
+            items[-1].append(t)
+    parsed: list[tuple] = []  # ('key', name) | (fn, args, alias)
+    for it in items:
+        if len(it) == 1 and _is_ident(it[0]):
+            parsed.append(("key", it[0]))
+            continue
+        if not (_is_ident(it[0]) and it[0].lower() in ("entropy", "theilsu")):
+            return toks
+        fn = it[0].lower()
+        body = it[1:]
+        alias = None
+        if len(body) >= 2 and _u(body[-2]) == "AS" and _is_ident(body[-1]):
+            alias, body = body[-1], body[:-2]
+        if alias is None:
+            return toks  # unaliased: keep the fold (preserves the name)
+        want = 1 if fn == "entropy" else 2
+        shape1 = len(body) == 3 and body[0] == "(" and body[-1] == ")"
+        shape2 = len(body) == 5 and body[0] == "(" and body[2] == "," \
+            and body[-1] == ")"
+        if want == 1 and shape1 and _is_ident(body[1]):
+            parsed.append((fn, [body[1]], alias))
+        elif want == 2 and shape2 and _is_ident(body[1]) \
+                and _is_ident(body[3]):
+            parsed.append((fn, [body[1], body[3]], alias))
+        else:
+            return toks  # expression args: keep the fold
+    if not any(p[0] in ("entropy", "theilsu") for p in parsed):
+        return toks
+
+    # --- group keys + trailing clauses -----------------------------------
+    keys: list[str] = []
+    trailing: list[str] = []
+    if group_at is not None:
+        i = group_at + 2
+        expect_ident = True
+        while i < len(toks):
+            t = toks[i]
+            if expect_ident and _is_ident(t) and _u(t) not in _CLAUSE_ENDERS:
+                keys.append(t)
+                expect_ident = False
+                i += 1
+            elif not expect_ident and t == ",":
+                expect_ident = True
+                i += 1
+            else:
+                break
+        if expect_ident or not keys:
+            return toks  # non-identifier group keys: keep the fold
+        trailing = toks[i:]
+        tail = toks[from_at:group_at]
+    else:
+        # global aggregate: split any top-level ORDER BY / LIMIT off the
+        # FROM tail so they re-attach to the OUTER select.
+        cut = len(toks)
+        d0 = 0
+        for i in range(from_at, len(toks)):
+            t = toks[i]
+            if t == "(":
+                d0 += 1
+            elif t == ")":
+                d0 -= 1
+            elif d0 == 0 and _u(t) in ("ORDER", "LIMIT", "SORT"):
+                cut = i
+                break
+        tail = toks[from_at:cut]
+        trailing = toks[cut:]
+    key_set = {k.lower() for k in keys}
+    if any(p[0] == "key" and p[1].lower() not in key_set for p in parsed):
+        return toks
+
+    # --- build the three-layer SQL ---------------------------------------
+    args: list[str] = []  # cell key columns beyond the group keys
+    for p in parsed:
+        if p[0] == "key":
+            continue
+        for a in p[1]:
+            if a.lower() not in key_set and a.lower() not in (
+                x.lower() for x in args
+            ):
+                args.append(a)
+    marg: dict[tuple, str] = {}  # partition cols tuple -> window alias
+
+    def marginal(cols: list[str]) -> str:
+        key = tuple(c.lower() for c in cols)
+        if key not in marg:
+            marg[key] = f"__m{len(marg)}"
+        return marg[key]
+
+    outer_items: list[str] = []
+    for p in parsed:
+        if p[0] == "key":
+            outer_items.append(p[1])
+            continue
+        fn, fargs, alias = p
+
+        def h_nats(col: str | None, m: str) -> str:
+            # entropy in nats over cells; col=None -> joint (keep NULLs)
+            flt = f" FILTER (WHERE {col} IS NOT NULL)" if col else ""
+            n = f"sum(__cn){flt}"
+            return (
+                f"(ln({n}) - sum(__cn * ln({m})){flt} / {n})"
+            )
+
+        def n_nonnull(col: str) -> str:
+            return f"coalesce(sum(__cn) FILTER (WHERE {col} IS NOT NULL), 0)"
+
+        if fn == "entropy":
+            x = fargs[0]
+            m = marginal(keys + [x])
+            outer_items.append(
+                f"(CASE WHEN {n_nonnull(x)} = 0 THEN cast(0 as double) "
+                f"ELSE {h_nats(x, m)} END) / ln(2) AS {alias}"
+            )
+        else:
+            x, y = fargs
+            mx = marginal(keys + [x])
+            my = marginal(keys + [y])
+            mxy = marginal(keys + [x, y])
+            hx = h_nats(x, mx)
+            # fold parity: an all-NULL y gives hy = 0 (empty collect_list),
+            # not NULL — guard the marginal like the fold's empty case.
+            hy = (
+                f"(CASE WHEN {n_nonnull(y)} = 0 THEN cast(0 as double) "
+                f"ELSE {h_nats(y, my)} END)"
+            )
+            outer_items.append(
+                f"(CASE WHEN {n_nonnull(x)} = 0 OR {hx} = cast(0 as "
+                f"double) THEN NULL "
+                f"ELSE ({hx} + {hy} - {h_nats(None, mxy)}) "
+                f"/ {hx} END) AS {alias}"
+            )
+
+    cell_keys = ", ".join(keys + args)
+    inner1 = (
+        f"SELECT {cell_keys}, count(*) AS __cn {_render(tail)} "
+        f"GROUP BY {cell_keys}"
+    )
+    windows = ", ".join(
+        f"sum(__cn) OVER (PARTITION BY {', '.join(cols)}) AS {name}"
+        for cols, name in marg.items()
+    )
+    inner2 = f"SELECT {cell_keys}, __cn, {windows} FROM ({inner1})"
+    group = f" GROUP BY {', '.join(keys)}" if keys else ""
+    sql = f"SELECT {', '.join(outer_items)} FROM ({inner2}){group}"
+    return _tokenize(sql) + trailing
+
+
 # ---------------------------------------------------------------------------
 # Function rules
 # ---------------------------------------------------------------------------
@@ -6104,6 +6317,7 @@ def translate(sql: str) -> str:
     toks = _rewrite_with_totals(toks)
     toks = _rewrite_array_join(toks)
     toks = _rewrite_time_decayed(toks)
+    toks = _rewrite_entropy_cells(toks)
     toks = _rewrite_brackets(toks)
     toks = _rewrite_calls(toks)
     return _render(toks)

@@ -3528,3 +3528,83 @@ def test_punycode_codec(spark):
         one("punycodeDecode('zß')")
     with pytest.raises(Exception, match="exceeds"):
         one("punycodeEncode(repeat('a', 513))")
+
+
+def test_entropy_theilsu_auto_cells(spark):
+    """Round-11 verdict item 6: plain-shape entropy/theilsU queries
+    rewrite to the bounded (value, count) cells form — equality vs the
+    collect_list fold (forced via expression args, which keep the fold),
+    vs an independent python reference, and the shape gates: other
+    aggregates / expression args / unaliased calls / subquery placement
+    all keep the fold."""
+    import collections
+    import math
+    import random
+
+    rnd = random.Random(116)
+    rows = [
+        (f"g{i % 4}", rnd.choice(["a", "b", "c", None]),
+         rnd.choice([1, 2, 3, None]))
+        for i in range(400)
+    ]
+    spark.createDataFrame(rows, "k string, x string, y int") \
+        .createOrReplaceTempView("ecell")
+
+    t = translate("SELECT k, entropy(x) AS ex, theilsU(x, y) AS u "
+                  "FROM ecell GROUP BY k")
+    assert "__cn" in t and "collect_list" not in t  # cells path taken
+    got = {r.k: (r.ex, r.u) for r in spark.sql(t).collect()}
+
+    def h(vals):
+        vals = [v for v in vals if v is not None]
+        if not vals:
+            return 0.0
+        n, c = len(vals), collections.Counter(vals)
+        return math.log(n) - sum(m * math.log(m) for m in c.values()) / n
+
+    by_k = collections.defaultdict(list)
+    for k, x, y in rows:
+        by_k[k].append((x, y))
+    for k, vs in by_k.items():
+        ex = h([x for x, _ in vs]) / math.log(2)
+        hx, hy = h([x for x, _ in vs]), h([y for _, y in vs])
+        hxy = h(vs)
+        u = None if hx == 0 else (hx + hy - hxy) / hx
+        gx, gu = got[k]
+        assert gx == pytest.approx(ex, rel=1e-12), k
+        assert (u is None) == (gu is None), k
+        if u is not None:
+            assert gu == pytest.approx(u, rel=1e-12), k
+
+    # fold parity (concat(x, '') forces expression args -> fold path)
+    tf = translate("SELECT k, entropy(concat(x, '')) AS ex, "
+                   "theilsU(concat(x, ''), y) AS u FROM ecell GROUP BY k")
+    assert "collect_list" in tf
+    fold = {r.k: (r.ex, r.u) for r in spark.sql(tf).collect()}
+    for k, (gx, gu) in got.items():
+        fx, fu = fold[k]
+        assert gx == pytest.approx(fx, rel=1e-12), k
+        assert (fu is None) == (gu is None), k
+        if fu is not None:
+            assert gu == pytest.approx(fu, rel=1e-12), k
+
+    # global aggregate + trailing clauses survive the restructure
+    g = spark.sql(translate("SELECT entropy(x) AS ex FROM ecell")) \
+        .collect()[0].ex
+    assert g == pytest.approx(h([x for _, x, _ in rows]) / math.log(2),
+                              rel=1e-12)
+    r2 = spark.sql(translate(
+        "SELECT k, entropy(x) AS ex FROM ecell GROUP BY k "
+        "ORDER BY k LIMIT 2")).collect()
+    assert [r.k for r in r2] == ["g0", "g1"]
+
+    # shape gates: everything else keeps the fold
+    for s in [
+        "SELECT k, entropy(x) AS ex, count(*) AS n FROM ecell GROUP BY k",
+        "SELECT entropy(x) FROM ecell",  # unaliased
+        "SELECT k, entropy(upper(x)) AS ex FROM ecell GROUP BY k",
+        "SELECT k FROM ecell WHERE k IN "
+        "(SELECT k FROM (SELECT k, entropy(x) AS e FROM ecell GROUP BY k) "
+        "WHERE e > 0) GROUP BY k",
+    ]:
+        assert "__cn" not in translate(s), s
