@@ -152,6 +152,7 @@ HEADLINE = [
     "sql_ch_jaro_match",       # jaroWinkler fold + per-probe top-k window
     # Added round 11 (earlier entries unchanged — like-for-like holds).
     "sql_ch_codec_report",     # base58 + punycode SQL folds via dialect
+    "sql_ch_normalize_report", # query-fingerprint lexer fold via dialect
 ]
 
 

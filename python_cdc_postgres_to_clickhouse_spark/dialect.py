@@ -3076,6 +3076,36 @@ def _ipv6_string_to_num(a: list[str]) -> str:
     return f"element_at(transform(array({s}), s6 -> {body}), 1)"
 
 
+def _ipv6_string_to_num_or(default: "str | None"):
+    """IPv6StringToNumOrNull / OrDefault (round 11): the throwing
+    spelling's validity + parse tree with a non-throwing fallback — NULL,
+    or the caller's default expression (CH's OrDefault takes the value of
+    the result type). Same one-element-transform binding as the base
+    rule."""
+
+    def rule(a: list[str]) -> str:
+        if default is None:
+            if len(a) != 1:
+                raise DialectError("IPv6StringToNumOrNull takes one argument")
+            fb = "NULL"
+        else:
+            if len(a) != 2:
+                raise DialectError(
+                    "IPv6StringToNumOrDefault takes (s, default)"
+                )
+            fb = f"({a[1]})"
+        s = f"({a[0]})"
+        body = (
+            f"CASE WHEN s6 IS NULL THEN NULL "
+            f"WHEN {_ipv6_valid('s6')} OR (s6 rlike '^{_V4_RE}$') "
+            f"THEN {_ipv6_parse('s6')} "
+            f"ELSE {fb} END"
+        )
+        return f"element_at(transform(array({s}), s6 -> {body}), 1)"
+
+    return rule
+
+
 def _ipv6_num_to_string(a: list[str]) -> str:
     """IPv6NumToString: binary(16) → canonical text, inet_ntop-style —
     lowercase hex groups, the FIRST longest zero-run of length >= 2
@@ -3487,6 +3517,168 @@ def _punycode_decode(try_variant: bool):
         )
 
     return rule
+
+
+# ---------------------------------------------------------------------------
+# normalizeQuery (round 11): the query-log fingerprint function — literals
+# become '?', runs of comma-separated literals collapse to '?..', and
+# value-suspect identifiers (more than two digits, or >= 36 bytes — UUID
+# shaped) are masked like literals, per CH's documented contract. The
+# "lexer-lite" is ONE character fold with a struct state machine: modes for
+# single-quoted strings (backslash + '' escapes), back/double-quoted
+# identifiers (verbatim), numeric literals (hex/exponent aware), and words.
+# Spacing outside collapsed runs is preserved byte-for-byte.
+# ---------------------------------------------------------------------------
+
+_NQ_FIELDS = ("o", "b", "w", "d", "q", "m", "e", "p")
+_NQ_WORDC = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_$"
+)
+_NQ_SEP = " ,\\t\\n\\r"
+
+
+def _nq_st(src: str, **over) -> str:
+    """named_struct over the normalizeQuery state, fields from ``src``
+    except the overrides. Field types: o/b/w/p string, d/m int,
+    q/e boolean. An ``h`` override appends the phase-1 char-consumed
+    flag as a ninth field (absent from the accumulator type)."""
+    h = over.pop("h", None)
+    parts = []
+    for f in _NQ_FIELDS:
+        parts.append(f"'{f}', " + over.get(f, f"{src}.{f}"))
+    if h is not None:
+        parts.append(f"'h', {h}")
+    return "named_struct(" + ", ".join(parts) + ")"
+
+
+def _nq_emitq(src: str, **extra) -> str:
+    """Emit a '?' literal with run collapsing: if the previous semantic
+    emission was already '?' and only separators (buffered in b) came
+    since, extend it to '?..' and drop the separators."""
+    o = (
+        f"CASE WHEN {src}.q THEN "
+        f"(CASE WHEN right({src}.o, 2) = '..' THEN {src}.o "
+        f"ELSE concat({src}.o, '..') END) "
+        f"ELSE concat({src}.o, '?') END"
+    )
+    return _nq_st(src, o=o, b="''", q="true", **extra)
+
+
+def _nq_wordend(src: str, **extra) -> str:
+    """Close a word: value-suspect words mask like literals, plain words
+    flush verbatim (buffered separators first)."""
+    masked = _nq_emitq(src, w="''", d="0", **extra)
+    plain = _nq_st(
+        src, o=f"concat({src}.o, {src}.b, {src}.w)", b="''", w="''",
+        d="0", q="false", **extra,
+    )
+    return (
+        f"CASE WHEN {src}.d > 2 OR length({src}.w) >= 36 "
+        f"THEN {masked} ELSE {plain} END"
+    )
+
+
+def _normalize_query(a: list[str], keep_names: bool = False) -> str:
+    if len(a) != 1:
+        raise DialectError("normalizeQuery takes one argument")
+    bq, dq = chr(96), '\\"'
+    wordc, sep = _NQ_WORDC, _NQ_SEP
+    numc = "0123456789abcdefABCDEFxX."
+
+    def wend(src, **kw):
+        # KeepNames: identifiers always flush verbatim, only literals mask
+        if keep_names:
+            return _nq_st(
+                src, o=f"concat({src}.o, {src}.b, {src}.w)", b="''",
+                w="''", d="0", q="false", **kw,
+            )
+        return _nq_wordend(src, **kw)
+
+    # phase 1: resolve the current mode against c; 'h' = char consumed.
+    def ph1(src: str) -> str:
+        in_num = (
+            f"(instr('{numc}', c) > 0 OR "
+            f"(instr('+-', c) > 0 AND instr('eEpP', {src}.p) > 0))"
+        )
+        return (
+            f"CASE "
+            # string body: escape pending / open escape / maybe-close
+            f"WHEN {src}.m = 1 THEN (CASE "
+            f"WHEN {src}.e THEN {_nq_st(src, e='false', h='true')} "
+            f"WHEN c = '\\\\' THEN {_nq_st(src, e='true', h='true')} "
+            f"WHEN c = '\\'' THEN {_nq_st(src, m='6', h='true')} "
+            f"ELSE {_nq_st(src, h='true')} END) "
+            # maybe-closed string: '' doubling re-enters, else emit '?'
+            f"WHEN {src}.m = 6 THEN (CASE "
+            f"WHEN c = '\\'' THEN {_nq_st(src, m='1', h='true')} "
+            f"ELSE {_nq_emitq(src, m='0', h='false')} END) "
+            # quoted identifiers: verbatim to the closing quote
+            f"WHEN {src}.m = 2 THEN "
+            f"{_nq_st(src, o=f'concat({src}.o, c)', m=f'CASE WHEN c = {chr(39)}{bq}{chr(39)} THEN 0 ELSE 2 END', h='true')} "
+            f"WHEN {src}.m = 3 THEN "
+            f"{_nq_st(src, o=f'concat({src}.o, c)', m=f'CASE WHEN c = {chr(39)}{dq}{chr(39)} THEN 0 ELSE 3 END', h='true')} "
+            # number: continue or close-and-reprocess
+            f"WHEN {src}.m = 4 THEN (CASE WHEN {in_num} "
+            f"THEN {_nq_st(src, p='c', h='true')} "
+            f"ELSE {_nq_emitq(src, m='0', p=chr(39)*2, h='false')} END) "
+            # word: continue or close-and-reprocess
+            f"WHEN {src}.m = 5 THEN (CASE "
+            f"WHEN instr('{wordc}', c) > 0 THEN "
+            + _nq_st(
+                src, w=f"concat({src}.w, c)",
+                d=(f"{src}.d + CASE WHEN instr('0123456789', c) > 0 "
+                   f"THEN 1 ELSE 0 END"),
+                h="true",
+            )
+            + f" ELSE {wend(src, m='0', h='false')} END) "
+            f"ELSE {_nq_st(src, h='false')} END"
+        )
+
+    # phase 2: mode-0 dispatch of an unconsumed char.
+    def ph2(src: str) -> str:
+        flush = lambda m: _nq_st(
+            src, o=f"concat({src}.o, {src}.b, c)", b="''", q="false", m=m
+        )
+        return (
+            f"CASE "
+            f"WHEN c = '\\'' THEN {_nq_st(src, m='1', e='false')} "
+            f"WHEN instr('0123456789', c) > 0 THEN "
+            f"{_nq_st(src, m='4', p='c')} "
+            f"WHEN instr('{wordc[:52]}_', c) > 0 THEN "
+            f"{_nq_st(src, m='5', w='c', d='0')} "
+            f"WHEN c = '{bq}' THEN {flush('2')} "
+            f"WHEN c = '{dq}' THEN {flush('3')} "
+            f"WHEN instr('{sep}', c) > 0 THEN (CASE WHEN {src}.q "
+            f"THEN {_nq_st(src, b=f'concat({src}.b, c)')} "
+            f"ELSE {_nq_st(src, o=f'concat({src}.o, c)')} END) "
+            f"ELSE {flush('0')} END"
+        )
+
+    init = (
+        "named_struct('o', '', 'b', '', 'w', '', 'd', 0, 'q', false, "
+        "'m', 0, 'e', false, 'p', '')"
+    )
+    step = (
+        f"element_at(transform(array({ph1('st')}), s1 -> "
+        f"CASE WHEN s1.h THEN {_nq_st('s1')} "
+        f"ELSE {ph2('s1')} END), 1)"
+    )
+    fin = (
+        f"element_at(transform(array("
+        f"CASE WHEN fs.m IN (1, 6) THEN {_nq_emitq('fs', m='0')} "
+        f"WHEN fs.m = 4 THEN {_nq_emitq('fs', m='0')} "
+        f"WHEN fs.m = 5 THEN {wend('fs', m='0')} "
+        f"ELSE {_nq_st('fs')} END), z -> concat(z.o, z.b)), 1)"
+    )
+    fold = (
+        f"aggregate(filter(split(nq, ''), c -> c != ''), {init}, "
+        f"(st, c) -> {step})"
+    )
+    return (
+        f"element_at(transform(array(({a[0]})), nq -> "
+        f"CASE WHEN nq IS NULL THEN NULL ELSE "
+        f"element_at(transform(array({fold}), fs -> {fin}), 1) END), 1)"
+    )
 
 
 def _jaro_body() -> str:
@@ -4912,6 +5104,10 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "ngramSearchCaseInsensitiveUTF8": _ngram_search(3, chars=True, ci=True),
     "IPv6StringToNum": _ipv6_string_to_num,
     "toIPv6": _ipv6_string_to_num,
+    "IPv6StringToNumOrNull": _ipv6_string_to_num_or(None),
+    "toIPv6OrNull": _ipv6_string_to_num_or(None),
+    "IPv6StringToNumOrDefault": _ipv6_string_to_num_or("default"),
+    "toIPv6OrDefault": _ipv6_string_to_num_or("default"),
     "IPv6NumToString": _ipv6_num_to_string,
     # bind the input once (the grammar references it ~6 times)
     "isIPv6String": lambda a: (
@@ -4927,6 +5123,16 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "punycodeEncode": _punycode_encode,
     "punycodeDecode": _punycode_decode(try_variant=False),
     "tryPunycodeDecode": _punycode_decode(try_variant=True),
+    "normalizeQuery": _normalize_query,
+    "normalizeQueryKeepNames": lambda a: _normalize_query(
+        a, keep_names=True
+    ),
+    # hash policy: role-equivalent stable hash of OUR normalized text
+    # (cityHash64 policy — documented different values vs CH's SipHash)
+    "normalizedQueryHash": lambda a: f"xxhash64({_normalize_query(a)})",
+    "normalizedQueryHashKeepNames": lambda a: (
+        f"xxhash64({_normalize_query(a, keep_names=True)})"
+    ),
     "damerauLevenshteinDistance": _damerau_levenshtein,
     "replaceRegexpOne": _replace_regexp_one,
     "arrayLevenshteinDistance": _array_levenshtein,
@@ -5935,17 +6141,10 @@ _UNSUPPORTED: dict[str, str] = {
                                    "transcendental per category — "
                                    "aggregate the 2x2 counts (x_cramers_v "
                                    "shape) and compute WOE driver-side",
-    "normalizeQuery": "CH also collapses literal LISTS to '?..' — a "
-                      "faithful rewrite needs a real tokenizer; "
-                      "regexp_replace of quoted strings and numbers "
-                      "covers the common case but diverges on lists, so "
-                      "it stays loud",
-    "normalizedQueryHash": "see normalizeQuery",
-    "IPv6StringToNumOrNull": "only the throwing spelling translates "
-                             "(IPv6StringToNum raises on bad rows like "
-                             "CH) — pre-filter with isIPv6String for the "
-                             "OrNull behavior",
-    "IPv6StringToNumOrDefault": "see IPv6StringToNumOrNull",
+# normalizeQuery/normalizedQueryHash (+KeepNames) translate since round
+# 11 — the lexer-lite char fold (_normalize_query).
+# IPv6StringToNumOrNull/OrDefault (+toIPv6 spellings) translate since
+# round 11 — the validity tree with a NULL/default fallback.
     "exponentialTimeDecayedSum": "window function — spell it with OVER "
                                  "(PARTITION BY … ORDER BY …): the "
                                  "windowed form translates (max-anchored "

@@ -1339,3 +1339,47 @@ def sql_ch_codec_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection over a 25-row dimension scan, no exchange beyond the
     ORDER BY, no Python on the Spark side."""
     return clickhouse_sql(spark, CH_CODEC_REPORT, sf_dir)
+
+
+CH_NORMALIZE_REPORT = """
+SELECT n_name,
+       normalizeQuery(concat('SELECT ', toString(n_nationkey), ', ',
+                             toString(n_regionkey),
+                             ', 7 FROM t WHERE name = ''', n_name, ''''))
+         AS nq,
+       normalizeQueryKeepNames(concat('SELECT x', toString(n_nationkey),
+                                      'y5z6 FROM t LIMIT ',
+                                      toString(n_nationkey))) AS nqk
+FROM nation
+ORDER BY n_name
+"""
+
+# By construction: every generated query normalizes to the same shape —
+# the literal run collapses to '?..', the quoted name masks to '?', and
+# KeepNames leaves the digit-heavy identifier alone while masking the
+# LIMIT literal. The oracle states those shapes as constants; 25 varied
+# inputs exercise the fold end-to-end.
+NORMALIZE_REPORT_ORACLE = """
+SELECT n_name,
+       'SELECT ?.. FROM t WHERE name = ?' AS nq,
+       concat('SELECT x', CAST(n_nationkey AS VARCHAR),
+              'y5z6 FROM t LIMIT ?') AS nqk
+FROM nation
+ORDER BY n_name
+"""
+
+
+@query(
+    "sql_ch_normalize_report",
+    oracle=NORMALIZE_REPORT_ORACLE,
+    tags=("dialect", "observability"),
+)
+def sql_ch_normalize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalizeQuery / normalizeQueryKeepNames through the shim: per-row
+    query-text fingerprinting (the query-log dedup primitive) — numeric
+    literal runs collapse to '?..', string literals mask to '?', and
+    KeepNames preserves value-suspect identifiers. The oracle is
+    by-construction: the generated queries all share one normalized
+    shape. Scale: the lexer fold is one codegen projection over the
+    row's own characters — no exchange beyond the ORDER BY, no Python."""
+    return clickhouse_sql(spark, CH_NORMALIZE_REPORT, sf_dir)

@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) NEW this round: the codec wave (base58 + punycode through the
     #     shim, reference-implementation VALUES oracle).
     "sql_ch_codec_report",
+    "sql_ch_normalize_report",
     # (b) The pre-r7 staleness tail, in full — 11 r6-stale oracle names
     #     (x_pmi_pairs displaced from the r10 window leads), then the 10
     #     rows-only r4/r6 names that have gone 5+ rounds without even a
@@ -139,13 +140,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_counter_rate",
     "x_dict_enrich",
     "x_doc_rarity",
-    "x_downsample_tiers",
+    # (x_downsample_tiers displaced to the r12 queue by
+    # sql_ch_normalize_report landing later in round 11.)
     # ------------------------------------------------------------------
     # Positions 51+: the ROUND-12 QUEUE. After r11 clears the pre-r7
-    # tail, the oldest names are the r7 remainder: 16 oracle-bearing
-    # first, then the 6 r7 rows-only names; the r8 cohort (49 queries)
-    # fills after them (recompute from the CORRECTNESS_r*.json union
-    # when planning r12; never trust a hand count).
+    # tail, the oldest names are the r7 remainder (the displaced
+    # x_downsample_tiers first, then 16 oracle-bearing, then the 6 r7
+    # rows-only names); the r8 cohort (49 queries) fills after them
+    # (recompute from the CORRECTNESS_r*.json union when planning r12;
+    # never trust a hand count).
+    "x_downsample_tiers",
     "x_dup_span_detect",
     "x_embedding_quantize",
     "x_ewma_trailing",

@@ -3608,3 +3608,55 @@ def test_entropy_theilsu_auto_cells(spark):
         "WHERE e > 0) GROUP BY k",
     ]:
         assert "__cn" not in translate(s), s
+
+
+def test_normalize_query(spark):
+    """normalizeQuery / KeepNames / normalizedQueryHash: the lexer-lite
+    char fold — literals mask to '?', comma/space-separated literal runs
+    collapse to '?..', value-suspect identifiers (>2 digits or >=36
+    bytes) mask like literals (KeepNames preserves them), quoted
+    identifiers and spacing outside collapsed runs pass verbatim, string
+    escapes ('' doubling and backslash) stay inside one mask."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    cases = [
+        ("SELECT 1", "SELECT ?"),
+        ("SELECT 1, 2, 3, 'abc'", "SELECT ?.."),
+        ("[1, 2, 3, x]", "[?.., x]"),
+        ("SELECT a FROM t WHERE b = 'x' AND c IN (1,2,3)",
+         "SELECT a FROM t WHERE b = ? AND c IN (?..)"),
+        ("SELECT col1 + 1.5e3 FROM t2", "SELECT col1 + ? FROM t2"),
+        ("WHERE id = 'a''b\\'c'", "WHERE id = ?"),
+        ("WHERE u = 550e8400e29b41d4a716446655440000", "WHERE u = ?"),
+        ("SELECT abc123def456 FROM t", "SELECT ? FROM t"),
+        ('SELECT `my col` FROM "q t"', 'SELECT `my col` FROM "q t"'),
+        ("SELECT 0xFF, -5", "SELECT ?, -?"),
+        ("SELECT  1", "SELECT  ?"),  # non-collapsed spacing preserved
+        ("", ""),
+    ]
+    for inp, exp in cases:
+        lit = inp.replace("\\", "\\\\").replace("'", "\\'")
+        assert one(f"normalizeQuery('{lit}')") == exp, inp
+    assert one("normalizeQueryKeepNames('SELECT abc123def456, 7')") == \
+        "SELECT abc123def456, ?"
+    # hash: stable across different literal values, type is bigint
+    assert one(
+        "normalizedQueryHash('SELECT 1 FROM t') = "
+        "normalizedQueryHash('SELECT 999 FROM t')"
+    ) is True
+    assert one("normalizeQuery(cast(null as string))") is None
+
+
+def test_ipv6_or_null_or_default(spark):
+    """IPv6StringToNumOrNull/OrDefault (+toIPv6 spellings): the throwing
+    parser's validity tree with a NULL / caller-default fallback."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    assert one("hex(IPv6StringToNumOrNull('::1'))") == \
+        "0" * 31 + "1"
+    assert one("IPv6StringToNumOrNull('not-an-ip')") is None
+    assert one("toIPv6OrNull('999::zz')") is None
+    assert one(
+        "hex(IPv6StringToNumOrDefault('bad', toIPv6('::ffff:1.2.3.4')))"
+    ) == one("hex(toIPv6('::ffff:1.2.3.4'))")
+    # bare IPv4 maps like the throwing spelling
+    assert one("hex(toIPv6OrNull('1.2.3.4'))") == \
+        one("hex(toIPv6('1.2.3.4'))")
