@@ -954,3 +954,44 @@ def test_round10_dialect_queries_plan_shapes(spark):
     df = _q(spark, "sql_ch_decay_leaders")
     plan = P.physical_plan(df)
     assert "Join" not in plan and "Python" not in plan, plan
+
+
+def test_round11_dialect_queries_plan_shapes(spark):
+    """Round-11 sql_ch_* queries keep their declared 100 TB shapes: the
+    codec report (base58 + punycode folds) and the normalize report
+    (query-fingerprint lexer fold) are each one codegen projection over a
+    pruned dimension scan — no join, no Python, no exchange beyond the
+    ORDER BY sort."""
+    for name, cols in [
+        ("sql_ch_codec_report", {"n_name"}),
+        ("sql_ch_normalize_report", {"n_name", "n_nationkey", "n_regionkey"}),
+    ]:
+        df = _q(spark, name)
+        plan = P.physical_plan(df)
+        assert "Join" not in plan and "Python" not in plan, (name, plan)
+        assert set(P.read_schema_columns(df)) <= cols, name
+        # exactly the ORDER BY exchange — nothing the folds added
+        assert plan.count("Exchange") <= 1, (name, plan)
+
+
+def test_entropy_cells_plan_is_bounded_state(spark):
+    """The auto-celled entropy/theilsU query plans as two hash aggregates
+    (cells, then the run-length arithmetic) with window marginals riding
+    the cells exchange — and NO ObjectHashAggregate (the collect_list
+    fold's O(rows)-state operator). Forced-fold spelling still uses it."""
+    from python_cdc_postgres_to_clickhouse_spark.dialect import translate
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+    load_tables(spark, SF_ORACLE)
+    cells = spark.sql(translate(
+        "SELECT event_type, entropy(user_id) AS e, "
+        "theilsU(user_id, value) AS u FROM events GROUP BY event_type"
+    ))
+    plan = P.physical_plan(cells)
+    assert "ObjectHashAggregate" not in plan, plan
+    assert P.has_partial_aggregate(cells)
+    fold = spark.sql(translate(
+        "SELECT event_type, entropy(user_id + 0) AS e "
+        "FROM events GROUP BY event_type"
+    ))
+    assert "ObjectHashAggregate" in P.physical_plan(fold)
