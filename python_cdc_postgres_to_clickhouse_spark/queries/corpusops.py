@@ -892,7 +892,47 @@ BPE_MERGES = 16
 BPE_CAP = 5000
 
 
-@query("x_bpe_merges", tags=("ext", "text", "vocab", "iterative"))
+def _bpe_merges_oracle() -> str:
+    """Lazy oracle for x_bpe_merges (round-11 promotion, the x_bpe_encode
+    pattern): word frequencies from a DuckDB aggregate, merge rounds from
+    the pure-python reference trainer, result emitted as a VALUES table —
+    Spark-independent end to end."""
+    import duckdb
+
+    from ..operators.bpe import bpe_merges_from_dict
+
+    con = duckdb.connect()
+    try:
+        wf = con.execute(
+            f"SELECT tok, COUNT(*) AS n FROM ("
+            f"  SELECT unnest(string_split({SQL_NORM}, ' ')) AS tok"
+            f"  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+            f") GROUP BY tok ORDER BY n DESC, tok LIMIT {BPE_CAP}"
+        ).fetchall()
+    finally:
+        con.close()
+    merges = bpe_merges_from_dict(wf, BPE_MERGES)
+    rows = ", ".join(
+        "({0}, '{1}', '{2}', {3})".format(
+            r, left.replace("'", "''"), right.replace("'", "''"), cnt
+        )
+        for r, left, right, cnt in merges
+    )
+    # left/right are reserved words in DuckDB — quote them (the unquoted
+    # pandas column names still come back as left/right for the compare).
+    return (
+        'SELECT CAST(rank AS INTEGER) AS rank, "left", "right", '
+        "CAST(pair_count AS BIGINT) AS pair_count "
+        f'FROM (VALUES {rows}) AS t(rank, "left", "right", pair_count) '
+        "ORDER BY rank"
+    )
+
+
+@query(
+    "x_bpe_merges",
+    oracle=_bpe_merges_oracle,
+    tags=("ext", "text", "vocab", "iterative"),
+)
 def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X16 endpoint: BPE tokenizer induction — the {BPE_MERGES}-row merge
     table a byte-pair tokenizer would ship, trained on the corpus.
@@ -902,9 +942,11 @@ def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{BPE_CAP} words via TakeOrdered (bounded heap, no global sort) and
     merge rounds run driver-side on that bounded dict — the IVF-trainer
     split: model fitting on a bounded sample, never an iterative corpus
-    pass. Deterministic ties ⇒ stable output; iterative fitting ⇒
-    rows-only driver row, with a pure-python independent replay and a
-    hand-computed case in tests/test_corpusops.py."""
+    pass. Deterministic ties ⇒ stable output. Full oracle since round 11
+    (lazy VALUES table: DuckDB word count + the reference python trainer
+    — verifies the corpus-scale word-count aggregate and end-to-end
+    determinism; the trainer algorithm itself is pinned independently by
+    the hand-computed Sennrich case in tests/test_corpusops.py)."""
     from ..operators.bpe import train_bpe
 
     t = load_tables(spark, sf_dir)

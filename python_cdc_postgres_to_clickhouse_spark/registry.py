@@ -111,6 +111,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (c) Promoted from rows-only to full oracles this round (semantics
     #     of the driver row changed: hash compare now applies).
     "x_bpe_encode",
+    "x_bpe_merges",
     "x_holt_trend",
     # (d) Staleness fill: the r7 cohort (last driver row r7), oracle-
     #     bearing names first, alphabetical. Any later round-11 addition
@@ -139,9 +140,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_cohort_ltv",
     "x_counter_rate",
     "x_dict_enrich",
-    "x_doc_rarity",
-    # (x_downsample_tiers displaced to the r12 queue by
-    # sql_ch_normalize_report landing later in round 11.)
+    # (x_doc_rarity and x_downsample_tiers displaced to the r12 queue by
+    # sql_ch_normalize_report and the x_bpe_merges promotion landing
+    # later in round 11.)
     # ------------------------------------------------------------------
     # Positions 51+: the ROUND-12 QUEUE. After r11 clears the pre-r7
     # tail, the oldest names are the r7 remainder (the displaced
@@ -149,6 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # rows-only names); the r8 cohort (49 queries) fills after them
     # (recompute from the CORRECTNESS_r*.json union when planning r12;
     # never trust a hand count).
+    "x_doc_rarity",
     "x_downsample_tiers",
     "x_dup_span_detect",
     "x_embedding_quantize",
@@ -168,7 +170,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_window_funnel_strict",
     "sql_ch_state_merge_rollup",
     "x_active_users_sketch",
-    "x_bpe_merges",
     "x_ivfpq_topk",
     "x_pq_codes",
     "x_semantic_dedup",
