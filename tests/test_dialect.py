@@ -3660,3 +3660,42 @@ def test_ipv6_or_null_or_default(spark):
     # bare IPv4 maps like the throwing spelling
     assert one("hex(toIPv6OrNull('1.2.3.4'))") == \
         one("hex(toIPv6('1.2.3.4'))")
+
+
+def test_punycode_codec_random_codepoints(spark):
+    """Wider punycode fuzz: random strings over the full BMP (plus
+    supplementary-plane samples), including digit-heavy, surrogate-
+    adjacent, and combining-mark codepoints — every string must encode
+    identically to Python's RFC 3492 codec and round-trip."""
+    import random
+
+    rnd = random.Random(20260816)
+
+    def rand_cp() -> str:
+        r = rnd.random()
+        if r < 0.5:
+            return chr(rnd.randint(32, 126))          # ASCII
+        if r < 0.8:
+            return chr(rnd.randint(0xA0, 0x2FFF))     # BMP letters/marks
+        if r < 0.95:
+            return chr(rnd.randint(0x3000, 0xFFFD))   # CJK and beyond
+        return chr(rnd.randint(0x10000, 0x1FAFF))     # supplementary
+
+    samples = []
+    while len(samples) < 30:
+        s = "".join(rand_cp() for _ in range(rnd.randint(1, 20)))
+        try:
+            s.encode("punycode")  # skip python-codec-rejected inputs
+        except UnicodeError:
+            continue
+        samples.append(s)
+    exprs, expected = [], {}
+    for i, s in enumerate(samples):
+        lit = s.replace("\\", "\\\\").replace("'", "''")
+        exprs.append(f"punycodeEncode('{lit}') AS e{i}")
+        exprs.append(f"punycodeDecode(punycodeEncode('{lit}')) AS d{i}")
+        expected[i] = (s.encode("punycode").decode("ascii"), s)
+    row = spark.sql(translate("SELECT " + ", ".join(exprs))).collect()[0]
+    for i, (enc, dec) in expected.items():
+        assert row[f"e{i}"] == enc, repr(samples[i])
+        assert row[f"d{i}"] == dec, repr(samples[i])
