@@ -2286,11 +2286,11 @@ def test_round9_wave3_scalar_batch(spark):
         ("SELECT kolmogorovSmirnovTest(a, b) FROM t", "x_ks_test"),
         ("SELECT mannWhitneyUTest(a, b) FROM t", "x_mann_whitney_u"),
         ("SELECT mapApply((k, v) -> (k, v), m) FROM t", "transform_keys"),
-        ("SELECT normalizeQuery(s) FROM t", "loud"),
-        # non-window spelling of the decayed family stays loud with the
-        # window-contract hint; OrNull IPv6 spellings point at the filter
+        # normalizeQuery and the IPv6 OrNull spellings TRANSLATE since
+        # round 11; sparkbar keeps the loud rendering pointer and the
+        # non-window decayed spelling keeps the window-contract hint.
+        ("SELECT sparkbar(9)(x, y) FROM t", "histogram"),
         ("SELECT exponentialTimeDecayedSum(10)(v, t) FROM e", "OVER"),
-        ("SELECT IPv6StringToNumOrNull(s) FROM t", "isIPv6String"),
     ]:
         with pytest.raises(DialectError, match=hint):
             translate(bad)
