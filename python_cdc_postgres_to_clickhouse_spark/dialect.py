@@ -3459,10 +3459,22 @@ def _punycode_decode(try_variant: bool):
             f"1), substr(st.o, cast(x.i3 as int) + 1)), "
             f"'err', false, 'ingrp', false) END), 1)), 1)"
         )
+        # Overflow latch (RFC 3492 §6.2 "fail on overflow"): a valid
+        # code point needs i <= 0x10FFFF * (len+1) < 2^31, so any i or w
+        # past 2^31 is already invalid — latch err BEFORE the next
+        # multiply would overflow int64 under ANSI (a pure high-digit
+        # run like '9'*25 never terminates a group and grows w by ~10x
+        # per digit; Python's codec raises UnicodeError there, the try
+        # variant must return '').
         accumulate = (
+            "CASE WHEN st.w > 2147483648 OR st.i > 2147483648 THEN "
+            "named_struct('i', cast(0 as bigint), 'n', cast(0 as bigint), "
+            "'bias', cast(0 as bigint), 'w', cast(1 as bigint), "
+            "'k', cast(36 as bigint), 'oldi', cast(0 as bigint), "
+            "'o', st.o, 'err', true, 'ingrp', false) ELSE "
             "named_struct('i', st.i + d * st.w, 'n', st.n, 'bias', st.bias,"
             " 'w', st.w * (36 - t), 'k', st.k + 36, 'oldi', st.oldi, "
-            "'o', st.o, 'err', false, 'ingrp', true)"
+            "'o', st.o, 'err', false, 'ingrp', true) END"
         )
         step = (
             f"CASE WHEN st.err THEN st "

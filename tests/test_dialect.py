@@ -3699,3 +3699,18 @@ def test_punycode_codec_random_codepoints(spark):
     for i, (enc, dec) in expected.items():
         assert row[f"e{i}"] == enc, repr(samples[i])
         assert row[f"d{i}"] == dec, repr(samples[i])
+
+
+def test_punycode_decode_overflow_latch(spark):
+    """RFC 3492 overflow handling: a pure high-digit run ('9'*25) never
+    terminates a variable-length integer and grows w/i without bound —
+    the fold must latch err (try variant returns '', throwing variant
+    raises the dialect's loud error) instead of hitting ANSI
+    ARITHMETIC_OVERFLOW. Python's codec raises UnicodeError here."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    assert one(f"tryPunycodeDecode('{'9' * 25}')") == ""
+    assert one(f"tryPunycodeDecode('{'9' * 200}')") == ""
+    with pytest.raises(Exception, match="invalid punycode"):
+        one(f"punycodeDecode('{'9' * 25}')")
+    # high-but-valid digits still decode (groups that do terminate)
+    assert one("punycodeDecode('tda')") == "ü"
