@@ -3590,6 +3590,43 @@ def _nq_wordend(src: str, **extra) -> str:
     )
 
 
+def _point_in_polygon(a: list[str]) -> str:
+    """pointInPolygon((x, y), polygon) — standard even-odd ray casting as
+    a fold over the polygon's edges (round-11 audit): for each edge whose
+    y-span straddles the test point, toggle on a left-of-edge crossing.
+    Polygon vertices are (x, y) tuples (Spark parses them as col1/col2
+    structs); the closing edge wraps via i % n + 1. The divide is guarded
+    by the straddle test (yi != yj there; AND short-circuits). Returns
+    0/1 like CH; boundary points follow the even-odd convention. Holes
+    (CH's extra polygon arguments) stay loud."""
+    if len(a) != 2:
+        raise DialectError(
+            "pointInPolygon takes ((x, y), polygon) — hole polygons have "
+            "no Spark mapping here; subtract hole tests explicitly"
+        )
+    edge = (
+        "named_struct("
+        "'xi', cast(element_at(pg, i).col1 as double), "
+        "'yi', cast(element_at(pg, i).col2 as double), "
+        "'xj', cast(element_at(pg, i % size(pg) + 1).col1 as double), "
+        "'yj', cast(element_at(pg, i % size(pg) + 1).col2 as double))"
+    )
+    fold = (
+        f"aggregate(sequence(1, size(pg)), false, (acc, i) -> "
+        f"element_at(transform(array({edge}), e -> "
+        f"CASE WHEN ((e.yi > cast(pp.col2 as double)) != "
+        f"(e.yj > cast(pp.col2 as double))) AND "
+        f"(cast(pp.col1 as double) < (e.xj - e.xi) * "
+        f"(cast(pp.col2 as double) - e.yi) / (e.yj - e.yi) + e.xi) "
+        f"THEN NOT acc ELSE acc END), 1))"
+    )
+    return (
+        f"element_at(transform(array(({a[0]})), pp -> "
+        f"element_at(transform(array(({a[1]})), pg -> "
+        f"cast({fold} as int)), 1)), 1)"
+    )
+
+
 def _normalize_query(a: list[str], keep_names: bool = False) -> str:
     if len(a) != 1:
         raise DialectError("normalizeQuery takes one argument")
@@ -4455,6 +4492,22 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "round": _fn("bround"),
     "cityHash64": _fn("xxhash64"),  # role-equivalent, different values
     "sipHash64": _fn("xxhash64"),
+    # round-11 audit: the remaining stable-hash spellings, all on the
+    # cityHash64 role-equivalence policy (64-bit → xxhash64, 32-bit →
+    # murmur3 hash(), 128-bit → md5 bytes; documented different values)
+    "metroHash64": _fn("xxhash64"),
+    "murmurHash2_64": _fn("xxhash64"),
+    "murmurHash3_64": _fn("xxhash64"),
+    "murmurHash2_32": _fn("hash"),
+    "murmurHash3_32": _fn("hash"),
+    "gccMurmurHash": _fn("xxhash64"),
+    "kafkaMurmurHash": _fn("hash"),
+    "murmurHash3_128": _tpl("unhex(md5({0}))"),
+    # toLowCardinality / materialize are storage/constness wrappers — the
+    # value is unchanged; ignore() is CH's constant 0 sink.
+    "toLowCardinality": _tpl("({0})"),
+    "materialize": _tpl("({0})"),
+    "ignore": lambda a: "0",
     "farmHash64": _fn("xxhash64"),
     "halfMD5": _fn("xxhash64"),
     "MD5": _tpl("unhex(md5({0}))"),
@@ -5047,6 +5100,13 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     # duplicate key used to shadow the datediff rule with the UTC form
     # (found by the round-10 duplicate-key audit).
     "toRelativeDayNum": _tpl("datediff({0}, DATE '1970-01-01')"),
+    # weeks advance on MONDAY with week 0 containing 1970-01-01 (a
+    # Thursday): +3 shifts the epoch to the containing week's Monday;
+    # floor() keeps pre-1970 dates on the grid (round-11 audit — the
+    # sibling units were mapped in round 10, week was missed).
+    "toRelativeWeekNum": _tpl(
+        "cast(floor((datediff({0}, DATE '1970-01-01') + 3) / 7) as int)"
+    ),
     "toRelativeHourNum": _tpl("cast(floor(unix_timestamp({0}) / 3600) as int)"),
     "toRelativeMinuteNum": _tpl("cast(floor(unix_timestamp({0}) / 60) as int)"),
     "toRelativeSecondNum": _fn("unix_timestamp"),
@@ -5135,6 +5195,7 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "punycodeEncode": _punycode_encode,
     "punycodeDecode": _punycode_decode(try_variant=False),
     "tryPunycodeDecode": _punycode_decode(try_variant=True),
+    "pointInPolygon": _point_in_polygon,
     "normalizeQuery": _normalize_query,
     "normalizeQueryKeepNames": lambda a: _normalize_query(
         a, keep_names=True
@@ -5208,6 +5269,18 @@ RULES: dict[str, Callable[[list[str]], str]] = {
 }
 
 _install_dict_rules(RULES)
+
+# emptyArray<T>() constructors (round-11 audit): typed empty arrays.
+for _cht, _st in [
+    ("UInt8", "int"), ("UInt16", "int"), ("UInt32", "bigint"),
+    ("UInt64", "bigint"), ("Int8", "int"), ("Int16", "int"),
+    ("Int32", "int"), ("Int64", "bigint"), ("Float32", "float"),
+    ("Float64", "double"), ("String", "string"), ("Date", "date"),
+    ("DateTime", "timestamp"),
+]:
+    RULES[f"emptyArray{_cht}"] = (
+        lambda a, _t=_st: f"cast(array() as array<{_t}>)"
+    )
 
 # visitParam* are ClickHouse's legacy spellings of the simpleJSON* family
 # (same fast-path JSON scan semantics); toIPv4 is the typed spelling of
@@ -6226,6 +6299,30 @@ _UNSUPPORTED: dict[str, str] = {
                "DataFrame-side with df.colRegex",
     # round-10 pass-through sweep: names that would fail as undefined
     # (or mislead) if left alone.
+    # round-11 audit additions: names that previously fell through to an
+    # opaque UNRESOLVED_ROUTINE at analysis time.
+    "byteSwap": "CH's byte reversal depends on the input's declared "
+                "integer WIDTH (UInt8/16/32/64), which Spark's bigint "
+                "erases — spell the width explicitly with "
+                "shiftleft/shiftright masks",
+    "flattenTuple": "tuple storage flattening is engine-internal — "
+                    "select the struct fields (untuple translates)",
+    "toColumnTypeName": "engine-internal type introspection — use "
+                        "toTypeName, or Spark's typeof()",
+    "defaultValueOfArgumentType": "type-default introspection has no "
+                                  "Spark analog — spell the default "
+                                  "literal",
+    "javaHashUTF16LE": "see hiveHash (String.hashCode over UTF-16LE is "
+                       "not exposed)",
+    "tupleToNameValuePairs": "struct-field introspection — spell the "
+                             "pairs with map_entries over a map, or "
+                             "untuple the struct",
+    "h3ToGeo": "H3 indexing is library-bound (no Spark builtin) — "
+               "precompute H3 cells at ingest; greatCircleDistance / "
+               "geoDistance / pointInPolygon translate",
+    "geoToH3": "see h3ToGeo",
+    "bar": "terminal bar rendering, like sparkbar — compute the scaled "
+           "value with round(x / max * width) and render driver-side",
     "hiveHash": "JVM-internal hash not exposed in Spark SQL — use "
                 "hash()/xxhash64 for stable role-equivalent hashing",
     "javaHash": "see hiveHash (String.hashCode is not exposed either)",

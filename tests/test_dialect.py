@@ -3714,3 +3714,52 @@ def test_punycode_decode_overflow_latch(spark):
         one(f"punycodeDecode('{'9' * 25}')")
     # high-but-valid digits still decode (groups that do terminate)
     assert one("punycodeDecode('tda')") == "ü"
+
+
+def test_round11_passthrough_audit(spark):
+    """Round-11 name audit (the round-10 sweep's sequel): names that
+    previously fell through to an opaque UNRESOLVED_ROUTINE now either
+    translate (identity wrappers, typed empty arrays, role-equivalent
+    hashes, toRelativeWeekNum, pointInPolygon) or raise the dialect's
+    loud error with a route (byteSwap, bar, tupleToNameValuePairs, h3
+    family). soundex stays a true pass-through: Spark's soundex returns
+    CH's own documented value."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    # identity / constant wrappers
+    assert one("toLowCardinality('x')") == "x"
+    assert one("materialize(7)") == 7
+    assert one("ignore(1, 'a', [2])") == 0
+    # typed empty arrays
+    assert one("emptyArrayInt64()") == []
+    assert one("emptyArrayString()") == []
+    # role-equivalent hashes: stable, right shape
+    assert one("metroHash64('x') = metroHash64('x')") is True
+    assert isinstance(one("murmurHash2_32('x')"), int)
+    assert len(one("murmurHash3_128('x')")) == 16
+    # toRelativeWeekNum: week 0 contains 1970-01-01 (Thu); Monday rolls
+    assert one("toRelativeWeekNum(toDateTime('1970-01-01 00:00:00'))") == 0
+    assert one("toRelativeWeekNum(toDateTime('1970-01-04 23:59:59'))") == 0
+    assert one("toRelativeWeekNum(toDateTime('1970-01-05 00:00:00'))") == 1
+    assert one("toRelativeWeekNum(toDateTime('1969-12-29 00:00:00'))") == 0
+    assert one("toRelativeWeekNum(toDateTime('1969-12-28 00:00:00'))") == -1
+    # pointInPolygon: even-odd ray casting, tuples as (x, y)
+    sq = "[(0, 0), (10, 0), (10, 10), (0, 10)]"
+    assert one(f"pointInPolygon((3.0, 3.0), {sq})") == 1
+    assert one(f"pointInPolygon((11.0, 3.0), {sq})") == 0
+    assert one(f"pointInPolygon((-1.0, -1.0), {sq})") == 0
+    # concave: C-shape excludes the notch
+    cshape = "[(0,0),(6,0),(6,2),(2,2),(2,4),(6,4),(6,6),(0,6)]"
+    assert one(f"pointInPolygon((1.0, 3.0), {cshape})") == 1
+    assert one(f"pointInPolygon((4.0, 3.0), {cshape})") == 0
+    # soundex: true pass-through, CH-documented value
+    assert one("soundex('aksel')") == "A240"
+    # loud routes
+    for bad, hint in [
+        ("SELECT byteSwap(i) FROM t", "WIDTH"),
+        ("SELECT bar(i, 0, 10, 10) FROM t", "sparkbar"),
+        ("SELECT tupleToNameValuePairs(tp) FROM t", "map_entries"),
+        ("SELECT h3ToGeo(i) FROM t", "H3"),
+        ("SELECT pointInPolygon((1, 1), p1, p2) FROM t", "hole"),
+    ]:
+        with pytest.raises(DialectError, match=hint):
+            translate(bad)
