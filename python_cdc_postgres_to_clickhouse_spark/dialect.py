@@ -5294,6 +5294,16 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "punycodeDecode": _punycode_decode(try_variant=False),
     "tryPunycodeDecode": _punycode_decode(try_variant=True),
     "pointInPolygon": _point_in_polygon,
+    # batch-4 audit closures
+    "bitmaskToArray": _tpl(
+        "filter(transform(sequence(0, 62), i -> "
+        "shiftleft(cast(1 as bigint), i)), b -> (({0}) & b) != 0)"
+    ),
+    "arrayWithConstant": _swap("array_repeat"),
+    "toStringCutToZero": lambda a: (
+        f"substring_index({a[0]}, chr(0), 1)"
+    ),
+    "nothing": lambda a: "NULL",
     "geohashEncode": _geohash_encode,
     "geohashDecode": _geohash_decode,
     # toTimeZone: CH changes the DISPLAY timezone (downstream hour()/
@@ -6480,7 +6490,22 @@ _UNSUPPORTED: dict[str, str] = {
     "reinterpretAsString": "byte reinterpretation is type-system work — "
                            "use encode/decode, hex/unhex, or cast "
                            "explicitly for the layout you need",
+    "stochasticLinearRegression": "iterative model fitting — train "
+                                  "driver-side on a bounded sample "
+                                  "(x_linear_quality_score pattern) and "
+                                  "inline the weights",
+    "stochasticLogisticRegression": "see stochasticLinearRegression",
+    "initializeAggregation": "state plumbing — the -State/-Merge "
+                             "combinators translate directly "
+                             "(uniqState/avgState/…)",
+    "finalizeAggregation": "see initializeAggregation (-Merge "
+                           "translates)",
 }
+
+# reinterpretAs<T> numeric spellings share the reinterpretAsString route.
+for _rt in ("UInt8", "UInt16", "UInt32", "UInt64", "Int8", "Int16",
+            "Int32", "Int64", "Float32", "Float64", "Date", "DateTime"):
+    _UNSUPPORTED[f"reinterpretAs{_rt}"] = "see reinterpretAsString"
 
 
 # ClickHouse resolves aggregate names case-insensitively (COUNT, Count,

@@ -3823,3 +3823,26 @@ def test_round11_audit_batch3(spark):
     ]:
         with pytest.raises(DialectError, match=hint):
             translate(bad)
+
+
+def test_round11_audit_batch4(spark):
+    """Fourth audit batch: bitmaskToArray (ascending power-of-two
+    decomposition), arrayWithConstant (arg-swapped array_repeat),
+    toStringCutToZero (cut at first NUL), nothing() → NULL; loud routes
+    for the reinterpretAs<T> numeric family and the stochastic
+    regressions / aggregation-state plumbing."""
+    one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
+    assert one("bitmaskToArray(50)") == [2, 16, 32]
+    assert one("bitmaskToArray(0)") == []
+    assert one("arrayWithConstant(3, 'x')") == ["x", "x", "x"]
+    assert one("toStringCutToZero(concat('ab', chr(0), 'cd'))") == "ab"
+    assert one("toStringCutToZero('plain')") == "plain"
+    assert one("nothing()") is None
+    for bad, hint in [
+        ("SELECT reinterpretAsUInt32(s) FROM t", "reinterpretAsString"),
+        ("SELECT stochasticLinearRegression(0.1)(y, x) FROM t",
+         "x_linear_quality_score"),
+        ("SELECT initializeAggregation('sumState', x) FROM t", "-State"),
+    ]:
+        with pytest.raises(DialectError, match=hint):
+            translate(bad)
