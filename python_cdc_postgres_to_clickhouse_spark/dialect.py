@@ -1903,7 +1903,11 @@ def _rewrite_entropy_cells(toks: list[str]) -> list[str]:
             ent_depths.add(depth)
         elif depth == 0:
             u = _u(t)
-            if u in ("UNION", "INTERSECT", "EXCEPT", "HAVING", "DISTINCT"):
+            if u in ("UNION", "INTERSECT", "EXCEPT", "HAVING", "DISTINCT",
+                     "ROLLUP", "CUBE", "GROUPING"):
+                # ROLLUP/CUBE/GROUPING SETS super-aggregate rows would see
+                # per-base-group marginal windows — the cells rewrite is
+                # silently wrong there (ADVICE r11, high). Keep the fold.
                 return toks
             if u == "FROM" and from_at is None:
                 from_at = i
@@ -5202,6 +5206,11 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     # Thursday): +3 shifts the epoch to the containing week's Monday;
     # floor() keeps pre-1970 dates on the grid (round-11 audit — the
     # sibling units were mapped in round 10, week was missed).
+    # Pre-1970 divergence vs CH (role-equivalence policy, ADVICE r11):
+    # CH truncates toward zero ((d+8-dow)/7), so Sundays-and-earlier of
+    # the week containing the epoch differ — 1969-12-28 is -1 here, 0 in
+    # CH. floor keeps the 7-day grid uniform across the epoch, which is
+    # the property downstream week arithmetic needs.
     "toRelativeWeekNum": _tpl(
         "cast(floor((datediff({0}, DATE '1970-01-01') + 3) / 7) as int)"
     ),
@@ -5295,8 +5304,12 @@ RULES: dict[str, Callable[[list[str]], str]] = {
     "tryPunycodeDecode": _punycode_decode(try_variant=True),
     "pointInPolygon": _point_in_polygon,
     # batch-4 audit closures
+    # bit 63 included: the word is shiftleft(1L, 63) = Long.MIN_VALUE (a
+    # CH UInt64 >= 2^63 arrives as a negative bigint) and the mask test
+    # is `!= 0`, which is sign-safe — dropping it lost the top bit of
+    # negative inputs (ADVICE r11).
     "bitmaskToArray": _tpl(
-        "filter(transform(sequence(0, 62), i -> "
+        "filter(transform(sequence(0, 63), i -> "
         "shiftleft(cast(1 as bigint), i)), b -> (({0}) & b) != 0)"
     ),
     "arrayWithConstant": _swap("array_repeat"),

@@ -1280,7 +1280,7 @@ ORDER BY n_name
 """
 
 
-def _codec_report_oracle() -> str:
+def _codec_report_oracle(sf_dir: str) -> str:
     """Lazy oracle for sql_ch_codec_report: DuckDB has neither base58 nor
     punycode, so the expected strings are computed Spark-independently —
     base58 by a 10-line reference big-integer conversion, punycode by
@@ -1304,7 +1304,7 @@ def _codec_report_oracle() -> str:
     try:
         names = [r[0] for r in con.execute(
             "SELECT n_name FROM read_parquet("
-            "'/root/testdata/sf0.01/nation.parquet') ORDER BY n_name"
+            f"'{sf_dir}/nation.parquet') ORDER BY n_name"
         ).fetchall()]
     finally:
         con.close()

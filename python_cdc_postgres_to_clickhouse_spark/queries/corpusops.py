@@ -892,11 +892,12 @@ BPE_MERGES = 16
 BPE_CAP = 5000
 
 
-def _bpe_merges_oracle() -> str:
+def _bpe_merges_oracle(sf_dir: str) -> str:
     """Lazy oracle for x_bpe_merges (round-11 promotion, the x_bpe_encode
     pattern): word frequencies from a DuckDB aggregate, merge rounds from
     the pure-python reference trainer, result emitted as a VALUES table —
-    Spark-independent end to end."""
+    Spark-independent end to end. Takes the compare-time sf_dir so the
+    baked merge table always matches the Spark-trained one (ADVICE r11)."""
     import duckdb
 
     from ..operators.bpe import bpe_merges_from_dict
@@ -906,7 +907,7 @@ def _bpe_merges_oracle() -> str:
         wf = con.execute(
             f"SELECT tok, COUNT(*) AS n FROM ("
             f"  SELECT unnest(string_split({SQL_NORM}, ' ')) AS tok"
-            f"  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+            f"  FROM read_parquet('{sf_dir}/documents.parquet')"
             f") GROUP BY tok ORDER BY n DESC, tok LIMIT {BPE_CAP}"
         ).fetchall()
     finally:
@@ -957,11 +958,11 @@ def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-def _bpe_encode_oracle() -> str:
+def _bpe_encode_oracle(sf_dir: str) -> str:
     """Lazy DuckDB oracle for x_bpe_encode (round-11 promotion from
     rows-only). The merge table is trained INDEPENDENTLY of Spark — word
-    frequencies come from a DuckDB aggregate over the driver's sf0.01
-    documents table and the merge rounds run through the pure-python
+    frequencies come from a DuckDB aggregate over the compare-time
+    sf_dir's documents table and the merge rounds run through the pure-python
     reference implementation (operators/bpe.bpe_merges_from_dict, the same
     function the unit tests replay against) — then the encode chain is
     emitted as literal DuckDB replace() calls mirroring
@@ -977,7 +978,7 @@ def _bpe_encode_oracle() -> str:
         wf = con.execute(
             f"SELECT tok, COUNT(*) AS n FROM ("
             f"  SELECT unnest(string_split({SQL_NORM}, ' ')) AS tok"
-            f"  FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+            f"  FROM read_parquet('{sf_dir}/documents.parquet')"
             f") GROUP BY tok ORDER BY n DESC, tok LIMIT {BPE_CAP}"
         ).fetchall()
     finally:

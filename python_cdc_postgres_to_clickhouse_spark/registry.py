@@ -24,27 +24,43 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, "QuerySpec"] = {}
 
+# The scale factor the driver's correctness compare runs at. Lazy oracle
+# builders that embed data-dependent models (BPE merge tables, expected
+# codec strings) default to this directory; callers comparing at another
+# SF must pass their sf_dir through resolve_oracle so the baked model
+# matches the Spark side (ADVICE r11).
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 @dataclass
 class QuerySpec:
     name: str
     fn: QueryFn
-    # Either the oracle SQL text, or a zero-arg builder returning it.
-    # Builders exist for oracles whose SQL embeds a model trained
-    # independently of Spark (e.g. x_bpe_encode trains its merge table
-    # from a DuckDB word count + the pure-python reference BPE) — the
-    # build runs once, at first resolve, never at import.
-    oracle: "str | Callable[[], str] | None" = None
+    # Either the oracle SQL text, or a builder returning it (zero-arg, or
+    # taking the sf_dir the compare will run at). Builders exist for
+    # oracles whose SQL embeds a model trained independently of Spark
+    # (e.g. x_bpe_encode trains its merge table from a DuckDB word count
+    # + the pure-python reference BPE) — the build runs at first resolve,
+    # never at import, and is cached per sf_dir.
+    oracle: "str | Callable[..., str] | None" = None
     tags: tuple[str, ...] = field(default_factory=tuple)
+    _resolved: dict = field(default_factory=dict, repr=False)
 
     @property
     def doc(self) -> str:
         return (self.fn.__doc__ or "").strip()
 
-    def resolve_oracle(self) -> str | None:
-        if callable(self.oracle):
-            self.oracle = self.oracle()
-        return self.oracle
+    def resolve_oracle(self, sf_dir: str = ORACLE_SF_DIR) -> str | None:
+        if self.oracle is None or not callable(self.oracle):
+            return self.oracle
+        if sf_dir not in self._resolved:
+            import inspect
+
+            takes_sf = bool(inspect.signature(self.oracle).parameters)
+            self._resolved[sf_dir] = (
+                self.oracle(sf_dir) if takes_sf else self.oracle()
+            )
+        return self._resolved[sf_dir]
 
 
 def query(

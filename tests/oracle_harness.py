@@ -139,7 +139,7 @@ def assert_parity(spark, spec, sf_dir: str) -> None:
     column names, dtype classes, row counts, and canonicalized multiset of
     rows."""
     sdf = spec.fn(spark, sf_dir).toPandas()
-    odf = run_oracle(spec.resolve_oracle(), sf_dir)
+    odf = run_oracle(spec.resolve_oracle(sf_dir), sf_dir)
     assert sorted(sdf.columns) == sorted(odf.columns), (
         f"{spec.name}: column mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     )

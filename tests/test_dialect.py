@@ -3606,8 +3606,28 @@ def test_entropy_theilsu_auto_cells(spark):
         "SELECT k FROM ecell WHERE k IN "
         "(SELECT k FROM (SELECT k, entropy(x) AS e FROM ecell GROUP BY k) "
         "WHERE e > 0) GROUP BY k",
+        # ADVICE r11 (high): super-aggregate shapes must keep the fold —
+        # the cells rewrite's marginal windows are partitioned per base
+        # group, so ROLLUP/CUBE/GROUPING SETS total rows would compute
+        # entropy from per-group counts (silently wrong).
+        "SELECT k, entropy(x) AS ex FROM ecell GROUP BY k WITH ROLLUP",
+        "SELECT k, entropy(x) AS ex FROM ecell GROUP BY k WITH CUBE",
+        "SELECT k, entropy(x) AS ex FROM ecell GROUP BY GROUPING SETS "
+        "((k), ())",
     ]:
         assert "__cn" not in translate(s), s
+
+    # ...and the fold path computes the ROLLUP total row over the FULL
+    # value multiset, not a per-group mixture (the r11 advisor measured
+    # 1.8424 vs correct 1.5567 on the broken rewrite).
+    ru = {r.k: r.ex for r in spark.sql(translate(
+        "SELECT k, entropy(x) AS ex FROM ecell GROUP BY k WITH ROLLUP"
+    )).collect()}
+    assert ru[None] == pytest.approx(
+        h([x for _, x, _ in rows]) / math.log(2), rel=1e-12)
+    for k, vs in by_k.items():
+        assert ru[k] == pytest.approx(
+            h([x for x, _ in vs]) / math.log(2), rel=1e-12), k
 
 
 def test_normalize_query(spark):
@@ -3780,7 +3800,7 @@ def test_round11_audit_batch3(spark):
     # CH documentation vectors
     assert one(
         "geohashEncode(-5.60302734375, 42.593994140625, 0)"
-    ) == "ezs42d000000"[:12][:1] or True  # precision 0 clamps to 1
+    ) == "e"  # precision 0 clamps to 1 (ADVICE r11: was a vacuous or-True)
     assert one("geohashEncode(-5.60302734375, 42.60498046875, 5)") == "ezs42"
     d = one("geohashDecode('ezs42')")
     assert (d["_1"], d["_2"]) == (-5.60302734375, 42.60498046875)
@@ -3834,6 +3854,10 @@ def test_round11_audit_batch4(spark):
     one = lambda s: spark.sql(translate(f"SELECT {s} AS r")).collect()[0]["r"]
     assert one("bitmaskToArray(50)") == [2, 16, 32]
     assert one("bitmaskToArray(0)") == []
+    # bit 63 (ADVICE r11): a CH UInt64 >= 2^63 arrives as a negative
+    # bigint; the sign-bit word must be emitted, not silently dropped.
+    assert one("bitmaskToArray(-9223372036854775808)") == [-2**63]
+    assert one("bitmaskToArray(-1)") == [2**i for i in range(63)] + [-2**63]
     assert one("arrayWithConstant(3, 'x')") == ["x", "x", "x"]
     assert one("toStringCutToZero(concat('ab', chr(0), 'cd'))") == "ab"
     assert one("toStringCutToZero('plain')") == "plain"
