@@ -180,6 +180,12 @@ def main() -> None:
     # plan changes — divide a round's totals by the calibration ratio
     # before reading cross-round deltas as regressions (shared hardware
     # showed uniform 1.17× shifts on untouched plans in round 7).
+    # Round 12 (r11 verdict item 4): single-probe calibration swung
+    # 0.27→0.41→0.32 across three rounds on comparable hardware, making
+    # cross-round total claims unreadable — the gauge is now the MEDIAN
+    # of ≥6 probes INTERLEAVED with the query loop (2 before, one at
+    # each third, 2 after), and the full probe vector is emitted so a
+    # skewed probe is visible instead of silently poisoning the ratio.
     def calibrate() -> float:
         t0 = time.perf_counter()
         spark.range(500_000_000).selectExpr(
@@ -187,20 +193,25 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    calibration = round(min(calibrate() for _ in range(3)), 4)
+    probes: list[float] = [round(calibrate(), 4) for _ in range(2)]
 
     # Each query runs three times; report the fastest (steady-state) run —
     # the first pays one-off costs (codegen compile, persist
     # materialization) that a resident engine amortizes, and min-of-3
     # damps same-box contention spikes (raised from min-of-2 in round 8).
     per_query: dict[str, float] = {}
-    for name in names:
+    third = max(1, len(names) // 3)
+    for qi, name in enumerate(names):
+        if qi in (third, 2 * third):
+            probes.append(round(calibrate(), 4))
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             force(specs[name].fn(spark, SF_DIR))
             times.append(time.perf_counter() - t0)
         per_query[name] = round(min(times), 4)
+    probes.extend(round(calibrate(), 4) for _ in range(2))
+    calibration = round(sorted(probes)[len(probes) // 2], 4)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -211,6 +222,43 @@ def main() -> None:
     # So: the FULL map goes to BENCH_DETAIL.json (git-tracked, the
     # judge's per-query source), and the printed line carries the total,
     # the calibration gauge, and the slowest entries that fit.
+    # Mechanical regression triage (r11 verdict item 4): compare each
+    # query's MACHINE-ADJUSTED time (raw ÷ this run's calibration) to the
+    # prior recorded round's (prior raw ÷ prior calibration, both read
+    # from the git-tracked BENCH_DETAIL.json before it is overwritten)
+    # and flag movers beyond 1.5× either way. A flag means "re-measure
+    # solo before believing it", not "regression" — identical code has
+    # swung up to 2.6× between harness runs on this box.
+    flagged: dict[str, float] = {}
+    median_move = None
+    prior_detail: dict = {}
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+            prior_detail = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    prev_q = prior_detail.get("queries") or {}
+    prev_cal = prior_detail.get("calibration_sec")
+    if prev_cal and calibration:
+        moves = {
+            name: (v / calibration) / (prev_q[name] / prev_cal)
+            for name, v in per_query.items()
+            if prev_q.get(name)
+        }
+        if moves:
+            # The probe gauge itself is noisy (0.34–1.01 within one run
+            # observed) — a uniform shift in every query's move is
+            # calibration error, not 100 simultaneous plan changes. So
+            # flag each query's move RELATIVE to the median move across
+            # all queries: within-run rankings are the trustworthy
+            # signal, per the repo's own variance history.
+            mv = sorted(moves.values())
+            median_move = round(mv[len(mv) // 2], 4)
+            for name, m in moves.items():
+                rel = m / median_move
+                if rel > 1.5 or rel < 1 / 1.5:
+                    flagged[name] = round(rel, 3)
+
     detail = {
         "metric": "headline_query_total_sec",
         "value": round(sum(per_query.values()), 4),
@@ -218,6 +266,9 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "calibration_sec": calibration,
+        "calibration_probes": probes,
+        "flagged_vs_prior_detail": flagged,
+        "median_move_vs_prior_detail": median_move,
     }
     out = {
         "metric": "headline_query_total_sec",
@@ -225,8 +276,12 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(per_query),
-        # Not part of the total: fixed-cost machine-noise gauge.
+        # Not part of the total: fixed-cost machine-noise gauge
+        # (median of the interleaved probe vector).
         "calibration_sec": calibration,
+        "calibration_probes": probes,
+        "flagged": flagged,
+        "median_move": median_move,
         "detail_file": "BENCH_DETAIL.json",
     }
     # Normalize against the newest prior BENCH_r*.json that carries a
