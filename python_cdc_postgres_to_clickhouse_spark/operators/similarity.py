@@ -346,6 +346,41 @@ def lsh_cosine_topk(
 # ---------------------------------------------------------------------------
 
 
+def kmeans_fit(
+    X: "np.ndarray", n_centroids: int, n_iters: int, seed: int
+) -> np.ndarray:
+    """Pure-numpy spherical k-means core (Lloyd's on unit vectors, cosine
+    assignment, empty cells keep their centroid) — shared by the Spark
+    trainer below AND the Spark-independent oracle replays
+    (queries/embeddings.py lazy oracles, tests), the same device as
+    operators/bpe.bpe_merges_from_dict: identical input rows ⇒
+    bit-identical model on both sides."""
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if len(X) < n_centroids:
+        raise ValueError(f"sample of {len(X)} rows < {n_centroids} centroids")
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def sample_order_expr(seed: int, id_col: str):
+    """Layout-independent uniform sample ordering: md5 of "{seed}_{id}".
+    Unlike ``F.rand(seed)`` (whose stream depends on partition layout, so
+    two clusters reading the same rows can draw DIFFERENT samples), this
+    is a pure function of the ROW — the trained model is reproducible
+    across partition layouts, engines, and time, which is what a
+    training-data pipeline wants from its index artifacts. md5 hex sorts
+    identically everywhere (lexicographic on hex)."""
+    return F.md5(F.concat(F.lit(f"{seed}_"), F.col(id_col).cast("string")))
+
+
 def train_ivf_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -354,6 +389,7 @@ def train_ivf_centroids(
     sample_limit: int = 20_000,
     sample_fraction: float | None = None,
     vec_col: str = "embedding",
+    id_col: str | None = None,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer, trained driver-side on a bounded
     sample — model *fitting* (like drawing LSH hyperplanes, but
@@ -376,25 +412,24 @@ def train_ivf_centroids(
     collapses the rest of the corpus into few cells. For corpora with very
     many partitions, pass ``sample_fraction`` to pre-thin rows before the
     heaps (caps the per-partition candidate volume the merge touches).
+
+    With ``id_col`` the sample ordering is the layout-INDEPENDENT
+    ``sample_order_expr`` hash rank (md5 of "{seed}_{id}") instead of
+    ``rand(seed)``: same TakeOrdered plan shape, but the drawn subset and
+    its order are a pure function of the rows — reproducible across
+    partition layouts and replayable outside Spark (the round-12 full
+    oracles for x_kmeans_embed / x_semantic_dedup depend on this).
     """
-    sample = vectors.select(vec_col)
+    cols = [vec_col] if id_col is None else [vec_col, id_col]
+    sample = vectors.select(*cols)
     if sample_fraction is not None:
         sample = sample.sample(False, sample_fraction, seed)
-    rows = sample.orderBy(F.rand(seed)).limit(sample_limit).collect()
+    order = (
+        F.rand(seed) if id_col is None else sample_order_expr(seed, id_col)
+    )
+    rows = sample.orderBy(order).limit(sample_limit).collect()
     X = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    if len(X) < n_centroids:
-        raise ValueError(f"sample of {len(X)} rows < {n_centroids} centroids")
-    rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
-    for _ in range(n_iters):
-        assign = np.argmax(X @ C.T, axis=1)
-        for j in range(n_centroids):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
-        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    return C
+    return kmeans_fit(X, n_centroids, n_iters, seed)
 
 
 def _ivf_cells_udf(centroids: "np.ndarray", nprobe: int):
@@ -414,6 +449,54 @@ def _ivf_cells_udf(centroids: "np.ndarray", nprobe: int):
         return pd.Series([row.astype(np.int32).tolist() for row in idx])
 
     return cells
+
+
+def assign_cell_expr(centroids: "np.ndarray", vec_col: str = "embedding"):
+    """Nearest-cell id (nprobe=1) as a pure JVM expression — no Python,
+    no Arrow transfer: score_j = left-to-right fold of dot(v, C_j),
+    assignment = FIRST index of the max score (ties → lowest cell, same
+    as np.argmax). Centroids are unit vectors, so argmax dot == argmax
+    cosine (|v| is a positive constant across j).
+
+    Two reasons this beats the GEMM UDF for single-cell assignment: (a)
+    it stays in whole-stage codegen — O(k·dim) fused multiply-adds per
+    row, no Python worker in the 100 TB hot path; (b) the expression
+    order is FIXED, so the assignment is bit-replayable in pure python —
+    the round-12 full-oracle device for x_kmeans_embed /
+    x_semantic_dedup (BLAS GEMM rounding may vary with batch shape; a
+    fold cannot). ``_ivf_cells_udf`` remains the multi-probe path."""
+    v = F.col(vec_col).cast("array<double>")
+    scores = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in row]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for row in centroids
+    ])
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def assign_cell_replay(X, centroids) -> list[int]:
+    """Pure-python replay of ``assign_cell_expr`` — the same left-to-right
+    per-dimension fold (python floats ARE IEEE doubles; each +/* rounds
+    identically to the JVM's), same first-max tie-break. Used by the
+    Spark-independent lazy oracles and tests."""
+    out = []
+    for vec in X:
+        v = [float(x) for x in vec]
+        scores = []
+        for row in centroids:
+            acc = 0.0
+            for a, b in zip(v, row):
+                acc = acc + a * float(b)
+            scores.append(acc)
+        out.append(scores.index(max(scores)))
+    return out
 
 
 def ivf_cosine_topk(
@@ -511,12 +594,13 @@ def semantic_dedup(
     C = (
         centroids
         if centroids is not None
-        else train_ivf_centroids(vectors, n_centroids=n_clusters, seed=seed)
+        else train_ivf_centroids(
+            vectors, n_centroids=n_clusters, seed=seed, id_col=id_col
+        )
     )
-    cell1 = _ivf_cells_udf(C, 1)
     assigned = vectors.select(
         F.col(id_col).alias("vec_id"),
-        F.element_at(cell1(F.col(vec_col)), 1).alias("cluster_id"),
+        assign_cell_expr(C, vec_col).alias("cluster_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         norm(vec_col).alias("_n"),
     )

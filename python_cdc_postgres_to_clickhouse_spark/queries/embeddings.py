@@ -11,9 +11,12 @@ between raw embeddings and ANN indexing in a training-data pipeline.
   double precision, giving bit-identical outputs.
 - x_kmeans_embed: spherical k-means clustering (reusing the IVF coarse
   quantizer trainer, operators/similarity.train_ivf_centroids) with a
-  distributed assignment pass. Iterative/driver-trained → no SQL oracle
-  (rows-only driver row); determinism + assignment optimality are asserted
-  in tests/test_embeddings.py against a pure-numpy replay.
+  JVM-fold assignment pass. FULL ORACLE since round 12: the trainer
+  samples by a layout-independent md5 rank, assignment/cosine are
+  fixed-order JVM folds, and the per-cluster mean is dyadically
+  quantized — the lazy oracle replays the whole pipeline outside Spark
+  (the r11 x_bpe_encode device); determinism + assignment optimality
+  also asserted in tests/test_embeddings.py against a numpy replay.
 
 Reference parity: the reference delegates all analytics to ClickHouse
 (docker-compose provisioning); embeddings are part of the EXT
@@ -28,7 +31,12 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import _ivf_cells_udf, train_ivf_centroids
+from ..operators.similarity import (
+    assign_cell_expr,
+    assign_cell_replay,
+    kmeans_fit,
+    train_ivf_centroids,
+)
 from ..registry import query
 from ..tables import load_tables
 
@@ -92,9 +100,92 @@ def x_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 8
 KMEANS_SEED = 7
+# Dyadic cosine grid: per-row cosines are floored to multiples of 2^-30
+# BEFORE averaging, so every partial sum is an exact dyadic rational
+# (|Σk| ≪ 2^53 at benchmark sizes) — the mean is order-insensitive and
+# bit-replayable outside Spark, which is what upgrades this query from
+# rows-only to a full hash oracle (the x_holt_trend dyadic device).
+_COS_Q = float(2**30)
 
 
-@query("x_kmeans_embed", tags=("ext", "embedding", "iterative"))
+def _quantizer_replay(sf_dir: str, k: int, seed: int):
+    """Spark-independent replay of the coarse-quantizer pipeline: parquet
+    via DuckDB, sample order via the same md5 rank the trainer uses,
+    model via the shared pure-numpy kmeans_fit, assignment via the
+    pure-python fold replay of the JVM expression (identical op order ⇒
+    bit-identical doubles). Shared by the x_kmeans_embed and
+    x_semantic_dedup lazy oracles."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    finally:
+        con.close()
+    ids = [r[0] for r in rows]
+    X = [list(map(float, r[1])) for r in rows]
+    # the trainer's sample: md5("{seed}_{id}") rank, first 20k
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(f"{seed}_{ids[i]}".encode()).hexdigest(),
+    )[:20_000]
+    C = kmeans_fit(
+        np.array([X[i] for i in order], dtype=np.float64), k, 8, seed
+    )
+    assign = assign_cell_replay(X, C)
+    return ids, X, C, assign
+
+
+def _cos_fold(v: list[float], c: list[float]) -> float:
+    """Pure-python replay of operators.similarity.cosine (dot fold /
+    (sqrt(dot) * sqrt(dot)), left-to-right — bit-identical to the JVM)."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for a, b in zip(v, c):
+        dot = dot + a * b
+        na = na + a * a
+        nb = nb + b * b
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _kmeans_oracle(sf_dir: str) -> str:
+    """Lazy VALUES oracle for x_kmeans_embed (round-12 promotion from
+    rows-only, the r11 lazy-oracle device): the whole pipeline — md5
+    sample rank, numpy fit, fold assignment, quantized-mean cosine — is
+    replayed without Spark and emitted as literals."""
+    ids, X, C, assign = _quantizer_replay(sf_dir, KMEANS_K, KMEANS_SEED)
+    agg: dict[int, list[float]] = {}
+    for i in range(len(ids)):
+        c = assign[i]
+        q = math.floor(_cos_fold(X[i], [float(x) for x in C[c]]) * _COS_Q) / _COS_Q
+        agg.setdefault(c, []).append(q)
+    # The mean literal is routed through a STRING cast: DuckDB parses a
+    # bare decimal literal as DECIMAL and its DECIMAL->DOUBLE conversion
+    # can be 1 ulp off the correctly-rounded value; string->double is
+    # correctly rounded (repr round-trips exactly).
+    rows = ", ".join(
+        f"({c}, {len(v)}, '{sum(v) / len(v)!r}')"
+        for c, v in sorted(agg.items())
+    )
+    return (
+        "SELECT CAST(cluster_id AS INTEGER) AS cluster_id, "
+        "CAST(n_vectors AS BIGINT) AS n_vectors, "
+        "CAST(mean_cos_to_centroid AS DOUBLE) AS mean_cos_to_centroid "
+        f"FROM (VALUES {rows}) AS t(cluster_id, n_vectors, "
+        "mean_cos_to_centroid) ORDER BY cluster_id"
+    )
+
+
+@query(
+    "x_kmeans_embed",
+    oracle=_kmeans_oracle,
+    tags=("ext", "embedding", "iterative"),
+)
 def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X22: spherical k-means over the embedding column — cluster cardinality
     and mean cosine-to-centroid per cluster, the corpus-curation view
@@ -102,31 +193,38 @@ def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer the IVF index uses.
 
     Build once, assign many: training reads a bounded uniform sample
-    (≤20k rows, one narrow TakeOrdered pass — never a full corpus scan,
-    see train_ivf_centroids); the assignment pass broadcasts the (k × dim)
-    centroid matrix inside an Arrow-batched GEMM UDF — one narrow pass, no
-    shuffle; the cosine to the ASSIGNED centroid is a JVM fold against a
-    k×dim literal centroid table indexed by cluster_id (no second UDF, no
-    join); the per-cluster rollup is a k-group hash aggregate with
-    map-side partials. Iterative fitting ⇒ no SQL oracle; rows-only driver
-    row, with determinism and numpy-replay parity in tests."""
-    from ..operators.similarity import cosine
-
+    (≤20k rows, one narrow TakeOrdered pass over a LAYOUT-INDEPENDENT md5
+    rank — never a full corpus scan, see train_ivf_centroids); assignment
+    is a pure JVM argmax-of-dot-folds against the k×dim literal centroid
+    table (assign_cell_expr — whole-stage codegen, no Python in the
+    corpus pass since round 12); the cosine to the ASSIGNED centroid is a
+    JVM fold indexed by cluster_id (no join); per-row cosines are floored
+    to the 2^-30 dyadic grid so the per-cluster mean is an exact,
+    order-insensitive sum; the rollup is a k-group hash aggregate with
+    map-side partials. FULL ORACLE since round 12: the lazy VALUES oracle
+    replays sample-rank → numpy fit → fold assignment → quantized mean
+    entirely outside Spark (_kmeans_oracle)."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    C = train_ivf_centroids(emb, n_centroids=KMEANS_K, seed=KMEANS_SEED)
-    cell1 = _ivf_cells_udf(C, 1)
+    C = train_ivf_centroids(
+        emb, n_centroids=KMEANS_K, seed=KMEANS_SEED, id_col="vec_id"
+    )
+    from ..operators.similarity import cosine
+
     assigned = emb.select(
         "vec_id",
-        F.element_at(cell1(F.col("embedding")), 1).alias("cluster_id"),
+        assign_cell_expr(C, "embedding").alias("cluster_id"),
         F.col("embedding").cast("array<double>").alias("_e"),
     )
     centroid_table = F.array(
         *[F.array(*[F.lit(float(x)) for x in row]) for row in C]
     )
     centroid = F.element_at(centroid_table, F.col("cluster_id") + 1)
+    cos_q = (
+        F.floor(cosine(F.col("_e"), centroid) * F.lit(_COS_Q)) / F.lit(_COS_Q)
+    )
     return (
-        assigned.withColumn("_cos", cosine(F.col("_e"), centroid))
+        assigned.withColumn("_cos", cos_q)
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -192,21 +290,58 @@ SEMDEDUP_K = 8
 SEMDEDUP_SEED = 7
 
 
-@query("x_semantic_dedup", tags=("ext", "embedding", "dedup", "iterative"))
+def _semantic_dedup_oracle(sf_dir: str) -> str:
+    """Lazy VALUES oracle for x_semantic_dedup (round-12 promotion from
+    rows-only): md5 sample rank → numpy fit → fold assignment replayed
+    outside Spark, then the keep-first prune rule over within-cluster
+    pairs with the same fold cosine (bit-identical doubles ⇒ the same
+    >= threshold outcomes). Output is all ints/bools — no float columns
+    to hash."""
+    ids, X, C, assign = _quantizer_replay(sf_dir, SEMDEDUP_K, SEMDEDUP_SEED)
+    by_cluster: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        by_cluster.setdefault(assign[i], []).append(i)
+    pruned: set = set()
+    for members in by_cluster.values():
+        members = sorted(members, key=lambda i: ids[i])
+        for a_pos, i in enumerate(members):
+            for j in members[a_pos + 1:]:
+                if _cos_fold(X[i], X[j]) >= SEMDEDUP_THRESHOLD:
+                    pruned.add(ids[j])
+    rows = ", ".join(
+        f"({ids[i]}, {assign[i]}, {'FALSE' if ids[i] in pruned else 'TRUE'})"
+        for i in sorted(range(len(ids)), key=lambda i: ids[i])
+    )
+    return (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(cluster_id AS INTEGER) AS cluster_id, kept "
+        f"FROM (VALUES {rows}) AS t(vec_id, cluster_id, kept) "
+        "ORDER BY vec_id"
+    )
+
+
+@query(
+    "x_semantic_dedup",
+    oracle=_semantic_dedup_oracle,
+    tags=("ext", "embedding", "dedup", "iterative"),
+)
 def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (semantic flavor, SemDeDup): cluster the embedding corpus with the
     shared coarse quantizer, then prune any vector whose cluster holds a
     smaller-id vector with cosine ≥ 0.4 (the same radius x_embedding_near_dup uses — the fixture corpus is near-uniform, so a production-style 0.9x radius would prune nothing) — semantic
     near-duplicate removal that never compares across clusters.
 
-    Scale shape: training reads a bounded TakeOrdered sample (no corpus
-    pass, no prior count); assignment is one narrow Arrow-batched pass;
-    the within-cluster pairing is an equi-join on cluster_id — both sides
-    read the SAME exchange (AQE ReusedExchange, plan-asserted) and
-    compute is Σ|cluster|², bounded by raising n_clusters with corpus
-    size (the SemDeDup regime) instead of comparing all pairs.
-    Iterative/driver-trained quantizer ⇒ rows-only driver row; planted
-    duplicates, determinism, and a numpy replay are pinned in
+    Scale shape: training reads a bounded TakeOrdered sample over a
+    layout-independent md5 rank (no corpus pass, no prior count);
+    assignment is a pure JVM argmax-of-dot-folds (assign_cell_expr — no
+    Python in the corpus pass since round 12); the within-cluster
+    pairing is an equi-join on cluster_id — both sides read the SAME
+    exchange (AQE ReusedExchange, plan-asserted) and compute is
+    Σ|cluster|², bounded by raising n_clusters with corpus size (the
+    SemDeDup regime) instead of comparing all pairs. FULL ORACLE since
+    round 12 (_semantic_dedup_oracle: the whole pipeline replayed
+    outside Spark — int/bool output, nothing transcendental to hash);
+    planted duplicates, determinism, and a numpy replay are pinned in
     tests/test_embeddings.py."""
     from ..operators.similarity import semantic_dedup
 

@@ -86,14 +86,116 @@ def query(
 # have never had a driver row, then (b) queries new or semantically
 # changed this round, then (c) the oldest-driver-row cohort fills the
 # remaining slots; the displaced names are committed by comment to lead
-# the next round's window. State after round 10: all 220 queries have a
-# driver row, all green; staleness 50@r10, 50@r9, 49@r8, 50@r7, 14@r6,
-# 7@r4 (computed from the CORRECTNESS_r*.json union — recompute, don't
+# the next round's window. State after round 11: all 222 queries have a
+# driver row, all green; staleness 23@r7, 49@r8, 50@r9, 50@r10, 50@r11
+# (computed from the CORRECTNESS_r*.json union — recompute, don't
 # trust this comment, when re-planning).
 # The union of rounds verifies the full registry (asserted in
 # tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND-11 WINDOW (the driver consumes exactly the first 50 names).
+    # ROUND-12 WINDOW (the driver consumes exactly the first 50 names).
+    # Recomputed from the CORRECTNESS_r*.json union 2026-08-16: staleness
+    # after r11 = 23@r7, 49@r8, 50@r9, 50@r10, 50@r11. Per the r11
+    # verdict item 1: the r7 tail in full (leads x_doc_rarity +
+    # x_downsample_tiers displaced from the r11 window, then the 16
+    # remaining r7 oracle names alphabetical, then the 5 r7 rows-only
+    # names — of which x_semantic_dedup/x_pq_codes/x_ivfpq_topk changed
+    # semantics this round: semantic_dedup is a FULL ORACLE now, and all
+    # IVF-family assignment moved to layout-independent training + JVM
+    # argmax), then the round-12 promotions/changes not already above
+    # (x_kmeans_embed — FULL ORACLE now), then r8 fill (oracle-bearing
+    # first, alphabetical).
+    # (a) r7 cohort leads (displaced from the r11 window):
+    "x_doc_rarity",
+    "x_downsample_tiers",
+    # (b) r7 oracle-bearing remainder, alphabetical:
+    "x_dup_span_detect",
+    "x_embedding_quantize",
+    "x_ewma_trailing",
+    "x_importance_resample",
+    "x_keyword_bm25",
+    "x_lttb_downsample",
+    "x_outlier_mad",
+    "x_projection_route",
+    "x_retention_flags",
+    "x_rfm_segments",
+    "x_seasonal_profile",
+    "x_sequence_count",
+    "x_sequence_match",
+    "x_sequence_match_timed",
+    "x_window_funnel_dedup",
+    "x_window_funnel_strict",
+    # (c) r7 rows-only names (x_semantic_dedup hash-compares now):
+    "sql_ch_state_merge_rollup",
+    "x_active_users_sketch",
+    "x_ivfpq_topk",
+    "x_pq_codes",
+    "x_semantic_dedup",
+    # (d) changed this round and not already in the window:
+    "x_kmeans_embed",
+    # (e) r8 staleness fill, oracle-bearing first, alphabetical. Any
+    #     later round-12 addition must displace the LAST names here into
+    #     the round-13 queue.
+    "a_argmax",
+    "a_conditional",
+    "a_count_distinct",
+    "a_cube",
+    "a_groupby_expr",
+    "a_grouping_sets",
+    "a_having",
+    "a_rollup",
+    "a_rollup_grouping",
+    "a_stats_moments",
+    "c_array_funcs",
+    "c_case_in_between",
+    "c_like_split",
+    "c_null_handling",
+    "j_anti",
+    "j_full_outer",
+    "j_left_outer",
+    "j_semi",
+    "j_theta_band",
+    "s_except",
+    "s_except_all",
+    "sql_ch_avg_state",
+    "sql_ch_fill_interpolate",
+    "sub_in",
+    "sub_min_price_supplier",
+    "sub_not_exists",
+    # ------------------------------------------------------------------
+    # Positions 51+: the ROUND-13 QUEUE — the r8 cohort remainder
+    # (oracle-bearing first, alphabetical; x_ivf_cosine_topk is the one
+    # rows-only r8 name), then the r9 cohort (50) fills after them
+    # (recompute from the CORRECTNESS_r*.json union when planning r13;
+    # never trust a hand count).
+    "sub_scalar_avg",
+    "w_lag_lead",
+    "w_moving_avg",
+    "w_ntile_first_last",
+    "w_percent_rank_cume",
+    "w_range_frame",
+    "w_rank_dense",
+    "x_decontaminate",
+    "x_det_sample",
+    "x_embedding_stats",
+    "x_hash_split",
+    "x_lang_id",
+    "x_leakage_safe_split",
+    "x_ngram_counts",
+    "x_pii_scrub",
+    "x_repetition_stats",
+    "x_rolling_fingerprint",
+    "x_simhash_near_dup",
+    "x_stratified_sample",
+    "x_tfidf_topterms",
+    "x_token_packing",
+    "x_vocab_build",
+    "x_ivf_cosine_topk",
+)
+
+
+_ROUND11_WINDOW_RECORD: tuple[str, ...] = (
+    # ROUND-11 WINDOW as consumed (kept for the rotation audit trail).
     # (a) NEW this round: the codec wave (base58 + punycode through the
     #     shim, reference-implementation VALUES oracle).
     "sql_ch_codec_report",

@@ -80,7 +80,9 @@ def test_kmeans_matches_numpy_replay(spark):
     cluster sizes."""
     t = load_tables(spark, SF_SMOKE)
     emb = t["embeddings"]
-    C = train_ivf_centroids(emb, n_centroids=KMEANS_K, seed=KMEANS_SEED)
+    C = train_ivf_centroids(
+        emb, n_centroids=KMEANS_K, seed=KMEANS_SEED, id_col="vec_id"
+    )
     X = np.array(
         [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
     )
@@ -103,7 +105,10 @@ def test_kmeans_matches_numpy_replay(spark):
     for j in range(KMEANS_K):
         if want_sizes[j]:
             want = float(np.mean(cos_all[assign == j]))
-            assert abs(got_cos[j] - want) < 1e-9, j
+            # round-12: per-row cosines are floored to the 2^-30 grid
+            # before averaging (full-oracle exactness), shifting the mean
+            # down by < 2^-30 vs the unquantized numpy value.
+            assert -2e-9 < got_cos[j] - want < 1e-12, j
 
 
 def test_kmeans_deterministic_across_runs(spark):
@@ -418,7 +423,9 @@ def _semdedup_replay(spark):
     )
 
     emb = load_tables(spark, SF_SMOKE)["embeddings"]
-    C = train_ivf_centroids(emb, n_centroids=SEMDEDUP_K, seed=SEMDEDUP_SEED)
+    C = train_ivf_centroids(
+        emb, n_centroids=SEMDEDUP_K, seed=SEMDEDUP_SEED, id_col="vec_id"
+    )
     rows = emb.orderBy("vec_id").collect()
     ids = np.array([r["vec_id"] for r in rows])
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
