@@ -1432,6 +1432,326 @@ def _check_recurrence_refs(col: str, expr: list[str]) -> None:
         )
 
 
+def _parse_order_fill_list(
+    toks: list[str], order_at: int
+) -> tuple[list[tuple[list[str], str | None, dict | None]], int]:
+    """Parse a depth-0 ``ORDER BY`` list containing WITH FILL entries into
+    ``(head_tokens, 'ASC'/'DESC'/None, fill_bounds|None)`` triples plus
+    the index just past the list (at INTERPOLATE / LIMIT / end). FROM/TO/
+    STEP belong to the preceding WITH FILL, so only LIMIT / INTERPOLATE /
+    a closing paren end the list."""
+    items: list[list[str]] = [[]]
+    d = 0
+    i = order_at + 2
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+            if d < 0:
+                break
+        elif d == 0 and _u(t) in ("LIMIT", "INTERPOLATE", "UNION",
+                                  "INTERSECT", "EXCEPT"):
+            break
+        if t == "," and d == 0:
+            items.append([])
+        else:
+            items[-1].append(t)
+        i += 1
+    entries = []
+    for item in items:
+        if not item:
+            raise DialectError("empty ORDER BY entry")
+        fill_pos = None
+        d = 0
+        for j, t in enumerate(item):
+            if t == "(":
+                d += 1
+            elif t == ")":
+                d -= 1
+            elif (
+                d == 0 and _u(t) == "WITH" and j + 1 < len(item)
+                and _u(item[j + 1]) == "FILL"
+            ):
+                fill_pos = j
+                break
+        head = item[:fill_pos] if fill_pos is not None else list(item)
+        dirn = None
+        if head and _u(head[-1]) in ("ASC", "DESC"):
+            dirn = _u(head[-1])
+            head = head[:-1]
+        if not head:
+            raise DialectError("ORDER BY entry needs an expression")
+        fill: dict | None = None
+        if fill_pos is not None:
+            fill = {}
+            j = fill_pos + 2
+            while j < len(item) and _u(item[j]) in ("FROM", "TO", "STEP"):
+                kw = _u(item[j])
+                j += 1
+                run: list[str] = []
+                d = 0
+                while j < len(item):
+                    t = item[j]
+                    if t == "(":
+                        d += 1
+                    elif t == ")":
+                        d -= 1
+                    elif d == 0 and _u(t) in ("FROM", "TO", "STEP"):
+                        break
+                    run.append(t)
+                    j += 1
+                if not run:
+                    raise DialectError(f"WITH FILL {kw} needs an expression")
+                fill[kw] = run
+            if j != len(item):
+                raise DialectError(
+                    "unparsed tokens after WITH FILL bounds: "
+                    + " ".join(item[j:])
+                )
+            if ("FROM" in fill) != ("TO" in fill):
+                raise DialectError(
+                    "WITH FILL needs both FROM and TO (or neither, to "
+                    "span the data's own min..max)"
+                )
+        entries.append((head, dirn, fill))
+    return entries, i
+
+
+def _fill_key_spine(
+    k: str, fill: dict, desc: bool, body: list[str]
+) -> list[str]:
+    """One fill key's value spine: the bounded [FROM, TO) sequence, or the
+    data's own min..max when unbounded (reversed for DESC)."""
+    step = fill.get("STEP", ["-1" if desc else "1"])
+    if "FROM" in fill:
+        bound_op = ">" if desc else "<"
+        return [
+            "SELECT", k, "FROM", "(", "SELECT", "explode", "(", "sequence",
+            "(", *fill["FROM"], ",", *fill["TO"], ",", *step, ")", ")",
+            "AS", k, ")", "WHERE", k, bound_op, *fill["TO"],
+        ]
+    lo = ["min", "(", k, ")"]
+    hi = ["max", "(", k, ")"]
+    first, second = (hi, lo) if desc else (lo, hi)
+    return [
+        "SELECT", "explode", "(", "sequence", "(", *first, ",", *second,
+        ",", *step, ")", ")", "AS", k, "FROM", "(", *body, ")",
+    ]
+
+
+def _rewrite_with_fill_composed(
+    toks: list[str],
+    order_at: int,
+    entries: list,
+    list_end: int,
+) -> list[str]:
+    """Round 12 (r11 verdict item 6): multi-column and expression WITH
+    FILL keys — the single-key spine + FULL OUTER JOIN machinery extended
+    to a COMPOSED spine.
+
+    Shapes (conventions documented like the single-key form's NULL rows):
+
+    - Leading NON-FILL keys act as GROUPS: the spine is the distinct
+      group tuples × the fill key's sequence — per-series gap fill, the
+      warehouse pattern. Unbounded bounds derive PER GROUP (min..max of
+      the key within each group) when there is a single fill key.
+    - MULTIPLE fill keys form a GRID: the cross product of each key's
+      spine (explicit [FROM, TO) or the data's global min..max). With
+      groups present, every fill key needs explicit FROM/TO (a per-group
+      multi-key grid is ambiguous; loud).
+    - EXPRESSION fill keys materialize as a hidden column on the body,
+      drive the spine/join, and are dropped from the output (CH surfaces
+      only selected columns); not combinable with INTERPOLATE (loud).
+    - INTERPOLATE (col, …) carries the last ORIGINAL row's value forward
+      per group (LOCF window partitioned by the group keys). The
+      `col AS expr` recurrence stays single-key/no-group (loud here).
+
+    Original rows are always kept (FULL OUTER JOIN); inserted rows carry
+    NULL non-fill columns — the shim's documented convention."""
+    fills = [(i, e) for i, e in enumerate(entries) if e[2] is not None]
+    groups = [(i, e) for i, e in enumerate(entries) if e[2] is None]
+    if not fills:
+        return toks
+    if any(i > fills[0][0] for i, _ in groups):
+        raise DialectError(
+            "WITH FILL keys must be the TRAILING sort keys (a non-fill "
+            "key after a fill key would order inserted NULL rows)"
+        )
+    for i, (head, _d, _f) in groups:
+        if len(head) != 1 or not _is_ident(head[0]):
+            raise DialectError(
+                "non-fill sort keys before WITH FILL must be plain "
+                "columns (they become the fill grouping)"
+            )
+    if groups and len(fills) > 1:
+        for _i, (_h, _d, f) in fills:
+            if "FROM" not in f:
+                raise DialectError(
+                    "grouped multi-key WITH FILL needs explicit FROM/TO "
+                    "on every fill key (per-group grid bounds are "
+                    "ambiguous)"
+                )
+    body = toks[:order_at]
+    tail = toks[list_end:]
+
+    # INTERPOLATE (cols): LOCF only in the composed form.
+    interp_cols: list[str] = []
+    if tail and _u(tail[0]) == "INTERPOLATE":
+        if len(fills) != 1:
+            raise DialectError(
+                "INTERPOLATE composes with a single fill key only"
+            )
+        if len(tail) < 2 or tail[1] != "(":
+            raise DialectError("INTERPOLATE needs a parenthesized column list")
+        m = 2
+        while m < len(tail) and tail[m] != ")":
+            t = tail[m]
+            if t == ",":
+                m += 1
+                continue
+            if not _is_ident(t):
+                raise DialectError(
+                    "composed WITH FILL supports INTERPOLATE (col, …) "
+                    "carry-forward only; the `col AS expr` recurrence "
+                    "needs the single-key ungrouped form"
+                )
+            if m + 1 < len(tail) and _u(tail[m + 1]) == "AS":
+                raise DialectError(
+                    "composed WITH FILL supports INTERPOLATE (col, …) "
+                    "carry-forward only; the `col AS expr` recurrence "
+                    "needs the single-key ungrouped form"
+                )
+            interp_cols.append(t)
+            m += 1
+        if m >= len(tail):
+            raise DialectError("INTERPOLATE list is not closed")
+        if not interp_cols:
+            raise DialectError("INTERPOLATE needs at least one column")
+        tail = tail[m + 1:]
+
+    # Expression fill keys -> hidden columns on the body.
+    hidden: list[tuple[str, list[str]]] = []
+    fill_keys: list[str] = []
+    for _i, (head, _d, _f) in fills:
+        if len(head) == 1 and _is_ident(head[0]):
+            fill_keys.append(head[0])
+        else:
+            if interp_cols:
+                raise DialectError(
+                    "expression WITH FILL keys do not compose with "
+                    "INTERPOLATE (alias the expression in the SELECT "
+                    "list instead)"
+                )
+            hid = f"__fill_k{len(hidden)}"
+            hidden.append((hid, list(head)))
+            fill_keys.append(hid)
+    if hidden:
+        add = []
+        for hid, expr in hidden:
+            add += [",", *expr, "AS", hid]
+        body = ["SELECT", "*", *add, "FROM", "(", *body, ")"]
+
+    group_keys = [e[0][0] for _i, e in groups]
+
+    def commas(names: list[str]) -> list[str]:
+        out: list[str] = []
+        for n in names:
+            if out:
+                out.append(",")
+            out.append(n)
+        return out
+
+    # Build the composed spine.
+    spines: list[list[str]] = []
+    if groups:
+        spines.append(
+            ["SELECT", "DISTINCT", *commas(group_keys),
+             "FROM", "(", *body, ")"]
+        )
+    if groups and len(fills) == 1 and "FROM" not in fills[0][1][2]:
+        # per-group min..max spine: one GROUP BY over the body
+        (_i, (_h, dirn, f)) = fills[0]
+        k = fill_keys[0]
+        desc = dirn == "DESC"
+        step = f.get("STEP", ["-1" if desc else "1"])
+        lo = ["min", "(", k, ")"]
+        hi = ["max", "(", k, ")"]
+        first, second = (hi, lo) if desc else (lo, hi)
+        spine_full = [
+            "SELECT", *commas(group_keys), ",", "explode", "(", "sequence",
+            "(", *first, ",", *second, ",", *step, ")", ")", "AS", k,
+            "FROM", "(", *body, ")", "GROUP", "BY", *commas(group_keys),
+        ]
+    else:
+        for (ki, (_i, (_h, dirn, f))) in enumerate(fills):
+            spines.append(
+                _fill_key_spine(fill_keys[ki], f, dirn == "DESC", body)
+            )
+        spine_full = ["SELECT", "*", "FROM", "(", *spines[0], ")",
+                      "AS", "__fs0"]
+        for si, sp in enumerate(spines[1:], start=1):
+            spine_full += ["CROSS", "JOIN", "(", *sp, ")", "AS", f"__fs{si}"]
+
+    using_cols = group_keys + fill_keys
+    hid_by_expr = {" ".join(expr): hid for hid, expr in hidden}
+    order_tail = ["ORDER", "BY"]
+    for j, (head, dirn, _f) in enumerate(entries):
+        if j:
+            order_tail.append(",")
+        if len(head) == 1 and _is_ident(head[0]):
+            order_tail.append(head[0])
+        else:
+            order_tail.append(hid_by_expr[" ".join(head)])
+        if dirn:
+            order_tail.append(dirn)
+
+    if not interp_cols:
+        joined = [
+            "SELECT", "*", "FROM", "(", *spine_full, ")", "AS",
+            "__fill_spine", "FULL", "OUTER", "JOIN", "(", *body, ")",
+            "AS", "__q", "USING", "(", *commas(using_cols), ")",
+        ]
+        if hidden:
+            hids = ", ".join(h for h, _e in hidden)
+            return (
+                _tokenize(f"SELECT * EXCEPT ({hids}) FROM")
+                + ["(", *joined, ")", *order_tail, *tail]
+            )
+        return joined + [*order_tail, *tail]
+
+    # INTERPOLATE LOCF, partitioned by the group keys.
+    x = fill_keys[0]
+    dirn = fills[0][1][1] or "ASC"
+    marked_body = [
+        "(", "SELECT", "*", ",", "true", "AS", "__orig", "FROM",
+        "(", *body, ")", ")",
+    ]
+    joined = [
+        "SELECT", "*", "FROM", "(", *spine_full, ")", "AS", "__fill_spine",
+        "FULL", "OUTER", "JOIN", *marked_body, "AS", "__q",
+        "USING", "(", *commas(using_cols), ")",
+    ]
+    part = (
+        f"PARTITION BY {', '.join(group_keys)} " if group_keys else ""
+    )
+    over = (
+        f"OVER ({part}ORDER BY {x} {dirn} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    exprs = [
+        f"CASE WHEN __orig THEN {c} ELSE (last(CASE WHEN __orig "
+        f"THEN struct({c}) END, true) {over}).{c} END AS {c}"
+        for c in interp_cols
+    ]
+    except_list = ", ".join(["__orig"] + interp_cols)
+    outer = f"SELECT * EXCEPT ({except_list}), " + ", ".join(exprs)
+    return (
+        _tokenize(outer) + ["FROM", "(", *joined, ")", *order_tail, *tail]
+    )
+
+
 def _rewrite_with_fill(toks: list[str]) -> list[str]:
     """Top-level ``ORDER BY x WITH FILL [FROM a TO b [STEP s]] [STEP s]`` ->
     a generated numeric spine FULL OUTER JOINed back over the query body.
@@ -1478,6 +1798,17 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
             break
     if fill_at is None:
         return toks
+    # Parse the FULL ORDER BY list; multi-entry / expression-key shapes
+    # route to the composed builder (round 12), the single-plain-key
+    # shape keeps the original construction below byte-for-byte.
+    entries, list_end = _parse_order_fill_list(toks, order_at)
+    if not (
+        len(entries) == 1
+        and entries[0][2] is not None
+        and len(entries[0][0]) == 1
+        and _is_ident(entries[0][0][0])
+    ):
+        return _rewrite_with_fill_composed(toks, order_at, entries, list_end)
     key = toks[order_at + 2:fill_at]
     desc = False
     if len(key) == 2 and _u(key[1]) == "ASC":
@@ -1485,7 +1816,7 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
     elif len(key) == 2 and _u(key[1]) == "DESC":
         key, desc = key[:1], True
     if len(key) != 1 or not _is_ident(key[0]):
-        return toks  # expression/multi-column fill -> loud error later
+        return toks  # unreachable after the dispatch above; kept as a guard
     x = key[0]
     # Parse FROM / TO / STEP expression token runs after FILL.
     i = fill_at + 2
@@ -1656,10 +1987,10 @@ def _rewrite_with_totals(toks: list[str]) -> list[str]:
             nxt = _u(toks[i + 1])
             if nxt == "FILL":
                 raise DialectError(
-                    "this WITH FILL form is unsupported (only a single "
-                    "ascending plain-column fill key rewrites to a spine "
-                    "join; DESC/expression/nested fills do not) — use the "
-                    "date-spine + LOCF/interpolation queries "
+                    "this WITH FILL form is unsupported (top-level single/"
+                    "multi/grouped/expression fill keys rewrite to spine "
+                    "joins since round 12; NESTED subquery fills do not) — "
+                    "use the date-spine + LOCF/interpolation queries "
                     "(x_gap_fill_locf, x_interpolate_linear, "
                     "sql_recursive_date_spine)"
                 )
@@ -5673,6 +6004,110 @@ def _window_funnel_strict_increase(w: str, ts: str, conds: list[str]) -> str:
     return f"aggregate({arr}, named_struct({init}), {lam}).d"
 
 
+def _window_funnel_combined(
+    w: str, ts: str, conds: list[str], modes: "set[str]"
+) -> str:
+    """Combined windowFunnel mode strings (round 12, r11 verdict item 5):
+    any subset of {strict_order, strict_deduplication, strict_increase}
+    composed into ONE scan fold — the composition is a conjunction in the
+    scan conditions, exactly as the modes compose in CH's single else-if
+    chain (each mode's arm sits at the same position it holds in the
+    single-mode folds above):
+
+    - step-1 events re-anchor first (exempt from dedup, reset nothing);
+    - strict_deduplication's already-recorded check precedes the advance
+      and ends the scan returning the duplicate step's number;
+    - the advance condition is the default anchor-window check AND
+      (strict_increase) prev level's latest event ts < this ts, with
+      (strict_deduplication) first-matching-condition priority;
+    - strict_order's dead bit trips on no-condition events after the
+      first step-1 match; levels recorded survive every break.
+
+    Each pairwise composition degenerates to the matching single-mode
+    fold when the other mode's events never occur — pinned by the
+    combined-mode transcription property tests."""
+    n = len(conds)
+    so = "strict_order" in modes
+    sd = "strict_deduplication" in modes
+    si = "strict_increase" in modes
+    arr = _seq_sorted_structs(ts, conds)
+    fields = [f"'s{k}', cast(null as timestamp)" for k in range(1, n)]
+    if si:
+        fields += [f"'p{k}', cast(null as timestamp)" for k in range(2, n)]
+    fields += ["'d', 0"]
+    if sd:
+        fields += ["'r', 0"]
+    if so:
+        fields += ["'f', false"]
+    fields += ["'k', false"]
+    init = ", ".join(fields)
+    live = "NOT a.k"
+    any_cond = " OR ".join(f"e.c{k}" for k in range(1, n + 1))
+
+    def branch(k: int) -> str:
+        # first-matching-condition priority (the dedup fold's reading —
+        # _seq_sorted_structs stores one entry per event at its lowest
+        # matched condition)
+        nots = "".join(f" AND NOT e.c{j}" for j in range(1, k))
+        return f"(e.c{k}{nots})"
+
+    cond_evt = {k: (branch(k) if sd else f"e.c{k}") for k in range(2, n + 1)}
+    prev_last = {1: "a.s1"}
+    prev_last.update({k: f"a.p{k}" for k in range(2, n)})
+    dup = (
+        {k: f"({live} AND {branch(k)} AND a.d >= {k})" for k in range(2, n + 1)}
+        if sd
+        else {}
+    )
+    adv: dict[int, str] = {}
+    for k in range(2, n + 1):
+        parts = [live, cond_evt[k]]
+        if sd:
+            parts.append(f"NOT (a.d >= {k})")
+        parts.append(f"a.s{k - 1} IS NOT NULL")
+        parts.append(f"e.t <= a.s{k - 1} + INTERVAL '{w}' SECOND")
+        if si:
+            parts.append(f"{prev_last[k - 1]} < e.t")
+        adv[k] = "(" + " AND ".join(parts) + ")"
+    step1 = f"({live} AND e.c1)"
+    sets: list[str] = []
+    if n > 1:
+        sets.append(f"'s1', CASE WHEN {step1} THEN greatest(a.s1, e.t) "
+                    "ELSE a.s1 END")
+    for k in range(2, n):
+        sets.append(f"'s{k}', CASE WHEN {adv[k]} THEN "
+                    f"greatest(a.s{k}, a.s{k - 1}) ELSE a.s{k} END")
+    if si:
+        for k in range(2, n):
+            sets.append(f"'p{k}', CASE WHEN {adv[k]} THEN "
+                        f"greatest(a.p{k}, e.t) ELSE a.p{k} END")
+    whens = "".join(
+        f" WHEN {adv[k]} THEN {k}" for k in range(n, 1, -1)
+    ) + f" WHEN {step1} THEN 1"
+    sets.append(f"'d', greatest(a.d, CASE{whens} ELSE 0 END)")
+    if sd:
+        r_whens = "".join(f" WHEN {dup[k]} THEN {k}" for k in range(2, n + 1))
+        if n >= 2:
+            r_whens += f" WHEN {adv[n]} THEN {n}"
+        sets.append(f"'r', CASE WHEN a.r > 0 THEN a.r{r_whens} ELSE 0 END")
+    if so:
+        sets.append("'f', (a.f OR e.c1)")
+    enders: list[str] = []
+    if so:
+        enders.append(f"(a.f AND NOT ({any_cond}))")
+    if sd:
+        enders += list(dup.values()) + ([adv[n]] if n >= 2 else [])
+    sets.append(f"'k', (a.k OR {' OR '.join(enders) if enders else 'false'})")
+    lam = f"(a, e) -> named_struct({', '.join(sets)})"
+    st = f"aggregate({arr}, named_struct({init}), {lam})"
+    if sd:
+        return (
+            f"element_at(transform(array({st}), a -> "
+            "CASE WHEN a.r > 0 THEN a.r ELSE a.d END), 1)"
+        )
+    return f"{st}.d"
+
+
 def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
     """``windowFunnel(W)(ts, c1, …, cN)`` (default mode, round 8): CH's own
     sorted-scan algorithm generated as a SQL fold — collect the per-group
@@ -5689,22 +6124,28 @@ def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
         raise DialectError(
             "windowFunnel needs a literal window (seconds) parameter"
         )
-    mode = None
-    if len(params) > 1:
-        mode = params[1].strip("'\"")
-        known = ("strict_order", "strict_deduplication", "strict_increase")
-        if mode not in known or len(params) > 2:
-            raise DialectError(
-                "windowFunnel supports a single mode per call "
-                "('strict_order' / 'strict_deduplication' / "
-                "'strict_increase'); combined modes stay loud — or use "
-                "x_window_funnel_strict / x_window_funnel_dedup for the "
-                "max-over-runs declarative readings"
-            )
+    # Modes: CH passes each as its own parameter (windowFunnel(W, 'a',
+    # 'b')); comma-joined single strings are tolerated too. Combined
+    # modes compose into one scan fold since round 12.
+    modes: set[str] = set()
+    known = ("strict_order", "strict_deduplication", "strict_increase")
+    for p in (params or [])[1:]:
+        for m in p.strip("'\"").split(","):
+            m = m.strip()
+            if m not in known:
+                raise DialectError(
+                    f"windowFunnel mode {m!r} is not one of "
+                    "'strict_order' / 'strict_deduplication' / "
+                    "'strict_increase'"
+                )
+            modes.add(m)
     if len(args) < 2:
         raise DialectError("windowFunnel takes (timestamp, cond1, …)")
     w, ts, conds = params[0], args[0], args[1:]
     n = len(conds)
+    if len(modes) > 1:
+        return _window_funnel_combined(w, ts, conds, modes)
+    mode = next(iter(modes)) if modes else None
     if mode == "strict_order":
         return _window_funnel_strict_order(w, ts, conds)
     if mode == "strict_deduplication":

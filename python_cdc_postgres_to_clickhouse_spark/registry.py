@@ -105,6 +105,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # argmax), then the round-12 promotions/changes not already above
     # (x_kmeans_embed — FULL ORACLE now), then r8 fill (oracle-bearing
     # first, alphabetical).
+    # (a0) NEW this round: composed WITH FILL end to end (grouped spine +
+    #      per-group LOCF INTERPOLATE through the dialect).
+    "sql_ch_fill_multi",
     # (a) r7 cohort leads (displaced from the r11 window):
     "x_doc_rarity",
     "x_downsample_tiers",
@@ -161,13 +164,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql_ch_fill_interpolate",
     "sub_in",
     "sub_min_price_supplier",
-    "sub_not_exists",
+    # (sub_not_exists displaced to the r13 queue by sql_ch_fill_multi.)
     # ------------------------------------------------------------------
     # Positions 51+: the ROUND-13 QUEUE — the r8 cohort remainder
     # (oracle-bearing first, alphabetical; x_ivf_cosine_topk is the one
     # rows-only r8 name), then the r9 cohort (50) fills after them
     # (recompute from the CORRECTNESS_r*.json union when planning r13;
     # never trust a hand count).
+    "sub_not_exists",
     "sub_scalar_avg",
     "w_lag_lead",
     "w_moving_avg",

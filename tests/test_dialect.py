@@ -202,19 +202,25 @@ def test_with_fill_rewrites_to_spine_join():
 
 
 def test_with_fill_unsupported_forms_raise():
-    # DESC and bare INTERPOLATE translate since round 8, and the AS-expr
-    # recurrence translates since round 9 (test_with_fill_interpolate_
-    # recurrence) — the remaining loud forms are expression fill keys and
-    # half-specified bounds.
+    # DESC and bare INTERPOLATE translate since round 8, the AS-expr
+    # recurrence since round 9, and multi/grouped/expression fill keys
+    # since round 12 — the remaining loud forms are half-specified
+    # bounds, trailing non-fill keys, and nested fills.
     out = translate(
         "SELECT d, v FROM t ORDER BY d WITH FILL FROM 0 TO 5 "
         "INTERPOLATE (v AS v * 2)"
     )
     assert "aggregate(" in out  # per-gap recurrence fold
-    with pytest.raises(DialectError, match="x_gap_fill_locf"):
-        translate("SELECT d FROM t ORDER BY d + 1 WITH FILL")
+    # expression fill keys translate since round 12 (hidden spine column)
+    out = translate("SELECT d FROM t ORDER BY d + 1 WITH FILL")
+    assert "__fill_k0" in out and "FULL OUTER JOIN" in out
     with pytest.raises(DialectError, match="FROM and TO"):
         translate("SELECT d FROM t ORDER BY d WITH FILL FROM 0")
+    with pytest.raises(DialectError, match="TRAILING"):
+        translate("SELECT d, g FROM t ORDER BY d WITH FILL, g")
+    with pytest.raises(DialectError, match="x_gap_fill_locf"):
+        translate("SELECT x FROM (SELECT d AS x FROM t ORDER BY d "
+                  "WITH FILL) ORDER BY x")
 
 
 def test_array_combinators_and_float_classification():
@@ -283,8 +289,10 @@ def test_qualified_and_quoted_names_untouched():
         ("SELECT x FROM a UNION ALL SELECT x FROM b LIMIT 3 BY x", "subquery"),
         ("SELECT topKWeighted(5)(x, w) FROM t", "x_heavy_hitters"),
         ("SELECT topKWeighted(5)(x, w) FROM t1", "x_heavy_hitters"),
-        ("SELECT windowFunnel(60, 'strict_order', 'strict_increase')"
-         "(ts, a, b) FROM t", "single mode"),
+        # combined modes TRANSLATE since round 12 (composed scan fold);
+        # unknown mode names stay loud:
+        ("SELECT windowFunnel(60, 'strict_order', 'strict_onze')"
+         "(ts, a, b) FROM t", "not one of"),
         # no inequality conjunct: the interval-izing rewrite can't anchor
         ("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k", "inequality"),
         ("SELECT quantileMerge(s) FROM t", "components separately"),
@@ -1800,8 +1808,13 @@ def test_window_funnel_translates_and_matches_dataframe_fold(spark):
 def test_window_funnel_bad_forms_are_loud():
     with pytest.raises(DialectError, match="literal window"):
         translate("SELECT windowFunnel(w)(ts, a) FROM t")
-    with pytest.raises(DialectError, match="single mode"):
+    with pytest.raises(DialectError, match="not one of"):
         translate("SELECT windowFunnel(60, 'strict_once')(ts, a) FROM t")
+    # combined modes translate since round 12 -- no longer loud
+    assert "aggregate(" in translate(
+        "SELECT windowFunnel(60, 'strict_order', 'strict_increase')"
+        "(ts, a, b) FROM t"
+    )
     with pytest.raises(DialectError, match="timestamp, cond1"):
         translate("SELECT windowFunnel(60)(ts) FROM t")
 
@@ -3870,3 +3883,66 @@ def test_round11_audit_batch4(spark):
     ]:
         with pytest.raises(DialectError, match=hint):
             translate(bad)
+
+
+def test_with_fill_composed_forms(spark):
+    """Round 12 (r11 verdict item 6): multi-column, grouped, and
+    expression WITH FILL keys — executed semantics, not just shape.
+    Conventions (documented in _rewrite_with_fill_composed): leading
+    non-fill keys group the fill; multiple fill keys form a grid;
+    expression keys drive a hidden spine column dropped from the output;
+    inserted rows carry NULL non-fill columns."""
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 4, 40.0), ("b", 2, 20.0), ("b", 3, 30.0)],
+        "g string, h int, v double",
+    ).createOrReplaceTempView("fill_ct")
+
+    # grouped fill, per-group min..max bounds
+    rows = spark.sql(translate(
+        "SELECT g, h, v FROM fill_ct ORDER BY g, h WITH FILL"
+    )).collect()
+    assert [(r.g, r.h, r.v) for r in rows] == [
+        ("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 40.0),
+        ("b", 2, 20.0), ("b", 3, 30.0),
+    ]
+
+    # grouped fill with explicit bounds + LOCF interpolation per group
+    rows = spark.sql(translate(
+        "SELECT g, h, v FROM fill_ct ORDER BY g, h WITH FILL FROM 1 TO 5 "
+        "INTERPOLATE (v)"
+    )).collect()
+    assert [(r.g, r.h, r.v) for r in rows] == [
+        ("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 10.0), ("a", 4, 40.0),
+        ("b", 1, None), ("b", 2, 20.0), ("b", 3, 30.0), ("b", 4, 30.0),
+    ]
+
+    # two-key grid fill: cross product of both spines, originals kept
+    rows = spark.sql(translate(
+        "SELECT h, v FROM fill_ct ORDER BY h WITH FILL FROM 1 TO 4, "
+        "v WITH FILL FROM 10 TO 30 STEP 10"
+    )).collect()
+    got = {(r.h, r.v) for r in rows}
+    grid = {(h, float(v)) for h in (1, 2, 3) for v in (10, 20)}
+    originals = {(1, 10.0), (4, 40.0), (2, 20.0), (3, 30.0)}
+    assert got == grid | originals
+    assert len(rows) == len(got)
+
+    # expression fill key: hidden spine column, dropped from the output;
+    # inserted rows are all-NULL apart from the (hidden) key
+    rows = spark.sql(translate(
+        "SELECT g, h FROM fill_ct WHERE g = 'a' "
+        "ORDER BY h * 2 WITH FILL FROM 2 TO 10 STEP 2"
+    )).collect()
+    assert rows[0].asDict().keys() == {"g", "h"}
+    assert [(r.g, r.h) for r in rows] == [
+        ("a", 1), (None, None), (None, None), ("a", 4),
+    ]
+
+    # DESC composes with grouping (reversed per-group spine)
+    rows = spark.sql(translate(
+        "SELECT g, h, v FROM fill_ct ORDER BY g, h DESC WITH FILL"
+    )).collect()
+    assert [(r.g, r.h) for r in rows] == [
+        ("a", 4), ("a", 3), ("a", 2), ("a", 1),
+        ("b", 3), ("b", 2),
+    ]
