@@ -32,24 +32,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def train_pq_codebooks(
-    vectors: DataFrame,
-    m: int = 8,
-    k: int = 16,
-    n_iters: int = 10,
-    seed: int = 42,
-    sample_limit: int = 20_000,
-    vec_col: str = "embedding",
+def pq_fit(
+    X: "np.ndarray", m: int, k: int, n_iters: int, seed: int
 ) -> np.ndarray:
-    """Fit per-subspace codebooks; returns an (m, k, d/m) float64 tensor.
-
-    Plain (non-spherical) Lloyd's per subspace — PQ quantizes raw
-    coordinates, so L2 is the right metric regardless of how the full
-    vectors are later compared. Empty cells keep their previous codeword
-    (same rule as the IVF trainer).
-    """
-    rows = vectors.select(vec_col).orderBy(F.rand(seed)).limit(sample_limit).collect()
-    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    """Pure-numpy PQ codebook fitting core — shared by the Spark trainer
+    below AND the Spark-independent x_pq_codes oracle replay (the
+    kmeans_fit device in operators/similarity.py): identical input rows
+    ⇒ bit-identical (m, k, d/m) codebook tensor."""
     if X.ndim != 2 or X.shape[1] % m:
         raise ValueError(f"dim {X.shape} not divisible into {m} subspaces")
     if len(X) < k:
@@ -74,6 +63,41 @@ def train_pq_codebooks(
                     C[c] = S[mask].mean(axis=0)
         books[j] = C
     return books
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 10,
+    seed: int = 42,
+    sample_limit: int = 20_000,
+    vec_col: str = "embedding",
+    id_col: str | None = None,
+) -> np.ndarray:
+    """Fit per-subspace codebooks; returns an (m, k, d/m) float64 tensor.
+
+    Plain (non-spherical) Lloyd's per subspace — PQ quantizes raw
+    coordinates, so L2 is the right metric regardless of how the full
+    vectors are later compared. Empty cells keep their previous codeword
+    (same rule as the IVF trainer).
+
+    With ``id_col`` the sample ordering is the layout-independent md5
+    rank (similarity.sample_order_expr) instead of ``rand(seed)`` — the
+    trained tensor becomes a pure function of the rows, reproducible
+    outside Spark (the x_pq_codes full oracle depends on this).
+    """
+    from .similarity import sample_order_expr
+
+    cols = [vec_col] if id_col is None else [vec_col, id_col]
+    order = (
+        F.rand(seed) if id_col is None else sample_order_expr(seed, id_col)
+    )
+    rows = (
+        vectors.select(*cols).orderBy(order).limit(sample_limit).collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return pq_fit(X, m, k, n_iters, seed)
 
 
 def pq_assign(
@@ -124,6 +148,69 @@ def pq_assign(
             F.col("_pq.errs"), F.lit(0.0), lambda acc, x: acc + x
         ).alias("sq_err"),
     )
+
+
+def pq_assign_expr(codebooks: np.ndarray, vec_col: str = "embedding"):
+    """PQ encode as pure JVM expressions — (codes array<int>,
+    errs array<double>) built from argmin-of-L2-folds per subspace, no
+    Python, no Arrow transfer.
+
+    When to use which encode path: this one for small codebooks
+    (m·k·dsub up to a few thousand multiply-adds per row — it stays in
+    whole-stage codegen and its FIXED fold order is bit-replayable in
+    pure python, the x_pq_codes full-oracle device, same argument as
+    similarity.assign_cell_expr); ``pq_assign``'s Arrow-batched GEMM for
+    large k where BLAS wins. Ties break to the LOWEST codeword (first
+    min — np.argmin's rule)."""
+    m, k, dsub = codebooks.shape
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    errs = []
+    for j in range(m):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        scores = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(float(c)) for c in codebooks[j][ci]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for ci in range(k)
+        ])
+        codes.append(
+            (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+        )
+        errs.append(F.array_min(scores))
+    return F.array(*codes), F.array(*errs)
+
+
+def pq_assign_replay(X, codebooks) -> list[tuple[list[int], list[float]]]:
+    """Pure-python replay of ``pq_assign_expr`` — same per-element
+    (a-b)*(a-b) then left-fold sum order, same first-min tie-break.
+    Used by the x_pq_codes lazy oracle and tests."""
+    m, k, dsub = codebooks.shape
+    out = []
+    for vec in X:
+        v = [float(x) for x in vec]
+        codes: list[int] = []
+        errs: list[float] = []
+        for j in range(m):
+            sub = v[j * dsub:(j + 1) * dsub]
+            scores = []
+            for ci in range(k):
+                acc = 0.0
+                for a, b in zip(sub, codebooks[j][ci]):
+                    b = float(b)
+                    acc = acc + (a - b) * (a - b)
+                scores.append(acc)
+            best = min(scores)
+            codes.append(scores.index(best))
+            errs.append(best)
+        out.append((codes, errs))
+    return out
 
 
 def pq_adc_topk(

@@ -237,9 +237,71 @@ def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8
 PQ_K = 16
 PQ_SEED = 11
+# Dyadic error grid (the x_kmeans_embed device): per-row reconstruction
+# errors floor to multiples of 2^-24 before summing, so the per-subspace
+# mean is an exact, order-insensitive sum — hash-comparable.
+_ERR_Q = float(2**24)
 
 
-@query("x_pq_codes", tags=("ext", "embedding", "iterative"))
+def _pq_codes_oracle(sf_dir: str) -> str:
+    """Lazy VALUES oracle for x_pq_codes (round-12 promotion from
+    rows-only): parquet via DuckDB, md5 sample rank, the shared
+    pure-numpy pq_fit, the pure-python fold replay of the JVM encode
+    expression, quantized-error rollup — Spark-independent end to end."""
+    import duckdb
+    import numpy as np
+
+    from ..operators.pq import pq_assign_replay, pq_fit
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    finally:
+        con.close()
+    ids = [r[0] for r in rows]
+    X = [list(map(float, r[1])) for r in rows]
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(f"{PQ_SEED}_{ids[i]}".encode()).hexdigest(),
+    )[:20_000]
+    books = pq_fit(
+        np.array([X[i] for i in order], dtype=np.float64),
+        PQ_M, PQ_K, 10, PQ_SEED,
+    )
+    enc = pq_assign_replay(X, books)
+    per: dict[int, dict] = {
+        j: {"codes": {}, "err": []} for j in range(PQ_M)
+    }
+    for codes, errs in enc:
+        for j in range(PQ_M):
+            per[j]["codes"][codes[j]] = per[j]["codes"].get(codes[j], 0) + 1
+            per[j]["err"].append(math.floor(errs[j] * _ERR_Q) / _ERR_Q)
+    # the mean literal goes through a STRING cast (DuckDB's bare-decimal
+    # DECIMAL->DOUBLE path is 1 ulp off; string parse is correctly rounded)
+    rows_sql = ", ".join(
+        f"({j}, {len(p['err'])}, {len(p['codes'])}, "
+        f"{max(p['codes'].values())}, '{sum(p['err']) / len(p['err'])!r}')"
+        for j, p in sorted(per.items())
+    )
+    return (
+        "SELECT CAST(subspace AS INTEGER) AS subspace, "
+        "CAST(n_vectors AS BIGINT) AS n_vectors, "
+        "CAST(codes_used AS BIGINT) AS codes_used, "
+        "CAST(top_code_n AS BIGINT) AS top_code_n, "
+        "CAST(mean_sq_err AS DOUBLE) AS mean_sq_err "
+        f"FROM (VALUES {rows_sql}) AS t(subspace, n_vectors, codes_used, "
+        "top_code_n, mean_sq_err) ORDER BY subspace"
+    )
+
+
+@query(
+    "x_pq_codes",
+    oracle=_pq_codes_oracle,
+    tags=("ext", "embedding", "iterative"),
+)
 def x_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X51: product-quantization codebook utilization — encode every
     embedding into {PQ_M} sub-codes ({PQ_K} codewords each; 32× compression
@@ -250,25 +312,34 @@ def x_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     codewords → retrain; skewed populations → more k; high MSE → more m).
 
     Build once, assign many: codebooks train driver-side on a bounded
-    TakeOrdered uniform sample (never a corpus pass, no prior count —
-    operators/pq.py); assignment is ONE narrow Arrow-batched GEMM pass;
-    the rollup explodes the m sub-codes (constant fan-out) into an m×k-group
-    hash aggregate with map-side partials. Iterative fitting ⇒ rows-only
-    driver row; determinism + numpy-replay parity + error-dominance tests
-    in tests/test_embeddings.py.
-    """
-    from ..operators.pq import pq_assign, train_pq_codebooks
+    TakeOrdered sample over a LAYOUT-INDEPENDENT md5 rank (never a corpus
+    pass — operators/pq.py); the encode pass is pure JVM argmin-of-L2
+    folds (pq_assign_expr — whole-stage codegen, no Python in the corpus
+    pass since round 12; pq_assign's Arrow GEMM remains the large-k
+    path); per-row errors floor to the 2^-24 dyadic grid so the rollup's
+    mean is an exact order-insensitive sum; the rollup explodes the m
+    sub-codes (constant fan-out) into an m×k-group hash aggregate with
+    map-side partials. FULL ORACLE since round 12 (_pq_codes_oracle:
+    training, encode, and rollup replayed outside Spark); determinism +
+    numpy-replay parity + error-dominance tests in
+    tests/test_embeddings.py."""
+    from ..operators.pq import pq_assign_expr, train_pq_codebooks
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    books = train_pq_codebooks(emb, m=PQ_M, k=PQ_K, seed=PQ_SEED)
-    enc = pq_assign(emb, books)
+    books = train_pq_codebooks(
+        emb, m=PQ_M, k=PQ_K, seed=PQ_SEED, id_col="vec_id"
+    )
+    codes_col, errs_col = pq_assign_expr(books, "embedding")
+    enc = emb.select(
+        "vec_id", codes_col.alias("codes"), errs_col.alias("errs")
+    )
     sub = enc.select(
         F.posexplode(F.arrays_zip("codes", "errs")).alias("subspace", "z")
     ).select(
         "subspace",
         F.col("z.codes").alias("code"),
-        F.col("z.errs").alias("err"),
+        (F.floor(F.col("z.errs") * F.lit(_ERR_Q)) / F.lit(_ERR_Q)).alias("err"),
     )
     per_code = sub.groupBy("subspace", "code").agg(
         F.count(F.lit(1)).alias("n"), F.sum("err").alias("err_sum")
