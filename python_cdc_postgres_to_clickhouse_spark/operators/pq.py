@@ -100,6 +100,36 @@ def train_pq_codebooks(
     return pq_fit(X, m, k, n_iters, seed)
 
 
+def pq_encode_math(
+    X: "np.ndarray", books: "np.ndarray"
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """The PQ encode math, shared VERBATIM by the Arrow UDF in
+    ``pq_assign`` and the x_pq_codes oracle replay: per subspace, squared
+    L2 to every codeword via the expansion trick, per-row argmin, and the
+    chosen codeword's exact reconstruction error. Every op is per-row
+    (row-wise sums, the GEMM's row blocks, argmin along axis=1), so the
+    result is independent of Arrow batch boundaries — one full-table call
+    reproduces the distributed pass bit-exactly (pinned by the
+    forced-small-batch test in tests/test_embeddings.py)."""
+    m, k, dsub = books.shape
+    n = X.shape[0]
+    codes = np.empty((n, m), dtype=np.int32)
+    errs = np.empty((n, m), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = books[j]
+        d2 = (
+            (S * S).sum(axis=1, keepdims=True)
+            - 2.0 * S @ C.T
+            + (C * C).sum(axis=1)
+        )
+        a = d2.argmin(axis=1)
+        codes[:, j] = a
+        diff = S - C[a]
+        errs[:, j] = (diff * diff).sum(axis=1)
+    return codes, errs
+
+
 def pq_assign(
     df: DataFrame,
     codebooks: np.ndarray,
@@ -116,27 +146,12 @@ def pq_assign(
     """
     from pyspark.sql.functions import pandas_udf
 
-    m, k, dsub = codebooks.shape
     books = codebooks  # closure capture
 
     @pandas_udf("struct<codes: array<int>, errs: array<double>>")
     def _encode(col: pd.Series) -> pd.DataFrame:
         X = np.array(col.tolist(), dtype=np.float64)
-        n = X.shape[0]
-        codes = np.empty((n, m), dtype=np.int32)
-        errs = np.empty((n, m), dtype=np.float64)
-        for j in range(m):
-            S = X[:, j * dsub : (j + 1) * dsub]
-            C = books[j]
-            d2 = (
-                (S * S).sum(axis=1, keepdims=True)
-                - 2.0 * S @ C.T
-                + (C * C).sum(axis=1)
-            )
-            a = d2.argmin(axis=1)
-            codes[:, j] = a
-            diff = S - C[a]
-            errs[:, j] = (diff * diff).sum(axis=1)
+        codes, errs = pq_encode_math(X, books)
         return pd.DataFrame({"codes": list(codes), "errs": list(errs)})
 
     enc = df.select(id_col, _encode(F.col(vec_col)).alias("_pq"))
@@ -150,67 +165,17 @@ def pq_assign(
     )
 
 
-def pq_assign_expr(codebooks: np.ndarray, vec_col: str = "embedding"):
-    """PQ encode as pure JVM expressions — (codes array<int>,
-    errs array<double>) built from argmin-of-L2-folds per subspace, no
-    Python, no Arrow transfer.
-
-    When to use which encode path: this one for small codebooks
-    (m·k·dsub up to a few thousand multiply-adds per row — it stays in
-    whole-stage codegen and its FIXED fold order is bit-replayable in
-    pure python, the x_pq_codes full-oracle device, same argument as
-    similarity.assign_cell_expr); ``pq_assign``'s Arrow-batched GEMM for
-    large k where BLAS wins. Ties break to the LOWEST codeword (first
-    min — np.argmin's rule)."""
-    m, k, dsub = codebooks.shape
-    v = F.col(vec_col).cast("array<double>")
-    codes = []
-    errs = []
-    for j in range(m):
-        sub = F.slice(v, j * dsub + 1, dsub)
-        scores = F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(*[F.lit(float(c)) for c in codebooks[j][ci]]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for ci in range(k)
-        ])
-        codes.append(
-            (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
-        )
-        errs.append(F.array_min(scores))
-    return F.array(*codes), F.array(*errs)
-
-
-def pq_assign_replay(X, codebooks) -> list[tuple[list[int], list[float]]]:
-    """Pure-python replay of ``pq_assign_expr`` — same per-element
-    (a-b)*(a-b) then left-fold sum order, same first-min tie-break.
-    Used by the x_pq_codes lazy oracle and tests."""
-    m, k, dsub = codebooks.shape
-    out = []
-    for vec in X:
-        v = [float(x) for x in vec]
-        codes: list[int] = []
-        errs: list[float] = []
-        for j in range(m):
-            sub = v[j * dsub:(j + 1) * dsub]
-            scores = []
-            for ci in range(k):
-                acc = 0.0
-                for a, b in zip(sub, codebooks[j][ci]):
-                    b = float(b)
-                    acc = acc + (a - b) * (a - b)
-                scores.append(acc)
-            best = min(scores)
-            codes.append(scores.index(best))
-            errs.append(best)
-        out.append((codes, errs))
-    return out
+def pq_assign_replay(X, codebooks):
+    """Spark-independent replay of ``pq_assign``'s encode: the SAME
+    ``pq_encode_math`` the Arrow UDF runs, called once over the full
+    table (valid because every op in it is per-row — see its docstring).
+    Returns (codes, errs) numpy arrays. A JVM-expression encode was
+    tried and rejected in round 12: HOF folds evaluate interpreted
+    (~3x the GEMM pass at sf0.1) and flat codegen Add trees fall back
+    past the method limit (~8x); the Arrow GEMM stays the one encode
+    path, with batch-boundary independence test-pinned instead."""
+    V = np.array([list(map(float, v)) for v in X], dtype=np.float64)
+    return pq_encode_math(V, np.asarray(codebooks))
 
 
 def pq_adc_topk(

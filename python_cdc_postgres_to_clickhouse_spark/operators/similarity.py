@@ -432,71 +432,47 @@ def train_ivf_centroids(
     return kmeans_fit(X, n_centroids, n_iters, seed)
 
 
+def ivf_cells_math(V: "np.ndarray", C: "np.ndarray", nprobe: int):
+    """The cell-assignment math, shared VERBATIM by the Arrow UDF below
+    and the Spark-independent oracle replays (queries/embeddings.py):
+    row-normalize, GEMM against the centroid matrix, per-row
+    argsort/argpartition. Every op is PER-ROW (normalization, the GEMM's
+    row blocks, argpartition along axis=1), so the result is independent
+    of Arrow batch boundaries — one full-table call reproduces the
+    distributed pass bit-exactly (pinned by the forced-small-batch test
+    in tests/test_embeddings.py)."""
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    sims = V @ C.T  # (batch, n_centroids)
+    if nprobe >= sims.shape[1]:
+        return np.argsort(-sims, axis=1)
+    return np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+
+
 def _ivf_cells_udf(centroids: "np.ndarray", nprobe: int):
     """Nearest-``nprobe`` cell ids per vector: one (batch × dim) @
-    (dim × n_centroids) GEMM per Arrow batch."""
+    (dim × n_centroids) GEMM per Arrow batch (ivf_cells_math)."""
     C = centroids
 
     @F.pandas_udf("array<int>")
     def cells(v: pd.Series) -> pd.Series:
         V = np.array(list(v), dtype=np.float64)
-        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        sims = V @ C.T  # (batch, n_centroids)
-        if nprobe >= sims.shape[1]:
-            idx = np.argsort(-sims, axis=1)
-        else:
-            idx = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+        idx = ivf_cells_math(V, C, nprobe)
         return pd.Series([row.astype(np.int32).tolist() for row in idx])
 
     return cells
 
 
-def assign_cell_expr(centroids: "np.ndarray", vec_col: str = "embedding"):
-    """Nearest-cell id (nprobe=1) as a pure JVM expression — no Python,
-    no Arrow transfer: score_j = left-to-right fold of dot(v, C_j),
-    assignment = FIRST index of the max score (ties → lowest cell, same
-    as np.argmax). Centroids are unit vectors, so argmax dot == argmax
-    cosine (|v| is a positive constant across j).
-
-    Two reasons this beats the GEMM UDF for single-cell assignment: (a)
-    it stays in whole-stage codegen — O(k·dim) fused multiply-adds per
-    row, no Python worker in the 100 TB hot path; (b) the expression
-    order is FIXED, so the assignment is bit-replayable in pure python —
-    the round-12 full-oracle device for x_kmeans_embed /
-    x_semantic_dedup (BLAS GEMM rounding may vary with batch shape; a
-    fold cannot). ``_ivf_cells_udf`` remains the multi-probe path."""
-    v = F.col(vec_col).cast("array<double>")
-    scores = F.array(*[
-        F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(float(x)) for x in row]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for row in centroids
-    ])
-    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-
-
 def assign_cell_replay(X, centroids) -> list[int]:
-    """Pure-python replay of ``assign_cell_expr`` — the same left-to-right
-    per-dimension fold (python floats ARE IEEE doubles; each +/* rounds
-    identically to the JVM's), same first-max tie-break. Used by the
-    Spark-independent lazy oracles and tests."""
-    out = []
-    for vec in X:
-        v = [float(x) for x in vec]
-        scores = []
-        for row in centroids:
-            acc = 0.0
-            for a, b in zip(v, row):
-                acc = acc + a * float(b)
-            scores.append(acc)
-        out.append(scores.index(max(scores)))
-    return out
+    """Spark-independent replay of the nprobe=1 assignment pass: the SAME
+    ``ivf_cells_math`` the Arrow UDF runs, called once over the full
+    table. Batch-boundary independence of the math (all ops per-row) is
+    what makes this a valid oracle replay — pinned by the
+    forced-small-batch test. Two GEMM-backed evaluations were tried and
+    rejected as hot-path replacements in round 12: JVM HOF folds
+    (interpreted — 1.3× slower at sf0.1) and flat codegen Add trees
+    (method-limit fallback — 3× slower); the Arrow GEMM stays."""
+    V = np.array([list(map(float, v)) for v in X], dtype=np.float64)
+    return [int(r[0]) for r in ivf_cells_math(V, np.asarray(centroids), 1)]
 
 
 def ivf_cosine_topk(
@@ -598,9 +574,10 @@ def semantic_dedup(
             vectors, n_centroids=n_clusters, seed=seed, id_col=id_col
         )
     )
+    cell1 = _ivf_cells_udf(C, 1)
     assigned = vectors.select(
         F.col(id_col).alias("vec_id"),
-        assign_cell_expr(C, vec_col).alias("cluster_id"),
+        F.element_at(cell1(F.col(vec_col)), 1).alias("cluster_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         norm(vec_col).alias("_n"),
     )

@@ -10,13 +10,15 @@ between raw embeddings and ANN indexing in a training-data pipeline.
   md5 calls, and both engines fold the dot products left-to-right in
   double precision, giving bit-identical outputs.
 - x_kmeans_embed: spherical k-means clustering (reusing the IVF coarse
-  quantizer trainer, operators/similarity.train_ivf_centroids) with a
-  JVM-fold assignment pass. FULL ORACLE since round 12: the trainer
-  samples by a layout-independent md5 rank, assignment/cosine are
-  fixed-order JVM folds, and the per-cluster mean is dyadically
-  quantized — the lazy oracle replays the whole pipeline outside Spark
-  (the r11 x_bpe_encode device); determinism + assignment optimality
-  also asserted in tests/test_embeddings.py against a numpy replay.
+  quantizer trainer, operators/similarity.train_ivf_centroids) with the
+  Arrow-batched GEMM assignment pass. FULL ORACLE since round 12: the
+  trainer samples by a layout-independent md5 rank, the assignment math
+  is shared verbatim with the oracle replay (per-row ops ⇒
+  batch-boundary independent), the per-row cosine is a fixed-order JVM
+  fold, and the per-cluster mean is dyadically quantized — the lazy
+  oracle replays the whole pipeline outside Spark (the r11 x_bpe_encode
+  device); determinism + assignment optimality also asserted in
+  tests/test_embeddings.py against a numpy replay.
 
 Reference parity: the reference delegates all analytics to ClickHouse
 (docker-compose provisioning); embeddings are part of the EXT
@@ -32,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
-    assign_cell_expr,
+    _ivf_cells_udf,
     assign_cell_replay,
     kmeans_fit,
     train_ivf_centroids,
@@ -111,9 +113,9 @@ _COS_Q = float(2**30)
 def _quantizer_replay(sf_dir: str, k: int, seed: int):
     """Spark-independent replay of the coarse-quantizer pipeline: parquet
     via DuckDB, sample order via the same md5 rank the trainer uses,
-    model via the shared pure-numpy kmeans_fit, assignment via the
-    pure-python fold replay of the JVM expression (identical op order ⇒
-    bit-identical doubles). Shared by the x_kmeans_embed and
+    model via the shared pure-numpy kmeans_fit, assignment via the SAME
+    ivf_cells_math the Arrow UDF runs (per-row ops ⇒ batch-boundary
+    independent ⇒ bit-identical). Shared by the x_kmeans_embed and
     x_semantic_dedup lazy oracles."""
     import duckdb
     import numpy as np
@@ -156,8 +158,8 @@ def _cos_fold(v: list[float], c: list[float]) -> float:
 def _kmeans_oracle(sf_dir: str) -> str:
     """Lazy VALUES oracle for x_kmeans_embed (round-12 promotion from
     rows-only, the r11 lazy-oracle device): the whole pipeline — md5
-    sample rank, numpy fit, fold assignment, quantized-mean cosine — is
-    replayed without Spark and emitted as literals."""
+    sample rank, numpy fit, shared assignment math, quantized-mean
+    cosine — is replayed without Spark and emitted as literals."""
     ids, X, C, assign = _quantizer_replay(sf_dir, KMEANS_K, KMEANS_SEED)
     agg: dict[int, list[float]] = {}
     for i in range(len(ids)):
@@ -194,16 +196,18 @@ def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Build once, assign many: training reads a bounded uniform sample
     (≤20k rows, one narrow TakeOrdered pass over a LAYOUT-INDEPENDENT md5
-    rank — never a full corpus scan, see train_ivf_centroids); assignment
-    is a pure JVM argmax-of-dot-folds against the k×dim literal centroid
-    table (assign_cell_expr — whole-stage codegen, no Python in the
-    corpus pass since round 12); the cosine to the ASSIGNED centroid is a
-    JVM fold indexed by cluster_id (no join); per-row cosines are floored
-    to the 2^-30 dyadic grid so the per-cluster mean is an exact,
-    order-insensitive sum; the rollup is a k-group hash aggregate with
-    map-side partials. FULL ORACLE since round 12: the lazy VALUES oracle
-    replays sample-rank → numpy fit → fold assignment → quantized mean
-    entirely outside Spark (_kmeans_oracle)."""
+    rank — never a full corpus scan, see train_ivf_centroids); the
+    assignment pass broadcasts the (k × dim) centroid matrix inside the
+    Arrow-batched GEMM UDF — one narrow pass, no shuffle, and every op in
+    it is PER-ROW, so the result is batch-boundary independent
+    (ivf_cells_math; pinned by the forced-small-batch test); the cosine
+    to the ASSIGNED centroid is a JVM fold indexed by cluster_id (no
+    join); per-row cosines are floored to the 2^-30 dyadic grid so the
+    per-cluster mean is an exact, order-insensitive sum; the rollup is a
+    k-group hash aggregate with map-side partials. FULL ORACLE since
+    round 12: the lazy VALUES oracle replays sample-rank → numpy fit →
+    the same assignment math → quantized mean entirely outside Spark
+    (_kmeans_oracle)."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     C = train_ivf_centroids(
@@ -211,9 +215,10 @@ def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.similarity import cosine
 
+    cell1 = _ivf_cells_udf(C, 1)
     assigned = emb.select(
         "vec_id",
-        assign_cell_expr(C, "embedding").alias("cluster_id"),
+        F.element_at(cell1(F.col("embedding")), 1).alias("cluster_id"),
         F.col("embedding").cast("array<double>").alias("_e"),
     )
     centroid_table = F.array(
@@ -271,14 +276,15 @@ def _pq_codes_oracle(sf_dir: str) -> str:
         np.array([X[i] for i in order], dtype=np.float64),
         PQ_M, PQ_K, 10, PQ_SEED,
     )
-    enc = pq_assign_replay(X, books)
+    codes_all, errs_all = pq_assign_replay(X, books)
     per: dict[int, dict] = {
         j: {"codes": {}, "err": []} for j in range(PQ_M)
     }
-    for codes, errs in enc:
+    for codes, errs in zip(codes_all, errs_all):
         for j in range(PQ_M):
-            per[j]["codes"][codes[j]] = per[j]["codes"].get(codes[j], 0) + 1
-            per[j]["err"].append(math.floor(errs[j] * _ERR_Q) / _ERR_Q)
+            c = int(codes[j])
+            per[j]["codes"][c] = per[j]["codes"].get(c, 0) + 1
+            per[j]["err"].append(math.floor(float(errs[j]) * _ERR_Q) / _ERR_Q)
     # the mean literal goes through a STRING cast (DuckDB's bare-decimal
     # DECIMAL->DOUBLE path is 1 ulp off; string parse is correctly rounded)
     rows_sql = ", ".join(
@@ -313,27 +319,25 @@ def x_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Build once, assign many: codebooks train driver-side on a bounded
     TakeOrdered sample over a LAYOUT-INDEPENDENT md5 rank (never a corpus
-    pass — operators/pq.py); the encode pass is pure JVM argmin-of-L2
-    folds (pq_assign_expr — whole-stage codegen, no Python in the corpus
-    pass since round 12; pq_assign's Arrow GEMM remains the large-k
-    path); per-row errors floor to the 2^-24 dyadic grid so the rollup's
-    mean is an exact order-insensitive sum; the rollup explodes the m
-    sub-codes (constant fan-out) into an m×k-group hash aggregate with
-    map-side partials. FULL ORACLE since round 12 (_pq_codes_oracle:
-    training, encode, and rollup replayed outside Spark); determinism +
-    numpy-replay parity + error-dominance tests in
-    tests/test_embeddings.py."""
-    from ..operators.pq import pq_assign_expr, train_pq_codebooks
+    pass — operators/pq.py); assignment is ONE narrow Arrow-batched GEMM
+    pass whose math is PER-ROW and therefore batch-boundary independent
+    (pq_encode_math — shared verbatim with the oracle replay, pinned by
+    the forced-small-batch test; JVM-expression encodes were tried and
+    rejected in round 12, see pq_assign_replay); per-row errors floor to
+    the 2^-24 dyadic grid so the rollup's mean is an exact
+    order-insensitive sum; the rollup explodes the m sub-codes (constant
+    fan-out) into an m×k-group hash aggregate with map-side partials.
+    FULL ORACLE since round 12 (_pq_codes_oracle: training, encode, and
+    rollup replayed outside Spark); determinism + numpy-replay parity +
+    error-dominance tests in tests/test_embeddings.py."""
+    from ..operators.pq import pq_assign, train_pq_codebooks
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     books = train_pq_codebooks(
         emb, m=PQ_M, k=PQ_K, seed=PQ_SEED, id_col="vec_id"
     )
-    codes_col, errs_col = pq_assign_expr(books, "embedding")
-    enc = emb.select(
-        "vec_id", codes_col.alias("codes"), errs_col.alias("errs")
-    )
+    enc = pq_assign(emb, books)
     sub = enc.select(
         F.posexplode(F.arrays_zip("codes", "errs")).alias("subspace", "z")
     ).select(
@@ -363,9 +367,9 @@ SEMDEDUP_SEED = 7
 
 def _semantic_dedup_oracle(sf_dir: str) -> str:
     """Lazy VALUES oracle for x_semantic_dedup (round-12 promotion from
-    rows-only): md5 sample rank → numpy fit → fold assignment replayed
-    outside Spark, then the keep-first prune rule over within-cluster
-    pairs with the same fold cosine (bit-identical doubles ⇒ the same
+    rows-only): md5 sample rank → numpy fit → the shared assignment math
+    replayed outside Spark, then the keep-first prune rule over
+    within-cluster pairs with the same fold cosine (bit-identical doubles ⇒ the same
     >= threshold outcomes). Output is all ints/bools — no float columns
     to hash."""
     ids, X, C, assign = _quantizer_replay(sf_dir, SEMDEDUP_K, SEMDEDUP_SEED)
@@ -404,8 +408,9 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: training reads a bounded TakeOrdered sample over a
     layout-independent md5 rank (no corpus pass, no prior count);
-    assignment is a pure JVM argmax-of-dot-folds (assign_cell_expr — no
-    Python in the corpus pass since round 12); the within-cluster
+    assignment is one narrow Arrow-batched GEMM pass whose per-row math
+    is batch-boundary independent (ivf_cells_math, shared verbatim with
+    the oracle replay); the within-cluster
     pairing is an equi-join on cluster_id — both sides read the SAME
     exchange (AQE ReusedExchange, plan-asserted) and compute is
     Σ|cluster|², bounded by raising n_clusters with corpus size (the

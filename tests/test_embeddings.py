@@ -506,3 +506,32 @@ def test_ivfpq_declared_query_finds_self_at_rank1(spark):
     top1 = {r["query_id"]: r["neighbor_id"] for r in df.filter("rank = 1").collect()}
     assert top1, "no results"
     assert all(q == n for q, n in top1.items()), top1
+
+
+def test_promoted_oracles_are_arrow_batch_independent(spark):
+    """Round-12 promotion validity: the GEMM UDF passes behind
+    x_kmeans_embed / x_semantic_dedup / x_pq_codes must produce
+    IDENTICAL results when Arrow slices the data into many tiny batches
+    — every op in ivf_cells_math / pq_encode_math is per-row, so batch
+    boundaries must not matter. Forces maxRecordsPerBatch=17 and
+    compares full result sets against the default-batching run."""
+    from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
+
+    qs = all_queries()
+    names = ["x_kmeans_embed", "x_semantic_dedup", "x_pq_codes"]
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    baseline = {
+        n: sorted(map(tuple, qs[n].fn(spark, SF_SMOKE).collect()))
+        for n in names
+    }
+    try:
+        spark.conf.set(key, "17")
+        for n in names:
+            tiny = sorted(map(tuple, qs[n].fn(spark, SF_SMOKE).collect()))
+            assert tiny == baseline[n], n
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
