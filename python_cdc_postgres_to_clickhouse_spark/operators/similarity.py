@@ -19,6 +19,8 @@ tiebreaker.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
@@ -104,6 +106,26 @@ def _dot_pandas(a, b):
                        F.col(b) if isinstance(b, str) else b)
 
 
+def lsh_buckets_math(
+    V: "np.ndarray", P: "np.ndarray", n_tables: int, n_planes: int
+) -> list[list[int]]:
+    """Sign-LSH bucket math, shared VERBATIM by the Arrow UDF below and
+    the Spark-independent oracle replays: one GEMM against the stacked
+    plane matrix, sign bits packed per table. Per-row ops only ⇒
+    independent of Arrow batch boundaries (the round-12 replay device)."""
+    bits = (V @ P.T) > 0  # (batch, L*r)
+    out = []
+    for row in bits:
+        ids = []
+        for t in range(n_tables):
+            b = 0
+            for i in range(n_planes):
+                b |= int(row[t * n_planes + i]) << i
+            ids.append(b)
+        out.append(ids)
+    return out
+
+
 def _bucket_udf(planes_matrix: "np.ndarray", n_tables: int, n_planes: int):
     """Vectorized sign-LSH bucketing: one (batch × dim) @ (dim × L·r) GEMM
     per Arrow batch produces every table's bucket id at once — the
@@ -114,17 +136,7 @@ def _bucket_udf(planes_matrix: "np.ndarray", n_tables: int, n_planes: int):
     @F.pandas_udf("array<long>")
     def buckets(v: pd.Series) -> pd.Series:
         V = np.array(list(v), dtype=np.float64)
-        bits = (V @ P.T) > 0  # (batch, L*r)
-        out = []
-        for row in bits:
-            ids = []
-            for t in range(n_tables):
-                b = 0
-                for i in range(n_planes):
-                    b |= int(row[t * n_planes + i]) << i
-                ids.append(b)
-            out.append(ids)
-        return pd.Series(out)
+        return pd.Series(lsh_buckets_math(V, P, n_tables, n_planes))
 
     return buckets
 
@@ -460,6 +472,102 @@ def _ivf_cells_udf(centroids: "np.ndarray", nprobe: int):
         return pd.Series([row.astype(np.int32).tolist() for row in idx])
 
     return cells
+
+
+def fold_norm_replay(v: list[float]) -> float:
+    """Pure-python replay of ``norm()`` (sqrt of the 0.0-initialized
+    square fold — one rounding per op, same as the JVM)."""
+    acc = 0.0
+    for a in v:
+        acc = acc + a * a
+    return math.sqrt(acc)
+
+
+def _pair_sims_replay(pairs, qX, cX, q_norm, c_norm):
+    """Candidate-pair cosine replay of the ``_dot_pandas`` scoring path:
+    dots via the same np.einsum the UDF runs (per-row reduction ⇒ batch
+    independent), norms via the JVM fold replay, the same
+    dot / (q_norm * c_norm) rounding order."""
+    A = np.array([qX[qi] for qi, _ in pairs], dtype=np.float64)
+    B = np.array([cX[ci] for _, ci in pairs], dtype=np.float64)
+    dots = np.einsum("ij,ij->i", A, B)
+    return [
+        float(dots[i]) / (q_norm[qi] * c_norm[ci])
+        for i, (qi, ci) in enumerate(pairs)
+    ]
+
+
+def _rank_topk_replay(q_ids, c_ids, pairs, sims, k):
+    """row_number() OVER (PARTITION BY query_id ORDER BY sim DESC,
+    neighbor_id ASC) <= k, replayed."""
+    by_q: dict = {}
+    for (qi, ci), s in zip(pairs, sims):
+        by_q.setdefault(q_ids[qi], []).append((c_ids[ci], s))
+    out = []
+    for qid, lst in by_q.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (nid, s) in enumerate(lst[:k], start=1):
+            out.append((qid, nid, s, rank))
+    return out
+
+
+def lsh_topk_replay(
+    q_ids, qX, c_ids, cX, k, n_planes, n_tables, seed: int = 42
+):
+    """Spark-independent replay of ``lsh_cosine_topk`` — the same stacked
+    hyperplanes, the same ``lsh_buckets_math``, the same einsum scoring
+    and (sim DESC, neighbor_id ASC) ranking. Returns
+    (query_id, neighbor_id, sim, rank) tuples. Used by the round-12
+    x_lsh_cosine_topk / x_embedding_near_dup lazy oracles."""
+    dim = len(qX[0])
+    P = np.vstack([
+        np.array(random_hyperplanes(dim, n_planes, seed + 1000 * t))
+        for t in range(n_tables)
+    ])
+    qb = lsh_buckets_math(np.array(qX, dtype=np.float64), P, n_tables, n_planes)
+    cb = lsh_buckets_math(np.array(cX, dtype=np.float64), P, n_tables, n_planes)
+    cmap: dict = {}
+    for ci, bks in enumerate(cb):
+        for t, b in enumerate(bks):
+            cmap.setdefault((t, b), []).append(ci)
+    cand = set()
+    for qi, bks in enumerate(qb):
+        for t, b in enumerate(bks):
+            for ci in cmap.get((t, b), ()):
+                if q_ids[qi] != c_ids[ci]:
+                    cand.add((qi, ci))
+    if not cand:
+        return []
+    pairs = sorted(cand)
+    q_norm = {qi: fold_norm_replay(qX[qi]) for qi, _ in pairs}
+    c_norm = {ci: fold_norm_replay(cX[ci]) for _, ci in pairs}
+    sims = _pair_sims_replay(pairs, qX, cX, q_norm, c_norm)
+    return _rank_topk_replay(q_ids, c_ids, pairs, sims, k)
+
+
+def ivf_topk_replay(q_ids, qX, c_ids, cX, k, nprobe, C):
+    """Spark-independent replay of ``ivf_cosine_topk`` given the trained
+    centroid matrix: corpus cells and query probe sets via the shared
+    ``ivf_cells_math``, candidates by cell membership, einsum scoring,
+    the same ranking. Used by the round-12 x_ivf_cosine_topk oracle."""
+    C = np.asarray(C)
+    c_cell = [
+        int(r[0])
+        for r in ivf_cells_math(np.array(cX, dtype=np.float64), C, 1)
+    ]
+    q_cells = ivf_cells_math(np.array(qX, dtype=np.float64), C, nprobe)
+    pairs = []
+    for qi in range(len(q_ids)):
+        probe = set(int(x) for x in q_cells[qi])
+        for ci in range(len(c_ids)):
+            if c_cell[ci] in probe and q_ids[qi] != c_ids[ci]:
+                pairs.append((qi, ci))
+    if not pairs:
+        return []
+    q_norm = {qi: fold_norm_replay(qX[qi]) for qi, _ in pairs}
+    c_norm = {ci: fold_norm_replay(cX[ci]) for _, ci in pairs}
+    sims = _pair_sims_replay(pairs, qX, cX, q_norm, c_norm)
+    return _rank_topk_replay(q_ids, c_ids, pairs, sims, k)
 
 
 def assign_cell_replay(X, centroids) -> list[int]:

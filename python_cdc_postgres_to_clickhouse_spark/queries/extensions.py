@@ -559,22 +559,99 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-@query("x_embedding_near_dup", tags=("ext", "dedup", "similarity"))
+def _emb_rows(sf_dir: str):
+    """(ids, float-widened vectors) straight from parquet via DuckDB —
+    the shared loader for the round-12 ANN lazy oracles."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    finally:
+        con.close()
+    return [r[0] for r in rows], [list(map(float, r[1])) for r in rows]
+
+
+def _float_sql(x: float) -> str:
+    """Exact double literal for a DuckDB VALUES row: repr through a
+    string cast (bare decimals parse as DECIMAL, whose DOUBLE conversion
+    can be 1 ulp off)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _near_dup_oracle(sf_dir: str) -> str:
+    """Lazy VALUES oracle for x_embedding_near_dup (round-12 promotion):
+    LSH candidates via the shared lsh_topk_replay (k=50), a<b dedup, the
+    pair cosine re-scored with the JVM fold replay, threshold filter —
+    the exact pipeline, Spark-free."""
+    from .embeddings import _cos_fold
+
+    ids, X = _emb_rows(sf_dir)
+    topk = S.lsh_topk_replay(ids, X, ids, X, 50, 4, 8)
+    idx = {v: i for i, v in enumerate(ids)}
+    pairs = sorted({(q, n) for q, n, _s, _r in topk if q < n})
+    rows = []
+    for a, b in pairs:
+        cos = _cos_fold(X[idx[a]], X[idx[b]])
+        if cos >= 0.4:
+            rows.append(f"({a}, {b}, {_float_sql(cos)})")
+    return (
+        "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, cosine "
+        f"FROM (VALUES {', '.join(rows)}) AS t(a, b, cosine) ORDER BY a, b"
+    )
+
+
+@query(
+    "x_embedding_near_dup",
+    oracle=_near_dup_oracle,
+    tags=("ext", "dedup", "similarity"),
+)
 def x_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (embedding-cosine flavor): semantic near-dup pairs at cosine
     ≥ 0.4 via the scale-safe sign-LSH candidate path (linear shuffle on
     (table,bucket) — no all-pairs crossJoin; plan-asserted in
-    tests/test_plans.py). Rows-only for the driver; recall and the exact
-    O(N²) ground truth (EMB_NEAR_DUP_SQL) live in
+    tests/test_plans.py). FULL ORACLE since round 12 (the shared-math
+    replay device: hyperplanes are seeded constants, bucket/scoring math
+    is shared verbatim with the UDFs and batch-boundary independent);
+    recall and the exact O(N²) ground truth (EMB_NEAR_DUP_SQL) live in
     tests/test_similarity.py."""
     t = load_tables(spark, sf_dir)
     return S.embedding_near_duplicates(t["embeddings"], threshold=0.4, exact=False)
 
 
-@query("x_lsh_cosine_topk", tags=("ext", "similarity"))
+def _lsh_topk_oracle(sf_dir: str) -> str:
+    """Lazy VALUES oracle for x_lsh_cosine_topk (round-12 promotion via
+    the shared-math replay device — see operators/similarity.py
+    lsh_topk_replay)."""
+    ids, X = _emb_rows(sf_dir)
+    q_idx = [i for i, v in enumerate(ids) if v % 25 == 0]
+    rows = [
+        f"({q}, {n}, {_float_sql(s)}, {r})"
+        for q, n, s, r in S.lsh_topk_replay(
+            [ids[i] for i in q_idx], [X[i] for i in q_idx], ids, X, 5, 4, 8
+        )
+    ]
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(neighbor_id AS BIGINT) AS neighbor_id, sim, "
+        "CAST(rank AS BIGINT) AS rank "
+        f"FROM (VALUES {', '.join(rows)}) AS t(query_id, neighbor_id, "
+        "sim, rank) ORDER BY query_id, rank"
+    )
+
+
+@query(
+    "x_lsh_cosine_topk",
+    oracle=_lsh_topk_oracle,
+    tags=("ext", "similarity"),
+)
 def x_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3: sign-LSH approximate top-5 (rows-only; recall vs the exact path
-    asserted in tests/test_similarity.py)."""
+    """X3: sign-LSH approximate top-5. FULL ORACLE since round 12 (the
+    shared-math replay device); recall vs the exact path asserted in
+    tests/test_similarity.py."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     return S.lsh_cosine_topk(
@@ -593,19 +670,55 @@ def _ivf_centroids_for(emb: DataFrame, sf_dir: str):
     c = _IVF_CENTROIDS.get(sf_dir)
     if c is None:
         c = _IVF_CENTROIDS.setdefault(
-            sf_dir, S.train_ivf_centroids(emb, n_centroids=16, seed=42)
+            sf_dir,
+            # id_col: layout-independent md5 sample rank (round 12) — the
+            # trained matrix is a pure function of the rows, which is
+            # what lets the oracle retrain it outside Spark.
+            S.train_ivf_centroids(
+                emb, n_centroids=16, seed=42, id_col="vec_id"
+            ),
         )
     return c
 
 
-@query("x_ivf_cosine_topk", tags=("ext", "similarity"))
+def _ivf_topk_oracle(sf_dir: str) -> str:
+    """Lazy VALUES oracle for x_ivf_cosine_topk (round-12 promotion):
+    quantizer retrained outside Spark (md5 rank + shared kmeans_fit),
+    cells and scoring via the shared math replays."""
+    from .embeddings import _quantizer_replay
+
+    ids, X, C, _assign = _quantizer_replay(sf_dir, 16, 42)
+    q_idx = [i for i, v in enumerate(ids) if v % 25 == 0]
+    rows = [
+        f"({q}, {n}, {_float_sql(s)}, {r})"
+        for q, n, s, r in S.ivf_topk_replay(
+            [ids[i] for i in q_idx], [X[i] for i in q_idx],
+            ids, X, 5, 6, C,
+        )
+    ]
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(neighbor_id AS BIGINT) AS neighbor_id, sim, "
+        "CAST(rank AS BIGINT) AS rank "
+        f"FROM (VALUES {', '.join(rows)}) AS t(query_id, neighbor_id, "
+        "sim, rank) ORDER BY query_id, rank"
+    )
+
+
+@query(
+    "x_ivf_cosine_topk",
+    oracle=_ivf_topk_oracle,
+    tags=("ext", "similarity"),
+)
 def x_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: IVF (inverted-file) approximate top-5 — the data-adaptive ANN
-    path next to sign-LSH (rows-only; recall vs the exact path asserted in
+    path next to sign-LSH (FULL ORACLE since round 12 via the shared-math
+    replay device; recall vs the exact path asserted in
     tests/test_similarity.py). Corpus: one GEMM pass to its cell; queries
     probe nprobe cells; candidates via cell equi-join. The quantizer is
-    trained once per corpus (one bounded one-pass sample, no count()) and
-    passed in — repeat executions add no training or extra corpus scan."""
+    trained once per corpus (one bounded one-pass sample over a
+    layout-independent md5 rank, no count()) and passed in — repeat
+    executions add no training or extra corpus scan."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     return S.ivf_cosine_topk(

@@ -134,8 +134,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_ivfpq_topk",
     "x_pq_codes",
     "x_semantic_dedup",
-    # (d) changed this round and not already in the window:
+    # (d) changed this round and not already in the window (round-12
+    #     promotions: full hash oracles via the shared-math replay
+    #     device; x_ivf_cosine_topk also moves its quantizer to the
+    #     layout-independent md5 sample rank):
     "x_kmeans_embed",
+    "x_lsh_cosine_topk",
+    "x_embedding_near_dup",
+    "x_ivf_cosine_topk",
     # (e) r8 staleness fill, oracle-bearing first, alphabetical. Any
     #     later round-12 addition must displace the LAST names here into
     #     the round-13 queue.
@@ -161,16 +167,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s_except",
     "s_except_all",
     "sql_ch_avg_state",
+    # (sql_ch_fill_interpolate, sub_in, sub_min_price_supplier and
+    # sub_not_exists displaced to the r13 queue by sql_ch_fill_multi and
+    # the three ANN promotions landing in (d).)
+    # ------------------------------------------------------------------
+    # Positions 51+: the ROUND-13 QUEUE — the r8 cohort remainder
+    # (oracle-bearing, alphabetical; x_ivf_cosine_topk was the one
+    # rows-only r8 name and is promoted + windowed above), then the r9
+    # cohort (50) fills after them (recompute from the
+    # CORRECTNESS_r*.json union when planning r13; never trust a hand
+    # count).
     "sql_ch_fill_interpolate",
     "sub_in",
     "sub_min_price_supplier",
-    # (sub_not_exists displaced to the r13 queue by sql_ch_fill_multi.)
-    # ------------------------------------------------------------------
-    # Positions 51+: the ROUND-13 QUEUE — the r8 cohort remainder
-    # (oracle-bearing first, alphabetical; x_ivf_cosine_topk is the one
-    # rows-only r8 name), then the r9 cohort (50) fills after them
-    # (recompute from the CORRECTNESS_r*.json union when planning r13;
-    # never trust a hand count).
     "sub_not_exists",
     "sub_scalar_avg",
     "w_lag_lead",
@@ -194,7 +203,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_tfidf_topterms",
     "x_token_packing",
     "x_vocab_build",
-    "x_ivf_cosine_topk",
 )
 
 

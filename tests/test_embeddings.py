@@ -518,7 +518,10 @@ def test_promoted_oracles_are_arrow_batch_independent(spark):
     from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
 
     qs = all_queries()
-    names = ["x_kmeans_embed", "x_semantic_dedup", "x_pq_codes"]
+    names = [
+        "x_kmeans_embed", "x_semantic_dedup", "x_pq_codes",
+        "x_lsh_cosine_topk", "x_embedding_near_dup", "x_ivf_cosine_topk",
+    ]
     key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     old = spark.conf.get(key, None)
     baseline = {

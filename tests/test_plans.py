@@ -65,12 +65,30 @@ def test_no_python_udfs_in_relational_surface(spark):
     """Every oracle-checked query must stay fully JVM-side (no
     BatchEvalPython / ArrowEvalPython nodes) and must never compile to a
     non-broadcast all-pairs CartesianProduct (broadcast nested loops over
-    1-row scalar combines are fine; a shuffled cartesian is O(N²))."""
+    1-row scalar combines are fine; a shuffled cartesian is O(N²)).
+
+    Round-12 exception: the shared-math-replay promotions made several
+    Arrow-GEMM queries oracle-checkable (their UDF math is shared
+    verbatim with the oracle replay and batch-boundary independent —
+    tests/test_embeddings.py). Those may carry ArrowEvalPython (the
+    vectorized fast path), but NEVER row-at-a-time BatchEvalPython."""
+    arrow_ok = {
+        "x_kmeans_embed", "x_semantic_dedup", "x_pq_codes",
+        "x_lsh_cosine_topk", "x_embedding_near_dup", "x_ivf_cosine_topk",
+        "x_holt_trend",
+    }
     for name, spec in all_queries().items():
         if spec.oracle is None:
             continue
         plan = P.physical_plan(spec.fn(spark, SF_ORACLE))
-        assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+        if name in arrow_ok:
+            assert "BatchEvalPython" not in plan, (
+                f"{name} uses a row-at-a-time Python UDF"
+            )
+        else:
+            assert "EvalPython" not in plan, (
+                f"{name} fell off the JVM fast path"
+            )
         assert "CartesianProduct" not in plan, f"{name} compiles to all-pairs"
 
 
