@@ -320,6 +320,7 @@ def train_ivfpq(
     seed: int = 42,
     sample_limit: int = 20_000,
     vec_col: str = "embedding",
+    id_col: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Fit the full IVF-PQ model: L2 coarse cells + PQ codebooks on the
     RESIDUALS (x − cell centroid) — the standard billion-scale ANN layout.
@@ -330,9 +331,34 @@ def train_ivfpq(
     returned ((n_cells × d), (m × K × d/m)) tensors are a few KB at any
     corpus size. L2 (non-spherical) k-means throughout, so cells, residuals,
     and ADC all speak the same metric.
-    """
-    rows = vectors.select(vec_col).orderBy(F.rand(seed)).limit(sample_limit).collect()
+
+    With ``id_col`` the sample ordering is the layout-independent md5
+    rank — the model becomes a pure function of the rows, retrainable
+    outside Spark (the x_ivfpq_topk full oracle)."""
+    from .similarity import sample_order_expr
+
+    cols = [vec_col] if id_col is None else [vec_col, id_col]
+    order = (
+        F.rand(seed) if id_col is None else sample_order_expr(seed, id_col)
+    )
+    rows = (
+        vectors.select(*cols).orderBy(order).limit(sample_limit).collect()
+    )
     X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return ivfpq_fit(X, n_cells, m, k, n_iters, seed)
+
+
+def ivfpq_fit(
+    X: "np.ndarray",
+    n_cells: int,
+    m: int,
+    k: int,
+    n_iters: int,
+    seed: int,
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Pure-numpy IVF-PQ fitting core — shared by the Spark trainer above
+    and the x_ivfpq_topk oracle replay (identical rows ⇒ bit-identical
+    tensors)."""
     if len(X) < max(n_cells, k):
         raise ValueError(f"sample of {len(X)} rows too small")
     rng = np.random.RandomState(seed)
@@ -369,6 +395,31 @@ def train_ivfpq(
     return C, books
 
 
+def ivfpq_encode_math(
+    X: "np.ndarray", C: "np.ndarray", books: "np.ndarray"
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """IVF-PQ encode math, shared VERBATIM by the Arrow UDF and the
+    oracle replay: L2 cell argmin, residual, per-subspace code argmin —
+    all per-row ops, independent of Arrow batch boundaries (the round-12
+    shared-math replay device)."""
+    m, K, dsub = books.shape
+    d2 = (
+        (X * X).sum(axis=1, keepdims=True) - 2.0 * X @ C.T + (C * C).sum(axis=1)
+    )
+    cell = d2.argmin(axis=1)
+    R = X - C[cell]
+    n = X.shape[0]
+    codes = np.empty((n, m), dtype=np.int32)
+    for j in range(m):
+        S = R[:, j * dsub : (j + 1) * dsub]
+        B = books[j]
+        dj = (
+            (S * S).sum(axis=1, keepdims=True) - 2.0 * S @ B.T + (B * B).sum(axis=1)
+        )
+        codes[:, j] = dj.argmin(axis=1)
+    return cell, codes
+
+
 def ivfpq_encode(
     df: DataFrame,
     cells: np.ndarray,
@@ -382,32 +433,70 @@ def ivfpq_encode(
     from pyspark.sql.functions import pandas_udf
 
     C = cells
-    m, K, dsub = codebooks.shape
     books = codebooks
 
     @pandas_udf("struct<cell: int, codes: array<int>>")
     def _enc(col: pd.Series) -> pd.DataFrame:
         X = np.array(col.tolist(), dtype=np.float64)
-        d2 = (
-            (X * X).sum(axis=1, keepdims=True) - 2.0 * X @ C.T + (C * C).sum(axis=1)
-        )
-        cell = d2.argmin(axis=1)
-        R = X - C[cell]
-        n = X.shape[0]
-        codes = np.empty((n, m), dtype=np.int32)
-        for j in range(m):
-            S = R[:, j * dsub : (j + 1) * dsub]
-            B = books[j]
-            dj = (
-                (S * S).sum(axis=1, keepdims=True) - 2.0 * S @ B.T + (B * B).sum(axis=1)
-            )
-            codes[:, j] = dj.argmin(axis=1)
+        cell, codes = ivfpq_encode_math(X, C, books)
         return pd.DataFrame({"cell": cell.astype(np.int32), "codes": list(codes)})
 
     enc = df.select(id_col, _enc(F.col(vec_col)).alias("_e"))
     return enc.select(
         id_col, F.col("_e.cell").alias("cell"), F.col("_e.codes").alias("codes")
     )
+
+
+def ivfpq_probe_tables(q_ids, Q, C, books, nprobe):
+    """Probe-cell selection + per-(query, cell) residual-ADC tables,
+    shared VERBATIM between ``ivfpq_topk``'s driver-side prep and the
+    x_ivfpq_topk oracle replay. All numpy, all deterministic."""
+    m, K, dsub = books.shape
+    d2q = (Q * Q).sum(axis=1, keepdims=True) - 2.0 * Q @ C.T + (C * C).sum(axis=1)
+    probe_cells = np.argsort(d2q, axis=1)[:, :nprobe]  # (nq, nprobe)
+    # Per (query, probed cell): ADC table over the residual (q - C[cell]).
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    for qi, q_id in enumerate(q_ids):
+        for cell in probe_cells[qi]:
+            r = Q[qi] - C[cell]
+            tab = np.empty((m, K), dtype=np.float64)
+            for j in range(m):
+                s = r[j * dsub : (j + 1) * dsub]
+                tab[j] = ((books[j] - s) ** 2).sum(axis=1)
+            tables[(q_id, int(cell))] = tab
+    return probe_cells, tables
+
+
+def ivfpq_topk_replay(
+    q_ids, Q, c_ids, cell_arr, codes_arr, C, books, k, nprobe
+):
+    """Spark-independent replay of ``ivfpq_topk`` given the model and the
+    encoded corpus (both themselves replayable via ivfpq_fit /
+    ivfpq_encode_math): the shared probe/table prep, the UDF's exact
+    gather-and-sum scoring per (query, cell) group, the same
+    (approx_d2 ASC, neighbor_id ASC) ranking. Returns
+    (query_id, neighbor_id, approx_d2, rank) tuples."""
+    m = books.shape[0]
+    probe_cells, tables = ivfpq_probe_tables(q_ids, Q, C, books, nprobe)
+    by_cell: dict[int, list[int]] = {}
+    for ci, c in enumerate(cell_arr):
+        by_cell.setdefault(int(c), []).append(ci)
+    out = []
+    for qi, q_id in enumerate(q_ids):
+        scored = []
+        for cell in probe_cells[qi]:
+            rows = by_cell.get(int(cell), [])
+            if not rows:
+                continue
+            sub = np.array([codes_arr[ci] for ci in rows], dtype=np.int64)
+            d = tables[(q_id, int(cell))][np.arange(m), sub].sum(axis=1)
+            scored += [
+                (float(d[i]), c_ids[rows[i]]) for i in range(len(rows))
+            ]
+        scored.sort(key=lambda t: (t[0], t[1]))
+        for rank, (dd, nid) in enumerate(scored[:k], start=1):
+            out.append((q_id, nid, dd, rank))
+    return out
 
 
 def ivfpq_topk(
@@ -442,20 +531,7 @@ def ivfpq_topk(
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = [r[query_id_col] for r in q_rows]
     Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    d2q = (Q * Q).sum(axis=1, keepdims=True) - 2.0 * Q @ C.T + (C * C).sum(axis=1)
-    probe_cells = np.argsort(d2q, axis=1)[:, :nprobe]  # (nq, nprobe)
-
-    # Per (query, probed cell): ADC table over the residual (q - C[cell]).
-    # Keyed by a dense probe id so the UDF does one dict lookup per group.
-    tables: dict[tuple[int, int], np.ndarray] = {}
-    for qi, q_id in enumerate(q_ids):
-        for cell in probe_cells[qi]:
-            r = Q[qi] - C[cell]
-            tab = np.empty((m, K), dtype=np.float64)
-            for j in range(m):
-                s = r[j * dsub : (j + 1) * dsub]
-                tab[j] = ((codebooks[j] - s) ** 2).sum(axis=1)
-            tables[(q_id, int(cell))] = tab
+    probe_cells, tables = ivfpq_probe_tables(q_ids, Q, C, books, nprobe)
 
     probes = [(q_id, int(cell)) for (q_id, cell) in tables]
     probe_df = queries.sparkSession.createDataFrame(

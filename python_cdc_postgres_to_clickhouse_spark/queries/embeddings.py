@@ -450,14 +450,80 @@ def _ivfpq_model_for(emb: DataFrame, sf_dir: str):
 
         m = _IVFPQ_MODEL.setdefault(
             sf_dir,
+            # id_col: layout-independent md5 sample rank (round 12) —
+            # retrainable outside Spark for the full oracle.
             train_ivfpq(
-                emb, n_cells=IVFPQ_CELLS, m=IVFPQ_M, k=IVFPQ_K, seed=IVFPQ_SEED
+                emb, n_cells=IVFPQ_CELLS, m=IVFPQ_M, k=IVFPQ_K,
+                seed=IVFPQ_SEED, id_col="vec_id",
             ),
         )
     return m
 
 
-@query("x_ivfpq_topk", tags=("ext", "embedding", "similarity", "iterative"))
+def _ivfpq_topk_oracle(sf_dir: str) -> str:
+    """Lazy VALUES oracle for x_ivfpq_topk (round-12 promotion, the
+    shared-math replay device end to end): model retrained outside Spark
+    (md5 rank + ivfpq_fit), corpus encoded via ivfpq_encode_math, probes/
+    ADC tables/scoring/ranking via ivfpq_topk_replay — every stage shares
+    its math verbatim with the Spark path."""
+    import numpy as np
+
+    from ..operators.pq import (
+        ivfpq_encode_math,
+        ivfpq_fit,
+        ivfpq_topk_replay,
+    )
+
+    ids, X = _emb_rows_local(sf_dir)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(
+            f"{IVFPQ_SEED}_{ids[i]}".encode()
+        ).hexdigest(),
+    )[:20_000]
+    V = np.array(X, dtype=np.float64)
+    C, books = ivfpq_fit(
+        V[order], IVFPQ_CELLS, IVFPQ_M, IVFPQ_K, 10, IVFPQ_SEED
+    )
+    cell_arr, codes_arr = ivfpq_encode_math(V, C, books)
+    q_idx = [i for i, v in enumerate(ids) if v % 50 == 0]
+    rows = [
+        f"({q}, {n}, CAST('{d!r}' AS DOUBLE), {r})"
+        for q, n, d, r in ivfpq_topk_replay(
+            [ids[i] for i in q_idx], V[q_idx], ids, cell_arr, codes_arr,
+            C, books, 10, IVFPQ_NPROBE,
+        )
+    ]
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(neighbor_id AS BIGINT) AS neighbor_id, approx_d2, "
+        "CAST(rank AS INTEGER) AS rank "
+        f"FROM (VALUES {', '.join(rows)}) AS t(query_id, neighbor_id, "
+        "approx_d2, rank) ORDER BY query_id, rank"
+    )
+
+
+def _emb_rows_local(sf_dir: str):
+    """DuckDB loader (ids, float-widened vectors) for this module's lazy
+    oracles — same shape as extensions._emb_rows."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    finally:
+        con.close()
+    return [r[0] for r in rows], [list(map(float, r[1])) for r in rows]
+
+
+@query(
+    "x_ivfpq_topk",
+    oracle=_ivfpq_topk_oracle,
+    tags=("ext", "embedding", "similarity", "iterative"),
+)
 def x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X52: IVF-PQ approximate L2 top-10 — the full billion-scale ANN
     layout declared end to end: L2 coarse cells + PQ codebooks trained on
@@ -469,9 +535,11 @@ def x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at query time, so the scan cost is ≈ N·(nprobe/n_cells)·(4+m) bytes:
     the IVF prune and the PQ byte cut multiply.
 
-    Iterative fitting ⇒ rows-only driver row; numpy residual-ADC replay,
-    probed-cell containment, recall-floor, and determinism tests in
-    tests/test_embeddings.py (ivfpq section)."""
+    FULL ORACLE since round 12 (the shared-math replay device: md5-rank
+    training, ivfpq_fit / ivfpq_encode_math / ivfpq_topk_replay shared
+    verbatim with the Spark path — _ivfpq_topk_oracle); numpy
+    residual-ADC replay, probed-cell containment, recall-floor, and
+    determinism tests in tests/test_embeddings.py (ivfpq section)."""
     from ..operators.pq import ivfpq_encode, ivfpq_topk
 
     t = load_tables(spark, sf_dir)

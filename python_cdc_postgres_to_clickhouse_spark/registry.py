@@ -99,12 +99,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # verdict item 1: the r7 tail in full (leads x_doc_rarity +
     # x_downsample_tiers displaced from the r11 window, then the 16
     # remaining r7 oracle names alphabetical, then the 5 r7 rows-only
-    # names — of which x_semantic_dedup/x_pq_codes/x_ivfpq_topk changed
-    # semantics this round: semantic_dedup is a FULL ORACLE now, and all
-    # IVF-family assignment moved to layout-independent training + JVM
-    # argmax), then the round-12 promotions/changes not already above
-    # (x_kmeans_embed — FULL ORACLE now), then r8 fill (oracle-bearing
-    # first, alphabetical).
+    # names — of which x_semantic_dedup/x_pq_codes/x_ivfpq_topk are FULL
+    # ORACLES now via the shared-math replay device, with quantizer
+    # training moved to the layout-independent md5 sample rank), then the
+    # round-12 promotions/changes not already above, then r8 fill
+    # (oracle-bearing first, alphabetical).
     # (a0) NEW this round: composed WITH FILL end to end (grouped spine +
     #      per-group LOCF INTERPOLATE through the dialect).
     "sql_ch_fill_multi",
@@ -128,10 +127,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_sequence_match_timed",
     "x_window_funnel_dedup",
     "x_window_funnel_strict",
-    # (c) r7 rows-only names (x_semantic_dedup hash-compares now):
+    # (c) r7 rows-only names (x_semantic_dedup/x_pq_codes/x_ivfpq_topk
+    #     hash-compare now; x_ivfpq_topk listed under (d) with its
+    #     promotion cohort):
     "sql_ch_state_merge_rollup",
     "x_active_users_sketch",
-    "x_ivfpq_topk",
     "x_pq_codes",
     "x_semantic_dedup",
     # (d) changed this round and not already in the window (round-12
@@ -142,6 +142,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_lsh_cosine_topk",
     "x_embedding_near_dup",
     "x_ivf_cosine_topk",
+    "x_ivfpq_topk",
     # (e) r8 staleness fill, oracle-bearing first, alphabetical. Any
     #     later round-12 addition must displace the LAST names here into
     #     the round-13 queue.

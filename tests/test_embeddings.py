@@ -521,6 +521,7 @@ def test_promoted_oracles_are_arrow_batch_independent(spark):
     names = [
         "x_kmeans_embed", "x_semantic_dedup", "x_pq_codes",
         "x_lsh_cosine_topk", "x_embedding_near_dup", "x_ivf_cosine_topk",
+        "x_ivfpq_topk",
     ]
     key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     old = spark.conf.get(key, None)
