@@ -153,6 +153,10 @@ HEADLINE = [
     # Added round 11 (earlier entries unchanged — like-for-like holds).
     "sql_ch_codec_report",     # base58 + punycode SQL folds via dialect
     "sql_ch_normalize_report", # query-fingerprint lexer fold via dialect
+    # Added round 12 (earlier entries unchanged — like-for-like holds).
+    "sql_ch_fill_multi",       # grouped WITH FILL spine + per-group LOCF
+    "x_pq_codes",              # PQ codebook health, Arrow GEMM encode
+    "x_kmeans_embed",          # coarse-quantizer view, GEMM assignment
 ]
 
 
