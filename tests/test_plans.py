@@ -75,7 +75,7 @@ def test_no_python_udfs_in_relational_surface(spark):
     arrow_ok = {
         "x_kmeans_embed", "x_semantic_dedup", "x_pq_codes",
         "x_lsh_cosine_topk", "x_embedding_near_dup", "x_ivf_cosine_topk",
-        "x_holt_trend",
+        "x_ivfpq_topk", "x_holt_trend",
     }
     for name, spec in all_queries().items():
         if spec.oracle is None:
