@@ -176,3 +176,53 @@ def test_ivf_centroids_deterministic_and_unit_norm(spark):
     c2 = S.train_ivf_centroids(emb, n_centroids=8, seed=7)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_sample_order_expr_matches_python_md5_rank(spark):
+    """Foundation of every round-12 full-oracle promotion: Spark's
+    md5("{seed}_{id}") sample rank must order rows exactly like python's
+    hashlib.md5 hexdigest sort — engine-portable, layout-independent."""
+    import hashlib
+
+    df = spark.range(0, 200).withColumnRenamed("id", "vec_id")
+    got = [
+        r["vec_id"]
+        for r in df.orderBy(S.sample_order_expr(7, "vec_id")).collect()
+    ]
+    want = sorted(
+        range(200), key=lambda i: hashlib.md5(f"7_{i}".encode()).hexdigest()
+    )
+    assert got == want
+    # and the rank is layout-independent: same order after a repartition
+    got2 = [
+        r["vec_id"]
+        for r in df.repartition(13)
+        .orderBy(S.sample_order_expr(7, "vec_id"))
+        .collect()
+    ]
+    assert got2 == want
+
+
+def test_resolve_oracle_caches_per_sf_dir():
+    """ADVICE r11 fix pinned: lazy oracle builders receive the
+    compare-time sf_dir and the resolution is cached PER sf_dir — a
+    compare at one scale factor must not poison another's baked model."""
+    from python_cdc_postgres_to_clickhouse_spark.registry import QuerySpec
+
+    calls = []
+
+    def builder(sf_dir: str) -> str:
+        calls.append(sf_dir)
+        return f"SELECT '{sf_dir}' AS d"
+
+    spec = QuerySpec(name="t", fn=lambda spark, sf: None, oracle=builder)
+    a1 = spec.resolve_oracle("/sf/a")
+    b1 = spec.resolve_oracle("/sf/b")
+    a2 = spec.resolve_oracle("/sf/a")
+    assert a1 == a2 == "SELECT '/sf/a' AS d"
+    assert b1 == "SELECT '/sf/b' AS d"
+    assert calls == ["/sf/a", "/sf/b"]  # cached: no third build
+    # zero-arg builders still work (no sf_dir parameter)
+    spec2 = QuerySpec(name="t2", fn=lambda spark, sf: None,
+                      oracle=lambda: "SELECT 1 AS x")
+    assert spec2.resolve_oracle("/anything") == "SELECT 1 AS x"
