@@ -1773,9 +1773,10 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
     from the last original value via ``aggregate(sequence(1, g), …)``
     where g is the inserted row's distance down the filled axis; the
     recurrence may reference only the interpolated column (loud
-    otherwise). Remaining unsupported forms — multiple fill columns,
-    expression fill keys, nested WITH FILL — fall through to the loud
-    error in _rewrite_with_totals."""
+    otherwise). Round 12: multi-column / grouped / expression fill keys
+    route to _rewrite_with_fill_composed (composed spines); only NESTED
+    subquery fills still fall through to the loud error in
+    _rewrite_with_totals."""
     # Locate a depth-0 ORDER BY ... WITH FILL.
     depth = 0
     order_at = None

@@ -3946,3 +3946,91 @@ def test_with_fill_composed_forms(spark):
         ("a", 4), ("a", 3), ("a", 2), ("a", 1),
         ("b", 3), ("b", 2),
     ]
+
+
+def test_with_fill_composed_random_frames(spark):
+    """Composed WITH FILL property test (the windowFunnel-transcription
+    pattern): random (group, key, value) frames must match a python
+    spine simulator for grouped-unbounded, grouped-bounded+LOCF, and
+    two-key-grid shapes — parser and join edge cases (empty groups,
+    single-row groups, originals outside the bounded range, duplicate
+    grid hits) all arise naturally from the random draws."""
+    import random
+
+    for seed in (3, 41, 88):
+        rnd = random.Random(seed)
+        rows = []
+        used = set()
+        for _ in range(40):
+            g = rnd.choice(["a", "b", "c"])
+            h = rnd.randrange(0, 12)
+            if (g, h) in used:
+                continue
+            used.add((g, h))
+            rows.append((g, h, float(rnd.randrange(1, 100))))
+        spark.createDataFrame(rows, "g string, h int, v double") \
+            .createOrReplaceTempView("fill_rt")
+        base = {(g, h): v for g, h, v in rows}
+        groups = sorted({g for g, _h, _v in rows})
+
+        # (a) grouped unbounded: per-group min..max spine
+        got = [
+            (r.g, r.h, r.v)
+            for r in spark.sql(translate(
+                "SELECT g, h, v FROM fill_rt ORDER BY g, h WITH FILL"
+            )).collect()
+        ]
+        want = []
+        for g in groups:
+            hs = [h for (gg, h) in base if gg == g]
+            for h in range(min(hs), max(hs) + 1):
+                want.append((g, h, base.get((g, h))))
+        assert got == want, ("unbounded", seed)
+
+        # (b) grouped bounded [2, 9) step 2 + LOCF on v
+        got = [
+            (r.g, r.h, r.v)
+            for r in spark.sql(translate(
+                "SELECT g, h, v FROM fill_rt ORDER BY g, h WITH FILL "
+                "FROM 2 TO 9 STEP 2 INTERPOLATE (v)"
+            )).collect()
+        ]
+        want = []
+        for g in groups:
+            hs = sorted(
+                set(range(2, 9, 2)) | {h for (gg, h) in base if gg == g}
+            )
+            carry = None
+            for h in hs:
+                v = base.get((g, h))
+                if v is not None:
+                    carry = v
+                    want.append((g, h, v))
+                else:
+                    want.append((g, h, carry))
+        assert got == want, ("bounded+locf", seed)
+
+        # (c) two-key grid over (h, w) where w = v bucketed to 3 values
+        spark.sql(
+            "SELECT g, h, CAST(CAST(v AS INT) % 3 AS INT) AS w "
+            "FROM fill_rt"
+        ).createOrReplaceTempView("fill_rt2")
+        got = {
+            (r.h, r.w, r.g)
+            for r in spark.sql(translate(
+                "SELECT h, w, g FROM fill_rt2 ORDER BY h WITH FILL "
+                "FROM 0 TO 5, w WITH FILL FROM 0 TO 3"
+            )).collect()
+        }
+        base2 = {
+            (h, int(v) % 3, g) for g, h, v in rows
+        }
+        grid = {(h, w) for h in range(5) for w in range(3)}
+        want2 = set()
+        covered = set()
+        for h, w, g in base2:
+            want2.add((h, w, g))
+            covered.add((h, w))
+        for h, w in grid - covered:
+            want2.add((h, w, None))
+        assert got == want2, ("grid", seed)
