@@ -12,6 +12,7 @@ startup/codegen so per-query numbers reflect steady-state execution.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -284,7 +285,14 @@ def main() -> None:
         # (median of the interleaved probe vector).
         "calibration_sec": calibration,
         "calibration_probes": probes,
-        "flagged": flagged,
+        # Printed line carries only the most-extreme movers — an
+        # unbounded flagged map (34 entries seen when a gauge error
+        # slipped through) would blow the driver's 2000-char capture and
+        # null the whole parse. Full map in the detail file.
+        "flagged": dict(sorted(
+            flagged.items(), key=lambda kv: -abs(math.log(kv[1]))
+        )[:8]),
+        "flagged_total": len(flagged),
         "median_move": median_move,
         "detail_file": "BENCH_DETAIL.json",
     }
