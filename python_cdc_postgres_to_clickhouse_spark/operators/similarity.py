@@ -519,6 +519,8 @@ def lsh_topk_replay(
     and (sim DESC, neighbor_id ASC) ranking. Returns
     (query_id, neighbor_id, sim, rank) tuples. Used by the round-12
     x_lsh_cosine_topk / x_embedding_near_dup lazy oracles."""
+    if not qX or not cX:
+        return []
     dim = len(qX[0])
     P = np.vstack([
         np.array(random_hyperplanes(dim, n_planes, seed + 1000 * t))
@@ -550,6 +552,8 @@ def ivf_topk_replay(q_ids, qX, c_ids, cX, k, nprobe, C):
     centroid matrix: corpus cells and query probe sets via the shared
     ``ivf_cells_math``, candidates by cell membership, einsum scoring,
     the same ranking. Used by the round-12 x_ivf_cosine_topk oracle."""
+    if not len(qX) or not len(cX):
+        return []
     C = np.asarray(C)
     c_cell = [
         int(r[0])

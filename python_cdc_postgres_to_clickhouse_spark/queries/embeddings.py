@@ -494,6 +494,10 @@ def _ivfpq_topk_oracle(sf_dir: str) -> str:
             C, books, 10, IVFPQ_NPROBE,
         )
     ]
+    if not rows:  # tiny/filtered corpora: zero-row oracle, right schema
+        return ("SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS "
+                "BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS "
+                "approx_d2, CAST(NULL AS INTEGER) AS rank WHERE 1 = 0")
     return (
         "SELECT CAST(query_id AS BIGINT) AS query_id, "
         "CAST(neighbor_id AS BIGINT) AS neighbor_id, approx_d2, "

@@ -598,6 +598,9 @@ def _near_dup_oracle(sf_dir: str) -> str:
         cos = _cos_fold(X[idx[a]], X[idx[b]])
         if cos >= 0.4:
             rows.append(f"({a}, {b}, {_float_sql(cos)})")
+    if not rows:  # tiny/filtered corpora: zero-row oracle, right schema
+        return ("SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) "
+                "AS b, CAST(NULL AS DOUBLE) AS cosine WHERE 1 = 0")
     return (
         "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, cosine "
         f"FROM (VALUES {', '.join(rows)}) AS t(a, b, cosine) ORDER BY a, b"
@@ -634,6 +637,10 @@ def _lsh_topk_oracle(sf_dir: str) -> str:
             [ids[i] for i in q_idx], [X[i] for i in q_idx], ids, X, 5, 4, 8
         )
     ]
+    if not rows:  # tiny/filtered corpora: zero-row oracle, right schema
+        return ("SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS "
+                "BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS sim, "
+                "CAST(NULL AS BIGINT) AS rank WHERE 1 = 0")
     return (
         "SELECT CAST(query_id AS BIGINT) AS query_id, "
         "CAST(neighbor_id AS BIGINT) AS neighbor_id, sim, "
@@ -696,6 +703,10 @@ def _ivf_topk_oracle(sf_dir: str) -> str:
             ids, X, 5, 6, C,
         )
     ]
+    if not rows:  # tiny/filtered corpora: zero-row oracle, right schema
+        return ("SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS "
+                "BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS sim, "
+                "CAST(NULL AS BIGINT) AS rank WHERE 1 = 0")
     return (
         "SELECT CAST(query_id AS BIGINT) AS query_id, "
         "CAST(neighbor_id AS BIGINT) AS neighbor_id, sim, "
