@@ -117,19 +117,9 @@ def _quantizer_replay(sf_dir: str, k: int, seed: int):
     ivf_cells_math the Arrow UDF runs (per-row ops ⇒ batch-boundary
     independent ⇒ bit-identical). Shared by the x_kmeans_embed and
     x_semantic_dedup lazy oracles."""
-    import duckdb
     import numpy as np
 
-    con = duckdb.connect()
-    try:
-        rows = con.execute(
-            f"SELECT vec_id, embedding FROM "
-            f"read_parquet('{sf_dir}/embeddings.parquet')"
-        ).fetchall()
-    finally:
-        con.close()
-    ids = [r[0] for r in rows]
-    X = [list(map(float, r[1])) for r in rows]
+    ids, X = _emb_rows_local(sf_dir)
     # the trainer's sample: md5("{seed}_{id}") rank, first 20k
     order = sorted(
         range(len(ids)),

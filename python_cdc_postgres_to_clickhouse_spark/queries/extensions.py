@@ -561,18 +561,11 @@ WHERE a.vec_id < b.vec_id
 
 def _emb_rows(sf_dir: str):
     """(ids, float-widened vectors) straight from parquet via DuckDB —
-    the shared loader for the round-12 ANN lazy oracles."""
-    import duckdb
+    the shared loader for the round-12 ANN lazy oracles (one
+    implementation, queries/embeddings.py)."""
+    from .embeddings import _emb_rows_local
 
-    con = duckdb.connect()
-    try:
-        rows = con.execute(
-            f"SELECT vec_id, embedding FROM "
-            f"read_parquet('{sf_dir}/embeddings.parquet')"
-        ).fetchall()
-    finally:
-        con.close()
-    return [r[0] for r in rows], [list(map(float, r[1])) for r in rows]
+    return _emb_rows_local(sf_dir)
 
 
 def _float_sql(x: float) -> str:
