@@ -178,6 +178,100 @@ def pq_assign_replay(X, codebooks):
     return pq_encode_math(V, np.asarray(codebooks))
 
 
+def pq_query_tables(Q: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """Per-query ADC lookup tables, shared VERBATIM between
+    ``pq_adc_topk``'s driver-side prep and the x_pq_adc_topk oracle
+    replay: (nq, m, K) exact squared L2 from each query subvector to each
+    codeword (the expansion trick, same as pq_encode_math). Driver-side
+    numpy, deterministic given (Q, books)."""
+    m, K, dsub = books.shape
+    tables = np.empty((Q.shape[0], m, K), dtype=np.float64)
+    for j in range(m):
+        S = Q[:, j * dsub : (j + 1) * dsub]  # (nq, dsub)
+        C = books[j]  # (K, dsub)
+        tables[:, j, :] = (
+            (S * S).sum(axis=1, keepdims=True) - 2.0 * S @ C.T + (C * C).sum(axis=1)
+        )
+    return tables
+
+
+def pq_adc_scores(tables: "np.ndarray", codes: "np.ndarray") -> "np.ndarray":
+    """The ADC gather-and-sum, shared VERBATIM by the Arrow UDF in
+    ``pq_adc_topk`` and the oracle replay: approximate squared distance =
+    Σ_j tables[q, j, code_j], accumulated in fixed j order. Every op is
+    per-row (per-corpus-row gathers and adds), so the result is
+    independent of Arrow batch boundaries — one full-table call
+    reproduces the distributed pass bit-exactly (pinned by the
+    forced-small-batch test in tests/test_embeddings.py). Returns
+    (nq, n)."""
+    m = tables.shape[1]
+    d = np.zeros((tables.shape[0], codes.shape[0]), dtype=np.float64)
+    for j in range(m):
+        d += tables[:, j, codes[:, j]]
+    return d
+
+
+def pq_adc_topk_replay(q_ids, Q, books, c_ids, codes_arr, k):
+    """Spark-independent replay of ``pq_adc_topk`` given the codebooks
+    and the encoded corpus (both themselves replayable via pq_fit /
+    pq_encode_math): the shared table prep, the UDF's exact
+    gather-and-sum over the full corpus, the same
+    (approx_d2 ASC, neighbor_id ASC) ranking. Returns
+    (query_id, neighbor_id, approx_d2, rank) tuples."""
+    tables = pq_query_tables(Q, np.asarray(books))
+    X = np.array(codes_arr, dtype=np.int64)
+    d = pq_adc_scores(tables, X)
+    out = []
+    for qi, q_id in enumerate(q_ids):
+        scored = sorted(
+            ((float(d[qi, i]), c_ids[i]) for i in range(len(c_ids))),
+            key=lambda t: (t[0], t[1]),
+        )
+        for rank, (dd, nid) in enumerate(scored[:k], start=1):
+            out.append((q_id, nid, dd, rank))
+    return out
+
+
+def exact_l2_fold(v, q) -> float:
+    """Pure-python replay of the rerank stage's JVM expression
+    ``aggregate(zip_with(v, q, (a,b) -> (a-b)*(a-b)), 0.0, acc+x)`` —
+    left-to-right double fold, bit-identical to Spark."""
+    acc = 0.0
+    for a, b in zip(v, q):
+        diff = (a - b) * (a - b)
+        acc = acc + diff
+    return acc
+
+
+def pq_adc_rerank_replay(
+    q_ids, Q, books, c_ids, codes_arr, corpus_vecs, k, oversample
+):
+    """Spark-independent replay of ``pq_adc_rerank_topk``: the ADC
+    shortlist via ``pq_adc_topk_replay`` (k·oversample per query, same
+    tie-break), then exact L2 over ONLY the shortlist via the same
+    left-to-right fold the JVM runs, ranked (exact_d2 ASC,
+    neighbor_id ASC). Returns (query_id, neighbor_id, exact_d2, rank)
+    tuples."""
+    shortlist = pq_adc_topk_replay(
+        q_ids, Q, books, c_ids, codes_arr, k * oversample
+    )
+    vec_by_id = dict(zip(c_ids, corpus_vecs))
+    by_query: dict = {}
+    for q_id, nid, _dd, _r in shortlist:
+        by_query.setdefault(q_id, []).append(nid)
+    out = []
+    for qi, q_id in enumerate(q_ids):
+        qv = [float(x) for x in Q[qi]]
+        scored = sorted(
+            ((exact_l2_fold(vec_by_id[nid], qv), nid)
+             for nid in by_query.get(q_id, [])),
+            key=lambda t: (t[0], t[1]),
+        )
+        for rank, (dd, nid) in enumerate(scored[:k], start=1):
+            out.append((q_id, nid, dd, rank))
+    return out
+
+
 def pq_adc_topk(
     corpus_codes: DataFrame,
     codebooks: np.ndarray,
@@ -208,27 +302,18 @@ def pq_adc_topk(
     from pyspark.sql import Window as W
     from pyspark.sql.functions import pandas_udf
 
-    m, K, dsub = codebooks.shape
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = [r[query_id_col] for r in q_rows]
     Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    # (nq, m, K): exact distance from each query subvector to each codeword.
-    tables = np.empty((len(q_ids), m, K), dtype=np.float64)
-    for j in range(m):
-        S = Q[:, j * dsub : (j + 1) * dsub]  # (nq, dsub)
-        C = codebooks[j]  # (K, dsub)
-        tables[:, j, :] = (
-            (S * S).sum(axis=1, keepdims=True) - 2.0 * S @ C.T + (C * C).sum(axis=1)
-        )
+    # (nq, m, K): exact distance from each query subvector to each codeword
+    # (shared verbatim with the oracle replay — pq_adc_topk_replay).
+    tables = pq_query_tables(Q, codebooks)
 
     @pandas_udf("array<double>")
     def _adc(codes: pd.Series) -> pd.Series:
         X = np.array(codes.tolist(), dtype=np.int64)  # (n, m)
-        n = X.shape[0]
-        # Gather per subspace: tables[:, j, X[:, j]] is (nq, n).
-        d = np.zeros((len(q_ids), n), dtype=np.float64)
-        for j in range(m):
-            d += tables[:, j, X[:, j]]
+        # Per-subspace gather-and-sum, shared verbatim with the replay.
+        d = pq_adc_scores(tables, X)
         return pd.Series(list(d.T))
 
     scored = corpus_codes.select(

@@ -706,25 +706,9 @@ def _ntile4_distributed(df: DataFrame, order_cols: list[str], out: str) -> DataF
     )
 
 
-@query("x_rfm_segments", oracle=RFM_SQL, tags=("ext", "behavior", "segmentation"))
-def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM customer segmentation: per-user recency/frequency/monetary from
-    purchase events, quartile-scored with NTILE, rolled up to the 4x4x4
-    segment census.
-
-    Determinism: every NTILE ordering carries user_id as the tie-break, so
-    quartile membership is exact on both engines (NTILE's
-    floor-division bucket formula is engine-identical given a total
-    order). Monetary is integer cents.
-
-    Scale: below RFM_NTILE_GATE purchasing users the three NTILEs run as
-    global windows over the already-reduced per-user frame (bounded by the
-    user population, not event volume). Above the gate the swap-in
-    computes the SAME exact quartiles distributed — three range-
-    partitioned two-phase ranks (O(#parts) driver offsets each, no
-    single-partition stage); the two paths are bit-equal (equality-tested
-    with the gate forced to 0), so the driver hash is path-independent.
-    """
+def _rfm_segments(spark: SparkSession, sf_dir: str, gate: int) -> DataFrame:
+    """Shared RFM pipeline; ``gate`` picks the NTILE strategy (see
+    x_rfm_segments / x_rfm_segments_dist — bit-equal outputs)."""
     ev = load_tables(spark, sf_dir)["events"]
     per_user = (
         ev.filter(F.col("event_type") == "purchase")
@@ -741,7 +725,7 @@ def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame every later pass reuses — the events scan runs exactly once.
     per_user = per_user.persist()
     cnt = per_user.count()
-    if cnt > RFM_NTILE_GATE:
+    if cnt > gate:
         scored = per_user
         for cols, name in [
             (["last_ts", "user_id"], "r_score"),
@@ -774,6 +758,47 @@ def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query("x_rfm_segments", oracle=RFM_SQL, tags=("ext", "behavior", "segmentation"))
+def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency/frequency/monetary from
+    purchase events, quartile-scored with NTILE, rolled up to the 4x4x4
+    segment census.
+
+    Determinism: every NTILE ordering carries user_id as the tie-break, so
+    quartile membership is exact on both engines (NTILE's
+    floor-division bucket formula is engine-identical given a total
+    order). Monetary is integer cents.
+
+    Scale: below RFM_NTILE_GATE purchasing users the three NTILEs run as
+    global windows over the already-reduced per-user frame (bounded by the
+    user population, not event volume). Above the gate the swap-in
+    computes the SAME exact quartiles distributed — three range-
+    partitioned two-phase ranks (O(#parts) driver offsets each, no
+    single-partition stage); the two paths are bit-equal (equality-tested
+    locally AND driver-checked via x_rfm_segments_dist, which forces the
+    distributed path against the SAME oracle), so the driver hash is
+    path-independent.
+    """
+    return _rfm_segments(spark, sf_dir, RFM_NTILE_GATE)
+
+
+@query(
+    "x_rfm_segments_dist",
+    oracle=RFM_SQL,
+    tags=("ext", "behavior", "segmentation"),
+)
+def x_rfm_segments_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_rfm_segments with the distributed-NTILE swap-in FORCED (gate=0) —
+    the path a >{RFM_NTILE_GATE}-user corpus takes, exercised at fixture
+    scale under the driver tier against the SAME RFM_SQL oracle (round-13
+    verdict item: the swap-in previously had only the local bit-equality
+    test). Three range-partitioned two-phase ranks replace the
+    single-partition global windows; outputs are bit-equal by
+    construction (exact global rank + Spark's own ntile bucket
+    arithmetic), so both variants hash-match one oracle."""
+    return _rfm_segments(spark, sf_dir, 0)
 
 
 COHORT_LTV_SQL = """

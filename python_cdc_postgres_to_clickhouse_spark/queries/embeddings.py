@@ -232,6 +232,180 @@ def x_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8
 PQ_K = 16
 PQ_SEED = 11
+PQ_ADC_K = 10
+PQ_ADC_OVERSAMPLE = 5
+
+# Build-once/query-many (the _IVFPQ_MODEL precedent): the PQ codebook
+# tensor is an index artifact, a few KB at any corpus size — one
+# bounded-sample training per (process, corpus), shared by x_pq_codes and
+# the two ADC search queries.
+_PQ_MODEL: dict[str, "object"] = {}
+
+
+def _pq_model_for(emb: DataFrame, sf_dir: str):
+    m = _PQ_MODEL.get(sf_dir)
+    if m is None:
+        from ..operators.pq import train_pq_codebooks
+
+        m = _PQ_MODEL.setdefault(
+            sf_dir,
+            # id_col: layout-independent md5 sample rank — retrainable
+            # outside Spark for the full oracles.
+            train_pq_codebooks(
+                emb, m=PQ_M, k=PQ_K, seed=PQ_SEED, id_col="vec_id"
+            ),
+        )
+    return m
+
+
+def _pq_replay_model(sf_dir: str):
+    """Spark-independent replay of the PQ training + encode pipeline
+    (parquet via DuckDB, md5 sample rank, shared pq_fit/pq_encode_math) —
+    the common front half of the x_pq_adc_* lazy oracles. Returns
+    (ids, X, books, codes_arr)."""
+    import numpy as np
+
+    from ..operators.pq import pq_assign_replay, pq_fit
+
+    ids, X = _emb_rows_local(sf_dir)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(f"{PQ_SEED}_{ids[i]}".encode()).hexdigest(),
+    )[:20_000]
+    books = pq_fit(
+        np.array([X[i] for i in order], dtype=np.float64),
+        PQ_M, PQ_K, 10, PQ_SEED,
+    )
+    codes_arr, _errs = pq_assign_replay(X, books)
+    return ids, X, books, codes_arr
+
+
+def _adc_values_sql(rows_iter, dist_col: str) -> str:
+    """(query_id, neighbor_id, dist, rank) tuples → a typed VALUES oracle
+    (distance doubles through the repr-string cast, the x_ivfpq_topk
+    device)."""
+    rows = [
+        f"({q}, {n}, CAST('{d!r}' AS DOUBLE), {r})" for q, n, d, r in rows_iter
+    ]
+    if not rows:  # tiny/filtered corpora: zero-row oracle, right schema
+        return ("SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS "
+                "BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS "
+                f"{dist_col}, CAST(NULL AS INTEGER) AS rank WHERE 1 = 0")
+    return (
+        "SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(neighbor_id AS BIGINT) AS neighbor_id, "
+        f"{dist_col}, CAST(rank AS INTEGER) AS rank "
+        f"FROM (VALUES {', '.join(rows)}) AS t(query_id, neighbor_id, "
+        f"{dist_col}, rank) ORDER BY query_id, rank"
+    )
+
+
+def _pq_adc_topk_oracle(sf_dir: str) -> str:
+    """Lazy VALUES oracle for x_pq_adc_topk (the shared-math replay
+    device end to end): codebooks retrained outside Spark (md5 rank +
+    pq_fit), corpus encoded via pq_encode_math, per-query ADC tables /
+    gather-and-sum / ranking via pq_adc_topk_replay — every stage shares
+    its math verbatim with the Spark path."""
+    import numpy as np
+
+    from ..operators.pq import pq_adc_topk_replay
+
+    ids, X, books, codes_arr = _pq_replay_model(sf_dir)
+    q_idx = [i for i, v in enumerate(ids) if v % 50 == 0]
+    rows = pq_adc_topk_replay(
+        [ids[i] for i in q_idx],
+        np.array(X, dtype=np.float64)[q_idx],
+        books, ids, codes_arr, PQ_ADC_K,
+    )
+    return _adc_values_sql(rows, "approx_d2")
+
+
+def _pq_adc_rerank_oracle(sf_dir: str) -> str:
+    """Lazy VALUES oracle for x_pq_adc_rerank: the same replayed model +
+    codes, ADC shortlist (k·oversample) and the exact-L2 re-rank via the
+    same left-to-right fold the JVM runs (pq_adc_rerank_replay)."""
+    import numpy as np
+
+    from ..operators.pq import pq_adc_rerank_replay
+
+    ids, X, books, codes_arr = _pq_replay_model(sf_dir)
+    q_idx = [i for i, v in enumerate(ids) if v % 50 == 0]
+    rows = pq_adc_rerank_replay(
+        [ids[i] for i in q_idx],
+        np.array(X, dtype=np.float64)[q_idx],
+        books, ids, codes_arr, X, PQ_ADC_K, PQ_ADC_OVERSAMPLE,
+    )
+    return _adc_values_sql(rows, "exact_d2")
+
+
+@query(
+    "x_pq_adc_topk",
+    oracle=_pq_adc_topk_oracle,
+    tags=("ext", "embedding", "similarity", "iterative"),
+)
+def x_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 (search half): asymmetric-distance (ADC) approximate L2 top-10
+    over PQ codes — the serving payoff of the compression. Each query
+    builds an (m × K) lookup table of exact query-subvector→codeword
+    distances driver-side; a coded corpus vector's approximate distance
+    is the SUM of m table lookups inside ONE Arrow-batched pass over the
+    CODE columns — the corpus float vectors are never read or shuffled at
+    query time, so the scan cost is ≈ N·m bytes (the 32× PQ byte cut);
+    per-query top-k is a WindowGroupLimit.
+
+    FULL ORACLE (the round-12 shared-math replay device): md5-rank
+    training, pq_fit / pq_encode_math / pq_query_tables / pq_adc_scores
+    shared verbatim with the Spark path, ranking replayed with the same
+    (approx_d2, neighbor_id) tie-break (_pq_adc_topk_oracle); recall
+    floors, numpy-ADC parity, and batch-boundary independence in
+    tests/test_embeddings.py."""
+    from ..operators.pq import pq_adc_topk, pq_assign
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    books = _pq_model_for(emb, sf_dir)
+    codes = pq_assign(emb, books).select("vec_id", "codes")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(codes, books, queries_df, k=PQ_ADC_K).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "approx_d2",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query(
+    "x_pq_adc_rerank",
+    oracle=_pq_adc_rerank_oracle,
+    tags=("ext", "embedding", "similarity", "iterative"),
+)
+def x_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 (search + re-rank): the standard PQ serving pipeline — ADC
+    shortlist of k·{PQ_ADC_OVERSAMPLE} per query over the code columns,
+    then exact L2 on ONLY the shortlist (a broadcast semi-join of the
+    |q|·oversample·k ids against the vector table — the big side is
+    filtered, never shuffled) and a re-rank to top-{PQ_ADC_K}. Recall
+    approaches exact search while the corpus-wide scan stays 32× cheaper;
+    the exact pass touches a constant number of vectors per query.
+
+    FULL ORACLE: the same replayed model/codes as x_pq_adc_topk, the
+    shortlist replayed with the same tie-break, and the exact distance
+    replayed with the same left-to-right JVM fold (exact_l2_fold) —
+    _pq_adc_rerank_oracle."""
+    from ..operators.pq import pq_adc_rerank_topk, pq_assign
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    books = _pq_model_for(emb, sf_dir)
+    codes = pq_assign(emb, books).select("vec_id", "codes")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_adc_rerank_topk(
+        codes, books, queries_df, emb, k=PQ_ADC_K,
+        oversample=PQ_ADC_OVERSAMPLE,
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "exact_d2",
+        F.col("rank").cast("int").alias("rank"),
+    )
 # Dyadic error grid (the x_kmeans_embed device): per-row reconstruction
 # errors floor to multiples of 2^-24 before summing, so the per-subspace
 # mean is an exact, order-insensitive sum — hash-comparable.
@@ -320,13 +494,11 @@ def x_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL ORACLE since round 12 (_pq_codes_oracle: training, encode, and
     rollup replayed outside Spark); determinism + numpy-replay parity +
     error-dominance tests in tests/test_embeddings.py."""
-    from ..operators.pq import pq_assign, train_pq_codebooks
+    from ..operators.pq import pq_assign
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    books = train_pq_codebooks(
-        emb, m=PQ_M, k=PQ_K, seed=PQ_SEED, id_col="vec_id"
-    )
+    books = _pq_model_for(emb, sf_dir)
     enc = pq_assign(emb, books)
     sub = enc.select(
         F.posexplode(F.arrays_zip("codes", "errs")).alias("subspace", "z")

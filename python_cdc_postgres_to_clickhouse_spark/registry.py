@@ -93,91 +93,20 @@ def query(
 # The union of rounds verifies the full registry (asserted in
 # tests/test_harness.py — never hand-count the total here).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND-12 WINDOW (the driver consumes exactly the first 50 names).
-    # Recomputed from the CORRECTNESS_r*.json union 2026-08-16: staleness
-    # after r11 = 23@r7, 49@r8, 50@r9, 50@r10, 50@r11. Per the r11
-    # verdict item 1: the r7 tail in full (leads x_doc_rarity +
-    # x_downsample_tiers displaced from the r11 window, then the 16
-    # remaining r7 oracle names alphabetical, then the 5 r7 rows-only
-    # names — of which x_semantic_dedup/x_pq_codes/x_ivfpq_topk are FULL
-    # ORACLES now via the shared-math replay device, with quantizer
-    # training moved to the layout-independent md5 sample rank), then the
-    # round-12 promotions/changes not already above, then r8 fill
-    # (oracle-bearing first, alphabetical).
-    # (a0) NEW this round: composed WITH FILL end to end (grouped spine +
-    #      per-group LOCF INTERPOLATE through the dialect).
-    "sql_ch_fill_multi",
-    # (a) r7 cohort leads (displaced from the r11 window):
-    "x_doc_rarity",
-    "x_downsample_tiers",
-    # (b) r7 oracle-bearing remainder, alphabetical:
-    "x_dup_span_detect",
-    "x_embedding_quantize",
-    "x_ewma_trailing",
-    "x_importance_resample",
-    "x_keyword_bm25",
-    "x_lttb_downsample",
-    "x_outlier_mad",
-    "x_projection_route",
-    "x_retention_flags",
-    "x_rfm_segments",
-    "x_seasonal_profile",
-    "x_sequence_count",
-    "x_sequence_match",
-    "x_sequence_match_timed",
-    "x_window_funnel_dedup",
-    "x_window_funnel_strict",
-    # (c) r7 rows-only names (x_semantic_dedup/x_pq_codes/x_ivfpq_topk
-    #     hash-compare now; x_ivfpq_topk listed under (d) with its
-    #     promotion cohort):
-    "sql_ch_state_merge_rollup",
-    "x_active_users_sketch",
-    "x_pq_codes",
-    "x_semantic_dedup",
-    # (d) changed this round and not already in the window (round-12
-    #     promotions: full hash oracles via the shared-math replay
-    #     device; x_ivf_cosine_topk also moves its quantizer to the
-    #     layout-independent md5 sample rank):
-    "x_kmeans_embed",
-    "x_lsh_cosine_topk",
-    "x_embedding_near_dup",
-    "x_ivf_cosine_topk",
-    "x_ivfpq_topk",
-    # (e) r8 staleness fill, oracle-bearing first, alphabetical. Any
-    #     later round-12 addition must displace the LAST names here into
-    #     the round-13 queue.
-    "a_argmax",
-    "a_conditional",
-    "a_count_distinct",
-    "a_cube",
-    "a_groupby_expr",
-    "a_grouping_sets",
-    "a_having",
-    "a_rollup",
-    "a_rollup_grouping",
-    "a_stats_moments",
-    "c_array_funcs",
-    "c_case_in_between",
-    "c_like_split",
-    "c_null_handling",
-    "j_anti",
-    "j_full_outer",
-    "j_left_outer",
-    "j_semi",
-    "j_theta_band",
-    "s_except",
-    "s_except_all",
-    "sql_ch_avg_state",
-    # (sql_ch_fill_interpolate, sub_in, sub_min_price_supplier and
-    # sub_not_exists displaced to the r13 queue by sql_ch_fill_multi and
-    # the three ANN promotions landing in (d).)
-    # ------------------------------------------------------------------
-    # Positions 51+: the ROUND-13 QUEUE — the r8 cohort remainder
-    # (oracle-bearing, alphabetical; x_ivf_cosine_topk was the one
-    # rows-only r8 name and is promoted + windowed above), then the r9
-    # cohort (50) fills after them (recompute from the
-    # CORRECTNESS_r*.json union when planning r13; never trust a hand
-    # count).
+    # ROUND-13 WINDOW (the driver consumes exactly the first 50 names).
+    # Recomputed from the CORRECTNESS_r*.json union 2026-08-17: staleness
+    # after r12 = 26@r8, 50@r9, 50@r10, 47@r11, 50@r12 (223 total). Per
+    # the r12 verdict item 1: the full r8 cohort first, then r9 fill
+    # (alphabetical); new-this-round queries lead per the standing
+    # rotation policy.
+    # (a) NEW this round: the PQ ADC serving path under full oracles (the
+    #     shared-math replay device — r12 verdict item 2) and the
+    #     distributed-NTILE leg of RFM forced at fixture scale (item 5).
+    "x_pq_adc_topk",
+    "x_pq_adc_rerank",
+    "x_rfm_segments_dist",
+    # (b) the r8 cohort, in full (26 names — the oldest driver rows;
+    #     whole w_* window family + sub_* subquery family included):
     "sql_ch_fill_interpolate",
     "sub_in",
     "sub_min_price_supplier",
@@ -204,83 +133,70 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_tfidf_topterms",
     "x_token_packing",
     "x_vocab_build",
+    # (c) r9 staleness fill, alphabetical (21 names):
+    "a_percentile_disc",
+    "c_datetime_funcs",
+    "c_explode_outer",
+    "c_struct_funcs",
+    "cdc_changes_per_key_topn",
+    "cdc_latest_by_key",
+    "cdc_op_routing",
+    "cdc_snapshot_union_changelog",
+    "j_asof_latest_event",
+    "j_star_broadcast",
+    "m_json_map",
+    "m_nation_volume",
+    "m_shipping_priority",
+    "q1_pricing_summary",
+    "s_intersect",
+    "s_union_all",
+    "s_union_distinct",
+    "sql_ch_fill_recurrence",
+    "sql_ch_max_intersections",
+    "sql_ch_sample_offset",
+    "sql_ch_sequence_next_node",
+    # ------------------------------------------------------------------
+    # Positions 51+: the ROUND-14 QUEUE — the r9 cohort remainder (29
+    # names below, alphabetical), after which the r10 cohort (50) becomes
+    # oldest and fills the rest of the r14 window (recompute from the
+    # CORRECTNESS_r*.json union when planning r14; never trust a hand
+    # count).
+    "sql_ch_uniq_exact_rollup",
+    "sql_ch_window_funnel",
+    "t_session_window",
+    "t_sliding_window",
+    "t_tumbling_window",
+    "tpch_q10_returned_items",
+    "tpch_q11_value_share",
+    "tpch_q12_late_lines",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q18_large_orders",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_lapsed_customers",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "w_forward_fill",
+    "w_topk_per_group",
+    "x_chunk_documents",
+    "x_cosine_topk",
+    "x_dedup_exact",
+    "x_jaccard_near_dup",
+    "x_linear_quality_score",
+    "x_passage_dedup",
+    "x_rank_corr",
+    "x_token_diversity",
+    "x_window_funnel_freeze",
 )
 
 
-_ROUND11_WINDOW_RECORD: tuple[str, ...] = (
-    # ROUND-11 WINDOW as consumed (kept for the rotation audit trail).
-    # (a) NEW this round: the codec wave (base58 + punycode through the
-    #     shim, reference-implementation VALUES oracle).
-    "sql_ch_codec_report",
-    "sql_ch_normalize_report",
-    # (b) The pre-r7 staleness tail, in full — 11 r6-stale oracle names
-    #     (x_pmi_pairs displaced from the r10 window leads), then the 10
-    #     rows-only r4/r6 names that have gone 5+ rounds without even a
-    #     rows>0 driver row (the r10 verdict ordered these slots burned;
-    #     x_bloom_decontaminate is a FULL oracle as of this round).
-    "x_pmi_pairs",
-    "x_quality_gate_per_lang",
-    "x_quality_score",
-    "x_retention_cohort",
-    "x_session_paths",
-    "x_session_stats",
-    "x_source_cap",
-    "x_text_stats",
-    "x_time_weighted_avg",
-    "x_weighted_sample",
-    "x_window_funnel",
-    "a_approx_distinct",
-    "a_approx_quantiles",
-    "x_embedding_near_dup",
-    "x_lsh_cosine_topk",
-    "x_sketch_distinct_rollup",
-    "x_sketch_quantiles",
-    "x_sketch_theta_setops",
-    "x_bloom_decontaminate",
-    "x_kmeans_embed",
-    "x_sketch_cms_freq",
-    # (c) Promoted from rows-only to full oracles this round (semantics
-    #     of the driver row changed: hash compare now applies).
-    "x_bpe_encode",
-    "x_bpe_merges",
-    "x_holt_trend",
-    # (d) Staleness fill: the r7 cohort (last driver row r7), oracle-
-    #     bearing names first, alphabetical. Any later round-11 addition
-    #     must displace the LAST name here into the round-12 queue.
-    "a_map_combinators",
-    "a_weighted_quantiles",
-    "c_multi_search",
-    "cdc_reconciliation",
-    "cdc_scd2_history",
-    "cdc_versioned_collapse",
-    "j_asof_forward_tolerance",
-    "j_interval_overlap",
-    "sql_ch_any_enrich",
-    "sql_ch_asof_enrich",
-    "sql_ch_dict_lookup",
-    "sql_ch_docs_scalars",
-    "sql_ch_events_rollup",
-    "sql_ch_fill_hours",
-    "sql_ch_retention_report",
-    "sql_ch_token_report",
-    "sql_ch_top_per_type",
-    "sql_ch_totals_report",
-    "sql_ch_word_freq",
-    "x_active_users_rolling",
-    "x_attribution_last_touch",
-    "x_cohort_ltv",
-    "x_counter_rate",
-    "x_dict_enrich",
-    # (x_doc_rarity and x_downsample_tiers displaced to the r12 queue by
-    # sql_ch_normalize_report and the x_bpe_merges promotion landing
-    # later in round 11.)
-    # ------------------------------------------------------------------
-    # Positions 51+: the ROUND-12 QUEUE. After r11 clears the pre-r7
-    # tail, the oldest names are the r7 remainder (the displaced
-    # x_downsample_tiers first, then 16 oracle-bearing, then the 6 r7
-    # rows-only names); the r8 cohort (49 queries) fills after them
-    # (recompute from the CORRECTNESS_r*.json union when planning r12;
-    # never trust a hand count).
+_ROUND12_WINDOW_RECORD: tuple[str, ...] = (
+    # ROUND-12 WINDOW as consumed (kept for the rotation audit trail;
+    # CORRECTNESS_r12: 48/48 oracle green + 2/2 rows-only ran).
+    "sql_ch_fill_multi",
     "x_doc_rarity",
     "x_downsample_tiers",
     "x_dup_span_detect",
@@ -301,9 +217,35 @@ _ROUND11_WINDOW_RECORD: tuple[str, ...] = (
     "x_window_funnel_strict",
     "sql_ch_state_merge_rollup",
     "x_active_users_sketch",
-    "x_ivfpq_topk",
     "x_pq_codes",
     "x_semantic_dedup",
+    "x_kmeans_embed",
+    "x_lsh_cosine_topk",
+    "x_embedding_near_dup",
+    "x_ivf_cosine_topk",
+    "x_ivfpq_topk",
+    "a_argmax",
+    "a_conditional",
+    "a_count_distinct",
+    "a_cube",
+    "a_groupby_expr",
+    "a_grouping_sets",
+    "a_having",
+    "a_rollup",
+    "a_rollup_grouping",
+    "a_stats_moments",
+    "c_array_funcs",
+    "c_case_in_between",
+    "c_like_split",
+    "c_null_handling",
+    "j_anti",
+    "j_full_outer",
+    "j_left_outer",
+    "j_semi",
+    "j_theta_band",
+    "s_except",
+    "s_except_all",
+    "sql_ch_avg_state",
 )
 
 
