@@ -6126,20 +6126,28 @@ def _window_funnel(params: Sequence[str] | None, args: list[str]) -> str:
             "windowFunnel needs a literal window (seconds) parameter"
         )
     # Modes: CH passes each as its own parameter (windowFunnel(W, 'a',
-    # 'b')); comma-joined single strings are tolerated too. Combined
-    # modes compose into one scan fold since round 12.
+    # 'b')) and rejects a comma-joined single string as an unknown mode —
+    # so does this shim (ADVICE r12: accepting the comma spelling would
+    # silently bless SQL that is invalid upstream). Combined modes
+    # compose into one scan fold since round 12.
     modes: set[str] = set()
     known = ("strict_order", "strict_deduplication", "strict_increase")
     for p in (params or [])[1:]:
-        for m in p.strip("'\"").split(","):
-            m = m.strip()
-            if m not in known:
-                raise DialectError(
-                    f"windowFunnel mode {m!r} is not one of "
-                    "'strict_order' / 'strict_deduplication' / "
-                    "'strict_increase'"
-                )
-            modes.add(m)
+        m = p.strip("'\"").strip()
+        if m not in known:
+            hint = (
+                " (pass each mode as its own parameter, e.g. "
+                "windowFunnel(W, 'strict_order', 'strict_increase') — "
+                "ClickHouse rejects comma-joined mode strings too)"
+                if "," in m
+                else ""
+            )
+            raise DialectError(
+                f"windowFunnel mode {m!r} is not one of "
+                "'strict_order' / 'strict_deduplication' / "
+                f"'strict_increase'{hint}"
+            )
+        modes.add(m)
     if len(args) < 2:
         raise DialectError("windowFunnel takes (timestamp, cond1, …)")
     w, ts, conds = params[0], args[0], args[1:]

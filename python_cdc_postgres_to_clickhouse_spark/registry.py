@@ -15,8 +15,11 @@ DOUBLE — see ``queries/_exprs.py``.
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,6 +33,69 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 # SF must pass their sf_dir through resolve_oracle so the baked model
 # matches the Spark side (ADVICE r11).
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+# ---------------------------------------------------------------------------
+# Lazy-oracle disk cache (ADVICE r12): several lazy oracle builders replay
+# model training (k-means/PQ/IVF-PQ) and full-corpus candidate generation in
+# numpy — oracle_sql() resolving all of them at dict-build time made every
+# driver/judge/verify collection pay that cost even when only the 50-name
+# window is compared. The returned dict must stay plain dict[str, str] (the
+# driver contract), so the fix is a content-keyed disk cache: a resolved
+# oracle string is reusable iff NOTHING it could depend on changed — keyed
+# on (query name, sf_dir, a fingerprint of every package .py file, a
+# fingerprint of every parquet file in sf_dir). Any code edit or fixture
+# regeneration invalidates the whole cache (builders call helpers across
+# modules; chasing the call graph would be fragile — over-invalidation is
+# the safe direction). Within an unchanged tree the driver run, the judge's
+# sim, and repeated verifies all hit the cache.
+_CACHE_DIR = Path(__file__).resolve().parent.parent / ".oracle_cache"
+_TREE_FP: str | None = None
+_FIXTURE_FP: dict[str, str] = {}
+
+
+def _tree_fingerprint() -> str:
+    global _TREE_FP
+    if _TREE_FP is None:
+        h = hashlib.sha256()
+        pkg = Path(__file__).resolve().parent
+        for p in sorted(pkg.rglob("*.py")):
+            h.update(str(p.relative_to(pkg)).encode())
+            h.update(p.read_bytes())
+        _TREE_FP = h.hexdigest()
+    return _TREE_FP
+
+
+def _fixture_fingerprint(sf_dir: str) -> str:
+    fp = _FIXTURE_FP.get(sf_dir)
+    if fp is None:
+        h = hashlib.sha256()
+        for p in sorted(Path(sf_dir).glob("*.parquet")):
+            h.update(p.name.encode())
+            h.update(p.read_bytes())
+        fp = _FIXTURE_FP.setdefault(sf_dir, h.hexdigest())
+    return fp
+
+
+def _oracle_cache_get(name: str, sf_dir: str) -> "tuple[Path, str | None]":
+    key = hashlib.sha256(
+        f"{name}|{sf_dir}|{_tree_fingerprint()}|{_fixture_fingerprint(sf_dir)}"
+        .encode()
+    ).hexdigest()
+    path = _CACHE_DIR / f"{key}.sql"
+    try:
+        return path, path.read_text()
+    except OSError:
+        return path, None
+
+
+def _oracle_cache_put(path: Path, sql: str) -> None:
+    try:
+        _CACHE_DIR.mkdir(exist_ok=True)
+        tmp = path.with_suffix(f".tmp{os.getpid()}")
+        tmp.write_text(sql)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is an optimization; never fail resolution over it
 
 
 @dataclass
@@ -54,12 +120,16 @@ class QuerySpec:
         if self.oracle is None or not callable(self.oracle):
             return self.oracle
         if sf_dir not in self._resolved:
-            import inspect
+            cache_path, cached = _oracle_cache_get(self.name, sf_dir)
+            if cached is not None:
+                self._resolved[sf_dir] = cached
+            else:
+                import inspect
 
-            takes_sf = bool(inspect.signature(self.oracle).parameters)
-            self._resolved[sf_dir] = (
-                self.oracle(sf_dir) if takes_sf else self.oracle()
-            )
+                takes_sf = bool(inspect.signature(self.oracle).parameters)
+                sql = self.oracle(sf_dir) if takes_sf else self.oracle()
+                self._resolved[sf_dir] = sql
+                _oracle_cache_put(cache_path, sql)
         return self._resolved[sf_dir]
 
 

@@ -293,6 +293,11 @@ def test_qualified_and_quoted_names_untouched():
         # unknown mode names stay loud:
         ("SELECT windowFunnel(60, 'strict_order', 'strict_onze')"
          "(ts, a, b) FROM t", "not one of"),
+        # comma-joined mode strings are invalid in real ClickHouse too —
+        # the shim rejects them and names the canonical spelling
+        # (ADVICE r12: the tolerance was a silent shim-only extension):
+        ("SELECT windowFunnel(60, 'strict_order,strict_increase')"
+         "(ts, a, b) FROM t", "own parameter"),
         # no inequality conjunct: the interval-izing rewrite can't anchor
         ("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k", "inequality"),
         ("SELECT quantileMerge(s) FROM t", "components separately"),

@@ -61,6 +61,68 @@ def test_cdc_latest_by_key_uses_window_group_limit(spark):
     assert P.has_window_group_limit(_q(spark, "cdc_latest_by_key"))
 
 
+def test_window_family_exactly_one_hash_exchange(spark):
+    """Every partitioned w_* query must compile to exactly ONE exchange —
+    the hash partition on the window key. A second exchange means a window
+    spec stopped sharing the shuffle (the r12 verdict asked the r8-stale
+    core relational shapes to carry the same plan-shape evidence the x_*
+    families have)."""
+    import re
+
+    for name in (
+        "w_lag_lead", "w_moving_avg", "w_range_frame",
+        "w_percent_rank_cume", "w_rank_dense", "w_running_sum",
+        "w_forward_fill", "w_topk_per_group",
+    ):
+        plan = P.physical_plan(_q(spark, name))
+        n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+        n_single = len(re.findall(r"Exchange SinglePartition", plan))
+        assert n_hash == 1 and n_single == 0, (
+            f"{name}: expected exactly one hash exchange, "
+            f"got hash={n_hash} single={n_single}"
+        )
+        assert "Window" in plan, f"{name}: window node missing"
+
+
+def test_ntile_global_window_is_the_documented_single_partition(spark):
+    """w_ntile_first_last's global quartile is the deliberate
+    single-partition case (dimension-sized inputs only — see the module
+    docstring); the plan must carry exactly that one SinglePartition
+    exchange and no stray extra shuffles."""
+    import re
+
+    plan = P.physical_plan(_q(spark, "w_ntile_first_last"))
+    assert len(re.findall(r"Exchange SinglePartition", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+
+def test_subquery_family_join_strategies(spark):
+    """IN / EXISTS / NOT EXISTS subqueries must compile to broadcast
+    semi/anti joins (the subquery side is dimension-sized), never to an
+    aggregate-plus-cross or a shuffled join of the fact."""
+    for name, fragment in (
+        ("sub_in", "LeftSemi"),
+        ("sub_exists_correlated", "LeftSemi"),
+        ("sub_not_exists", "LeftAnti"),
+    ):
+        plan = P.physical_plan(_q(spark, name))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert fragment in plan, f"{name}: expected {fragment} join"
+
+
+def test_scalar_subquery_rides_as_subquery_not_join(spark):
+    """The uncorrelated scalar-avg subquery must ride the filter as a
+    reused one-row Subquery (two SinglePartition combines for the global
+    aggregate), never re-shuffle the fact side."""
+    import re
+
+    plan = P.physical_plan(_q(spark, "sub_scalar_avg"))
+    assert "Subquery" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, (
+        "scalar subquery must not shuffle the probe side"
+    )
+
+
 def test_no_python_udfs_in_relational_surface(spark):
     """Every oracle-checked query must stay fully JVM-side (no
     BatchEvalPython / ArrowEvalPython nodes) and must never compile to a
@@ -72,10 +134,13 @@ def test_no_python_udfs_in_relational_surface(spark):
     verbatim with the oracle replay and batch-boundary independent —
     tests/test_embeddings.py). Those may carry ArrowEvalPython (the
     vectorized fast path), but NEVER row-at-a-time BatchEvalPython."""
+    # Exactly the shared-math-replay ANN promotions (r12 + the r13 ADC
+    # pair) — nothing else may carry an Arrow node (ADVICE r12 restored
+    # x_holt_trend to the strict guard: its plan is pure JVM).
     arrow_ok = {
         "x_kmeans_embed", "x_semantic_dedup", "x_pq_codes",
         "x_lsh_cosine_topk", "x_embedding_near_dup", "x_ivf_cosine_topk",
-        "x_ivfpq_topk", "x_holt_trend",
+        "x_ivfpq_topk", "x_pq_adc_topk", "x_pq_adc_rerank",
     }
     for name, spec in all_queries().items():
         if spec.oracle is None:
