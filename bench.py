@@ -158,6 +158,10 @@ HEADLINE = [
     "sql_ch_fill_multi",       # grouped WITH FILL spine + per-group LOCF
     "x_pq_codes",              # PQ codebook health, Arrow GEMM encode
     "x_kmeans_embed",          # coarse-quantizer view, GEMM assignment
+    # Added round 13 (earlier entries unchanged — like-for-like holds).
+    "x_pq_adc_topk",           # ADC top-k over PQ codes, no vectors read
+    "x_pq_adc_rerank",         # ADC shortlist + broadcast-semi exact rerank
+    "x_rfm_segments_dist",     # distributed two-phase NTILE quartiles
 ]
 
 

@@ -677,33 +677,38 @@ def _ntile4_distributed(df: DataFrame, order_cols: list[str], out: str) -> DataF
     buckets hold (n div 4 + 1) rows — applied to the exact global rank.
     Output is bit-identical to F.ntile(4) over the global window."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    d = df.repartitionByRange(
-        n_parts, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id())
+    # Persist the range-partitioned frame: the counts job materializes it
+    # once and the rank/bucket pass (plus any CHAINED ntile stage's range
+    # sampling) reads the materialization instead of re-executing the
+    # upstream lineage — three chained stages otherwise recompute each
+    # other O(stages²) (round-13 bench: 6.3 s → ~1 s at sf0.1).
+    d = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
     counts = d.groupBy("_pid").count().collect()
-    acc, bases = 0, []
+    acc, base_by_pid = 0, {}
     for r in sorted(counts, key=lambda r: r["_pid"]):
-        bases.append((r["_pid"], acc))
+        base_by_pid[r["_pid"]] = acc
         acc += r["count"]
     n = acc
-    base_df = df.sparkSession.createDataFrame(
-        bases or [(0, 0)], "_pid int, _base bigint"
-    )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     size, rem = divmod(n, 4)
     cums = [b * size + min(b, rem) for b in (1, 2, 3)]
-    rank = F.col("_base") + F.row_number().over(w)
+    # O(#parts) offsets ride as an array literal indexed by _pid — no
+    # broadcast join, no extra exchange.
+    base_arr = F.array(
+        *[F.lit(base_by_pid.get(p, 0)) for p in range(n_parts)]
+    )
+    rank = F.element_at(base_arr, F.col("_pid") + 1) + F.row_number().over(w)
     bucket = (
         F.when(rank <= cums[0], 1)
         .when(rank <= cums[1], 2)
         .when(rank <= cums[2], 3)
         .otherwise(4)
     )
-    return (
-        d.join(F.broadcast(base_df), "_pid")
-        .withColumn(out, bucket)
-        .drop("_pid", "_base")
-    )
+    return d.withColumn(out, bucket).drop("_pid")
 
 
 def _rfm_segments(spark: SparkSession, sf_dir: str, gate: int) -> DataFrame:

@@ -508,6 +508,72 @@ def test_ivfpq_declared_query_finds_self_at_rank1(spark):
     assert all(q == n for q, n in top1.items()), top1
 
 
+def test_pq_adc_declared_queries_match_shared_math_replay(spark):
+    """Round-13 promotion validity: the Spark ADC top-k and rerank
+    queries must reproduce the Spark-independent replays BIT-EXACTLY —
+    scores included (pq_query_tables / pq_adc_scores / exact_l2_fold are
+    shared verbatim; ranking uses the same (dist, neighbor_id)
+    tie-break)."""
+    import hashlib as _hl
+
+    import numpy as _np
+
+    from python_cdc_postgres_to_clickhouse_spark.operators.pq import (
+        pq_adc_rerank_replay,
+        pq_adc_topk_replay,
+        pq_assign_replay,
+        pq_fit,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.queries.embeddings import (
+        PQ_ADC_K,
+        PQ_ADC_OVERSAMPLE,
+        PQ_K,
+        PQ_M,
+        PQ_SEED,
+    )
+    from python_cdc_postgres_to_clickhouse_spark.registry import all_queries
+    from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
+
+    rows = (
+        load_tables(spark, SF_SMOKE)["embeddings"]
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    X = [list(map(float, r["embedding"])) for r in rows]
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: _hl.md5(f"{PQ_SEED}_{ids[i]}".encode()).hexdigest(),
+    )[:20_000]
+    books = pq_fit(
+        _np.array([X[i] for i in order], dtype=_np.float64),
+        PQ_M, PQ_K, 10, PQ_SEED,
+    )
+    codes_arr, _ = pq_assign_replay(X, books)
+    q_idx = [i for i, v in enumerate(ids) if v % 50 == 0]
+    Q = _np.array(X, dtype=_np.float64)[q_idx]
+    q_ids = [ids[i] for i in q_idx]
+
+    qs = all_queries()
+    got_topk = sorted(map(tuple, qs["x_pq_adc_topk"].fn(spark, SF_SMOKE).collect()))
+    exp_topk = sorted(
+        (q, n, d, r)
+        for q, n, d, r in pq_adc_topk_replay(
+            q_ids, Q, books, ids, codes_arr, PQ_ADC_K
+        )
+    )
+    assert got_topk == exp_topk
+
+    got_rr = sorted(map(tuple, qs["x_pq_adc_rerank"].fn(spark, SF_SMOKE).collect()))
+    exp_rr = sorted(
+        (q, n, d, r)
+        for q, n, d, r in pq_adc_rerank_replay(
+            q_ids, Q, books, ids, codes_arr, X, PQ_ADC_K, PQ_ADC_OVERSAMPLE
+        )
+    )
+    assert got_rr == exp_rr
+
+
 def test_promoted_oracles_are_arrow_batch_independent(spark):
     """Round-12 promotion validity: the GEMM UDF passes behind
     x_kmeans_embed / x_semantic_dedup / x_pq_codes must produce
@@ -521,7 +587,7 @@ def test_promoted_oracles_are_arrow_batch_independent(spark):
     names = [
         "x_kmeans_embed", "x_semantic_dedup", "x_pq_codes",
         "x_lsh_cosine_topk", "x_embedding_near_dup", "x_ivf_cosine_topk",
-        "x_ivfpq_topk",
+        "x_ivfpq_topk", "x_pq_adc_topk", "x_pq_adc_rerank",
     ]
     key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     old = spark.conf.get(key, None)
