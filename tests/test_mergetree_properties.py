@@ -819,34 +819,21 @@ def test_dialect_combined_funnel_modes_match_composed_transcription(
             got = {r["depth"]: r["n_users"] for r in spark.sql(sql).collect()}
             want = _brute_combined_funnel(rows, set(combo))
             assert got == want, (seed, spread, combo)
-        # comma-joined single-string spelling tolerated
-        sql2 = translate(
+    # The comma-joined single-string spelling is REJECTED loudly since
+    # round 13 (ADVICE r12: real ClickHouse rejects it as an unknown
+    # mode, so tolerating it would silently bless SQL that is invalid
+    # upstream) — the error must name the separate-parameter spelling.
+    import pytest
+
+    from python_cdc_postgres_to_clickhouse_spark.dialect import DialectError
+
+    with pytest.raises(DialectError, match="own parameter"):
+        translate(
             "SELECT user_id, windowFunnel(3600, "
             "'strict_order,strict_increase')(ts, "
             "event_type = 'signup', event_type = 'view', "
             "event_type = 'purchase') AS depth FROM events GROUP BY user_id"
         )
-        got2 = {
-            r["user_id"]: r["depth"] for r in spark.sql(sql2).collect()
-        }
-        want2 = {}
-        for _eid, _ts, uid, _et, _v, _p in rows:
-            want2.setdefault(uid, 0)
-        # rebuild per-user depths from the brute hist path
-        # (reuse the scan directly for per-user values)
-        so_si = set(("strict_order", "strict_increase"))
-        order = {"signup": 1, "view": 2, "purchase": 3}
-        by_user = {}
-        for _eid, ts, uid, etype, _v, _p in rows:
-            by_user.setdefault(uid, []).append(
-                (ts, order.get(etype, 0), etype)
-            )
-        for uid, evs in by_user.items():
-            h = _brute_combined_funnel(
-                [(0, ts, uid, et, 0.0, "{}") for ts, _n, et in evs], so_si
-            )
-            want2[uid] = max(h) if h else 0
-        assert got2 == want2, (seed, spread)
 
 
 def test_combined_funnel_divergence_frames(spark, tmp_path):
