@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..tables import widen_small_scan
+
 
 def dot(a: str | Column, b: str | Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, JVM-side (no UDF)."""
@@ -54,7 +56,13 @@ def cosine_topk(
     streams through in place — at 100 TB this is one scan of the corpus, no
     shuffle until the final per-query top-k (tiny). Norms are precomputed
     per row so each pair costs one dot product.
+
+    The corpus side is conditionally widened (round 13, guide §2.5 input
+    skew): the |Q|·N interpreted dot folds run in the corpus scan stage,
+    and a single-row-group file would pin all of them to one core —
+    no-op at cluster scale where the scan is already wide.
     """
+    corpus = widen_small_scan(corpus)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -655,6 +663,42 @@ def ivf_cosine_topk(
     )
 
 
+def fold_norms_seq(X: "np.ndarray") -> "np.ndarray":
+    """Row norms whose per-row value is BIT-IDENTICAL to the JVM
+    ``norm()`` fold: acc starts at 0.0 and accumulates one x·x product
+    per dimension — vectorized ACROSS rows, sequential across dims, so
+    every element sees exactly the fold's rounding sequence (one
+    correctly-rounded multiply + one correctly-rounded add per step;
+    IEEE754 makes numpy and the JVM agree bit-for-bit). Pinned by
+    tests/test_similarity.py against the expression fold."""
+    acc = np.zeros(X.shape[0], dtype=np.float64)
+    for d in range(X.shape[1]):
+        acc = acc + X[:, d] * X[:, d]
+    return np.sqrt(acc)
+
+
+def pairwise_dots_seq(X: "np.ndarray", Y: "np.ndarray") -> "np.ndarray":
+    """(n×d, m×d) → n×m matrix of pairwise dot products, each element
+    BIT-IDENTICAL to the JVM ``dot()`` fold (``aggregate(zip_with(...),
+    0.0, +)``): the accumulation runs sequentially over dimensions with
+    one multiply + one add rounding per step — the same order the fold
+    rounds in — while numpy vectorizes across the n·m pairs. This is what
+    lets the scoring leave the interpreted expression path WITHOUT
+    perturbing a single output bit (a BLAS GEMM would re-associate the
+    sum and flip last-ulp bits, which threshold filters then observe)."""
+    acc = np.zeros((X.shape[0], Y.shape[0]), dtype=np.float64)
+    for d in range(X.shape[1]):
+        acc = acc + X[:, d, None] * Y[None, :, d]
+    return acc
+
+
+# Column-block width for the within-cluster n×b similarity blocks below:
+# bounds per-task live memory at n·4096 doubles regardless of cluster
+# size (a 100k-row outlier cluster peaks at ~3 GB per block instead of
+# an unbounded n² allocation).
+_SEMDEDUP_BLOCK_COLS = 4096
+
+
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -669,16 +713,31 @@ def semantic_dedup(
     WITHIN each cluster — cross-cluster pairs are never materialized, so
     compute is Σ|cluster|² instead of N². At 100 TB you raise n_clusters
     so clusters stay a few thousand rows (the paper's regime: k scales
-    with N, per-cluster work is constant); the within-cluster pairing is
-    an equi-join on cluster_id whose both sides read ONE reused exchange.
+    with N, per-cluster work is constant).
 
     Keep rule: a vector is pruned iff some SMALLER-id vector in its
     cluster has cosine ≥ threshold (keep-first — deterministic and
     engine-replayable; the paper keeps the lowest-centroid-cosine member,
     a choice this rule replaces for determinism).
 
+    Plan shape (optimization round 13, guide §2.3/§4.2): ONE exchange —
+    hash(cluster_id) into an Arrow-grouped prune whose per-cluster math
+    is the numpy sequential fold (``pairwise_dots_seq``), bit-identical
+    to the previous JVM ``aggregate(zip_with(...))`` expression evaluated
+    per pair (equality pinned in tests). The previous shape scanned the
+    corpus three times, ran the assignment UDF on every branch, shuffled
+    Σ|cluster|² candidate pairs through a broadcast join whose condition
+    evaluated the fold INTERPRETED per pair, then joined the prune set
+    back — measured 2.7 s at sf0.1; this shape moves each vector ONCE and
+    scores each pair with vectorized numpy (0.6 s). Within a cluster the
+    similarity matrix is computed in n×4096 column blocks so task memory
+    stays bounded for outlier clusters.
+
     Returns (id_col, cluster_id, kept) for every input row.
     """
+    import pandas as pd
+    from pyspark.sql import types as T
+
     C = (
         centroids
         if centroids is not None
@@ -687,39 +746,46 @@ def semantic_dedup(
         )
     )
     cell1 = _ivf_cells_udf(C, 1)
-    assigned = vectors.select(
+    # Single corpus pass — widen a narrow scan so the assignment GEMM
+    # uses every core (no-op at cluster scale, guide §2.5).
+    assigned = widen_small_scan(vectors).select(
         F.col(id_col).alias("vec_id"),
         F.element_at(cell1(F.col(vec_col)), 1).alias("cluster_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        norm(vec_col).alias("_n"),
+        F.col(vec_col).alias("_v"),
     )
-    a = assigned.select(
-        "cluster_id",
-        F.col("vec_id").alias("_ida"),
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    b = assigned.select(
-        "cluster_id",
-        F.col("vec_id").alias("_idb"),
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    sim = dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))
-    pruned = (
-        a.join(b, "cluster_id")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(sim >= F.lit(threshold))
-        .select(F.col("_idb").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        assigned.join(
-            pruned.withColumn("_pruned", F.lit(True)), "vec_id", "left"
+    thr = float(threshold)
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        X = np.array(list(pdf["_v"]), dtype=np.float64)
+        n = len(pdf)
+        norms = fold_norms_seq(X)
+        kept = np.ones(n, dtype=bool)
+        # j-column blocks: kept[j] = no smaller-id member i<j with
+        # sim(i, j) >= thr (ALL smaller ids, kept or not — the exact
+        # pair-join rule this replaces).
+        for j0 in range(1, n, _SEMDEDUP_BLOCK_COLS):
+            j1 = min(j0 + _SEMDEDUP_BLOCK_COLS, n)
+            dots = pairwise_dots_seq(X, X[j0:j1])
+            denom = norms[:, None] * norms[None, j0:j1]
+            sim = dots / denom
+            i_idx = np.arange(n)[:, None]
+            j_idx = np.arange(j0, j1)[None, :]
+            hit = (sim >= thr) & (i_idx < j_idx)
+            kept[j0:j1] = ~hit.any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster_id": pdf["cluster_id"].to_numpy(),
+                "kept": kept,
+            }
         )
-        .select(
-            "vec_id",
-            "cluster_id",
-            F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
-        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", assigned.schema["vec_id"].dataType),
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
     )
+    return assigned.groupBy("cluster_id").applyInPandas(prune, out_schema)

