@@ -36,17 +36,34 @@ def global_token_offsets(
     df: DataFrame,
     id_col: str = "doc_id",
     len_col: str = "n_tokens",
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``len_col`` in ``id_col`` order.
 
     Requires unique ids (the total order) and non-negative lengths. Output:
     ``id_col, len_col, start_offset`` — one row per input row.
+
+    ``n_parts`` defaults to the session's core count (optimization round
+    13: a hard-coded 32 over- or under-splits any other cluster size; the
+    result is partition-boundary-independent either way, so this is purely
+    a physical choice).
     """
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint freezes the range layout: phase 1 (per-partition
+    # totals) and phase 2 (within-partition running sums) would otherwise
+    # EXECUTE the repartition twice, and RangePartitioner's sampled
+    # boundaries are not guaranteed identical across the two jobs — bases
+    # computed against phase-1 boundaries would then be added to phase-2
+    # running sums over DIFFERENT partitions (latent: stable by luck at
+    # the old hard-coded 32 partitions; exposed at other counts in round
+    # 13). The checkpoint is one row per document — the same bounded
+    # materialization the repo's other two-phase operators use.
     d = (
         df.select(id_col, F.col(len_col).cast("bigint").alias(len_col))
         .repartitionByRange(n_parts, F.col(id_col))
         .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # Phase 1: per-partition totals — bounded at one row per partition, so
     # the driver exchange is O(n_parts) regardless of corpus size.
@@ -79,7 +96,7 @@ def pack_sequences(
     budget: int,
     id_col: str = "doc_id",
     len_col: str = "n_tokens",
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Assign each document its context-window bins for window size
     ``budget``: ``bin_first``/``bin_last`` (integer division of the global

