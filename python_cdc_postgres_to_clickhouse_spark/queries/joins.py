@@ -61,10 +61,21 @@ def j_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "flagship"),
 )
 def j_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped star join: fact → dims, fixed-size dims broadcast."""
+    """TPC-H Q5-shaped star join: fact → dims, fixed-size dims broadcast.
+
+    Round 13 (guide §2.5): the fact side is conditionally widened above a
+    5 MB floor — the single-row-group fixture file pinned the broadcast
+    probes + per-row decimal revenue math to one core (no-op at real
+    scale; the broadcast dim sides stay un-shuffled). Interleaved A/B at
+    sf0.1: ~2.3 → ~1.9 s min-of-3."""
+    from ..tables import _table_bytes, widen_small_scan
+
     t = load_tables(spark, sf_dir)
+    fact = t["lineitem"]
+    if _table_bytes(sf_dir, "lineitem") >= 5_000_000:
+        fact = widen_small_scan(fact)
     return (
-        t["lineitem"]
+        fact
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
