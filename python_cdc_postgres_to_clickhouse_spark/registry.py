@@ -175,6 +175,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_pq_adc_topk",
     "x_pq_adc_rerank",
     "x_rfm_segments_dist",
+    # (a') RESTRUCTURED in the round-13 optimization pass (results
+    #      bit-identical — oracle-verified at sf0.01 AND sf0.1 — but the
+    #      physical plans changed: SemDeDup now one Arrow-grouped
+    #      exchange, rolling-actives lost its countDistinct Expand): per
+    #      the standing rotation policy, changed queries lead the window
+    #      so the external tier re-verifies them. Displaced r9-fill
+    #      names (sql_ch_sample_offset, sql_ch_sequence_next_node) move
+    #      to the r14 queue below. x_token_packing (also changed:
+    #      layout-race fix) already sits in the r8 cohort;
+    #      q1_pricing_summary / j_star_broadcast (byte-gated fact widens,
+    #      sf0.01 plans unchanged) already sit in the r9 fill.
+    "x_semantic_dedup",
+    "x_active_users_rolling",
     # (b) the r8 cohort, in full (26 names — the oldest driver rows;
     #     whole w_* window family + sub_* subquery family included):
     "sql_ch_fill_interpolate",
@@ -223,14 +236,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s_union_distinct",
     "sql_ch_fill_recurrence",
     "sql_ch_max_intersections",
-    "sql_ch_sample_offset",
-    "sql_ch_sequence_next_node",
     # ------------------------------------------------------------------
-    # Positions 51+: the ROUND-14 QUEUE — the r9 cohort remainder (29
-    # names below, alphabetical), after which the r10 cohort (50) becomes
-    # oldest and fills the rest of the r14 window (recompute from the
+    # Positions 51+: the ROUND-14 QUEUE — the two r9 names displaced by
+    # the round-13 restructures, then the r9 cohort remainder
+    # (alphabetical), after which the r10 cohort (50) becomes oldest and
+    # fills the rest of the r14 window (recompute from the
     # CORRECTNESS_r*.json union when planning r14; never trust a hand
     # count).
+    "sql_ch_sample_offset",
+    "sql_ch_sequence_next_node",
     "sql_ch_uniq_exact_rollup",
     "sql_ch_window_funnel",
     "t_session_window",
