@@ -213,6 +213,15 @@ def main() -> None:
     for qi, name in enumerate(names):
         if qi in (third, 2 * third):
             probes.append(round(calibrate(), 4))
+        # Measurement-hygiene fix (round 14, verdict item 4a): drop every
+        # cached/persisted frame BEFORE each query's triplet, so min-of-3
+        # measures THIS query (its own persists still warm across its
+        # three runs — the resident-engine convention is unchanged), not
+        # its neighbors' cache pressure or accidental cross-query plan
+        # cache hits (x_cluster_canonical shares the postings subtree
+        # with x_jaccard_near_dup). This is a methodology change: numbers
+        # before/after it are recorded side by side in OPTIMIZATION_r14.md.
+        spark.catalog.clearCache()
         times = []
         for _ in range(3):
             t0 = time.perf_counter()

@@ -59,6 +59,19 @@ def global_token_offsets(
     # the old hard-coded 32 partitions; exposed at other counts in round
     # 13). The checkpoint is one row per document — the same bounded
     # materialization the repo's other two-phase operators use.
+    #
+    # Retention (round-14 advice item): the checkpointed (id, len, pid)
+    # projection stays pinned on executors for the session's lifetime —
+    # it cannot be unpersisted here because the returned DataFrame reads
+    # it lazily, and callers that consume the result immediately (every
+    # query path here) bound the retention to one query. Known
+    # localCheckpoint caveats at cluster scale: losing an executor that
+    # holds checkpoint blocks fails the job LOUDLY (lineage is truncated
+    # — no silent recompute over new boundaries, which is exactly the
+    # property phase 1/2 consistency needs), and it is therefore
+    # unsuitable under dynamic allocation / spot executors; long-lived
+    # cluster runs should swap in reliable checkpointing
+    # (spark.checkpoint with a checkpoint dir) at the same call site.
     d = (
         df.select(id_col, F.col(len_col).cast("bigint").alias(len_col))
         .repartitionByRange(n_parts, F.col(id_col))

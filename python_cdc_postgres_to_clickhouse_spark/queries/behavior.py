@@ -918,9 +918,16 @@ def x_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving-day (x_sketch_distinct_rollup / streaming/sketch_sink.py).
     """
     ev = load_tables(spark, sf_dir)["events"]
-    days = ev.select(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).distinct()
+    # NULL user_ids must not count: the r13 min-offset rewrite replaced
+    # countDistinct(user_id) — which silently skipped NULLs — with plain
+    # counts over the per-user aggregate, where a NULL group would
+    # inflate every tier by 1 (round-14 advice item). The oracle's
+    # COUNT(DISTINCT user_id) formulation skips NULLs; filter explicitly.
+    days = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
     mx = days.agg(F.max("day").alias("max_day"))
     cover = (
         days.select(

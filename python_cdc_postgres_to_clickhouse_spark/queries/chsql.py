@@ -28,23 +28,32 @@ def _clickhouse_sql_wide(
     ch_sql: str,
     sf_dir: str,
     table: str,
-    min_bytes: int = 120_000,
 ) -> DataFrame:
     """Run a dialect query with ``table``'s view pointed at a widened scan
     (optimization round 13, guide §2.5 input skew): fixture parquet files
     are single row groups, so fold-heavy per-row work (IPv6 codecs,
     jaroWinkler, tokenize/ngram batteries) otherwise runs on ONE core.
-    ``widen_small_scan`` is a no-op whenever the scan already has
-    ≥ parallelism splits (any real scale); the byte floor keeps the
-    driver's sf0.01 correctness scale — and the plan-assert suite that
-    runs there — on the verified narrow layouts. The view is swapped only
-    around analysis (``spark.sql`` binds eagerly) and always restored."""
+    Round 14: the widening decision (byte floor + bytes-scaled partition
+    target) lives entirely in ``tables.widen_small_scan`` (WIDEN_COMPUTE
+    profile) — one device, no per-call-site constants. It is a no-op
+    whenever the scan already has enough splits (any real scale), and the
+    byte floor keeps the driver's sf0.01 correctness scale — and the
+    plan-assert suite that runs there — on the verified narrow layouts.
+    The view is swapped only around analysis (``spark.sql`` binds
+    eagerly) and always restored.
+
+    Thread-safety note (round-14 advice item): the swap/restore mutates a
+    session-global temp view; two concurrent analyses of the same table
+    on one SparkSession could bind the wrong layout. The bench and the
+    correctness driver are single-threaded — this helper assumes that.
+    """
     from ..tables import _table_bytes, load_tables, widen_small_scan
 
     t = load_tables(spark, sf_dir)
-    if _table_bytes(sf_dir, table) < min_bytes:
+    wide = widen_small_scan(t[table], input_bytes=_table_bytes(sf_dir, table))
+    if wide is t[table]:
         return clickhouse_sql(spark, ch_sql, sf_dir)
-    widen_small_scan(t[table]).createOrReplaceTempView(table)
+    wide.createOrReplaceTempView(table)
     try:
         return clickhouse_sql(spark, ch_sql, sf_dir)
     finally:

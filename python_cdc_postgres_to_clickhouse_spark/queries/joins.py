@@ -63,17 +63,22 @@ def j_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped star join: fact → dims, fixed-size dims broadcast.
 
-    Round 13 (guide §2.5): the fact side is conditionally widened above a
-    5 MB floor — the single-row-group fixture file pinned the broadcast
-    probes + per-row decimal revenue math to one core (no-op at real
-    scale; the broadcast dim sides stay un-shuffled). Interleaved A/B at
-    sf0.1: ~2.3 → ~1.9 s min-of-3."""
-    from ..tables import _table_bytes, widen_small_scan
+    Round 14 (verdict item 1): the round-13 unconditional fact widen was
+    flat-at-best in the driver's measurements (and its q1 sibling a ×1.44
+    regression); the widen is now bytes-scaled (``WIDEN_SCAN``: one task
+    per 1 MB above a 2 MB floor — sweep-measured optimum at both core
+    counts, see tables.py): ~10 tasks at sf0.1 (32c 1.62→0.90 s vs
+    0.98 s at the old 32-way; 8-vs-32 ratio 1.10), no-op at sf0.01 and at
+    real scale. The broadcast dim sides stay un-shuffled at every
+    scale."""
+    from ..tables import WIDEN_SCAN, _table_bytes, widen_small_scan
 
     t = load_tables(spark, sf_dir)
-    fact = t["lineitem"]
-    if _table_bytes(sf_dir, "lineitem") >= 5_000_000:
-        fact = widen_small_scan(fact)
+    fact = widen_small_scan(
+        t["lineitem"],
+        input_bytes=_table_bytes(sf_dir, "lineitem"),
+        profile=WIDEN_SCAN,
+    )
     return (
         fact
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))

@@ -45,20 +45,23 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report over lineitem (scan→filter→agg→sort).
 
-    Optimization round 13 (guide §2.5 input skew): the fixture file is a
-    single row group, so the filter + decimal partial aggregate ran on
-    ONE core. Above a 5 MB floor the scan is conditionally widened
-    (``widen_small_scan`` — a no-op at any real scale, where the table
-    has thousands of splits); the shipdate filter still pushes through
-    the repartition into the parquet scan (plan-asserted). Interleaved
-    A/B at sf0.1/local[32]: 1.8 → 1.1 s min-of-3.
+    Round 14 (verdict item 1): the round-13 unconditional fact widen (32
+    round-robin tasks over a ~10 MB single-row-group scan) was measured
+    by the driver as a ×1.44 regression at 32 cores with inverted 8-vs-32
+    scaling. The widen is now BYTES-SCALED (``WIDEN_SCAN``: one task per
+    1 MB above a 2 MB floor — the sweep-measured optimum at both 8 and
+    32 cores, see tables.py): ~10 tasks at sf0.1 (32c 1.16→0.85 s vs
+    0.89 s at the old 32-way, 8-vs-32 ratio 1.26), no-op at sf0.01 and at
+    any real scale, where the table already has thousands of splits.
     """
-    from ..tables import _table_bytes, widen_small_scan
+    from ..tables import WIDEN_SCAN, _table_bytes, widen_small_scan
 
     t = load_tables(spark, sf_dir)
-    lineitem = t["lineitem"]
-    if _table_bytes(sf_dir, "lineitem") >= 5_000_000:
-        lineitem = widen_small_scan(lineitem)
+    lineitem = widen_small_scan(
+        t["lineitem"],
+        input_bytes=_table_bytes(sf_dir, "lineitem"),
+        profile=WIDEN_SCAN,
+    )
     return (
         lineitem
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))

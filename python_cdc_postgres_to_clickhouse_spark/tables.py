@@ -62,7 +62,34 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # costs more scheduling than it buys (and sf0.01 — the driver's
 # correctness scale — stays below it, so verified layouts are
 # unchanged).
-WIDEN_MIN_BYTES = 400_000
+#
+# Round 14 (verdict items 1 + 8): ONE widening device with a
+# BYTES-SCALED partition target — ``clamp(input_bytes // split, 1,
+# defaultParallelism)``, applied only above a byte floor — replacing the
+# three r13 copies (catalog variant, dialect view swap, inline q1/j_star
+# checks). Two profiles, constants defined once here:
+#   WIDEN_COMPUTE — per-row fold/codec/GEMM passes. Measured fold cost is
+#     ~0.5-2 ms of single-core CPU per KB of parquet at sf0.1, so one
+#     task per 8 KB still yields ≥10 ms tasks (well above scheduling
+#     cost); the 120 KB floor keeps the driver's sf0.01 correctness
+#     scale on the verified narrow layouts.
+#   WIDEN_SCAN — decimal-heavy single-fact scans (q1 / j_star: per-row
+#     decimal money math + broadcast probes fused into the scan stage).
+#     One task per 1 MB, floor 2 MB. The round-13 version targeted
+#     defaultParallelism unconditionally; the r13 driver measured that as
+#     a ×1.44 regression at 32 cores with inverted 8-vs-32 scaling (32
+#     round-robin tasks over a 10 MB scan lose to fewer bigger tasks in
+#     contended windows). A round-14 partition-count sweep at BOTH core
+#     counts (calm window, min-of-3, interleaved): q1 at 32 cores
+#     n1=1.16 / n10=0.85 / n32=0.89 s, at 8 cores n1=1.25 / n10=1.08 /
+#     n32=1.04; j_star 32c n1=1.62 / n10=0.90 / n32=0.98, 8c n10=0.98 —
+#     the bytes-scaled ~1 MB/task optimum beats both the narrow scan and
+#     the 32-way widen, and restores the 8-vs-32 ratio to ≥1 (1.26 / 1.10
+#     at n10). sf0.01 lineitem (1.04 MB) sits below the floor → the
+#     driver's correctness-scale layouts are unchanged; at real scale the
+#     table has thousands of splits and the device is a no-op.
+WIDEN_COMPUTE = ("compute", 120_000, 8_192)
+WIDEN_SCAN = ("decimal-agg-scan", 2_000_000, 1_000_000)
 
 
 def _table_bytes(sf_dir: str, name: str) -> int:
@@ -138,24 +165,29 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         df.createOrReplaceTempView(name)
         dfs[name] = df
     # Byte-gated wide variant for per-row-compute-bound text consumers
-    # (see WIDEN_MIN_BYTES note above). Not registered as a view — the
+    # (see the WIDEN_COMPUTE note above). Not registered as a view — the
     # SQL-string surface keeps the plain table names; DataFrame queries
     # opt in explicitly.
-    dfs["documents_wide"] = (
-        widen_small_scan(dfs["documents"])
-        if _table_bytes(sf_dir, "documents") >= WIDEN_MIN_BYTES
-        else dfs["documents"]
+    dfs["documents_wide"] = widen_small_scan(
+        dfs["documents"],
+        input_bytes=_table_bytes(sf_dir, "documents"),
+        profile=WIDEN_COMPUTE,
     )
     _CATALOG_CACHE[key] = dfs
     _ACTIVE_VIEWS[id(spark)] = sf_dir
     return dfs
 
 
-def widen_small_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
-    """Repartition a scan whose input-split count is below the session's
-    core count — and ONLY then (at cluster scale a table has thousands of
-    row-group splits and this is a no-op; a blanket repartition there would
-    be a pointless full shuffle of raw text).
+def widen_small_scan(
+    df: DataFrame,
+    min_parallelism: int | None = None,
+    input_bytes: int | None = None,
+    profile: tuple[str, int, int] = WIDEN_COMPUTE,
+) -> DataFrame:
+    """Repartition a scan whose input-split count is below the target —
+    and ONLY then (at cluster scale a table has thousands of row-group
+    splits and this is a no-op; a blanket repartition there would be a
+    pointless full shuffle of raw text).
 
     Why it exists: interpreted higher-order expressions (transform /
     aggregate lambdas — shingle construction, per-bit vote folds) are
@@ -163,9 +195,23 @@ def widen_small_scan(df: DataFrame, min_parallelism: int | None = None) -> DataF
     single-row-group Parquet file serializes the whole pipeline onto one
     core (measured 5.4× at sf0.1 on local[32]). Pay one small shuffle of
     the raw rows to use every core.
+
+    With ``input_bytes`` the target is BYTES-SCALED per ``profile``
+    (see WIDEN_COMPUTE / WIDEN_SCAN above): below the profile's byte
+    floor nothing happens; above it the target is
+    ``clamp(input_bytes // split, 1, defaultParallelism)`` — a small
+    input never fans out to more tasks than its bytes justify (round-13
+    driver evidence: 32 tasks over a 10 MB scan regressed q1 ×1.44).
+    Without ``input_bytes`` (operator-internal call sites that see only a
+    DataFrame) the target is the session parallelism, as in round 13.
     """
     sc = df.sparkSession.sparkContext
     target = min_parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if input_bytes is not None:
+        _name, floor, split = profile
+        if input_bytes < floor:
+            return df
+        target = min(target, max(int(input_bytes) // split, 1))
+    if target >= 2 and df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -5,6 +5,8 @@ standard applied to the ANN streaming leg."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import os
 import shutil
@@ -120,6 +122,7 @@ def test_stream_attach_and_topk_matches_batch_operator(spark, tmp_path):
     assert got == expect and len(got) > 0
 
 
+@pytest.mark.heavy
 def test_replay_idempotent_and_watermark_skip(spark, tmp_path):
     model = _model(spark)
     chunks = _chunks(_emb(spark), 3)
@@ -171,6 +174,7 @@ def test_bootstrap_model_trains_once_and_is_replay_stable(spark, tmp_path):
     assert np.array_equal(cells, g_cells) and np.array_equal(books, g_books)
 
 
+@pytest.mark.heavy
 def test_sample_is_global_lowest_k_regardless_of_batching(spark, tmp_path):
     """The accumulated training sample is the global lowest-sample_k by
     md5 rank over every id ever seen — identical for 1-batch and 4-batch
@@ -197,6 +201,7 @@ def test_sample_is_global_lowest_k_regardless_of_batching(spark, tmp_path):
     assert {r["vec_id"] for r in b._current_sample().collect()} == expected
 
 
+@pytest.mark.heavy
 def test_refresh_creates_generation_and_closes_replay_window(spark, tmp_path):
     chunks = _chunks(_emb(spark), 3)
     sink = _sink(spark, tmp_path, "idx")

@@ -3,6 +3,8 @@ parity; custom stateful streaming operator."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from python_cdc_postgres_to_clickhouse_spark.operators import dedup as D
@@ -104,6 +106,7 @@ def test_dedup_keep_representatives(spark):
         assert rep in kept_ids
 
 
+@pytest.mark.heavy
 def test_stateful_running_user_stats(spark, tmp_path):
     """applyInPandasWithState: per-user running stats over a stream equal
     the batch aggregate at stream end."""

@@ -3,6 +3,8 @@ a late update older than a *surviving* tombstone still loses."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from python_cdc_postgres_to_clickhouse_spark.sources.cdc import (
@@ -19,6 +21,7 @@ from python_cdc_postgres_to_clickhouse_spark.streaming.filestream import (
 from python_cdc_postgres_to_clickhouse_spark.streaming.upsert_sink import ParquetUpsertSink
 
 
+@pytest.mark.heavy
 def test_compaction_drops_old_tombstones_keeps_recent(spark, tmp_path):
     fx = generate_changelog(n_keys=30, n_ops=200, seed=15)
     src = str(tmp_path / "src")
@@ -49,6 +52,7 @@ def test_compaction_drops_old_tombstones_keeps_recent(spark, tmp_path):
     assert {r["id"] for r in sink.current_state().collect()} == before_live
 
 
+@pytest.mark.heavy
 def test_surviving_tombstone_still_blocks_zombie(spark, tmp_path):
     fx = generate_changelog(n_keys=10, n_ops=80, seed=33)
     src = str(tmp_path / "src")

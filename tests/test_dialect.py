@@ -2182,6 +2182,7 @@ def test_round9_scalar_function_batch(spark):
             translate(bad)
 
 
+@pytest.mark.heavy
 def test_round9_wave3_scalar_batch(spark):
     """multiSearch* (needle-array forms), map leftovers (mapContainsKey /
     mapFilter arg-swap / mapUpdate second-wins / mapConcat first-wins /
@@ -3506,6 +3507,7 @@ def test_base58_codec(spark):
         one("base58Encode(repeat('a', 1025))")
 
 
+@pytest.mark.heavy
 def test_punycode_codec(spark):
     """punycodeEncode/Decode vs Python's built-in punycode codec (the RFC
     3492 reference): RFC sample-style labels, non-BMP code points, fuzzed
@@ -3700,6 +3702,7 @@ def test_ipv6_or_null_or_default(spark):
         one("hex(toIPv6('1.2.3.4'))")
 
 
+@pytest.mark.heavy
 def test_punycode_codec_random_codepoints(spark):
     """Wider punycode fuzz: random strings over the full BMP (plus
     supplementary-plane samples), including digit-heavy, surrogate-
@@ -3890,6 +3893,7 @@ def test_round11_audit_batch4(spark):
             translate(bad)
 
 
+@pytest.mark.heavy
 def test_with_fill_composed_forms(spark):
     """Round 12 (r11 verdict item 6): multi-column, grouped, and
     expression WITH FILL keys — executed semantics, not just shape.

@@ -496,6 +496,37 @@ def test_semantic_dedup_deterministic_across_runs(spark):
     assert a == b
 
 
+def test_semantic_dedup_cluster_cap_routes_bitidentical(spark):
+    """Round-14 memory guard (verdict item 6): a forced tiny
+    ``max_cluster_rows`` routes every oversized cluster to the spillable
+    pair-join shape — and the output must be BIT-identical to the
+    Arrow-grouped path (same JVM-fold rounding, same keep-first rule),
+    because the declared query's oracle hash may not move."""
+    from python_cdc_postgres_to_clickhouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    base = sorted(
+        map(tuple, semantic_dedup(emb, threshold=0.95, n_clusters=4, seed=7).collect())
+    )
+    capped = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                emb, threshold=0.95, n_clusters=4, seed=7, max_cluster_rows=8
+            ).collect(),
+        )
+    )
+    assert capped == base
+    # The cap genuinely triggered: with 4 clusters over the smoke corpus,
+    # at least one cluster exceeds 8 rows.
+    from collections import Counter
+
+    sizes = Counter(c for _, c, _ in base)
+    assert max(sizes.values()) > 8, sizes
+
+
 def test_ivfpq_declared_query_finds_self_at_rank1(spark):
     """The declared x_ivfpq_topk row: every query (a corpus member) must
     retrieve ITSELF at rank 1 — its own cell is always its nearest probe

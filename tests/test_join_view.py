@@ -92,6 +92,7 @@ def _rdf(spark, ops):
 
 
 @pytest.mark.parametrize("seed,n_chunks", [(1, 1), (2, 3), (3, 5)])
+@pytest.mark.heavy
 def test_join_view_matches_python_replay(spark, tmp_path, seed, n_chunks):
     l_ops = _gen_ops(seed, 60, n_ids=12, n_keys=5, id_col="id")
     r_ops = _gen_ops(seed + 100, 60, n_ids=10, n_keys=5, id_col="rid")
@@ -105,6 +106,7 @@ def test_join_view_matches_python_replay(spark, tmp_path, seed, n_chunks):
     assert _sink_view(sink) == _py_view(l_ops, r_ops)
 
 
+@pytest.mark.heavy
 def test_join_view_incremental_equals_full_after_each_batch(spark, tmp_path):
     l_ops = _gen_ops(7, 40, n_ids=8, n_keys=4, id_col="id")
     r_ops = _gen_ops(8, 40, n_ids=8, n_keys=4, id_col="rid")
@@ -120,6 +122,7 @@ def test_join_view_incremental_equals_full_after_each_batch(spark, tmp_path):
         ), f"batch {i}"
 
 
+@pytest.mark.heavy
 def test_join_view_replay_is_noop(spark, tmp_path):
     l_ops = _gen_ops(11, 30, n_ids=6, n_keys=3, id_col="id")
     r_ops = _gen_ops(12, 30, n_ids=6, n_keys=3, id_col="rid")
@@ -133,6 +136,7 @@ def test_join_view_replay_is_noop(spark, tmp_path):
     assert _sink_view(sink) == before == _py_view(l_ops, r_ops)
 
 
+@pytest.mark.heavy
 def test_join_view_move_erases_old_key_pairs(spark, tmp_path):
     """An update that CHANGES a row's join key must remove its pairs under
     the old key — the delta term a naive new-rows-only maintenance
@@ -152,6 +156,7 @@ def test_join_view_move_erases_old_key_pairs(spark, tmp_path):
     assert _sink_view(sink) == {(1, "b", 5, "y", 20)}
 
 
+@pytest.mark.heavy
 def test_join_view_delete_empties_bucket_via_sentinel(spark, tmp_path):
     """Deleting the only pair of a join key leaves its view bucket EMPTY —
     the dynamic-overwrite sentinel path; without it the stale pair would
@@ -166,6 +171,7 @@ def test_join_view_delete_empties_bucket_via_sentinel(spark, tmp_path):
     assert _sink_view(sink) == set()
 
 
+@pytest.mark.heavy
 def test_join_view_streaming_leg(spark, tmp_path):
     """Tagged union stream drives both sides through attach()."""
     l_ops = _gen_ops(21, 30, n_ids=6, n_keys=4, id_col="id")

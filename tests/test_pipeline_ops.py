@@ -293,6 +293,7 @@ from hypothesis import strategies as st  # noqa: E402
     lens=st.lists(st.integers(0, 50), min_size=1, max_size=60),
     n_parts=st.integers(1, 12),
 )
+@pytest.mark.heavy
 def test_prefix_sum_property(spark, lens, n_parts):
     """Two-phase offsets == sequential cumulative sum, for any lengths
     (zeros included) and any partition count."""

@@ -3,6 +3,8 @@ hex key decode (S6), schema evolution (D5), partition-pruned scans."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from python_cdc_postgres_to_clickhouse_spark import plans as P
@@ -20,6 +22,7 @@ from python_cdc_postgres_to_clickhouse_spark.tables import load_tables
 from .conftest import SF_ORACLE
 
 
+@pytest.mark.heavy
 def test_users_cdc_pipeline_end_to_end(spark, tmp_path):
     """One call: change stream → deduped → materialized current state."""
     fx = generate_changelog(n_keys=25, n_ops=180, seed=44, dup_rate=0.3)

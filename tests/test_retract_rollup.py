@@ -3,6 +3,8 @@ the live CDC state correct under updates, deletes, duplicates, and replays."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from python_cdc_postgres_to_clickhouse_spark.sources.cdc import (
@@ -54,6 +56,7 @@ def _flat(spark, events):
     )
 
 
+@pytest.mark.heavy
 def test_chunked_equals_monolithic_equals_oracle(spark, tmp_path):
     fx = generate_changelog(n_keys=30, n_ops=200, seed=7)
     chunked = _mk_sink(spark, tmp_path, "chunked")
@@ -117,6 +120,7 @@ def _row(key, name):
     }
 
 
+@pytest.mark.heavy
 def test_group_moving_update_delete_and_resurrection(spark, tmp_path):
     sink = _mk_sink(spark, tmp_path, "moves")
     # Insert: id 1 in group 3 ('abc'), id 2 in group 5 ('defgh').
@@ -157,6 +161,7 @@ def test_group_moving_update_delete_and_resurrection(spark, tmp_path):
     assert _served(sink) == {5: (1, 1_000_001), 4: (1, 1_000_002)}
 
 
+@pytest.mark.heavy
 def test_streaming_attach_end_to_end(spark, tmp_path):
     fx = generate_changelog(n_keys=25, n_ops=150, seed=42)
     src = str(tmp_path / "stream_src")
@@ -203,6 +208,7 @@ from .test_upsert_property import _events_from_script  # noqa: E402
     shuffle_seed=st.integers(0, 2**16),
     n_chunks=st.integers(1, 4),
 )
+@pytest.mark.heavy
 def test_rollup_equals_replay_for_any_sequence(
     spark, tmp_path_factory, script, dup_mask, shuffle_seed, n_chunks
 ):

@@ -3,6 +3,8 @@ reads, retention compaction, and the streaming leg."""
 
 from __future__ import annotations
 
+import pytest
+
 from python_cdc_postgres_to_clickhouse_spark.sources.cdc import (
     OP_DELETE,
     changelog_df,
@@ -58,6 +60,7 @@ def _chunks(seq, n):
     return [seq[i : i + step] for i in range(0, len(seq), step)]
 
 
+@pytest.mark.heavy
 def test_scd2_sink_matches_python_oracle(spark, tmp_path):
     fx = generate_changelog(n_keys=30, n_ops=250, seed=11)
     sink = Scd2HistorySink(spark, str(tmp_path / "state"), n_buckets=8)
@@ -66,6 +69,7 @@ def test_scd2_sink_matches_python_oracle(spark, tmp_path):
     assert _sink_history(sink) == _python_scd2(fx.events)
 
 
+@pytest.mark.heavy
 def test_scd2_sink_chunking_invariance(spark, tmp_path):
     """1 batch vs 9 batches produce the identical history table."""
     fx = generate_changelog(n_keys=15, n_ops=120, seed=7)
@@ -149,6 +153,7 @@ def test_scd2_compaction_preserves_survivors_and_replays(spark, tmp_path):
     assert cur == {k: v["username"] for k, v in fx.expected_final.items()}
 
 
+@pytest.mark.heavy
 def test_scd2_streaming_leg(spark, tmp_path):
     from python_cdc_postgres_to_clickhouse_spark.sources.cdc import with_event_time
 
@@ -188,6 +193,7 @@ from .test_upsert_property import _events_from_script  # noqa: E402
     shuffle_seed=st.integers(0, 2**16),
     n_chunks=st.integers(1, 4),
 )
+@pytest.mark.heavy
 def test_scd2_history_equals_oracle_for_any_sequence(
     spark, tmp_path_factory, script, dup_mask, shuffle_seed, n_chunks
 ):

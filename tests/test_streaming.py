@@ -30,6 +30,7 @@ def _flat_stream(stream):
     return with_event_time(unwrap(stream, keep_deletes=True))
 
 
+@pytest.mark.heavy
 def test_stream_upsert_matches_replay_oracle(spark, tmp_path):
     fx = generate_changelog(n_keys=40, n_ops=300, seed=21)
     src = str(tmp_path / "stream_src")

@@ -3,6 +3,8 @@ flag-worthiness of the baseline itself."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -51,6 +53,7 @@ def _run(spark, src, ckpt, name, max_files=None):
     return _final_rows(spark, name)
 
 
+@pytest.mark.heavy
 def test_single_batch_equals_offline_replay(spark, tmp_path):
     ev = (
         load_tables(spark, SF_ORACLE)["events"]
@@ -74,6 +77,7 @@ def test_single_batch_equals_offline_replay(spark, tmp_path):
         assert r["n_flagged"] == flagged, etype
 
 
+@pytest.mark.heavy
 def test_chunked_replay_is_deterministic(spark, tmp_path):
     ev = load_tables(spark, SF_ORACLE)["events"].select(
         "event_type", "ts", "event_id", "value"

@@ -74,6 +74,7 @@ def _batch_reference(docs):
     )
 
 
+@pytest.mark.heavy
 def test_chunked_stream_equals_batch_pipeline(spark, docs, tmp_path):
     src = str(tmp_path / "src")
     _write_chunks(docs, src, lo=0, hi=500, n_chunks=6)
@@ -87,6 +88,7 @@ def test_chunked_stream_equals_batch_pipeline(spark, docs, tmp_path):
     assert _canon(sink.current_state()) == _canon(x_corpus_prep(spark, SF_ORACLE))
 
 
+@pytest.mark.heavy
 def test_incremental_growth_and_restart(spark, docs, tmp_path):
     """Stream half the corpus; then the corpus grows and the pipeline
     re-attaches on the same checkpoint: it must converge to the full-batch
@@ -107,6 +109,7 @@ def test_incremental_growth_and_restart(spark, docs, tmp_path):
     assert _canon(sink2.current_state()) == _canon(x_corpus_prep(spark, SF_ORACLE))
 
 
+@pytest.mark.heavy
 def test_duplicate_redelivery_never_displaces_canonical(spark, tmp_path):
     """Re-delivering an already-seen document (same fingerprint, higher
     doc_id) must leave the canonical row untouched."""

@@ -61,6 +61,7 @@ def _ids(df):
     return {r["doc"] for r in df.collect()}
 
 
+@pytest.mark.heavy
 def test_chunked_replay_equals_one_shot_greedy(spark, docs, tmp_path):
     ref_suppressed = _reference_suppressed(docs)
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
@@ -76,6 +77,7 @@ def test_chunked_replay_equals_one_shot_greedy(spark, docs, tmp_path):
     assert _ids(many.accepted_ids()) == all_ids - ref_suppressed
 
 
+@pytest.mark.heavy
 def test_chunk_order_respects_first_wins(spark, docs, tmp_path):
     """Docs arriving in a later chunk must lose to their already-accepted
     near-dup from an earlier chunk, even when ids say otherwise — the log
@@ -96,6 +98,7 @@ def test_chunk_order_respects_first_wins(spark, docs, tmp_path):
         assert r["est_jaccard"] >= THRESHOLD
 
 
+@pytest.mark.heavy
 def test_redelivery_is_idempotent(spark, docs, tmp_path):
     chunk1 = docs.where(F.col("doc_id") < 250)
     chunk2 = docs.where(F.col("doc_id") >= 250)
@@ -110,6 +113,7 @@ def test_redelivery_is_idempotent(spark, docs, tmp_path):
     assert log_after == log_before
 
 
+@pytest.mark.heavy
 def test_planted_near_dups_are_suppressed(spark, docs, tmp_path):
     """For every planted ≥0.9-Jaccard pair, at most one side survives."""
     f = _run_chunks(spark, docs, str(tmp_path / "p"), [docs])
@@ -125,6 +129,7 @@ def test_planted_near_dups_are_suppressed(spark, docs, tmp_path):
     assert not both, f"near-dup pairs with both sides accepted: {both}"
 
 
+@pytest.mark.heavy
 def test_streaming_attach_runs_end_to_end(spark, docs, tmp_path):
     """The real writeStream path (file source, one file per trigger) lands
     the same accepted set as direct batch processing."""

@@ -5,6 +5,8 @@ generated case on a session-scoped fixture."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -74,6 +76,7 @@ def _env(before, after, op, lsn):
     dup_mask=st.lists(st.booleans(), min_size=0, max_size=40),
     shuffle_seed=st.integers(0, 2**16),
 )
+@pytest.mark.heavy
 def test_latest_by_key_equals_replay_for_any_sequence(
     spark, script, dup_mask, shuffle_seed
 ):
