@@ -7264,15 +7264,46 @@ def translate(sql: str) -> str:
     return _render(toks)
 
 
-def clickhouse_sql(spark, sql: str, sf_dir: str | None = None):
+# Analyzed-plan reuse (optimization round 14, guide §1.2 step 2 /
+# §7.3 "driver is doing something single-threaded"): ``spark.sql()`` of a
+# translated dialect query re-parses and re-analyzes the generated ANSI
+# SQL on EVERY invocation — measured 0.24–0.45 s of driver-side analysis
+# per call for the codec/wave trees (the generated SQL is 8–15 KB of
+# deeply nested fold expressions), paid by every execution of a declared
+# dialect query in a resident engine. A DataFrame is an immutable lazy
+# plan — results are still computed from the parquet inputs at every
+# action, so reuse is NOT result caching; it is the same contract as
+# ``tables._CATALOG_CACHE`` ("immutable plans, reuse is safe"). The key
+# pins the session, the sf_dir (analysis binds concrete file relations;
+# repointing a temp view later never rebinds an existing plan), the
+# dialect text, and the caller-declared layout variant (the widened-view
+# swap in queries/chsql._clickhouse_sql_wide must not leak into the
+# narrow entry or vice versa). Bounded by the number of distinct declared
+# dialect strings per session.
+_PLAN_CACHE: dict = {}
+
+
+def clickhouse_sql(
+    spark,
+    sql: str,
+    sf_dir: str | None = None,
+    _layout: str | None = None,
+):
     """Translate ``sql`` from ClickHouse dialect and run it on Spark.
 
     When ``sf_dir`` is given, the engine's tables are (re)registered as temp
     views first, so table names resolve exactly as they would against the
-    reference's warehouse.
+    reference's warehouse — and the analyzed plan is memoized per
+    (session, sf_dir, layout, sql), see ``_PLAN_CACHE`` above.
     """
     if sf_dir is not None:
         from .tables import load_tables
 
         load_tables(spark, sf_dir)
+        key = (id(spark), sf_dir, _layout, sql)
+        df = _PLAN_CACHE.get(key)
+        if df is None:
+            df = spark.sql(translate(sql))
+            _PLAN_CACHE[key] = df
+        return df
     return spark.sql(translate(sql))

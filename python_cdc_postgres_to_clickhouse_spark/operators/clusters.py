@@ -89,6 +89,17 @@ def connected_components(
     # union duplicates the upstream pair-producing subtree (for Jaccard
     # pairs that's the whole postings join, executed twice inside the
     # checkpoint job — measured 3.5 s vs 1.9 s at sf0.1).
+    #
+    # Materialized with persist + count, not localCheckpoint (round 14):
+    # the edge list is consumed by 2–3 actions (the gate count, the
+    # union-find collect or the loop joins), and persist serves that with
+    # RECOVERABLE lineage — losing an executor recomputes the lost
+    # partitions instead of failing the job, the caveat the repo's
+    # remaining localCheckpoint sites document (operators/packing.py,
+    # where lineage truncation is load-bearing for cross-job layout
+    # consistency; here the edge set is layout-independent). Lineage
+    # truncation for the ITERATIVE path is still handled by the per-round
+    # labels checkpoint below.
     edges = (
         pairs.select(
             F.explode(
@@ -100,7 +111,7 @@ def connected_components(
         )
         .select("e.u", "e.v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     # Size-adaptive parallelism: after near-dup candidate generation the
     # pair graph is usually a sliver of the corpus, and the loop's cost

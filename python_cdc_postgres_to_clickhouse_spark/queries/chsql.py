@@ -53,9 +53,12 @@ def _clickhouse_sql_wide(
     wide = widen_small_scan(t[table], input_bytes=_table_bytes(sf_dir, table))
     if wide is t[table]:
         return clickhouse_sql(spark, ch_sql, sf_dir)
+    # _layout keys the dialect's analyzed-plan cache: the plan bound to
+    # the widened view must never be returned for the narrow spelling
+    # (or vice versa) — see dialect._PLAN_CACHE.
     wide.createOrReplaceTempView(table)
     try:
-        return clickhouse_sql(spark, ch_sql, sf_dir)
+        return clickhouse_sql(spark, ch_sql, sf_dir, _layout=f"wide:{table}")
     finally:
         t[table].createOrReplaceTempView(table)
 
